@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each entry maps to.
+  */
 object SparkEntry {
+  import graft.operators._
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q01ScanAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_agg" -> (Relational.q01ScanAgg _),
+    "q02_filter_project" -> (Relational.q02FilterProject _),
+    "q03_join_broadcast" -> (Relational.q03JoinBroadcast _),
+    "q04_multijoin" -> (Relational.q04MultiJoin _),
+    "q05_case_tiers" -> (Relational.q05CaseTiers _),
+    "q06_weekly_summary" -> (Relational.q06WeeklySummary _),
+    "q07_semantic_view" -> (Relational.q07SemanticView _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_agg" -> Relational.q01Sql,
+    "q02_filter_project" -> Relational.q02Sql,
+    "q03_join_broadcast" -> Relational.q03Sql,
+    "q04_multijoin" -> Relational.q04Sql,
+    "q05_case_tiers" -> Relational.q05Sql,
+    "q06_weekly_summary" -> Relational.q06Sql,
+    "q07_semantic_view" -> Relational.q07Sql,
+  )
 }

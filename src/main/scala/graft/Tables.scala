@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Loaders for the driver's synthetic parquet tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** Deterministic numeric aggregation helpers.
+  *
+  * Double sums are order-dependent under parallel (partial/merge)
+  * aggregation, so a Spark sum and a single-threaded oracle sum can differ
+  * in the last ulps and break hash comparison. We sum exactly by casting
+  * each element to DECIMAL(25,6) first (decimal addition is exact and
+  * associative — identical for any partition order, and cheap relative to
+  * the shuffle it sits behind), then cast the exact total back to double.
+  * The oracle SQL mirrors the same cast, so both engines round the same
+  * exact value.
+  */
+object Num {
+  private val Dec = DecimalType(25, 6)
+
+  /** Exact (associativity-safe) sum of a double column. */
+  def exactSum(c: Column): Column = sum(c.cast(Dec))
+
+  /** Exact sum rounded to `dp` decimal places, as double. */
+  def sumD(c: Column, dp: Int = 4): Column = round(exactSum(c).cast("double"), dp)
+
+  /** Exact average (exact sum / non-null count) rounded to `dp`, as double. */
+  def avgD(c: Column, dp: Int = 4): Column =
+    round(exactSum(c).cast("double") / count(c), dp)
+
+  /** Oracle-SQL fragment mirroring [[exactSum]]. */
+  def sqlSum(expr: String, dp: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE), $dp)"
+
+  /** Oracle-SQL fragment mirroring [[avgD]]. */
+  def sqlAvg(expr: String, dp: Int = 4): String =
+    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE) / COUNT($expr), $dp)"
+
+  /** Deterministic round of a raw double column.
+    *
+    * Engine-native ROUND(double, n) differs between Spark (exact decimal
+    * expansion, HALF_UP) and DuckDB (fp-multiply based) on half-way ulps.
+    * floor(x*10^n + 0.5)/10^n uses only IEEE-defined double ops, so any two
+    * conforming engines produce bit-identical results. [[sqlRoundD]] emits
+    * the same formula for the oracle.
+    */
+  def roundD(c: Column, dp: Int = 4): Column = {
+    val p = math.pow(10, dp)
+    floor(c * p + lit(0.5)).cast("double") / p
+  }
+
+  /** Oracle-SQL fragment mirroring [[roundD]]. */
+  def sqlRoundD(expr: String, dp: Int = 4): String = {
+    val p = s"1e$dp"
+    s"FLOOR(($expr) * $p + 0.5) / $p"
+  }
+}
