@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01ScanAgg(spark, "/root/testdata/sf0.001")
+    Windows.q12DailyRollup(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -21,6 +21,11 @@ object SparkEntry {
     "q05_case_tiers" -> (Relational.q05CaseTiers _),
     "q06_weekly_summary" -> (Relational.q06WeeklySummary _),
     "q07_semantic_view" -> (Relational.q07SemanticView _),
+    "q08_window_lag_lead" -> (Windows.q08WindowLagLead _),
+    "q09_window_rolling" -> (Windows.q09WindowRolling _),
+    "q10_rownum_dedup" -> (Windows.q10RownumDedup _),
+    "q11_forward_fill" -> (Windows.q11ForwardFill _),
+    "q12_daily_rollup" -> (Windows.q12DailyRollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -34,5 +39,10 @@ object SparkEntry {
     "q05_case_tiers" -> Relational.q05Sql,
     "q06_weekly_summary" -> Relational.q06Sql,
     "q07_semantic_view" -> Relational.q07Sql,
+    "q08_window_lag_lead" -> Windows.q08Sql,
+    "q09_window_rolling" -> Windows.q09Sql,
+    "q10_rownum_dedup" -> Windows.q10Sql,
+    "q11_forward_fill" -> Windows.q11Sql,
+    "q12_daily_rollup" -> Windows.q12Sql,
   )
 }
