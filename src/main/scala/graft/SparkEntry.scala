@@ -26,6 +26,13 @@ object SparkEntry {
     "q10_rownum_dedup" -> (Windows.q10RownumDedup _),
     "q11_forward_fill" -> (Windows.q11ForwardFill _),
     "q12_daily_rollup" -> (Windows.q12DailyRollup _),
+    "q13_training_load" -> (Analytics.q13TrainingLoad _),
+    "q14_anomaly_zscore" -> (Analytics.q14AnomalyZscore _),
+    "q15_spearman_lag" -> (Analytics.q15SpearmanLag _),
+    "q16_quality_asserts" -> (Analytics.q16QualityAsserts _),
+    "q17_json_normalize" -> (Analytics.q17JsonNormalize _),
+    "q18_struct_json" -> (Analytics.q18StructJson _),
+    "q19_tumbling_window" -> (Analytics.q19TumblingWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +51,12 @@ object SparkEntry {
     "q10_rownum_dedup" -> Windows.q10Sql,
     "q11_forward_fill" -> Windows.q11Sql,
     "q12_daily_rollup" -> Windows.q12Sql,
+    "q13_training_load" -> Analytics.q13Sql,
+    "q14_anomaly_zscore" -> Analytics.q14Sql,
+    "q15_spearman_lag" -> Analytics.q15Sql,
+    "q16_quality_asserts" -> Analytics.q16Sql,
+    "q17_json_normalize" -> Analytics.q17Sql,
+    "q18_struct_json" -> Analytics.q18Sql,
+    "q19_tumbling_window" -> Analytics.q19Sql,
   )
 }

@@ -1,0 +1,328 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics layer: training-load windows, z-score anomaly detection,
+  * Spearman lag-correlation, data-quality assertions, timestamp/JSON
+  * normalization, record→JSON construction, tumbling-window rollups.
+  *
+  * Re-expresses the reference's insights engine + dbt analytics models
+  * (reference: insights_engine/insights/training_load.py:21-41,
+  * insights/anomaly_detection.py:22-98, insights/correlation_discovery.py:380-442,
+  * dbt .../features/feature_readiness_daily.sql:60-92,
+  * dbt .../tests/assert_readiness_score_range.sql, glue/bio_etl_utils.py:135-155,
+  * glue/fhir_observation_builder.py, lambda/health_alerts/handler.py).
+  *
+  * Everything is expressed as per-entity windows or single-shuffle
+  * aggregations — no driver-side pandas loops (the reference pulls series
+  * into pandas; at 100 TB that is the part that cannot survive).
+  */
+object Analytics {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** Deterministic epoch-day string for a ts. */
+  private val dayCol: Column = date_format(col("ts"), "yyyy-MM-dd")
+
+  /** q13: training-load CTL/ATL/TSB — chronic (42-sample) and acute
+    * (7-sample) rolling means of daily load, and their lagged balance
+    * (reference: training_load.py:21-41 true EMA; feature_readiness_daily
+    * .sql:70-78 windowed approximation — this is the windowed form; the
+    * exact EMA lives in [[graft.operators.TrainingLoad]] with a ScalaTest).
+    */
+  def q13TrainingLoad(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), dayCol.as("day"))
+      .agg(Num.sumD(col("value"), 2).as("daily_load"))
+    val seq = Window.partitionBy("user_id").orderBy("day")
+    val ctlF = seq.rowsBetween(-41, Window.currentRow)
+    val atlF = seq.rowsBetween(-6, Window.currentRow)
+    def rollAvg(f: org.apache.spark.sql.expressions.WindowSpec): Column =
+      Num.roundD(Num.exactSum(col("daily_load")).over(f).cast("double")
+        / count(lit(1)).over(f))
+    daily
+      .withColumn("ctl", rollAvg(ctlF))
+      .withColumn("atl", rollAvg(atlF))
+      .withColumn("tsb", Num.roundD(lag("ctl", 1).over(seq) - lag("atl", 1).over(seq)))
+      .orderBy("user_id", "day")
+  }
+
+  val q13Sql: String = {
+    val ctlF = "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 41 PRECEDING AND CURRENT ROW)"
+    val atlF = "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    def rollAvg(f: String) =
+      Num.sqlRoundD(s"CAST(SUM(CAST(daily_load AS DECIMAL(25,6))) $f AS DOUBLE) / COUNT(*) $f")
+    s"""WITH daily AS (
+       |  SELECT user_id, STRFTIME(ts, '%Y-%m-%d') AS day,
+       |    ${Num.sqlSum("value", 2)} AS daily_load
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |rolled AS (
+       |  SELECT user_id, day, daily_load,
+       |    ${rollAvg(ctlF)} AS ctl,
+       |    ${rollAvg(atlF)} AS atl
+       |  FROM daily)
+       |SELECT user_id, day, daily_load, ctl, atl,
+       |  ${Num.sqlRoundD("LAG(ctl, 1) OVER w - LAG(atl, 1) OVER w")} AS tsb
+       |FROM rolled
+       |WINDOW w AS (PARTITION BY user_id ORDER BY day)
+       |ORDER BY user_id, day""".stripMargin
+  }
+
+  /** q14: z-score anomaly detection vs a trailing rolling baseline
+    * (reference: anomaly_detection.py:22-98 — |z| > 2.5 vs the prior-30
+    * window, min 5 samples). Variance is computed from decimal-exact
+    * Σx / Σx² (not stddev_samp) so both engines derive the identical
+    * double — engine-native variance uses order-dependent streaming
+    * algorithms that diverge in the last ulps.
+    */
+  def q14AnomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-30, -1)
+    val n = count(col("value")).over(base).cast("double")
+    val sx = Num.exactSum(col("value")).over(base).cast("double")
+    val sxx = Num.exactSum(col("value") * col("value")).over(base).cast("double")
+    val mean = sx / n
+    val variance = (sxx - sx * sx / n) / (n - lit(1.0))
+    val z = (col("value") - mean) / sqrt(variance)
+    events(s, dir)
+      .withColumn("n_base", n)
+      .withColumn("baseline_mean", Num.roundD(mean))
+      .withColumn("z", Num.roundD(z, 3))
+      .filter(col("n_base") >= 5 && abs(col("z")) > 2.5)
+      .select("event_id", "user_id", "event_type", "value", "baseline_mean", "z")
+      .orderBy("event_id")
+  }
+
+  val q14Sql: String = {
+    val f = "OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id " +
+      "ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)"
+    s"""WITH b AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |    CAST(COUNT(value) $f AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(25,6))) $f AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(value * value AS DECIMAL(25,6))) $f AS DOUBLE) AS sxx
+       |  FROM events)
+       |SELECT event_id, user_id, event_type, value,
+       |  ${Num.sqlRoundD("sx / n")} AS baseline_mean,
+       |  ${Num.sqlRoundD("(value - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1.0))", 3)} AS z
+       |FROM b
+       |WHERE n >= 5
+       |  AND ABS(${Num.sqlRoundD("(value - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1.0))", 3)}) > 2.5
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** q15: Spearman lag-correlation scan — does today's view score predict
+    * purchase spend 0..3 days later? (reference: correlation_discovery
+    * .py:380-442 — metric-pair × lag grid, Spearman via ranks.)
+    * Ranks are ROW_NUMBERs with a total tiebreak (value, user, day) so both
+    * engines rank identically; rho comes from exact integer rank sums via
+    * the closed-form Pearson-on-ranks formula — no engine corr() whose
+    * streaming accumulation differs.
+    * Scale: the lag grid is a 4-row broadcast; pairs co-shuffle on
+    * (user_id, day); rank windows partition by lag.
+    */
+  def q15SpearmanLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    def dailyAvg(t: String, out: String): DataFrame =
+      e.filter(col("event_type") === t)
+        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+        .agg(Num.avgD(col("value")).as(out))
+    val a = dailyAvg("view", "a_val")
+    val b = dailyAvg("purchase", "b_val")
+    val lags = Seq(0, 1, 2, 3).toDF("lag")
+    val pairs = a.crossJoin(broadcast(lags))
+      .join(b,
+        a("user_id") === b("user_id") &&
+          b("d") === date_add(a("d"), col("lag")))
+      .select(col("lag"), a("user_id"), a("d"), col("a_val"), col("b_val"))
+    val ra = Window.partitionBy("lag").orderBy(col("a_val"), col("user_id"), col("d"))
+    val rb = Window.partitionBy("lag").orderBy(col("b_val"), col("user_id"), col("d"))
+    val ranked = pairs
+      .withColumn("ra", row_number().over(ra))
+      .withColumn("rb", row_number().over(rb))
+    ranked.groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("ra").cast("long") * col("rb")).cast("double").as("sxy"),
+        sum(col("ra")).cast("double").as("sx"),
+        sum(col("rb")).cast("double").as("sy"),
+        sum(col("ra").cast("long") * col("ra")).cast("double").as("sxx"),
+        sum(col("rb").cast("long") * col("rb")).cast("double").as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        Num.roundD(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")))).as("spearman_rho"))
+      .orderBy("lag")
+  }
+
+  val q15Sql: String =
+    s"""WITH a AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${Num.sqlAvg("value")} AS a_val
+       |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |b AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d, ${Num.sqlAvg("value")} AS b_val
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT l.lag, a.user_id, a.d, a.a_val, b.b_val
+       |  FROM a CROSS JOIN (VALUES (0), (1), (2), (3)) AS l(lag)
+       |  JOIN b ON b.user_id = a.user_id AND b.d = a.d + l.lag * INTERVAL 1 DAY),
+       |ranked AS (
+       |  SELECT lag,
+       |    ROW_NUMBER() OVER (PARTITION BY lag ORDER BY a_val, user_id, d) AS ra,
+       |    ROW_NUMBER() OVER (PARTITION BY lag ORDER BY b_val, user_id, d) AS rb
+       |  FROM pairs),
+       |sums AS (
+       |  SELECT lag, COUNT(*) AS n_pairs,
+       |    CAST(SUM(ra * rb) AS DOUBLE) AS sxy,
+       |    CAST(SUM(ra) AS DOUBLE) AS sx, CAST(SUM(rb) AS DOUBLE) AS sy,
+       |    CAST(SUM(ra * ra) AS DOUBLE) AS sxx, CAST(SUM(rb * rb) AS DOUBLE) AS syy
+       |  FROM ranked GROUP BY lag)
+       |SELECT lag, n_pairs,
+       |  ${Num.sqlRoundD("(n_pairs * sxy - sx * sy) / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))")} AS spearman_rho
+       |FROM sums
+       |ORDER BY lag""".stripMargin
+
+  /** q16: data-quality assertion battery — each row is one check and its
+    * violation count, 0 meaning the assertion holds
+    * (reference: dbt .../tests/assert_readiness_score_range.sql,
+    * assert_no_future_dates.sql — dbt tests are SELECTs whose rows are
+    * failures). FK checks are left-anti joins (broadcast the PK side when
+    * small); never a NOT IN subquery that materializes on the driver.
+    */
+  def q16QualityAsserts(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val l = Tables.load(s, dir, "lineitem")
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    check("events_value_range", e.filter(col("value") < 0 || col("value") > 1e6))
+      .unionByName(check("events_id_duplicates",
+        e.groupBy("event_id").count().filter(col("count") > 1)))
+      .unionByName(check("events_future_ts",
+        e.filter(col("ts") > lit("2026-01-01").cast("timestamp"))))
+      .unionByName(check("orders_fk_customer",
+        o.join(broadcast(c.select("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionByName(check("lineitem_fk_orders",
+        l.join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(check("lineitem_discount_range",
+        l.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      .orderBy("check_name")
+  }
+
+  val q16Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'events_value_range' AS check_name,
+      |    COUNT(*) AS n_violations FROM events WHERE value < 0 OR value > 1e6
+      |  UNION ALL
+      |  SELECT 'events_id_duplicates', COUNT(*) FROM
+      |    (SELECT event_id FROM events GROUP BY event_id HAVING COUNT(*) > 1) t
+      |  UNION ALL
+      |  SELECT 'events_future_ts', COUNT(*) FROM events
+      |    WHERE ts > TIMESTAMP '2026-01-01'
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer', COUNT(*) FROM orders
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_range', COUNT(*) FROM lineitem
+      |    WHERE l_discount < 0 OR l_discount > 1) t
+      |ORDER BY check_name""".stripMargin
+
+  /** q17: timestamp normalization + JSON property extraction
+    * (reference: bio_etl_utils.py:135-155 normalize_timestamp;
+    * oura_normalizer.py:151-223 JSON record flattening). Epoch seconds,
+    * hour bucket, day-of-week, and a typed field pulled out of the raw
+    * JSON props payload — all codegen'd builtins, no UDF.
+    */
+  def q17JsonNormalize(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour_bucket"),
+        dayofweek(col("ts")).as("dow"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        col("value"))
+      .orderBy("event_id")
+
+  val q17Sql: String =
+    """SELECT event_id,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+      |  STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+      |  dayofweek(ts) + 1 AS dow,
+      |  CAST(json_extract(props, '$.k') AS INT) AS prop_k,
+      |  value
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q18: observation-record construction → canonical JSON string
+    * (reference: glue/fhir_observation_builder.py, bio_etl_utils.py:379-409
+    * — rows become FHIR Observation resources). Numeric values are encoded
+    * as scaled ints (centi-units): cross-engine double→string JSON
+    * rendering is not canonical, scaled ints are.
+    */
+  def q18StructJson(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_id"),
+        to_json(struct(
+          lit("Observation").as("resourceType"),
+          concat(lit("obs-"), col("event_id")).as("id"),
+          col("event_type").as("code"),
+          concat(lit("user/"), col("user_id")).as("subject"),
+          dayCol.as("effective"),
+          floor(col("value") * 100 + lit(0.5)).cast("int").as("value_centi"),
+          lit("score").as("unit"))).as("fhir_json"))
+      .orderBy("event_id")
+
+  val q18Sql: String =
+    """SELECT event_id,
+      |  json_object(
+      |    'resourceType', 'Observation',
+      |    'id', 'obs-' || event_id,
+      |    'code', event_type,
+      |    'subject', 'user/' || user_id,
+      |    'effective', STRFTIME(ts, '%Y-%m-%d'),
+      |    'value_centi', CAST(FLOOR(value * 100 + 0.5) AS INT),
+      |    'unit', 'score')::VARCHAR AS fhir_json
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** q19: tumbling 1-hour window aggregation — batch form of the streaming
+    * hourly rollup (reference: lambda/health_alerts/handler.py hourly
+    * aggregation; the true streaming path is graft.streaming.EventStreams).
+    * Spark's window() aligns to the epoch for whole-hour slides, so the
+    * bucket equals date_trunc('hour') and is oracle-comparable.
+    */
+  def q19TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Num.sumD(col("value"), 2).as("total_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"), col("n_users"))
+      .orderBy("hour_start", "event_type")
+
+  val q19Sql: String =
+    s"""SELECT STRFTIME(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_start,
+       |  event_type, COUNT(*) AS n_events,
+       |  ${Num.sqlSum("value", 2)} AS total_value,
+       |  COUNT(DISTINCT user_id) AS n_users
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour_start, event_type""".stripMargin
+}
