@@ -33,6 +33,17 @@ object SparkEntry {
     "q17_json_normalize" -> (Analytics.q17JsonNormalize _),
     "q18_struct_json" -> (Analytics.q18StructJson _),
     "q19_tumbling_window" -> (Analytics.q19TumblingWindow _),
+    "q20_dedup_exact" -> (Dedup.q20DedupExact _),
+    "q21_dedup_minhash" -> (Dedup.q21DedupMinhash _),
+    "q22_dedup_simhash" -> (Dedup.q22DedupSimhash _),
+    "q23_ngram_jaccard" -> (Dedup.q23NgramJaccard _),
+    "q24_dedup_embedding" -> (Ann.q24DedupEmbedding _),
+    "q25_ann_bruteforce" -> (Ann.q25AnnBruteforce _),
+    "q26_ann_lsh" -> (Ann.q26AnnLsh _),
+    "q27_text_stats" -> (TextOps.q27TextStats _),
+    "q28_lang_id" -> (TextOps.q28LangId _),
+    "q29_fingerprint" -> (TextOps.q29Fingerprint _),
+    "q30_multimodal" -> (Multimodal.q30Multimodal _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +69,13 @@ object SparkEntry {
     "q17_json_normalize" -> Analytics.q17Sql,
     "q18_struct_json" -> Analytics.q18Sql,
     "q19_tumbling_window" -> Analytics.q19Sql,
+    "q20_dedup_exact" -> Dedup.q20Sql,
+    "q25_ann_bruteforce" -> Ann.q25Sql,
+    "q27_text_stats" -> TextOps.q27Sql,
+    "q28_lang_id" -> TextOps.q28Sql,
+    "q29_fingerprint" -> TextOps.q29Sql,
+    "q30_multimodal" -> Multimodal.q30Sql,
+    // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
+    // rows-only driver check + value/plan assertions in ScalaTest specs.
   )
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space operators: cosine similarity search (exact top-k
+  * baseline + LSH-bucketed scale path) and embedding-cosine near-dedup.
+  *
+  * Scale design: the exact path broadcasts only the (small) query set —
+  * one pass over the corpus, no corpus×corpus product; the LSH paths
+  * bucket by random-hyperplane sign fingerprints so candidate generation
+  * is a shuffle join on bucket ids. Dot products run inside whole-stage
+  * codegen via higher-order array functions (zip_with/aggregate) — no UDF,
+  * no per-row JVM boxing beyond the array itself.
+  */
+object Ann {
+
+  private val Dim = 64
+  private val NumPlanes = 16
+
+  /** Deterministic random hyperplanes (seeded, code-defined — not data).
+    * 16 planes × 64 dims in [-1, 1].
+    */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rng.nextDouble() * 2 - 1))
+  }
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+
+  /** Sequential left-fold dot product of two array<double> columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** 16-bit hyperplane-sign fingerprint of an embedding. */
+  private def planeBucket(emb: Column): Column =
+    (0 until NumPlanes).map { i =>
+      val d = dot(emb, typedLit(planes(i)))
+      when(d >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Cosine from raw arrays (fold order fixed → deterministic in-engine). */
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Near-dup input: embeddings plus a deterministic "re-encoded batch" —
+    * every 5th vector rescaled by 1.01 (same direction, cosine ≈ 1) under
+    * a new id. The synthetic vectors are random, so genuine near-dups
+    * would otherwise not exist to find.
+    */
+  def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    e.unionByName(
+      e.filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + 10000)
+        .withColumn("emb", expr("transform(emb, x -> x * 1.01)")))
+  }
+
+  /** q24: embedding-cosine near-dedup via random-hyperplane LSH. Vectors
+    * sharing the full 16-bit sign fingerprint become candidates (a near-dup
+    * agrees with its source on every hyperplane w.h.p.); cosine is verified
+    * inside the bucket only.
+    */
+  def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb")))
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Num.roundD(cosine(col("a.emb"), col("b.emb"))).as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q25: exact brute-force cosine top-k — the correctness baseline
+    * (query set: vec_id < 5, k = 10). The query side is broadcast; the
+    * corpus is scanned once. Dot products and norms are decimal-exact
+    * (products of float32 are exact in double; their DECIMAL(25,12)
+    * rounding is engine-portable) so ranks are oracle-comparable.
+    */
+  def q25AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(25, 12)
+    val expl = embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+    val norms = expl.groupBy("vec_id")
+      .agg(sum((col("v") * col("v")).cast(dec)).as("norm2"))
+    val q = expl.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
+    val dots = broadcast(q)
+      .join(expl.withColumnRenamed("vec_id", "n_id"), Seq("pos"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id")
+      .agg(sum((col("qv") * col("v")).cast(dec)).as("dotp"))
+    val scored = dots
+      .join(norms.select(col("vec_id").as("q_id"), col("norm2").as("qn")), Seq("q_id"))
+      .join(norms.select(col("vec_id").as("n_id"), col("norm2").as("nn")), Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(col("dotp").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "n_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val q25Sql: String = {
+    val expl =
+      """SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings""".stripMargin
+    s"""WITH expl AS (
+       |  $expl),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS norm2
+       |  FROM expl GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    SUM(CAST(q.v * n.v AS DECIMAL(25,12))) AS dotp
+       |  FROM expl q JOIN expl n ON q.pos = n.pos AND q.vec_id < 5
+       |    AND n.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(qn.norm2 AS DOUBLE) * CAST(nn.norm2 AS DOUBLE))")} AS cosine
+       |  FROM dots d
+       |  JOIN norms qn ON qn.vec_id = d.q_id
+       |  JOIN norms nn ON nn.vec_id = d.n_id)
+       |SELECT q_id, rank, n_id, cosine FROM (
+       |  SELECT q_id, n_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** q26: LSH-bucketed ANN — the scale path. The 16 hyperplane sign bits
+    * are cut into 4 bands of 4 bits (the banding trick from MinHash-LSH
+    * applied to hyperplane signatures): a query's candidates are the
+    * vectors agreeing with it on at least one band, so each band join
+    * touches ~n/16 of the corpus instead of all of it, and recall rises
+    * with band count instead of multi-probe bit-flipping. Candidates are
+    * deduped, cosine-verified, and top-k ranked per query — never a
+    * corpus×corpus product (asserted by AnnSpec).
+    */
+  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir).withColumn("bucket", planeBucket(col("emb")))
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
+          .as(Seq("band_idx", "band_val")))
+    val q = banded(e.filter(col("vec_id") < 50))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("band_idx"), col("band_val"))
+    val cand = broadcast(q)
+      .join(banded(e), Seq("band_idx", "band_val"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("q_emb"), col("emb"))
+      .dropDuplicates("q_id", "n_id")
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(cosine(col("q_emb"), col("emb"))).as("cosine"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "n_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data deduplication: exact content-hash, MinHash-LSH,
+  * SimHash, and n-gram-Jaccard verification — the document half; the
+  * embedding-space near-dup lives in [[Ann]].
+  *
+  * Scale design (SURVEY.md §4): every near-dup path is banded/bucketed —
+  * candidate pairs only form inside an LSH bucket (band hash or SimHash
+  * segment), never via an all-pairs comparison. Physical plans contain
+  * shuffle-hash/sort-merge joins on bucket keys and no CartesianProduct
+  * (asserted by DedupSpec). Hot buckets are capped by a document-frequency
+  * filter, the standard guard against quadratic blowup on boilerplate
+  * shingles at 100 TB.
+  */
+object Dedup {
+
+  /** Dedup input: the documents table plus a deterministic "second crawl
+    * batch" — every 5th doc re-ingested under a new id. The synthetic
+    * corpus is duplicate-free; a dedup operator demonstrated on it alone
+    * would have nothing to find.
+    */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  val corpusSql: String =
+    """SELECT * FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** q20: exact dedup — group by normalized content hash, keep the lowest
+    * doc_id as canonical. One partial-aggregated shuffle on the 256-bit
+    * hash; at 100 TB the hash groupBy is the textbook exact-dedup plan.
+    */
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .withColumn("content_hash", sha2(lower(trim(col("text"))), 256))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_id")
+
+  val q20Sql: String =
+    s"""WITH corpus AS ($corpusSql)
+       |SELECT sha256(lower(trim(text))) AS content_hash,
+       |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+       |FROM corpus
+       |GROUP BY 1
+       |ORDER BY canonical_id""".stripMargin
+
+  /** Distinct word 3-shingles per doc, with a document-frequency cap:
+    * shingles occurring in more than `maxDf` docs are dropped (boilerplate
+    * guard — at corpus scale a viral phrase would otherwise create a
+    * quadratic bucket).
+    */
+  def shingles(docs: DataFrame, maxDf: Int = 50): DataFrame = {
+    val sh = docs
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+          .as("shingle"))
+      .distinct()
+    val hot = sh.groupBy("shingle").count().filter(col("count") > maxDf)
+      .select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
+  private val NumPerms = 32
+  private val Bands = 8
+  private val RowsPerBand = NumPerms / Bands
+
+  /** MinHash signature: 32 independent hash "permutations", realized as
+    * seeded xxhash64 of the shingle; the signature entry is the per-doc
+    * minimum. One groupBy with 32 partial min aggregates — map-side
+    * combined, no extra shuffle beyond the doc_id exchange.
+    */
+  def minhashSignatures(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
+      .agg(
+        min(xxhash64(col("shingle"), lit(0))).as("m0"),
+        (1 until NumPerms).map(i =>
+          min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
+
+  /** q21: MinHash-LSH near-dedup. Signatures are cut into 8 bands of 4
+    * rows; docs colliding on any band hash become candidates (banding:
+    * P[collide] = 1-(1-s^4)^8, steep around s≈0.6). The self-join is on
+    * (band_idx, band_hash) — bucketed, never all-pairs.
+    */
+  def q21DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(shingles(corpus(s, dir)))
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
+      xxhash64(lit(b) +: parts: _*)
+    }
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q22: SimHash 64-bit near-dedup. Per-token 64-bit hashes vote on each
+    * fingerprint bit (+1/-1 weighted by presence); the fingerprint is the
+    * sign vector. Candidates share at least one of four 16-bit segments
+    * (pigeonhole: hamming ≤ 3 guarantees a shared segment); the pair's
+    * true hamming distance is checked inside the bucket only.
+    */
+  def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tokens = corpus(s, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = tokens.groupBy("doc_id")
+      .agg(
+        sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
+        (1 until 64).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1))
+            .as(s"b$i")): _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val withFp = bitVotes.select(col("doc_id"), fp.as("fingerprint"))
+    val segs = withFp.select(col("doc_id"), col("fingerprint"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("fingerprint"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("seg_idx", "seg_val")))
+    val a = segs.as("a")
+    val b = segs.as("b")
+    a.join(b,
+        col("a.seg_idx") === col("b.seg_idx") &&
+          col("a.seg_val") === col("b.seg_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q23: n-gram Jaccard — exact verification of candidate pairs. Pairs
+    * form only through a shared shingle (inverted-index join), then
+    * |A∩B| / |A∪B| from shingle-set sizes. The df cap in [[shingles]]
+    * bounds each posting list, keeping the join linear in corpus size.
+    */
+  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(corpus(s, dir))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.roundD(col("n_inter").cast("double") /
+          (col("sa.n_shingles") + col("sb.n_shingles") - col("n_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: quality statistics,
+  * language-ID heuristic, and content fingerprinting — all pure
+  * codegen'd column expressions (split / higher-order list functions /
+  * md5), no UDFs, so they run at scan speed and scale embarrassingly.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private val toks: Column = split(lower(trim(col("text"))), " ")
+
+  /** q27: per-document quality statistics — token count, average token
+    * length, stopword ratio, type/token ratio, and a composite quality
+    * score in [0, 1] (length-normalized, stopword- and repetition-
+    * penalized). The shape of a C4/Gopher-style quality filter.
+    */
+  def q27TextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("w", toks)
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("avg_token_len",
+        Num.roundD((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
+      .withColumn("stopword_ratio",
+        Num.roundD(size(expr("filter(w, t -> t IN ('a', 'the'))")).cast("double") / col("n_tokens")))
+      .withColumn("type_token_ratio",
+        Num.roundD(size(array_distinct(col("w"))).cast("double") / col("n_tokens")))
+      .withColumn("quality_score",
+        Num.roundD(greatest(lit(0.0), least(lit(1.0),
+          lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
+            + lit(0.3) * col("type_token_ratio")))))
+      .select("doc_id", "lang", "n_tokens", "avg_token_len",
+        "stopword_ratio", "type_token_ratio", "quality_score")
+      .orderBy("doc_id")
+
+  val q27Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w,
+       |    lower(trim(text)) AS lt
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    ${Num.sqlRoundD("CAST(len(lt) - (len(w) - 1) AS DOUBLE) / len(w)")} AS avg_token_len,
+       |    ${Num.sqlRoundD("CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w)")} AS stopword_ratio,
+       |    ${Num.sqlRoundD("CAST(len(list_distinct(w)) AS DOUBLE) / len(w)")} AS type_token_ratio
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, type_token_ratio,
+       |  ${Num.sqlRoundD("GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))")} AS quality_score
+       |FROM st
+       |ORDER BY doc_id""".stripMargin
+
+  /** Marker-word vocabularies for the n-gram/stopword language-ID
+    * heuristic. (The synthetic corpus shares one vocabulary across its
+    * lang labels, so predictions skew 'en' — the operator's mechanics,
+    * scoring + argmax, are what's exercised.)
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "batch"),
+    "en" -> Seq("the", "a", "fast"),
+    "es" -> Seq("el", "los", "row"),
+    "fr" -> Seq("le", "la", "line"),
+    "zh" -> Seq("spark", "stream", "window"))
+
+  /** q28: language-ID — score each language's marker-word hit count per
+    * document, predict the argmax (alphabetical tiebreak), report
+    * agreement with the labeled lang.
+    */
+  def q28LangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(docs(s, dir).withColumn("w", toks)) {
+      case (df, (lang, ws)) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        df.withColumn(s"score_$lang",
+          size(expr(s"filter(w, t -> t IN ($inList))")).cast("long"))
+    }
+    val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+    // argmax with alphabetical tiebreak: langs are checked in (sorted)
+    // marker order, first score equal to the max wins
+    val predicted = markers.foldRight(lit("und"): Column) {
+      case ((lang, _), elseCol) =>
+        when(col(s"score_$lang") === best, lit(lang)).otherwise(elseCol)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_match", (col("predicted_lang") === col("lang")).cast("int"))
+      .select(Seq(col("doc_id"), col("lang"), col("predicted_lang"), col("is_match")) ++
+        markers.map { case (l, _) => col(s"score_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  val q28Sql: String = {
+    val scoreCols = markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n       |    ")
+    val best = "GREATEST(" + markers.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    val predicted = "CASE " + markers.map { case (l, _) =>
+      s"WHEN score_$l = $best THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT doc_id, lang, $predicted AS predicted_lang,
+       |  CAST(($predicted = lang) AS INT) AS is_match,
+       |  score_de, score_en, score_es, score_fr, score_zh
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q29: document fingerprinting — normalized whole-content md5 plus a
+    * rolling-shingle min-hash (minimum md5 over all character 8-grams, a
+    * winnowing-style content signature robust to block reordering).
+    * The 8-gram explosion is linear in corpus bytes and partial-aggregated
+    * (per-doc min) map-side.
+    */
+  def q29Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", lower(trim(col("text"))))
+      .withColumn("i", explode(sequence(lit(1), greatest(length(col("t")) - 7, lit(1)))))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(col("t"))).as("content_md5"),
+        min(md5(expr("substr(t, i, 8)"))).as("min_shingle_md5"))
+      .orderBy("doc_id")
+
+  val q29Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |expanded AS (
+      |  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+      |  FROM t)
+      |SELECT doc_id, min(md5(t)) AS content_md5,
+      |  min(md5(substr(t, i, 8))) AS min_shingle_md5
+      |FROM expanded
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+}
