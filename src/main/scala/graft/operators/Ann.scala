@@ -149,11 +149,14 @@ object Ann {
     * touches ~n/16 of the corpus instead of all of it, and recall rises
     * with band count instead of multi-probe bit-flipping. Candidates are
     * deduped, cosine-verified, and top-k ranked per query — never a
-    * corpus×corpus product (asserted by AnnSpec).
+    * corpus×corpus product (asserted by DedupAnnSpec/PlanSpec). Searches
+    * [[embCorpus]]: LSH's contract is recall of genuinely-near vectors
+    * (cosine ≈ 1 shares every sign band w.h.p.), which random base
+    * vectors alone cannot exhibit.
     */
   def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(s, dir).withColumn("bucket", planeBucket(col("emb")))
+    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb")))
     def banded(df: DataFrame): DataFrame =
       df.select(col("*"),
         posexplode(array((0 until 4).map(b =>

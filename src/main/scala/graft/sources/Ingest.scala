@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+
+/** Bronze-layer ingest: mixed-layout CSV, nested JSON flattening, timestamp
+  * normalization, forward-fill, partitioned parquet writes.
+  *
+  * Re-expresses the reference's Glue normalizers
+  * (reference: glue/oura_normalizer.py:83-223 — header-signature CSV
+  * grouping + unionByName, JSON record flattening;
+  * glue/bio_etl_utils.py:135-187 — normalize_timestamp, forward_fill;
+  * glue/oura_normalizer.py:295 — year/month partitioned writes) with two
+  * scale-relevant changes: file listing/header sniffing goes through the
+  * Hadoop FileSystem API (works against HDFS/S3A, lists once, reads 1 KiB
+  * per file), and JSON flattening is a distributed `spark.read.json` +
+  * column expressions — the reference pulls every record through the
+  * driver, which caps out in the low GBs.
+  */
+object Ingest {
+
+  /** Sniff the delimiter of a header line: ';' when it beats ',' (the
+    * reference's European-locale exports), ',' otherwise.
+    * (reference: oura_normalizer.py:84-96)
+    */
+  def detectDelimiter(headerLine: String): String =
+    if (headerLine.count(_ == ';') > headerLine.count(_ == ',')) ";" else ","
+
+  private def firstLine(spark: SparkSession, p: Path): String = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+      Option(r.readLine()).getOrElse("").strip()
+    } finally in.close()
+  }
+
+  /** Read a directory of CSVs whose files disagree on column ORDER (and
+    * possibly on column presence). Spark's CSV reader binds columns by
+    * position, so one read over mixed layouts silently misaligns values;
+    * instead, group files by exact header signature, read each group in
+    * one pass, and `unionByName(allowMissingColumns = true)` the groups.
+    * (reference: oura_normalizer.py:98-148)
+    *
+    * Header sniffing reads only the first line of each file; the bulk data
+    * reads stay fully parallel (one distributed read per layout group —
+    * layout-group count is small and data-size independent).
+    */
+  def readCsvGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".csv") && st.getLen > 0)
+      .map(_.getPath)
+    require(files.nonEmpty, s"no csv files under $dir")
+
+    val byHeader: Map[String, Seq[Path]] =
+      files.groupBy(p => firstLine(spark, p))
+    val delimiter = detectDelimiter(byHeader.keys.head)
+
+    val groups = byHeader.toSeq.sortBy(_._1).map { case (_, paths) =>
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", "false")
+        .option("sep", delimiter)
+        .csv(paths.map(_.toString): _*)
+    }
+    groups.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Distributed JSON ingest + flatten: read nested records with
+    * spark.read.json, then lift selected struct fields to
+    * `parent_field` top-level columns and reduce numeric arrays to
+    * (interval, avg, max, count) stats via higher-order functions —
+    * the reference's per-record python flattening as pure column
+    * expressions. (reference: oura_normalizer.py:151-223)
+    *
+    * @param structCols  struct columns whose fields become `parent_field`
+    * @param arrayStats  array columns reduced to `{name}_avg/_max/_count`
+    */
+  def flattenJson(df: DataFrame, structCols: Seq[String], arrayStats: Seq[String]): DataFrame = {
+    val flat = structCols.foldLeft(df) { (d, sc) =>
+      d.schema(sc).dataType match {
+        case st: StructType =>
+          st.fieldNames.foldLeft(d)((dd, f) =>
+            dd.withColumn(s"${sc}_$f", col(s"$sc.$f"))).drop(sc)
+        case _ => d
+      }
+    }
+    arrayStats.foldLeft(flat) { (d, ac) =>
+      d.withColumn(s"${ac}_avg",
+          when(size(col(ac)) > 0,
+            round(aggregate(col(ac), lit(0.0), (a, x) => a + x) / size(col(ac)), 2)))
+        .withColumn(s"${ac}_max", array_max(col(ac)))
+        .withColumn(s"${ac}_count", size(col(ac)))
+        .drop(ac)
+    }
+  }
+
+  /** Normalize a timestamp column to UTC: with an offset column (e.g.
+    * "-04"), shift via to_utc_timestamp(GMT+offset); otherwise parse as-is.
+    * Adds `timestamp_utc`. (reference: bio_etl_utils.py:135-155)
+    */
+  def normalizeTimestamp(df: DataFrame, tsCol: String, offsetCol: Option[String] = None): DataFrame =
+    offsetCol.filter(df.columns.contains) match {
+      case Some(oc) =>
+        df.withColumn("timestamp_utc",
+          to_utc_timestamp(col(tsCol), concat(lit("GMT"), col(oc))))
+      case None =>
+        df.withColumn("timestamp_utc", to_timestamp(col(tsCol)))
+    }
+
+  /** Forward-fill nulls: carry the last non-null value within the
+    * partition, ordered by `orderCol`. Always partition by an entity key
+    * at scale — passing None collapses to a single partition and is only
+    * for genuinely small frames. (reference: bio_etl_utils.py:163-187)
+    */
+  def forwardFill(df: DataFrame, partitionCol: Option[String], orderCol: String,
+                  fillCols: Seq[String]): DataFrame = {
+    val base = partitionCol match {
+      case Some(pc) => Window.partitionBy(pc).orderBy(orderCol)
+      case None => Window.orderBy(orderCol)
+    }
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Partitioned parquet write: derive year/month from a timestamp column
+    * and write partitionBy(year, month) so downstream reads prune by date
+    * predicates. (reference: oura_normalizer.py:295)
+    */
+  def writePartitioned(df: DataFrame, tsCol: String, outPath: String): Unit =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .write.mode("overwrite")
+      .partitionBy("year", "month")
+      .parquet(outPath)
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+import java.nio.charset.StandardCharsets
+
+/** Round-trips for the bronze ingest utilities: mixed-layout CSV grouping,
+  * JSON flattening, timestamp normalization, forward-fill, partitioned
+  * writes.
+  */
+class IngestSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def write(dir: Path, name: String, content: String): Unit =
+    Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+
+  test("readCsvGrouped aligns mixed column orders by header signature") {
+    val d = tmpDir("csv-mixed")
+    // bulk-uploaded layout (alphabetical) vs lambda layout (id first)
+    write(d, "bulk1.csv", "day;id;score\n2024-01-01;1;80\n2024-01-02;2;75\n")
+    write(d, "lambda1.csv", "id;day;score\n3;2024-01-03;90\n")
+    write(d, "lambda2.csv", "id;day;score;extra\n4;2024-01-04;60;x\n")
+    val df = Ingest.readCsvGrouped(spark, d.toString)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[String]("score")).toSeq == Seq("80", "75", "90", "60"),
+      "column order misaligned across header groups")
+    assert(df.columns.contains("extra"))
+    assert(rows(0).getAs[String]("extra") == null)
+  }
+
+  test("detectDelimiter prefers semicolon only when it dominates") {
+    assert(Ingest.detectDelimiter("a;b;c") == ";")
+    assert(Ingest.detectDelimiter("a,b,c") == ",")
+    assert(Ingest.detectDelimiter("a,b;c,d") == ",")
+  }
+
+  test("flattenJson lifts struct fields and reduces arrays to stats") {
+    val d = tmpDir("json-flat")
+    write(d, "r1.json",
+      """{"id": 1, "score": 85, "contributors": {"deep": 70, "rem": 90}, "met": [1.5, 2.5, 2.0]}
+        |{"id": 2, "score": 60, "contributors": {"deep": 50, "rem": 55}, "met": []}
+        |""".stripMargin)
+    val raw = spark.read.json(d.toString + "/r1.json")
+    val flat = Ingest.flattenJson(raw, Seq("contributors"), Seq("met"))
+    val r1 = flat.filter(col("id") === 1).collect()(0)
+    assert(r1.getAs[Long]("contributors_deep") == 70L)
+    assert(r1.getAs[Double]("met_avg") == 2.0)
+    assert(r1.getAs[Double]("met_max") == 2.5)
+    assert(r1.getAs[Int]("met_count") == 3)
+    val r2 = flat.filter(col("id") === 2).collect()(0)
+    assert(r2.isNullAt(r2.fieldIndex("met_avg")))
+    assert(!flat.columns.contains("contributors"))
+  }
+
+  test("normalizeTimestamp shifts by the offset column to UTC") {
+    import spark.implicits._
+    val df = Seq(("2024-06-01 10:00:00", "-04"), ("2024-06-01 10:00:00", "+02"))
+      .toDF("ts_local", "offset")
+    val out = Ingest.normalizeTimestamp(df, "ts_local", Some("offset"))
+      .select(date_format(col("timestamp_utc"), "yyyy-MM-dd HH:mm:ss"))
+      .as[String].collect()
+    assert(out.toSeq == Seq("2024-06-01 14:00:00", "2024-06-01 08:00:00"))
+  }
+
+  test("forwardFill carries last non-null within partition order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1, Some(10.0)), (1L, 2, None), (1L, 3, None), (1L, 4, Some(20.0)),
+      (2L, 1, None), (2L, 2, Some(5.0))
+    ).toDF("uid", "seq", "v")
+    val out = Ingest.forwardFill(df, Some("uid"), "seq", Seq("v"))
+      .orderBy("uid", "seq").select("v").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(20.0), None, Some(5.0)))
+  }
+
+  test("writePartitioned lays out year/month directories that prune on read") {
+    val d = tmpDir("part-write")
+    val events = Tables.load(spark, Sf, "events")
+    Ingest.writePartitioned(events, "ts", d.toString + "/out")
+    val years = new java.io.File(d.toString + "/out").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(years.exists(_.startsWith("year=")), years.mkString(","))
+    val back = spark.read.parquet(d.toString + "/out")
+      .filter(col("year") === 2024 && col("month") === 1)
+    assert(back.count() > 0)
+    val p = planString(back)
+    assert(!p.contains("year=2025") || p.contains("PartitionFilters"), "partition pruning expected")
+  }
+}

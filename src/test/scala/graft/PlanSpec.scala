@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan assertions — the 100 TB contract: filters reach the
+  * scan, small dims broadcast, LSH candidate generation never degenerates
+  * to a cartesian product, projections prune the read schema.
+  */
+class PlanSpec extends SparkSpec {
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = planString(Relational.q01ScanAgg(spark, Sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q02 prunes the read schema to selected columns") {
+    val p = planString(Relational.q02FilterProject(spark, Sf))
+    assert(p.contains("o_orderkey"))
+    assert(!p.contains("o_custkey"), "unprojected column read from parquet")
+  }
+
+  test("q03 broadcasts the nation dim") {
+    val p = planString(Relational.q03JoinBroadcast(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04 multi-join contains no shuffle on the broadcast dims") {
+    val p = planString(Relational.q04MultiJoin(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("LSH dedup/ANN paths never plan a cartesian product") {
+    Seq(
+      "q21" -> Dedup.q21DedupMinhash(spark, Sf),
+      "q22" -> Dedup.q22DedupSimhash(spark, Sf),
+      "q23" -> Dedup.q23NgramJaccard(spark, Sf),
+      "q24" -> Ann.q24DedupEmbedding(spark, Sf),
+      "q26" -> Ann.q26AnnLsh(spark, Sf)
+    ).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("windows are partitioned by entity keys (no global window on events)") {
+    Seq(Windows.q08WindowLagLead(spark, Sf), Windows.q09WindowRolling(spark, Sf))
+      .foreach { df =>
+        val p = planString(df)
+        assert(p.contains("partitionspec") || p.contains("PartitionSpec") ||
+          p.contains("windowspecdefinition(user_id"), p.take(500))
+      }
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs; sf0.001 is the correctness grain. */
+trait SparkSpec extends AnyFunSuite {
+  val Sf: String = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyRollup aggregates a memory stream into 1-hour windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.hourlyRollup(events).writeStream
+      .format("memory").queryName("rollup_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts(0), 1L, "click", 1.0), (ts(10), 2L, "click", 2.0),
+        (ts(70), 1L, "view", 5.0))
+      // advance the watermark past the first window so append emits it
+      input.addData((ts(300), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("rollup_test").collect()
+      val clickRow = out.find(r => r.getAs[String]("event_type") == "click" &&
+        r.getAs[Timestamp]("hour_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(clickRow.isDefined, out.mkString(";"))
+      assert(clickRow.get.getAs[Long]("n_events") == 2)
+      assert(clickRow.get.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after a 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("session_test").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two bursts separated by >30 min => first closes on arrival
+      input.addData(
+        SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(5), 2.0),
+        SessionEvent(1L, ts(50), 3.0))
+      q.processAllAvailable()
+      val out = spark.table("session_test").as[SessionOut].collect()
+      assert(out.length == 1, out.mkString(";"))
+      val s = out.head
+      assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
+      assert(s.session_start == ts(0) && s.session_end == ts(5))
+    } finally q.stop()
+  }
+
+  test("sessionize emits via event-time timeout when the stream goes quiet") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(input.toDS()).writeStream
+      .format("memory").queryName("session_timeout_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(SessionEvent(2L, ts(0), 1.0))
+      q.processAllAvailable()
+      // another user's much-later event advances the watermark beyond
+      // lastTs + gap, firing user 2's timeout
+      input.addData(SessionEvent(3L, ts(600), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("session_timeout_test").as[SessionOut].collect()
+      assert(out.exists(s => s.user_id == 2L && s.n_events == 1), out.mkString(";"))
+    } finally q.stop()
+  }
+}
