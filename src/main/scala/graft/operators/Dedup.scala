@@ -55,22 +55,24 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY canonical_id""".stripMargin
 
-  /** Distinct word 3-shingles per doc, with a document-frequency cap:
-    * shingles occurring in more than `maxDf` docs are dropped (boilerplate
-    * guard — at corpus scale a viral phrase would otherwise create a
-    * quadratic bucket).
+  /** Distinct word 3-shingles per doc as 64-bit hashes, with a
+    * document-frequency cap: shingles occurring in more than `maxDf` docs
+    * are dropped (boilerplate guard — at corpus scale a viral phrase would
+    * otherwise create a quadratic bucket). Shingle strings are hashed to
+    * longs before any shuffle: the distinct, the df count, and every
+    * downstream join then move 8-byte keys instead of strings.
     */
   def shingles(docs: DataFrame, maxDf: Int = 50): DataFrame = {
     val sh = docs
       .withColumn("w", split(lower(trim(col("text"))), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-          .as("shingle"))
+        explode(expr("transform(sequence(0, size(w) - 3), " +
+          "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
       .distinct()
-    val hot = sh.groupBy("shingle").count().filter(col("count") > maxDf)
-      .select("shingle")
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val hot = sh.groupBy("sh").count().filter(col("count") > maxDf)
+      .select("sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
   private val NumPerms = 32
@@ -85,9 +87,9 @@ object Dedup {
   def minhashSignatures(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id")
       .agg(
-        min(xxhash64(col("shingle"), lit(0))).as("m0"),
+        min(xxhash64(col("sh"), lit(0))).as("m0"),
         (1 until NumPerms).map(i =>
-          min(xxhash64(col("shingle"), lit(i))).as(s"m$i")): _*)
+          min(xxhash64(col("sh"), lit(i))).as(s"m$i")): _*)
 
   /** q21: MinHash-LSH near-dedup. Signatures are cut into 8 bands of 4
     * rows; docs colliding on any band hash become candidates (banding:
@@ -161,7 +163,7 @@ object Dedup {
     val a = sh.as("a")
     val b = sh.as("b")
     val inter = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
