@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -138,38 +138,48 @@ object Windows {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
-  /** q12: gold daily rollup — the flagship. Per-source daily aggregates
-    * (views / purchases / clicks / errors) FULL OUTER joined on the
-    * coalesced (user_id, day) key, forward-filled engagement score, tiered
-    * activity CASE, and year/month partition columns
-    * (reference: gold_daily_rollup.sql end-to-end + oura_normalizer.py:295
-    * partitioned write).
+  /** q12: gold daily rollup — the flagship. Per-source daily metrics
+    * (views / purchases / clicks / errors) rolled up per (user_id, day),
+    * forward-filled engagement score, tiered activity CASE, and year/month
+    * partition columns (reference: gold_daily_rollup.sql end-to-end +
+    * oura_normalizer.py:295 partitioned write).
     *
-    * Scale: each source aggregate is a partial groupBy on (user_id, day);
-    * the outer joins co-shuffle on the same key so AQE plans them as one
-    * exchange reuse; the forward-fill window partitions by user_id. Output
-    * carries year/month so a partitioned parquet write prunes at read time.
+    * The reference materializes four staged sources and FULL OUTER joins
+    * them on the coalesced (user_id, day) key; the literal transplant
+    * ([[dailyRollupJoined]]) scans the fact table four times and
+    * re-shuffles after every join, because the coalesced USING key is a
+    * fresh expression whose partitioning Catalyst cannot reuse. At 100 TB
+    * that is 4 scans + 6 exchanges. Since all four "sources" project the
+    * same fact table, the outer-join lattice collapses to ONE scan and ONE
+    * shuffle: conditional aggregation per (user_id, day), with NULLIF/
+    * null-sum semantics reproducing exactly the absent-source NULLs of the
+    * outer join. The DuckDB oracle keeps the reference's FULL JOIN
+    * formulation, so equivalence is verified every round (and
+    * WindowsEquivalenceSpec asserts it in-engine).
+    *
+    * Scale: one partial-aggregated exchange on (user_id, day); the
+    * forward-fill window re-partitions by user_id only. Output carries
+    * year/month so a partitioned parquet write prunes at read time.
     */
   def q12DailyRollup(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    def src(t: String, aggs: Seq[org.apache.spark.sql.Column]): DataFrame =
-      e.filter(col("event_type") === t).groupBy("user_id", "day").agg(aggs.head, aggs.tail: _*)
-
-    val views = src("view", Seq(count(lit(1)).as("views"),
-      Num.avgD(col("value")).as("view_score")))
-    val purchases = src("purchase", Seq(count(lit(1)).as("purchases"),
-      Num.sumD(col("value"), 2).as("purchase_total")))
-    val clicks = src("click", Seq(count(lit(1)).as("clicks")))
-    val errors = src("error", Seq(count(lit(1)).as("errors")))
-
-    val joined = views
-      .join(purchases, Seq("user_id", "day"), "full")
-      .join(clicks, Seq("user_id", "day"), "full")
-      .join(errors, Seq("user_id", "day"), "full")
+    def onlyFor(t: String): Column = when(col("event_type") === t, col("value"))
+    val rolled = e.groupBy("user_id", "day")
+      .agg(
+        nullif(count(when(col("event_type") === "view", 1)), lit(0L)).as("views"),
+        Num.avgD(onlyFor("view")).as("view_score"),
+        nullif(count(when(col("event_type") === "purchase", 1)), lit(0L)).as("purchases"),
+        Num.sumD(onlyFor("purchase"), 2).as("purchase_total"),
+        nullif(count(when(col("event_type") === "click", 1)), lit(0L)).as("clicks"),
+        nullif(count(when(col("event_type") === "error", 1)), lit(0L)).as("errors"))
+      // the fused groupBy sees every (user_id, day) with ANY event; the
+      // outer join only materializes days having at least one of the four
+      // source types — drop all-null rows to match
+      .filter(coalesce(col("views"), col("purchases"), col("clicks"), col("errors")).isNotNull)
 
     val fillW = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
+    rolled
       .withColumn("view_score_filled",
         last("view_score", ignoreNulls = true).over(fillW))
       .withColumn("activity_state",
@@ -184,6 +194,23 @@ object Windows {
         "view_score_filled", "purchases", "purchase_total", "clicks",
         "errors", "activity_state")
       .orderBy("user_id", "day")
+  }
+
+  /** The reference-literal outer-join formulation of q12's rollup core —
+    * four staged aggregates FULL OUTER joined on the coalesced key. Kept
+    * as the semantic spec for the fused plan (WindowsEquivalenceSpec
+    * asserts both produce identical rows); not registered as a query
+    * because its 4-scan / 6-exchange plan is the wrong shape at scale.
+    */
+  def dailyRollupJoined(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    def src(t: String, aggs: Seq[Column]): DataFrame =
+      e.filter(col("event_type") === t).groupBy("user_id", "day").agg(aggs.head, aggs.tail: _*)
+    src("view", Seq(count(lit(1)).as("views"), Num.avgD(col("value")).as("view_score")))
+      .join(src("purchase", Seq(count(lit(1)).as("purchases"),
+        Num.sumD(col("value"), 2).as("purchase_total"))), Seq("user_id", "day"), "full")
+      .join(src("click", Seq(count(lit(1)).as("clicks"))), Seq("user_id", "day"), "full")
+      .join(src("error", Seq(count(lit(1)).as("errors"))), Seq("user_id", "day"), "full")
   }
 
   val q12Sql: String =
