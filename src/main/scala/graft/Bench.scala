@@ -10,14 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen/scan paths so the first measured query doesn't
-    // absorb session startup; deterministic name order for round-over-round
-    // comparability
-    try SparkEntry.queries.get("q01_scan_agg").foreach(_(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // steady-state timing: run each query once to pay JIT/codegen warmup,
+    // drop any caches it left, then time a full fresh execution (its own
+    // persists count toward its measured time). Name order keeps timings
+    // comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Unit = {
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
+      }
+      once()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      once()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -128,19 +128,25 @@ object Analytics {
     */
   def q15SpearmanLag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = events(s, dir)
-    def dailyAvg(t: String, out: String): DataFrame =
-      e.filter(col("event_type") === t)
-        .groupBy(col("user_id"), to_date(col("ts")).as("d"))
-        .agg(Num.avgD(col("value")).as(out))
-    val a = dailyAvg("view", "a_val")
-    val b = dailyAvg("purchase", "b_val")
+    // one scan + one shuffle: both metrics' daily averages come from a
+    // single conditional aggregation (see q12 for the fusion rationale)
+    val daily = events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(
+        Num.avgD(when(col("event_type") === "view", col("value"))).as("a_val"),
+        Num.avgD(when(col("event_type") === "purchase", col("value"))).as("b_val"))
+    val a = daily.filter(col("a_val").isNotNull)
+      .select(col("user_id").as("a_uid"), col("d").as("a_d"), col("a_val"))
+    val b = daily.filter(col("b_val").isNotNull)
+      .select(col("user_id").as("b_uid"), col("d").as("b_d"), col("b_val"))
     val lags = Seq(0, 1, 2, 3).toDF("lag")
     val pairs = a.crossJoin(broadcast(lags))
       .join(b,
-        a("user_id") === b("user_id") &&
-          b("d") === date_add(a("d"), col("lag")))
-      .select(col("lag"), a("user_id"), a("d"), col("a_val"), col("b_val"))
+        col("a_uid") === col("b_uid") &&
+          col("b_d") === date_add(col("a_d"), col("lag")))
+      .select(col("lag"), col("a_uid").as("user_id"), col("a_d").as("d"),
+        col("a_val"), col("b_val"))
     val ra = Window.partitionBy("lag").orderBy(col("a_val"), col("user_id"), col("d"))
     val rb = Window.partitionBy("lag").orderBy(col("b_val"), col("user_id"), col("d"))
     val ranked = pairs
@@ -204,11 +210,18 @@ object Analytics {
     def check(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_violations"))
         .select(lit(name).as("check_name"), col("n_violations"))
-    check("events_value_range", e.filter(col("value") < 0 || col("value") > 1e6))
+    // scalar predicate checks over one table fuse into a single scan of
+    // conditional counts, unpivoted to (check_name, n_violations); only
+    // checks needing their own shuffle shape (dup groupBy, anti-joins)
+    // scan separately
+    val eScalar = e.agg(
+        count(when(col("value") < 0 || col("value") > 1e6, 1)).as("events_value_range"),
+        count(when(col("ts") > lit("2026-01-01").cast("timestamp"), 1)).as("events_future_ts"))
+      .unpivot(Array.empty, Array(col("events_value_range"), col("events_future_ts")),
+        "check_name", "n_violations")
+    eScalar
       .unionByName(check("events_id_duplicates",
         e.groupBy("event_id").count().filter(col("count") > 1)))
-      .unionByName(check("events_future_ts",
-        e.filter(col("ts") > lit("2026-01-01").cast("timestamp"))))
       .unionByName(check("orders_fk_customer",
         o.join(broadcast(c.select("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")))
       .unionByName(check("lineitem_fk_orders",

@@ -65,7 +65,10 @@ object Ann {
     * inside the bucket only.
     */
   def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb")))
+    // persist: self-joined, and the 16 plane dot products per row are
+    // worth computing once (Spark does not reuse subtrees across
+    // differently-aliased self-join sides)
+    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb"))).persist()
     val a = e.as("a")
     val b = e.as("b")
     a.join(b,
@@ -156,7 +159,7 @@ object Ann {
     */
   def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb")))
+    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb"))).persist()
     def banded(df: DataFrame): DataFrame =
       df.select(col("*"),
         posexplode(array((0 until 4).map(b =>

@@ -70,6 +70,12 @@ object Dedup {
         explode(expr("transform(sequence(0, size(w) - 3), " +
           "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
       .distinct()
+    // The shingle frame is corpus-sized, so it is NOT cached: measured at
+    // bench scale, re-evaluating the scan+explode+distinct for the df
+    // count is cheaper than a cache round-trip of every shingle row.
+    // (Small self-joined frames downstream — signatures, bands — are
+    // cached; see q21.) At 100 TB the posting lists would be materialized
+    // to storage once and reused across the whole dedup pipeline.
     val hot = sh.groupBy("sh").count().filter(col("count") > maxDf)
       .select("sh")
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -102,8 +108,12 @@ object Dedup {
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: parts: _*)
     }
+    // self-joined and small (docs × 8 rows of longs): persist so the
+    // signature pipeline runs once — Spark does not reuse the subtree
+    // across differently-aliased self-join sides
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -138,6 +148,7 @@ object Dedup {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("fingerprint"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("seg_idx", "seg_val")))
+      .persist() // self-joined; docs × 4 rows — see q21
     val a = segs.as("a")
     val b = segs.as("b")
     a.join(b,
@@ -148,7 +159,7 @@ object Dedup {
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")
   }
 
