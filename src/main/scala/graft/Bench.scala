@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // steady-state timing: run each query once to pay JIT/codegen warmup,

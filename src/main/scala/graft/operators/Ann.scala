@@ -31,20 +31,21 @@ object Ann {
     Tables.load(s, dir, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
 
-  /** Sequential left-fold dot product of two array<double> columns. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Fused native cosine (graft.functions.CosineSimilarity): one codegen'd
+    * loop per row, no intermediate arrays — the per-row inner kernel of
+    * every bucketed path here.
+    */
+  private def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
-  /** 16-bit hyperplane-sign fingerprint of an embedding. */
+  /** 16-bit hyperplane-sign fingerprint of an embedding. sign(dot) ==
+    * sign(cosine) (norms are positive), so the native kernel serves here
+    * too.
+    */
   private def planeBucket(emb: Column): Column =
     (0 until NumPlanes).map { i =>
-      val d = dot(emb, typedLit(planes(i)))
-      when(d >= 0, lit(1 << i)).otherwise(lit(0))
+      when(cosine(emb, typedLit(planes(i))) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
-
-  /** Cosine from raw arrays (fold order fixed → deterministic in-engine). */
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
   /** Near-dup input: embeddings plus a deterministic "re-encoded batch" —
     * every 5th vector rescaled by 1.01 (same direction, cosine ≈ 1) under

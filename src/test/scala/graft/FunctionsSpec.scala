@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  private def emb = Tables.load(spark, Sf, "embeddings")
+    .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+
+  test("cosine_sim matches the composable zip_with/aggregate formulation") {
+    val fold = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x) /
+      sqrt(aggregate(zip_with(col("a"), col("a"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) *
+        aggregate(zip_with(col("b"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+    val pairs = emb.limit(20).select(col("vec_id").as("ia"), col("emb").as("a"))
+      .crossJoin(emb.limit(20).select(col("vec_id").as("ib"), col("emb").as("b")))
+    val diff = pairs
+      .select(abs(call_function("cosine_sim", col("a"), col("b")) - fold).as("d"))
+      .agg(max("d")).first().getDouble(0)
+    assert(diff < 1e-9, s"max |native - fold| = $diff")
+  }
+
+  test("cosine_sim is registered on the SQL surface") {
+    emb.createOrReplaceTempView("emb_fn_test")
+    val v = spark.sql(
+      "SELECT cosine_sim(emb, emb) AS c FROM emb_fn_test LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(v.forall(c => math.abs(c - 1.0) < 1e-12), v.mkString(","))
+  }
+
+  test("cosine_sim self-similarity is 1 and zero-vector guard returns 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 1.0))
+    ).toDF("a", "b")
+    val out = df.select(call_function("cosine_sim", col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1)) < 1e-12)
+    assert(out(2) == 0.0)
+  }
+
+  test("cosine_sim stays inside whole-stage codegen") {
+    val p = planString(emb.select(call_function("cosine_sim", col("emb"), col("emb"))))
+    // the "*(n)" prefix marks a WholeStageCodegen stage in plan toString
+    assert("""\*\(\d+\) Project \[cosine_sim""".r.findFirstIn(p).isDefined, p.take(400))
+  }
+}

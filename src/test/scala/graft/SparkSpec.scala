@@ -21,6 +21,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
