@@ -63,13 +63,7 @@ object Dedup {
     * downstream join then move 8-byte keys instead of strings.
     */
   def shingles(docs: DataFrame, maxDf: Int = 50): DataFrame = {
-    val sh = docs
-      .withColumn("w", split(lower(trim(col("text"))), " "))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), " +
-          "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
-      .distinct()
+    val sh = rawShingles(docs).distinct()
     // The shingle frame is corpus-sized, so it is NOT cached: measured at
     // bench scale, re-evaluating the scan+explode+distinct for the df
     // count is cheaper than a cache round-trip of every shingle row.
@@ -88,7 +82,10 @@ object Dedup {
   /** MinHash signature: 32 independent hash "permutations", realized as
     * seeded xxhash64 of the shingle; the signature entry is the per-doc
     * minimum. One groupBy with 32 partial min aggregates — map-side
-    * combined, no extra shuffle beyond the doc_id exchange.
+    * combined, no extra shuffle beyond the doc_id exchange. Input shingles
+    * need neither dedup nor a df cap: min over a multiset equals min over
+    * its set, and a hot shingle only lowers signatures uniformly — so the
+    * signature pass is a single scan + single exchange.
     */
   def minhashSignatures(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id")
@@ -97,13 +94,22 @@ object Dedup {
         (1 until NumPerms).map(i =>
           min(xxhash64(col("sh"), lit(i))).as(s"m$i")): _*)
 
+  /** Raw (non-distinct, uncapped) shingle hashes — the minhash input. */
+  def rawShingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 3), " +
+          "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+
   /** q21: MinHash-LSH near-dedup. Signatures are cut into 8 bands of 4
     * rows; docs colliding on any band hash become candidates (banding:
     * P[collide] = 1-(1-s^4)^8, steep around s≈0.6). The self-join is on
     * (band_idx, band_hash) — bucketed, never all-pairs.
     */
   def q21DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(shingles(corpus(s, dir)))
+    val sigs = minhashSignatures(rawShingles(corpus(s, dir)))
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: parts: _*)
