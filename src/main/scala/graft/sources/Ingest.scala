@@ -142,4 +142,18 @@ object Ingest {
       .write.mode("overwrite")
       .partitionBy("year", "month")
       .parquet(outPath)
+
+  /** Bucketed managed-table write: pre-shuffle once at write time so every
+    * later equi-join/aggregation on the bucket key is co-located —
+    * repeated joins on (say) user_id then plan with NO exchange on either
+    * side. This is the SURVEY §4 co-location strategy for fact⋈fact joins
+    * at 100 TB: pay the shuffle once in the pipeline that lands the data,
+    * never per query.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    sortCol.fold(w)(sc => w.sortBy(sc)).saveAsTable(table)
+  }
 }

@@ -81,6 +81,36 @@ class IngestSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(20.0), None, Some(5.0)))
   }
 
+  test("bucketed tables join and aggregate with no exchange on the bucket key") {
+    // clean both catalog entries and any orphaned warehouse dirs from
+    // previous (possibly failed) runs
+    Seq("events_bucketed_a", "events_bucketed_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val events = Tables.load(spark, Sf, "events")
+    Ingest.writeBucketed(events.select("event_id", "user_id", "value"),
+      "events_bucketed_a", "user_id", 8)
+    Ingest.writeBucketed(events.select("event_id", "user_id", "event_type"),
+      "events_bucketed_b", "user_id", 8)
+    val a = spark.table("events_bucketed_a")
+    val b = spark.table("events_bucketed_b")
+    // force the sort-merge path (broadcast would bypass bucketing and hide
+    // the co-location property under test)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = a.join(b, Seq("user_id")).groupBy("user_id").count()
+      val p = planString(joined)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucket join should not shuffle:\n${p.take(800)}")
+      assert(p.contains("Bucketed: true"), p.take(400))
+      assert(joined.count() > 0)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("writePartitioned lays out year/month directories that prune on read") {
     val d = tmpDir("part-write")
     val events = Tables.load(spark, Sf, "events")
