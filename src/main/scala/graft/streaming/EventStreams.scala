@@ -36,6 +36,17 @@ object EventStreams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"), col("approx_users"))
 
+  /** Watermarked exactly-once-per-id dedup: drops re-deliveries of the
+    * same event_id arriving within the watermark horizon — the streaming
+    * analog of the ingest-time `dedup on id` the reference performs per
+    * batch (oura_normalizer read_bronze union+dedup). State is bounded by
+    * ids seen inside the horizon.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, lastTs: Long, nEvents: Long, total: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -35,6 +35,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupStream(events).writeStream
+      .format("memory").queryName("dedup_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 1.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(3), 2.0), (3L, ts(4), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after a 30-minute gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
