@@ -93,6 +93,7 @@ object Ann {
     val dec = DecimalType(25, 12)
     val expl = embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .persist() // feeds norms, the query side, and the dot join
     val norms = expl.groupBy("vec_id")
       .agg(sum((col("v") * col("v")).cast(dec)).as("norm2"))
     val q = expl.filter(col("vec_id") < 5)
