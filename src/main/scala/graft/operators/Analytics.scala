@@ -152,6 +152,14 @@ object Analytics {
     val ranked = pairs
       .withColumn("ra", row_number().over(ra))
       .withColumn("rb", row_number().over(rb))
+    val rho = (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+      sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")))
+    // Bonferroni-corrected significance over the 4-lag scan family
+    // (reference: correlation_discovery.py:253-340 — per-family alpha).
+    // t = rho·sqrt((n-2)/(1-rho²)); threshold 3.0 ≈ two-sided alpha
+    // 0.01/4 for the n here, as a deterministic in-plan cut.
+    val tStat = rho * sqrt((col("n_pairs") - 2) / (lit(1.0) - rho * rho))
     ranked.groupBy("lag")
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -161,10 +169,9 @@ object Analytics {
         sum(col("ra").cast("long") * col("ra")).cast("double").as("sxx"),
         sum(col("rb").cast("long") * col("rb")).cast("double").as("syy"))
       .select(col("lag"), col("n_pairs"),
-        Num.roundD(
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
-            sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
-              (col("n_pairs") * col("syy") - col("sy") * col("sy")))).as("spearman_rho"))
+        Num.roundD(rho).as("spearman_rho"),
+        Num.roundD(tStat, 3).as("t_stat"),
+        (abs(Num.roundD(tStat, 3)) > 3.0).cast("int").as("significant_bonferroni"))
       .orderBy("lag")
   }
 
@@ -189,10 +196,16 @@ object Analytics {
        |    CAST(SUM(ra * rb) AS DOUBLE) AS sxy,
        |    CAST(SUM(ra) AS DOUBLE) AS sx, CAST(SUM(rb) AS DOUBLE) AS sy,
        |    CAST(SUM(ra * ra) AS DOUBLE) AS sxx, CAST(SUM(rb * rb) AS DOUBLE) AS syy
-       |  FROM ranked GROUP BY lag)
+       |  FROM ranked GROUP BY lag),
+       |stats AS (
+       |  SELECT lag, n_pairs,
+       |    (n_pairs * sxy - sx * sy) / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)) AS rho
+       |  FROM sums)
        |SELECT lag, n_pairs,
-       |  ${Num.sqlRoundD("(n_pairs * sxy - sx * sy) / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))")} AS spearman_rho
-       |FROM sums
+       |  ${Num.sqlRoundD("rho")} AS spearman_rho,
+       |  ${Num.sqlRoundD("rho * SQRT((n_pairs - 2) / (1.0 - rho * rho))", 3)} AS t_stat,
+       |  CAST(ABS(${Num.sqlRoundD("rho * SQRT((n_pairs - 2) / (1.0 - rho * rho))", 3)}) > 3.0 AS INT) AS significant_bonferroni
+       |FROM stats
        |ORDER BY lag""".stripMargin
 
   /** q16: data-quality assertion battery — each row is one check and its
@@ -226,6 +239,12 @@ object Analytics {
         o.join(broadcast(c.select("c_custkey")), col("o_custkey") === col("c_custkey"), "left_anti")))
       .unionByName(check("lineitem_fk_orders",
         l.join(o.select("o_orderkey"), col("l_orderkey") === col("o_orderkey"), "left_anti")))
+      .unionByName(check("lineitem_fk_part",
+        l.join(broadcast(Tables.load(s, dir, "part").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_anti")))
+      .unionByName(check("lineitem_fk_supplier",
+        l.join(broadcast(Tables.load(s, dir, "supplier").select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")))
       .unionByName(check("lineitem_discount_range",
         l.filter(col("l_discount") < 0 || col("l_discount") > 1)))
       .orderBy("check_name")
@@ -247,6 +266,12 @@ object Analytics {
       |  UNION ALL
       |  SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem
       |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_part', COUNT(*) FROM lineitem
+      |    WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_supplier', COUNT(*) FROM lineitem
+      |    WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
       |  UNION ALL
       |  SELECT 'lineitem_discount_range', COUNT(*) FROM lineitem
       |    WHERE l_discount < 0 OR l_discount > 1) t

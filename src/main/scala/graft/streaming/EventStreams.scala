@@ -36,6 +36,22 @@ object EventStreams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"), col("approx_users"))
 
+  /** Native session-window sessionization — the declarative sibling of
+    * [[sessionize]]: when per-session state is just aggregates, Spark's
+    * built-in `session_window` (30-min gap) is the idiomatic form; reach
+    * for flatMapGroupsWithState only when state logic outgrows it.
+    */
+  def sessionizeNative(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
   /** Watermarked exactly-once-per-id dedup: drops re-deliveries of the
     * same event_id arriving within the watermark horizon — the streaming
     * analog of the ingest-time `dedup on id` the reference performs per

@@ -73,6 +73,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agrees with the stateful sessionize on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+    val q = EventStreams.sessionizeNative(events).writeStream
+      .format("memory").queryName("native_session_test").outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts(0), 1L, 1.0), (ts(5), 1L, 2.0), (ts(50), 1L, 3.0))
+      // push the watermark far ahead so both sessions close
+      input.addData((ts(600), 9L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table("native_session_test")
+        .filter($"user_id" === 1L).orderBy("session_start").collect()
+      assert(out.length == 2, out.mkString(";"))
+      assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("total_value") == 3.0)
+      assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout when the stream goes quiet") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
