@@ -25,6 +25,12 @@ object TextOps {
     docs(s, dir)
       .withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")).cast("long"))
+      // BPE-ish subword count: alpha runs, digit runs, and single
+      // punctuation marks each count as one token — the usual cheap
+      // stand-in for a real tokenizer's length estimate
+      .withColumn("n_tokens_bpe",
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
       .withColumn("avg_token_len",
         Num.roundD((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
       .withColumn("stopword_ratio",
@@ -36,23 +42,24 @@ object TextOps {
           lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0))
             + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
             + lit(0.3) * col("type_token_ratio")))))
-      .select("doc_id", "lang", "n_tokens", "avg_token_len",
+      .select("doc_id", "lang", "n_tokens", "n_tokens_bpe", "avg_token_len",
         "stopword_ratio", "type_token_ratio", "quality_score")
       .orderBy("doc_id")
 
   val q27Sql: String =
     s"""WITH t AS (
        |  SELECT doc_id, lang, n_chars, string_split(lower(trim(text)), ' ') AS w,
-       |    lower(trim(text)) AS lt
+       |    lower(trim(text)) AS lt, lower(text) AS ltext
        |  FROM documents),
        |st AS (
        |  SELECT doc_id, lang,
        |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(ltext, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
        |    ${Num.sqlRoundD("CAST(len(lt) - (len(w) - 1) AS DOUBLE) / len(w)")} AS avg_token_len,
        |    ${Num.sqlRoundD("CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w)")} AS stopword_ratio,
        |    ${Num.sqlRoundD("CAST(len(list_distinct(w)) AS DOUBLE) / len(w)")} AS type_token_ratio
        |  FROM t)
-       |SELECT doc_id, lang, n_tokens, avg_token_len, stopword_ratio, type_token_ratio,
+       |SELECT doc_id, lang, n_tokens, n_tokens_bpe, avg_token_len, stopword_ratio, type_token_ratio,
        |  ${Num.sqlRoundD("GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))")} AS quality_score
        |FROM st
        |ORDER BY doc_id""".stripMargin
