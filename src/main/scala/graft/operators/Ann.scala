@@ -147,6 +147,54 @@ object Ann {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside hyperplane
+    * LSH: a k-means coarse quantizer partitions the corpus into `nlist`
+    * cells; a query probes only its `nprobe` nearest cells. Centroids are
+    * inherently tiny (nlist × dim) so they broadcast; the corpus is
+    * touched once for assignment and candidates come from a cell-id
+    * equi-join. Returns top-k per query.
+    */
+  def ivfTopK(s: SparkSession, dir: String, nlist: Int = 16, nprobe: Int = 4,
+              k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.expressions.Window
+    val e = embCorpus(s, dir)
+    val model = new KMeans().setK(nlist).setSeed(42).setMaxIter(8)
+      .fit(e.select(array_to_vector(col("emb")).as("features")))
+    val centers: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    // cell assignment as a codegen'd argmax over cosine_sim against the
+    // literal centroids — no UDF, index build is one corpus pass
+    val sims = centers.map(c => cosine(col("emb"), typedLit(c)))
+    val best = greatest(sims: _*)
+    val cell = sims.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((sim, i), other) => when(sim === best, lit(i)).otherwise(other)
+    }
+    val assigned = e.select(col("vec_id"), col("emb"), cell.as("cell"))
+      .persist() // corpus assignment reused by the probe join
+    import s.implicits._
+    val centroids = centers.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+    // each query probes its nprobe nearest cells
+    val q = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("cdist"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("q_emb"), col("centroid")))
+      .withColumn("cr", row_number().over(probeW))
+      .filter(col("cr") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Num.roundD(cosine(col("q_emb"), col("emb"))).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
   /** q26: LSH-bucketed ANN — the scale path. The 16 hyperplane sign bits
     * are cut into 4 bands of 4 bits (the banding trick from MinHash-LSH
     * applied to hyperplane signatures): a query's candidates are the

@@ -55,6 +55,19 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recalls every genuinely-near neighbor at rank 1") {
+    val top1 = Ann.ivfTopK(spark, Sf).filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_id"), r.getAs[Double]("cosine"))).toMap
+    val expected = top1.keySet.filter(q => q % 5 == 0 && q < 50)
+    assert(expected.nonEmpty)
+    expected.foreach { q =>
+      val (n, cos) = top1(q)
+      assert(n == q + 10000, s"query $q: IVF top-1 was $n, expected ${q + 10000}")
+      assert(cos >= 0.99)
+    }
+  }
+
   test("q26 LSH ANN recalls every genuinely-near neighbor at rank 1") {
     // queries with an injected near-dup (vec_id % 5 == 0 → +10000 at
     // cosine ≈ 1) must surface it as their top hit — LSH's recall contract
