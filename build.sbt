@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 30 bench queries × (warm + timed) in one JVM accumulate broadcast and
+  // codegen tenured garbage; 8g heaps hit GC collapse (one q23 run
+  // measured 55 s vs its real ~4 s). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 30 queries × several whole-stage-codegen units exhaust the default
+  // 240 MB code cache mid-bench; once it flushes, late queries run
+  // interpreted (observed 8x slowdowns on the wide-aggregate ones).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -11,19 +11,24 @@ object Bench {
       .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state timing: run each query once to pay JIT/codegen warmup,
-    // drop any caches it left, then time a full fresh execution (its own
-    // persists count toward its measured time). Name order keeps timings
+    // steady-state timing: two warmup runs, then the minimum of two timed
+    // executions. Two warmups because wide generated aggregates (q21's 32
+    // min-columns) need ~3 executions before C2 fully compiles them —
+    // measured 12.8 s, 22.4 s, then 2.2 s, 1.5 s, 1.3 s for identical
+    // runs — and min-of-n additionally shields against transient host
+    // contention. Caches are dropped between runs so each measurement
+    // repays the query's own persists. Name order keeps timings
     // comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
+        dt
       }
-      once()
-      val t0 = System.nanoTime()
-      once()
-      name -> (System.nanoTime() - t0) / 1e9
+      once(); once()
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
