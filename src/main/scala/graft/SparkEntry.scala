@@ -44,6 +44,7 @@ object SparkEntry {
     "q28_lang_id" -> (TextOps.q28LangId _),
     "q29_fingerprint" -> (TextOps.q29Fingerprint _),
     "q30_multimodal" -> (Multimodal.q30Multimodal _),
+    "q31_linear_impact" -> (Analytics.q31LinearImpact _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,6 +76,7 @@ object SparkEntry {
     "q28_lang_id" -> TextOps.q28Sql,
     "q29_fingerprint" -> TextOps.q29Sql,
     "q30_multimodal" -> Multimodal.q30Sql,
+    "q31_linear_impact" -> Analytics.q31Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

@@ -208,6 +208,72 @@ object Analytics {
        |FROM stats
        |ORDER BY lag""".stripMargin
 
+  /** q31: linear-impact regression — OLS slope/intercept/r² of daily
+    * purchase spend on daily view score, the "what would +1 view-score do
+    * to spend" scenario model
+    * (reference: insights_engine/insights/what_if.py linear scenario fits,
+    * dbt .../analytics/readiness_performance_correlation.sql). Closed-form
+    * OLS from decimal-exact sums — one scan, one shuffle, no MLlib
+    * iteration for a 2-parameter fit.
+    */
+  def q31LinearImpact(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(
+        Num.avgD(when(col("event_type") === "view", col("value"))).as("x"),
+        Num.sumD(when(col("event_type") === "purchase", col("value")), 2).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val sums = daily.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.exactSum(col("x")).cast("double").as("sx"),
+      Num.exactSum(col("y")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast(org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)))
+        .cast("double").as("sxy"),
+      sum((col("x") * col("x")).cast(org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)))
+        .cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast(org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)))
+        .cast("double").as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val r = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy")))
+    sums.select(
+      col("n").cast("long").as("n_pairs"),
+      Num.roundD(slope).as("slope"),
+      Num.roundD((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+      Num.roundD(r * r).as("r2"))
+  }
+
+  val q31Sql: String =
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS d,
+       |    ${Num.sqlAvg("CASE WHEN event_type = 'view' THEN value END")} AS x,
+       |    ${Num.sqlSum("CASE WHEN event_type = 'purchase' THEN value END", 2)} AS y
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT x, y FROM daily WHERE x IS NOT NULL AND y IS NOT NULL),
+       |s AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy
+       |  FROM pairs),
+       |derived AS (
+       |  SELECT n,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw,
+       |    (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r_raw,
+       |    sx, sy
+       |  FROM s)
+       |SELECT CAST(n AS BIGINT) AS n_pairs,
+       |  ${Num.sqlRoundD("slope_raw")} AS slope,
+       |  ${Num.sqlRoundD("(sy - slope_raw * sx) / n")} AS intercept,
+       |  ${Num.sqlRoundD("r_raw * r_raw")} AS r2
+       |FROM derived""".stripMargin
+
   /** q16: data-quality assertion battery — each row is one check and its
     * violation count, 0 meaning the assertion holds
     * (reference: dbt .../tests/assert_readiness_score_range.sql,
