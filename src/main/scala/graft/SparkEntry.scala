@@ -45,6 +45,8 @@ object SparkEntry {
     "q29_fingerprint" -> (TextOps.q29Fingerprint _),
     "q30_multimodal" -> (Multimodal.q30Multimodal _),
     "q31_linear_impact" -> (Analytics.q31LinearImpact _),
+    "q32_percentiles" -> (Analytics.q32Percentiles _),
+    "q33_histogram" -> (Analytics.q33Histogram _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,6 +79,8 @@ object SparkEntry {
     "q29_fingerprint" -> TextOps.q29Sql,
     "q30_multimodal" -> Multimodal.q30Sql,
     "q31_linear_impact" -> Analytics.q31Sql,
+    "q32_percentiles" -> Analytics.q32Sql,
+    "q33_histogram" -> Analytics.q33Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

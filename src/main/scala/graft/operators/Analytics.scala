@@ -274,6 +274,60 @@ object Analytics {
        |  ${Num.sqlRoundD("r_raw * r_raw")} AS r2
        |FROM derived""".stripMargin
 
+  /** q32: exact percentile profile per event_type — p50/p90/p99 latency-
+    * style stats (reference: weekly/summary distributions; the insights
+    * engine reports quartiles via pandas describe()). Exact interpolated
+    * percentiles (both engines implement the same linear-interpolation
+    * definition); at 100 TB swap in approx_percentile with a documented
+    * error bound — the query shape is identical.
+    */
+  def q32Percentiles(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundD(expr("percentile(value, 0.5)")).as("p50"),
+        Num.roundD(expr("percentile(value, 0.9)")).as("p90"),
+        Num.roundD(expr("percentile(value, 0.99)")).as("p99"))
+      .orderBy("event_type")
+
+  val q32Sql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${Num.sqlRoundD("quantile_cont(value, 0.5)")} AS p50,
+       |  ${Num.sqlRoundD("quantile_cont(value, 0.9)")} AS p90,
+       |  ${Num.sqlRoundD("quantile_cont(value, 0.99)")} AS p99
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** q33: value-distribution histogram — fixed-width buckets per
+    * event_type (reference: viz layer histograms over daily metrics).
+    * width_bucket is a row-local expression, so the histogram is one
+    * partial-aggregated shuffle regardless of scale.
+    */
+  def q33Histogram(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("bucket",
+        when(col("value") < 0, 0)
+          .when(col("value") >= 100, 11)
+          .otherwise(floor(col("value") / 10.0) + 1).cast("int"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        Num.roundD(min("value")).as("lo"),
+        Num.roundD(max("value")).as("hi"))
+      .orderBy("event_type", "bucket")
+
+  val q33Sql: String =
+    s"""SELECT event_type,
+       |  CAST(CASE WHEN value < 0 THEN 0 WHEN value >= 100 THEN 11
+       |            ELSE FLOOR(value / 10.0) + 1 END AS INT) AS bucket,
+       |  COUNT(*) AS n,
+       |  ${Num.sqlRoundD("MIN(value)")} AS lo,
+       |  ${Num.sqlRoundD("MAX(value)")} AS hi
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_type, bucket""".stripMargin
+
   /** q16: data-quality assertion battery — each row is one check and its
     * violation count, 0 meaning the assertion holds
     * (reference: dbt .../tests/assert_readiness_score_range.sql,
