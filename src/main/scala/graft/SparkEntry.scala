@@ -47,6 +47,7 @@ object SparkEntry {
     "q31_linear_impact" -> (Analytics.q31LinearImpact _),
     "q32_percentiles" -> (Analytics.q32Percentiles _),
     "q33_histogram" -> (Analytics.q33Histogram _),
+    "q34_rollup_totals" -> (Relational.q34Rollup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,6 +82,7 @@ object SparkEntry {
     "q31_linear_impact" -> Analytics.q31Sql,
     "q32_percentiles" -> Analytics.q32Sql,
     "q33_histogram" -> Analytics.q33Sql,
+    "q34_rollup_totals" -> Relational.q34Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

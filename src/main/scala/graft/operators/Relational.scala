@@ -253,6 +253,34 @@ object Relational {
       .orderBy("segment", "customer_state")
   }
 
+  /** q34: ROLLUP hierarchy totals — order revenue by (year, priority)
+    * with subtotal and grand-total rows (reference: the dashboard views
+    * aggregate at multiple grains — daily, weekly, all-time — which a
+    * single ROLLUP pass serves). Null grouping keys are labeled 'ALL' so
+    * both engines emit identical rows. One shuffle; Spark expands the
+    * grouping sets map-side.
+    */
+  def q34Rollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    o.withColumn("order_year", year(col("o_orderdate")))
+      .rollup(col("order_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), Num.sumD(col("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("order_year").cast("string"), lit("ALL")).as("order_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("order_year", "priority")
+  }
+
+  val q34Sql: String =
+    s"""SELECT COALESCE(CAST(order_year AS VARCHAR), 'ALL') AS order_year,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n_orders,
+       |  ${Num.sqlSum("o_totalprice", 2)} AS revenue
+       |FROM (SELECT *, year(o_orderdate) AS order_year FROM orders) t
+       |GROUP BY ROLLUP(order_year, o_orderpriority)
+       |ORDER BY order_year, priority""".stripMargin
+
   val q07Sql: String =
     s"""WITH cust_orders AS (
        |  SELECT o_custkey, COUNT(*) AS n_orders,
