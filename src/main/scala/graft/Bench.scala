@@ -20,15 +20,18 @@ object Bench {
     // repays the query's own persists. Name order keeps timings
     // comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // a failing query reports -1, never a fast-looking elapsed time
       def once(): Double = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
-        dt
+        if (ok) dt else -1.0
       }
       once(); once()
-      name -> math.min(once(), once())
+      val (a, b) = (once(), once())
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -31,11 +31,13 @@ object Pipeline {
     val tl = TrainingLoad.asDf(spark, dataDir)
     tl.write.mode("overwrite").parquet(s"$outDir/training_load")
 
-    // semantic layer for ad-hoc SQL
-    val views = SemanticViews.registerAll(spark, dataDir)
+    // semantic layer for ad-hoc SQL — over the materialized gold table,
+    // so view queries read pruned parquet instead of re-running the rollup
+    val gold = spark.read.parquet(s"$outDir/gold_daily_rollup")
+    val views = SemanticViews.registerOver(gold)
 
     Summary(
-      rollupRows = spark.read.parquet(s"$outDir/gold_daily_rollup").count(),
+      rollupRows = gold.count(),
       trainingLoadRows = spark.read.parquet(s"$outDir/training_load").count(),
       views = views)
   }

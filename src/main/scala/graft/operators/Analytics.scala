@@ -87,13 +87,19 @@ object Analytics {
     val sx = Num.exactSum(col("value")).over(base).cast("double")
     val sxx = Num.exactSum(col("value") * col("value")).over(base).cast("double")
     val mean = sx / n
-    val variance = (sxx - sx * sx / n) / (n - lit(1.0))
+    // conditional so the division never sees n ∈ {0, 1}: ANSI mode
+    // (Spark 4 default) raises DIVIDE_BY_ZERO even for doubles, and the
+    // filter's base_var reference evaluates this for every row
+    val variance = when(n > 1, (sxx - sx * sx / n) / (n - lit(1.0)))
     val z = (col("value") - mean) / sqrt(variance)
     events(s, dir)
       .withColumn("n_base", n)
+      .withColumn("base_var", variance)
       .withColumn("baseline_mean", Num.roundD(mean))
       .withColumn("z", Num.roundD(z, 3))
-      .filter(col("n_base") >= 5 && abs(col("z")) > 2.5)
+      // base_var > 0 guards the constant-baseline case: z would be ±Inf
+      // and Spark's long-based floor-round of Inf diverges from DuckDB's
+      .filter(col("n_base") >= 5 && col("base_var") > 0 && abs(col("z")) > 2.5)
       .select("event_id", "user_id", "event_type", "value", "baseline_mean", "z")
       .orderBy("event_id")
   }
@@ -112,6 +118,7 @@ object Analytics {
        |  ${Num.sqlRoundD("(value - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1.0))", 3)} AS z
        |FROM b
        |WHERE n >= 5
+       |  AND (sxx - sx * sx / n) / (n - 1.0) > 0
        |  AND ABS(${Num.sqlRoundD("(value - sx / n) / SQRT((sxx - sx * sx / n) / (n - 1.0))", 3)}) > 2.5
        |ORDER BY event_id""".stripMargin
   }

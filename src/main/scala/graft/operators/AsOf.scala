@@ -34,24 +34,36 @@ object AsOf {
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.struct
     val leftCols = left.columns.toSeq
+    // the payload travels as ONE struct that is non-null exactly for
+    // right rows: last(ignoreNulls) then means "latest right ROW", so a
+    // right row whose payload values are legitimately NULL still wins
+    // (carrying bare columns would skip it and resurface a stale value)
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_tag", lit(1))
       .select(Seq(col(key), col("_t"), col("_tag")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))).as("_pay"): _*)
     val r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_tag", lit(0))
       .select(Seq(col(key), col("_t"), col("_tag")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col): _*)
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payload.map(col): _*).as("_pay"): _*)
+    // _pay as the final sort key makes ties among equal-timestamp right
+    // rows deterministic (struct ordering is total)
+    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"), col("_pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("_tag") === 1).drop("_t", "_tag")
+    val carried = l.unionByName(r)
+      .withColumn("_carried", last(col("_pay"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, c) =>
+        df.withColumn(c, col(s"_carried.$c"))
+      }
+      .filter(col("_tag") === 1)
+      .drop("_t", "_tag", "_pay", "_carried")
   }
 }

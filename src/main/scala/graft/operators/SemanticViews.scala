@@ -148,10 +148,17 @@ object SemanticViews {
   }
 
   /** Register the whole semantic layer as queryable temp views (the
-    * reference's `bio_gold.*` surface). Returns the view names.
+    * reference's `bio_gold.*` surface), computing the rollup from the raw
+    * events under `dir`. When the gold rollup is already materialized
+    * (e.g. by [[graft.Pipeline]]), pass its DataFrame to [[registerOver]]
+    * instead so view queries read the pruned parquet rather than
+    * re-running the rollup. Returns the view names.
     */
-  def registerAll(s: SparkSession, dir: String): Seq[String] = {
-    val rollup = Windows.q12DailyRollup(s, dir)
+  def registerAll(s: SparkSession, dir: String): Seq[String] =
+    registerOver(Windows.q12DailyRollup(s, dir))
+
+  /** Register the semantic layer over an existing rollup frame. */
+  def registerOver(rollup: DataFrame): Seq[String] = {
     rollup.createOrReplaceTempView("graft_daily_rollup")
     val views = Seq(
       "graft_dashboard_30d" -> dashboard30d(rollup),

@@ -32,7 +32,7 @@ object TextOps {
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long"))
       .withColumn("avg_token_len",
-        Num.roundD((length(col("text")) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
+        Num.roundD((length(lower(trim(col("text")))) - (col("n_tokens") - 1)).cast("double") / col("n_tokens")))
       .withColumn("stopword_ratio",
         Num.roundD(size(expr("filter(w, t -> t IN ('a', 'the'))")).cast("double") / col("n_tokens")))
       .withColumn("type_token_ratio",

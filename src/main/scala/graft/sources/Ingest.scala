@@ -62,13 +62,16 @@ object Ingest {
 
     val byHeader: Map[String, Seq[Path]] =
       files.groupBy(p => firstLine(spark, p))
-    val delimiter = detectDelimiter(byHeader.keys.head)
 
-    val groups = byHeader.toSeq.sortBy(_._1).map { case (_, paths) =>
+    // delimiter is detected PER header group — a directory can mix
+    // ';'-exported and ','-exported batches, and applying one group's
+    // delimiter to the other would silently collapse its columns into
+    // one unsplit string
+    val groups = byHeader.toSeq.sortBy(_._1).map { case (header, paths) =>
       spark.read
         .option("header", "true")
         .option("inferSchema", "false")
-        .option("sep", delimiter)
+        .option("sep", detectDelimiter(header))
         .csv(paths.map(_.toString): _*)
     }
     groups.reduce(_.unionByName(_, allowMissingColumns = true))

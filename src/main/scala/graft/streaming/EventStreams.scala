@@ -96,7 +96,10 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(st) if t - st.lastTs <= SessionGapMs =>
-                  cur = Some(st.copy(lastTs = math.max(st.lastTs, t),
+                  // a late-but-valid event (above the watermark) can
+                  // precede the current session start — extend both ends
+                  cur = Some(st.copy(start = math.min(st.start, t),
+                    lastTs = math.max(st.lastTs, t),
                     nEvents = st.nEvents + 1, total = st.total + e.value))
                 case Some(st) =>
                   closed ::= SessionOut(userId, new Timestamp(st.start),

@@ -44,6 +44,17 @@ class AsOfSpec extends SparkSpec {
     assert(out(1).getAs[Double]("v") == 9.0, "t=100 must see the rt=100 row (inclusive)")
   }
 
+  test("joinAsOf: a newer right row with NULL payload wins over an older value") {
+    import spark.implicits._
+    val left = Seq((1L, 300L, "p")).toDF("k", "t", "name")
+    val right = Seq((1L, 100L, Some(10.0)), (1L, 200L, Option.empty[Double]))
+      .toDF("k", "rt", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("v")).collect()
+    assert(out.length == 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("v")),
+      "the rt=200 NULL observation is the as-of value; 10.0 would be stale")
+  }
+
   test("joinAsOf plans one shuffle on the key, no range explosion") {
     val e = Tables.load(spark, Sf, "events")
     val l = e.filter(col("event_type") === "purchase").select("user_id", "ts", "value")

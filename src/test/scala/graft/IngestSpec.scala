@@ -36,6 +36,16 @@ class IngestSpec extends SparkSpec {
     assert(rows(0).getAs[String]("extra") == null)
   }
 
+  test("readCsvGrouped handles groups with DIFFERENT delimiters") {
+    val d = tmpDir("csv-mixed-delim")
+    write(d, "euro.csv", "day;id;score\n2024-01-01;1;80\n")
+    write(d, "us.csv", "id,day,score\n2,2024-01-02,75\n")
+    val rows = Ingest.readCsvGrouped(spark, d.toString).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("score")).toSeq == Seq("80", "75"),
+      "per-group delimiter detection failed — columns collapsed")
+  }
+
   test("detectDelimiter prefers semicolon only when it dominates") {
     assert(Ingest.detectDelimiter("a;b;c") == ";")
     assert(Ingest.detectDelimiter("a,b,c") == ",")
