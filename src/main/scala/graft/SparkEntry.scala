@@ -48,6 +48,7 @@ object SparkEntry {
     "q32_percentiles" -> (Analytics.q32Percentiles _),
     "q33_histogram" -> (Analytics.q33Histogram _),
     "q34_rollup_totals" -> (Relational.q34Rollup _),
+    "q35_dedup_incremental" -> (Dedup.q35DedupIncremental _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,6 +84,7 @@ object SparkEntry {
     "q32_percentiles" -> Analytics.q32Sql,
     "q33_histogram" -> Analytics.q33Sql,
     "q34_rollup_totals" -> Relational.q34Sql,
+    "q35_dedup_incremental" -> Dedup.q35Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

@@ -55,6 +55,46 @@ object Dedup {
        |GROUP BY 1
        |ORDER BY canonical_id""".stripMargin
 
+  /** q35: incremental dedup — admit only genuinely-new content from an
+    * incoming crawl batch, anti-joined against the historical corpus on
+    * the normalized content hash. The day-2 shape of every training-data
+    * pipeline: the historical side is just a hash column (not documents),
+    * so the state carried between ingests is 32 bytes/doc. The simulated
+    * batch mixes exact re-crawls (dropped) with edited documents
+    * (admitted).
+    */
+  def q35DedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    def hashed(df: DataFrame): DataFrame =
+      df.withColumn("content_hash", sha2(lower(trim(col("text"))), 256))
+    val batch =
+      d.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .unionByName(
+          d.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 20000)
+            .withColumn("text", concat(col("text"), lit(" revised edition"))))
+    hashed(batch)
+      .join(hashed(d).select("content_hash"), Seq("content_hash"), "left_anti")
+      .select(col("doc_id").as("batch_doc_id"), col("content_hash"))
+      .orderBy("batch_doc_id")
+  }
+
+  val q35Sql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, text || ' revised edition' AS text
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |hashed AS (
+      |  SELECT doc_id, sha256(lower(trim(text))) AS content_hash FROM batch)
+      |SELECT doc_id AS batch_doc_id, content_hash
+      |FROM hashed h
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM documents d
+      |  WHERE sha256(lower(trim(d.text))) = h.content_hash)
+      |ORDER BY batch_doc_id""".stripMargin
+
   /** Distinct word 3-shingles per doc as 64-bit hashes, with a
     * document-frequency cap: shingles occurring in more than `maxDf` docs
     * are dropped (boilerplate guard — at corpus scale a viral phrase would
