@@ -49,6 +49,7 @@ object SparkEntry {
     "q33_histogram" -> (Analytics.q33Histogram _),
     "q34_rollup_totals" -> (Relational.q34Rollup _),
     "q35_dedup_incremental" -> (Dedup.q35DedupIncremental _),
+    "q36_cube_totals" -> (Relational.q36Cube _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,6 +86,7 @@ object SparkEntry {
     "q33_histogram" -> Analytics.q33Sql,
     "q34_rollup_totals" -> Relational.q34Sql,
     "q35_dedup_incremental" -> Dedup.q35Sql,
+    "q36_cube_totals" -> Relational.q36Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

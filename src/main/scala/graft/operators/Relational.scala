@@ -281,6 +281,32 @@ object Relational {
        |GROUP BY ROLLUP(order_year, o_orderpriority)
        |ORDER BY order_year, priority""".stripMargin
 
+  /** q36: CUBE cross-dimensional totals — event counts and value sums for
+    * every (event_type × weekday) combination plus all marginals in one
+    * pass (the other half of the grouping-sets family next to q34's
+    * ROLLUP).
+    */
+  def q36Cube(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    e.withColumn("dow", dayofweek(col("ts")))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"), Num.sumD(col("value"), 2).as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow").cast("string"), lit("ALL")).as("dow"),
+        col("n_events"), col("total_value"))
+      .orderBy("event_type", "dow")
+  }
+
+  val q36Sql: String =
+    s"""SELECT COALESCE(event_type, 'ALL') AS event_type,
+       |  COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow,
+       |  COUNT(*) AS n_events,
+       |  ${Num.sqlSum("value", 2)} AS total_value
+       |FROM (SELECT *, dayofweek(ts) + 1 AS dow FROM events) t
+       |GROUP BY CUBE(event_type, dow)
+       |ORDER BY event_type, dow""".stripMargin
+
   val q07Sql: String =
     s"""WITH cust_orders AS (
        |  SELECT o_custkey, COUNT(*) AS n_orders,
