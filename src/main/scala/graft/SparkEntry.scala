@@ -50,6 +50,7 @@ object SparkEntry {
     "q34_rollup_totals" -> (Relational.q34Rollup _),
     "q35_dedup_incremental" -> (Dedup.q35DedupIncremental _),
     "q36_cube_totals" -> (Relational.q36Cube _),
+    "q37_ranking_suite" -> (Relational.q37Ranking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -87,6 +88,7 @@ object SparkEntry {
     "q34_rollup_totals" -> Relational.q34Sql,
     "q35_dedup_incremental" -> Dedup.q35Sql,
     "q36_cube_totals" -> Relational.q36Sql,
+    "q37_ranking_suite" -> Relational.q37Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

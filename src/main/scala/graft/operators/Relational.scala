@@ -307,6 +307,42 @@ object Relational {
        |GROUP BY CUBE(event_type, dow)
        |ORDER BY event_type, dow""".stripMargin
 
+  /** q37: ranking-function suite — NTILE quartiles, PERCENT_RANK and
+    * DENSE_RANK over per-customer spend within each market segment
+    * (the classic cohort-ranking shape; complements the ROW_NUMBER dedup
+    * in q10). Total tiebreak (spend, custkey) keeps ranks deterministic
+    * cross-engine.
+    */
+  def q37Ranking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(s, dir, "customer")
+    val o = Tables.load(s, dir, "orders")
+    val spend = o.groupBy("o_custkey")
+      .agg(Num.sumD(col("o_totalprice"), 2).as("spend"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("spend").desc, col("c_custkey"))
+    c.join(spend, col("c_custkey") === col("o_custkey"))
+      .select(
+        col("c_mktsegment").as("segment"), col("c_custkey").as("custkey"),
+        col("spend"),
+        ntile(4).over(w).as("spend_quartile"),
+        Num.roundD(percent_rank().over(w)).as("pct_rank"),
+        dense_rank().over(w).as("drank"))
+      .orderBy("segment", "custkey")
+  }
+
+  val q37Sql: String =
+    s"""WITH spend AS (
+       |  SELECT o_custkey, ${Num.sqlSum("o_totalprice", 2)} AS spend
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT c_mktsegment AS segment, c_custkey AS custkey, spend,
+       |  NTILE(4) OVER w AS spend_quartile,
+       |  ${Num.sqlRoundD("PERCENT_RANK() OVER w")} AS pct_rank,
+       |  DENSE_RANK() OVER w AS drank
+       |FROM customer JOIN spend ON c_custkey = o_custkey
+       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend DESC, c_custkey)
+       |ORDER BY segment, custkey""".stripMargin
+
   val q07Sql: String =
     s"""WITH cust_orders AS (
        |  SELECT o_custkey, COUNT(*) AS n_orders,
