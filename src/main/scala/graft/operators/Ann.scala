@@ -65,18 +65,24 @@ object Ann {
     * agrees with its source on every hyperplane w.h.p.); cosine is verified
     * inside the bucket only.
     */
-  def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    embeddingPairs(embCorpus(s, dir))
+
+  /** Embedding near-dup pairs over an arbitrary (vec_id, emb) frame — the
+    * q24 body, parameterized for the injected-cluster guard test. Candidate
+    * generation goes through [[Dedup.guardedPairs]]: a k-vector duplicate
+    * cluster (identical embeddings ⇒ identical sign fingerprint ⇒ one
+    * bucket) emits O(k) star edges to its canonical id, never O(k²) pairs.
+    */
+  def embeddingPairs(vecs: DataFrame): DataFrame = {
     // persist: self-joined, and the 16 plane dot products per row are
     // worth computing once (Spark does not reuse subtrees across
     // differently-aliased self-join sides)
-    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb"))).persist()
-    val a = e.as("a")
-    val b = e.as("b")
-    a.join(b,
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    val e = vecs.withColumn("bucket", planeBucket(col("emb"))).persist()
+    Dedup.guardedPairs(e, "vec_id", Seq("bucket"), payloadCols = Seq("emb"))
       .select(
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Num.roundD(cosine(col("a.emb"), col("b.emb"))).as("cosine"))
+        col("id_a").as("vec_a"), col("id_b").as("vec_b"),
+        Num.roundD(cosine(col("a_emb"), col("b_emb"))).as("cosine"))
       .filter(col("cosine") >= 0.9)
       .orderBy("vec_a", "vec_b")
   }

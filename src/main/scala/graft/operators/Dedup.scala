@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * candidate pairs only form inside an LSH bucket (band hash or SimHash
   * segment), never via an all-pairs comparison. Physical plans contain
   * shuffle-hash/sort-merge joins on bucket keys and no CartesianProduct
-  * (asserted by DedupSpec). Hot buckets are capped by a document-frequency
-  * filter, the standard guard against quadratic blowup on boilerplate
-  * shingles at 100 TB.
+  * (asserted by DedupAnnSpec/PlanSpec). Quadratic blowup is guarded at
+  * both levels: a document-frequency cap bounds posting lists of
+  * boilerplate shingles ([[shingles]]), and [[guardedPairs]] caps
+  * per-bucket pair emission so a k-doc duplicate cluster — identical
+  * signatures, one bucket — emits O(k) star edges, never O(k²) pairs.
   */
 object Dedup {
 
@@ -119,6 +121,59 @@ object Dedup {
   private val Bands = 8
   private val RowsPerBand = NumPerms / Bands
 
+  /** Default hot-bucket threshold for [[guardedPairs]]. */
+  val MaxBucket = 64
+
+  /** Candidate pairs from an LSH bucket table, with a hot-bucket guard.
+    *
+    * Small buckets (≤ `maxBucket` members) emit all within-bucket pairs —
+    * the standard LSH candidate join. Hot buckets are duplicate clusters
+    * (boilerplate pages, mirrored content — the common case in a crawl
+    * corpus): identical content yields identical signatures, so a k-doc
+    * cluster lands on ONE bucket key and a pairwise join would emit O(k²)
+    * rows from that key (k = 10⁶ ⇒ 10¹² rows). Those buckets instead emit
+    * star edges from the bucket's canonical (minimum) id to each member:
+    * O(k) rows that keep the cluster connected for canonical-id /
+    * connected-component consumption while bounding any single key's
+    * output — per-key emission is ≤ max(maxBucket², k).
+    *
+    * Plan shape: one partial-aggregated groupBy on the bucket key, an
+    * equi-join back on the same key (hash partitioning reused — no extra
+    * exchange), and the pair self-join on the bucket key for small buckets
+    * only. Never a cartesian product (asserted by PlanSpec).
+    *
+    * @param buckets     (id, bucket-key..., payload...) rows; callers
+    *                    persist it — it is read by the stats groupBy and
+    *                    both join sides
+    * @param payloadCols columns carried onto both sides of each pair as
+    *                    `a_<name>` / `b_<name>` (e.g. a fingerprint to
+    *                    verify inside the bucket)
+    * @return (id_a, id_b [, a_payload..., b_payload...]) with id_a < id_b
+    */
+  def guardedPairs(buckets: DataFrame, idCol: String, keyCols: Seq[String],
+                   payloadCols: Seq[String] = Nil,
+                   maxBucket: Int = MaxBucket): DataFrame = {
+    val aggs = count(lit(1)).as("bucket_n") +:
+      min(col(idCol)).as("canon_id") +:
+      payloadCols.map(p => min_by(col(p), col(idCol)).as(s"canon_$p"))
+    val stats = buckets.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val annotated = buckets.join(stats, keyCols)
+    val small = annotated.filter(col("bucket_n") <= maxBucket)
+      .select((idCol +: (keyCols ++ payloadCols)).map(col): _*)
+    val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+      col(s"a.$idCol") < col(s"b.$idCol")
+    val smallPairs = small.as("a").join(small.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+        payloadCols.flatMap(p =>
+          Seq(col(s"a.$p").as(s"a_$p"), col(s"b.$p").as(s"b_$p"))): _*)
+    val hotPairs = annotated
+      .filter(col("bucket_n") > maxBucket && col(idCol) =!= col("canon_id"))
+      .select(col("canon_id").as("id_a") +: col(idCol).as("id_b") +:
+        payloadCols.flatMap(p =>
+          Seq(col(s"canon_$p").as(s"a_$p"), col(p).as(s"b_$p"))): _*)
+    smallPairs.unionByName(hotPairs)
+  }
+
   /** MinHash signature: 32 independent hash "permutations", realized as
     * seeded xxhash64 of the shingle; the signature entry is the per-doc
     * minimum. One groupBy with 32 partial min aggregates — map-side
@@ -148,8 +203,15 @@ object Dedup {
     * P[collide] = 1-(1-s^4)^8, steep around s≈0.6). The self-join is on
     * (band_idx, band_hash) — bucketed, never all-pairs.
     */
-  def q21DedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(rawShingles(corpus(s, dir)))
+  def q21DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(corpus(s, dir))
+
+  /** MinHash-LSH candidate pairs over an arbitrary (doc_id, text) corpus —
+    * the q21 body, parameterized so the hot-bucket guard is testable on an
+    * injected duplicate cluster (DedupAnnSpec).
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(rawShingles(docs))
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: parts: _*)
@@ -160,13 +222,8 @@ object Dedup {
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
       .persist()
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    guardedPairs(banded, "doc_id", Seq("band_idx", "band_hash"))
+      .groupBy(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
   }
@@ -177,8 +234,14 @@ object Dedup {
     * (pigeonhole: hamming ≤ 3 guarantees a shared segment); the pair's
     * true hamming distance is checked inside the bucket only.
     */
-  def q22DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tokens = corpus(s, dir)
+  def q22DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(corpus(s, dir))
+
+  /** SimHash candidate pairs over an arbitrary (doc_id, text) corpus — the
+    * q22 body, parameterized for the injected-cluster guard test.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val tokens = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitVotes = tokens.groupBy("doc_id")
@@ -195,15 +258,11 @@ object Dedup {
         shiftright(col("fingerprint"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("seg_idx", "seg_val")))
       .persist() // self-joined; docs × 4 rows — see q21
-    val a = segs.as("a")
-    val b = segs.as("b")
-    a.join(b,
-        col("a.seg_idx") === col("b.seg_idx") &&
-          col("a.seg_val") === col("b.seg_val") &&
-          col("a.doc_id") < col("b.doc_id"))
+    guardedPairs(segs, "doc_id", Seq("seg_idx", "seg_val"),
+        payloadCols = Seq("fingerprint"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fingerprint").bitwiseXOR(col("b.fingerprint"))).as("hamming"))
+        col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        bit_count(col("a_fingerprint").bitwiseXOR(col("b_fingerprint"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
       .orderBy("doc_a", "doc_b")

@@ -43,6 +43,52 @@ class DedupAnnSpec extends SparkSpec {
     assert(out.filter(col("cosine") < 0.9999).count() == 0, "rescale must not change direction")
   }
 
+  test("hot-bucket guard: k-doc duplicate cluster emits O(k) star edges, not O(k²) pairs") {
+    import spark.implicits._
+    val k = 100
+    val clusterText = "the quick brown fox jumps over the lazy dog again and again today"
+    val cluster = (0 until k).map(i => (i.toLong, clusterText))
+    val fillers = (1000 until 1040).map(i =>
+      (i.toLong, s"unique document number $i carrying words ${i * 7} ${i * 13} ${i * 31} nobody shares"))
+    val docs = (cluster ++ fillers).toDF("doc_id", "text")
+
+    val mh = Dedup.minhashPairs(docs).filter($"doc_a" < k && $"doc_b" < k)
+    assert(mh.count() == k - 1, "minhash: cluster must emit exactly k-1 edges")
+    assert(mh.filter($"doc_a" =!= 0L).count() == 0, "all edges point at the canonical min id")
+    assert(mh.filter($"n_shared_bands" === 8).count() == k - 1, "identical docs share every band")
+
+    val sh = Dedup.simhashPairs(docs).filter($"doc_a" < k && $"doc_b" < k)
+    assert(sh.count() == k - 1, "simhash: cluster must emit exactly k-1 edges")
+    assert(sh.filter($"hamming" === 0).count() == k - 1)
+  }
+
+  test("hot-bucket guard: embedding duplicate cluster emits star edges to its canonical") {
+    import spark.implicits._
+    val k = 100
+    val rng = new scala.util.Random(7)
+    val base = Seq.fill(64)(rng.nextDouble() * 2 - 1)
+    val cluster = (0 until k).map(i => (i.toLong, base))
+    val fillers = (1000 until 1040).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(64)(r.nextDouble() * 2 - 1))
+    }
+    val vecs = (cluster ++ fillers).toDF("vec_id", "emb")
+    val pairs = Ann.embeddingPairs(vecs).filter($"vec_a" < k && $"vec_b" < k)
+    assert(pairs.count() == k - 1, "embedding: cluster must emit exactly k-1 edges")
+    assert(pairs.filter($"vec_a" =!= 0L).count() == 0)
+    assert(pairs.filter($"cosine" < 0.9999).count() == 0)
+  }
+
+  test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
+    import spark.implicits._
+    // 10 identical docs — below MaxBucket, so the full pairwise set appears
+    val docs = ((0 until 10).map(i => (i.toLong, "small cluster of repeated text here")) ++
+      (100 until 110).map(i => (i.toLong, s"filler doc $i has words ${i * 3} ${i * 11} only")))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashPairs(docs).filter($"doc_a" < 10 && $"doc_b" < 10)
+    assert(mh.count() == 45, "10-doc cluster below threshold keeps all C(10,2) pairs")
+  }
+
   test("q25 brute-force ANN returns a full descending top-10 per query") {
     val rows = Ann.q25AnnBruteforce(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
