@@ -126,12 +126,20 @@ object Analytics {
   /** q15: Spearman lag-correlation scan — does today's view score predict
     * purchase spend 0..3 days later? (reference: correlation_discovery
     * .py:380-442 — metric-pair × lag grid, Spearman via ranks.)
-    * Ranks are ROW_NUMBERs with a total tiebreak (value, user, day) so both
-    * engines rank identically; rho comes from exact integer rank sums via
-    * the closed-form Pearson-on-ranks formula — no engine corr() whose
-    * streaming accumulation differs.
+    *
+    * Ranks use the average-rank (midrank) formulation computed via groupBy
+    * on value: per-(lag, value) counts plus one cumulative sum over the
+    * DISTINCT-value frame. That frame's cardinality is bounded by the
+    * rounded value domain (4dp doubles in a bounded metric range), NOT by
+    * the data — unlike a per-row ROW_NUMBER window, which would globally
+    * sort the whole (user×day) pair grid inside one partition per lag and
+    * die at fleet scale. Doubled ranks (2·avg_rank, always integral) keep
+    * every sum exact in integers; Pearson-on-ranks is invariant under the
+    * per-variable 2× scaling, so rho is unchanged. rho then comes from the
+    * closed-form Pearson-on-ranks formula over decimal-exact sums — no
+    * engine corr() whose streaming accumulation differs.
     * Scale: the lag grid is a 4-row broadcast; pairs co-shuffle on
-    * (user_id, day); rank windows partition by lag.
+    * (user_id, day); rank tables join back on (lag, value).
     */
   def q15SpearmanLag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -154,11 +162,20 @@ object Analytics {
           col("b_d") === date_add(col("a_d"), col("lag")))
       .select(col("lag"), col("a_uid").as("user_id"), col("a_d").as("d"),
         col("a_val"), col("b_val"))
-    val ra = Window.partitionBy("lag").orderBy(col("a_val"), col("user_id"), col("d"))
-    val rb = Window.partitionBy("lag").orderBy(col("b_val"), col("user_id"), col("d"))
+    // midrank table per side: doubled average rank 2·cum - cnt + 1 over
+    // the distinct-value frame (one partial-aggregated groupBy; the
+    // cumulative window's input is domain-bounded, see scaladoc)
+    def rankTable(valCol: String, rankCol: String): DataFrame = {
+      val w = Window.partitionBy("lag").orderBy(valCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.groupBy(col("lag"), col(valCol)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col("lag"), col(valCol),
+          (lit(2L) * col("cum") - col("cnt") + lit(1L)).as(rankCol))
+    }
     val ranked = pairs
-      .withColumn("ra", row_number().over(ra))
-      .withColumn("rb", row_number().over(rb))
+      .join(rankTable("a_val", "ra"), Seq("lag", "a_val"))
+      .join(rankTable("b_val", "rb"), Seq("lag", "b_val"))
     val rho = (col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
       sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
         (col("n_pairs") * col("syy") - col("sy") * col("sy")))
@@ -167,14 +184,17 @@ object Analytics {
     // t = rho·sqrt((n-2)/(1-rho²)); threshold 3.0 ≈ two-sided alpha
     // 0.01/4 for the n here, as a deterministic in-plan cut.
     val tStat = rho * sqrt((col("n_pairs") - 2) / (lit(1.0) - rho * rho))
+    // rank products grow as O(n³) summed — exact decimal accumulation, not
+    // silently-overflowing longs
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
     ranked.groupBy("lag")
       .agg(
         count(lit(1)).as("n_pairs"),
-        sum(col("ra").cast("long") * col("rb")).cast("double").as("sxy"),
-        sum(col("ra")).cast("double").as("sx"),
-        sum(col("rb")).cast("double").as("sy"),
-        sum(col("ra").cast("long") * col("ra")).cast("double").as("sxx"),
-        sum(col("rb").cast("long") * col("rb")).cast("double").as("syy"))
+        sum(col("ra").cast(dec) * col("rb").cast(dec)).cast("double").as("sxy"),
+        sum(col("ra").cast(dec)).cast("double").as("sx"),
+        sum(col("rb").cast(dec)).cast("double").as("sy"),
+        sum(col("ra").cast(dec) * col("ra").cast(dec)).cast("double").as("sxx"),
+        sum(col("rb").cast(dec) * col("rb").cast(dec)).cast("double").as("syy"))
       .select(col("lag"), col("n_pairs"),
         Num.roundD(rho).as("spearman_rho"),
         Num.roundD(tStat, 3).as("t_stat"),
@@ -193,11 +213,23 @@ object Analytics {
        |  SELECT l.lag, a.user_id, a.d, a.a_val, b.b_val
        |  FROM a CROSS JOIN (VALUES (0), (1), (2), (3)) AS l(lag)
        |  JOIN b ON b.user_id = a.user_id AND b.d = a.d + l.lag * INTERVAL 1 DAY),
+       |acnt AS (SELECT lag, a_val, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+       |arank AS (
+       |  SELECT lag, a_val,
+       |    2 * SUM(cnt) OVER (PARTITION BY lag ORDER BY a_val
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS ra
+       |  FROM acnt),
+       |bcnt AS (SELECT lag, b_val, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+       |brank AS (
+       |  SELECT lag, b_val,
+       |    2 * SUM(cnt) OVER (PARTITION BY lag ORDER BY b_val
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1 AS rb
+       |  FROM bcnt),
        |ranked AS (
-       |  SELECT lag,
-       |    ROW_NUMBER() OVER (PARTITION BY lag ORDER BY a_val, user_id, d) AS ra,
-       |    ROW_NUMBER() OVER (PARTITION BY lag ORDER BY b_val, user_id, d) AS rb
-       |  FROM pairs),
+       |  SELECT p.lag, ar.ra, br.rb
+       |  FROM pairs p
+       |  JOIN arank ar ON ar.lag = p.lag AND ar.a_val = p.a_val
+       |  JOIN brank br ON br.lag = p.lag AND br.b_val = p.b_val),
        |sums AS (
        |  SELECT lag, COUNT(*) AS n_pairs,
        |    CAST(SUM(ra * rb) AS DOUBLE) AS sxy,
