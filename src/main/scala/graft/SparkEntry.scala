@@ -51,6 +51,11 @@ object SparkEntry {
     "q35_dedup_incremental" -> (Dedup.q35DedupIncremental _),
     "q36_cube_totals" -> (Relational.q36Cube _),
     "q37_ranking_suite" -> (Relational.q37Ranking _),
+    "q38_what_if" -> (Predictive.q38WhatIf _),
+    "q39_next_day_prediction" -> (Predictive.q39NextDayPrediction _),
+    "q40_cohort_optimization" -> (Predictive.q40CohortOptimization _),
+    "q41_trend_analyzer" -> (Predictive.q41TrendAnalyzer _),
+    "q42_predict_score" -> (Predictive.q42PredictScore _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +94,11 @@ object SparkEntry {
     "q35_dedup_incremental" -> Dedup.q35Sql,
     "q36_cube_totals" -> Relational.q36Sql,
     "q37_ranking_suite" -> Relational.q37Sql,
+    "q38_what_if" -> Predictive.q38Sql,
+    "q39_next_day_prediction" -> Predictive.q39Sql,
+    "q40_cohort_optimization" -> Predictive.q40Sql,
+    "q41_trend_analyzer" -> Predictive.q41Sql,
+    "q42_predict_score" -> Predictive.q42Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
   )

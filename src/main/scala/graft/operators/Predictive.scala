@@ -1,0 +1,461 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's predictive layer, re-expressed as declarative Spark
+  * plans: next-day prediction pairs, cohort optimization, the what-if
+  * scenario simulator, the generalized per-entity trend analyzer, and the
+  * closed-form scoring query backing the MLlib pipeline
+  * (reference: dbt .../analytics/sleep_performance_prediction.sql:1-35,
+  * dbt .../analytics/workout_type_optimization.sql:3-40,
+  * insights_engine/insights/what_if.py:24-60,140-220,
+  * insights_engine/insights/{hrv_trend,rhr_trend,temperature_trend,
+  * readiness_trend,progressive_overload}.py,
+  * models/readiness_predictor/train.py + predict.py — the trained-model
+  * analog lives in [[graft.ml.Predictor]]).
+  *
+  * Everything derives from the q12 gold rollup ([[Windows.q12DailyRollup]])
+  * the way the reference's views derive from gold_daily_rollup. Scale: the
+  * rollup is one scan + one shuffle; every model table built from it here
+  * (regression sums, bucket stats, state effects) is an aggregate of at
+  * most a few hundred rows, so scenario joins broadcast; the only
+  * fact-sized operations are per-user windows.
+  */
+object Predictive {
+
+  private def rollup(s: SparkSession, dir: String): DataFrame =
+    Windows.q12DailyRollup(s, dir)
+
+  /** Reference CTE: the q12 gold rollup as oracle SQL, reused by every
+    * query here the way dbt refs gold_daily_rollup.
+    */
+  private val rollupCte: String = s"rollup AS (\n${Windows.q12Sql}\n)"
+
+  /** Day-quality bucket of a score — the reference's sleep_quality CASE
+    * (sleep_performance_prediction.sql:7-12).
+    */
+  private def qualityBucket(c: Column): Column =
+    when(c >= 88, "excellent").when(c >= 75, "good")
+      .when(c >= 60, "fair").otherwise("poor")
+
+  private def sqlQualityBucket(e: String): String =
+    s"CASE WHEN $e >= 88 THEN 'excellent' WHEN $e >= 75 THEN 'good' " +
+      s"WHEN $e >= 60 THEN 'fair' ELSE 'poor' END"
+
+  /** Next-day prediction pairs over a rollup frame: yesterday's score →
+    * today's outcome (reference: sleep_performance_prediction.sql:25-35,
+    * the day+1 self-join of gold_daily_rollup).
+    *
+    * Spark-first shape: the reference self-joins the rollup on
+    * date_add(day, 1); since (user_id, day) is unique, that join is
+    * exactly a per-user LEAD window with a consecutive-day filter — one
+    * sort within the existing user partitioning instead of a second scan
+    * and a shuffle join. The DuckDB oracle keeps the reference's join
+    * formulation, so the equivalence is machine-checked every round.
+    */
+  def nextDayPairs(roll: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    roll
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("next_purchase_total", lead("purchase_total", 1).over(w))
+      .withColumn("next_purchases", lead("purchases", 1).over(w))
+      .filter(col("next_day") ===
+        date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd"))
+      .filter(col("view_score_filled").isNotNull &&
+        col("next_purchase_total").isNotNull)
+      .select(
+        col("user_id"), col("day"),
+        col("view_score_filled").as("prev_score"),
+        qualityBucket(col("view_score_filled")).as("prev_quality"),
+        col("activity_state").as("prev_state"),
+        col("next_purchase_total"), col("next_purchases"),
+        when(col("view_score_filled") > 0,
+          Num.roundD(col("next_purchase_total") / col("view_score_filled"), 2))
+          .as("conversion_ratio"))
+  }
+
+  private val pairsCte: String =
+    s"""pairs AS (
+       |  SELECT a.user_id, a.day,
+       |    a.view_score_filled AS prev_score,
+       |    ${sqlQualityBucket("a.view_score_filled")} AS prev_quality,
+       |    a.activity_state AS prev_state,
+       |    b.purchase_total AS next_purchase_total,
+       |    b.purchases AS next_purchases,
+       |    CASE WHEN a.view_score_filled > 0
+       |      THEN ${Num.sqlRoundD("b.purchase_total / a.view_score_filled", 2)}
+       |    END AS conversion_ratio
+       |  FROM rollup a
+       |  JOIN rollup b ON b.user_id = a.user_id
+       |    AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+       |  WHERE a.view_score_filled IS NOT NULL
+       |    AND b.purchase_total IS NOT NULL)""".stripMargin
+
+  /** q39: the next-day prediction view as a registered query. */
+  def q39NextDayPrediction(s: SparkSession, dir: String): DataFrame =
+    nextDayPairs(rollup(s, dir)).orderBy("user_id", "day")
+
+  val q39Sql: String =
+    s"""WITH $rollupCte,
+       |$pairsCte
+       |SELECT user_id, day, prev_score, prev_quality, prev_state,
+       |  next_purchase_total, next_purchases, conversion_ratio
+       |FROM pairs
+       |ORDER BY user_id, day""".stripMargin
+
+  /** Cohort-optimization table over a rollup frame: outcome-bucket ×
+    * activity-type cohort averages (reference:
+    * workout_type_optimization.sql:3-40 — readiness bucket × workout type
+    * with a min-sample HAVING).
+    */
+  def cohortTable(roll: DataFrame): DataFrame =
+    roll
+      .filter(col("purchases") >= 1 && col("view_score_filled").isNotNull)
+      .withColumn("score_bucket",
+        when(col("view_score_filled") >= 85, "high")
+          .when(col("view_score_filled") >= 70, "medium")
+          .otherwise("low"))
+      .groupBy("score_bucket", "activity_state")
+      .agg(
+        count(lit(1)).as("sample_days"),
+        Num.avgD(col("purchase_total")).as("avg_purchase_total"),
+        Num.avgD(col("clicks").cast("double")).as("avg_clicks"),
+        Num.avgD(col("view_score_filled")).as("avg_score"))
+      .filter(col("sample_days") >= 2)
+
+  /** q40: cohort optimization, deterministically ordered. */
+  def q40CohortOptimization(s: SparkSession, dir: String): DataFrame =
+    cohortTable(rollup(s, dir)).orderBy("score_bucket", "activity_state")
+
+  val q40Sql: String =
+    s"""WITH $rollupCte
+       |SELECT
+       |  CASE WHEN view_score_filled >= 85 THEN 'high'
+       |       WHEN view_score_filled >= 70 THEN 'medium'
+       |       ELSE 'low' END AS score_bucket,
+       |  activity_state,
+       |  COUNT(*) AS sample_days,
+       |  ${Num.sqlAvg("purchase_total")} AS avg_purchase_total,
+       |  ${Num.sqlAvg("CAST(clicks AS DOUBLE)")} AS avg_clicks,
+       |  ${Num.sqlAvg("view_score_filled")} AS avg_score
+       |FROM rollup
+       |WHERE purchases >= 1 AND view_score_filled IS NOT NULL
+       |GROUP BY 1, 2
+       |HAVING COUNT(*) >= 2
+       |ORDER BY score_bucket, activity_state""".stripMargin
+
+  /** q38: what-if scenario simulator (reference: what_if.py:24-60 Scenario
+    * → SimulationResult; 140-220 simulate()). A literal scenario grid
+    * (score × activity state) is joined against three model tables built
+    * from history — the next-day regression fit, per-quality-bucket
+    * outcome stats (confidence), and per-state outcome deltas — to produce
+    * predicted outcome, confidence range, baseline comparison, and a
+    * recommendation, exactly the reference's simulate() steps 1-8 as one
+    * declarative plan. Model tables are tiny aggregates → broadcast joins;
+    * nothing fact-sized is shuffled per scenario.
+    */
+  def q38WhatIf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = nextDayPairs(rollup(s, dir)).persist()
+
+    // step-1 model: closed-form OLS of next-day outcome on prev score
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)
+    val reg = pairs.agg(
+        count(lit(1)).cast("double").as("n"),
+        Num.exactSum(col("prev_score")).cast("double").as("sx"),
+        Num.exactSum(col("next_purchase_total")).cast("double").as("sy"),
+        sum((col("prev_score") * col("next_purchase_total")).cast(dec))
+          .cast("double").as("sxy"),
+        sum((col("prev_score") * col("prev_score")).cast(dec))
+          .cast("double").as("sxx"))
+      .select(
+        col("n").cast("long").as("n_history"),
+        Num.roundD((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        Num.roundD((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
+          .as("intercept"))
+
+    // baseline + overall spread (what_if.py _build_baseline)
+    val overall = pairs.agg(
+        count(lit(1)).cast("double").as("n"),
+        Num.exactSum(col("next_purchase_total")).cast("double").as("sx"),
+        sum((col("next_purchase_total") * col("next_purchase_total")).cast(dec))
+          .cast("double").as("sxx"))
+      .select(
+        Num.roundD(col("sx") / col("n")).as("baseline_mean"),
+        Num.roundD(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1.0))).as("baseline_std"))
+
+    // per-quality-bucket confidence stats (what_if.py _build_sleep_buckets)
+    val buckets = pairs.groupBy(col("prev_quality").as("bucket"))
+      .agg(
+        count(lit(1)).as("bucket_n"),
+        Num.exactSum(col("next_purchase_total")).cast("double").as("bsx"),
+        sum((col("next_purchase_total") * col("next_purchase_total")).cast(dec))
+          .cast("double").as("bsxx"))
+      .select(col("bucket"), col("bucket_n"),
+        when(col("bucket_n") > 1,
+          Num.roundD(sqrt((col("bsxx") - col("bsx") * col("bsx") / col("bucket_n")) /
+            (col("bucket_n") - lit(1.0))))).as("bucket_std"))
+
+    // per-state outcome deltas (what_if.py _build_workout_effects)
+    val states = pairs.groupBy(col("prev_state").as("state"))
+      .agg(Num.avgD(col("next_purchase_total")).as("state_mean"))
+
+    val grid = Seq(45.0, 65.0, 80.0, 92.0)
+      .flatMap(sc => Seq("power", "buyer", "active", "passive").map(st => (sc, st)))
+      .toDF("scenario_score", "scenario_state")
+
+    val predictedRaw = col("slope") * col("scenario_score") + col("intercept") +
+      coalesce(col("state_delta"), lit(0.0))
+    val predicted = greatest(lit(0.0), predictedRaw)
+    val sd = coalesce(col("bucket_std"), col("baseline_std"))
+    grid
+      .crossJoin(broadcast(reg))
+      .crossJoin(broadcast(overall))
+      .join(broadcast(buckets),
+        qualityBucket(col("scenario_score")) === col("bucket"), "left")
+      .join(broadcast(states
+          .crossJoin(overall.select(col("baseline_mean").as("bm")))
+          .select(col("state"),
+            Num.roundD(col("state_mean") - col("bm"), 2).as("state_delta"))),
+        col("scenario_state") === col("state"), "left")
+      .select(
+        col("scenario_score"), col("scenario_state"), col("n_history"),
+        Num.roundD(predicted, 2).as("predicted_outcome"),
+        Num.roundD(greatest(lit(0.0), predicted - sd), 2).as("conf_lo"),
+        Num.roundD(predicted + sd, 2).as("conf_hi"),
+        coalesce(col("state_delta"), lit(0.0)).as("state_delta"),
+        Num.roundD(predicted - col("baseline_mean"), 2).as("vs_baseline"),
+        when(predicted >= col("baseline_mean") * 1.2, "push")
+          .when(predicted >= col("baseline_mean"), "steady")
+          .when(predicted >= col("baseline_mean") * 0.8, "light")
+          .otherwise("recover").as("recommendation"),
+        coalesce(col("bucket_n"), lit(0L)).as("bucket_n"))
+      .orderBy("scenario_score", "scenario_state")
+  }
+
+  val q38Sql: String = {
+    val predictedRaw = "(r.slope * g.scenario_score + r.intercept + COALESCE(st.state_delta, 0.0))"
+    val predicted = s"GREATEST(0.0, $predictedRaw)"
+    val sd = "COALESCE(bk.bucket_std, o.baseline_std)"
+    s"""WITH $rollupCte,
+       |$pairsCte,
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(prev_score AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(prev_score * next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(prev_score * prev_score AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+       |  FROM pairs),
+       |reg AS (
+       |  SELECT CAST(n AS BIGINT) AS n_history,
+       |    ${Num.sqlRoundD("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+       |    ${Num.sqlRoundD("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS intercept
+       |  FROM sums),
+       |o AS (
+       |  SELECT
+       |    ${Num.sqlRoundD("CAST(SUM(CAST(next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)")} AS baseline_mean,
+       |    ${Num.sqlRoundD(
+             "SQRT((CAST(SUM(CAST(next_purchase_total * next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) - " +
+             "CAST(SUM(CAST(next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) * " +
+             "CAST(SUM(CAST(next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0))")} AS baseline_std
+       |  FROM pairs),
+       |bk AS (
+       |  SELECT prev_quality AS bucket, COUNT(*) AS bucket_n,
+       |    CASE WHEN COUNT(*) > 1 THEN ${Num.sqlRoundD(
+             "SQRT((CAST(SUM(CAST(next_purchase_total * next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) - " +
+             "CAST(SUM(CAST(next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) * " +
+             "CAST(SUM(CAST(next_purchase_total AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1.0))")}
+       |    END AS bucket_std
+       |  FROM pairs GROUP BY 1),
+       |st AS (
+       |  SELECT prev_state AS state,
+       |    ${Num.sqlRoundD(s"${Num.sqlAvg("next_purchase_total")} - (SELECT baseline_mean FROM o)", 2)} AS state_delta
+       |  FROM pairs GROUP BY 1),
+       |grid AS (
+       |  SELECT CAST(s.scenario_score AS DOUBLE) AS scenario_score, t.scenario_state
+       |  FROM (VALUES (45.0), (65.0), (80.0), (92.0)) AS s(scenario_score)
+       |  CROSS JOIN (VALUES ('power'), ('buyer'), ('active'), ('passive')) AS t(scenario_state))
+       |SELECT g.scenario_score, g.scenario_state, r.n_history,
+       |  ${Num.sqlRoundD(predicted, 2)} AS predicted_outcome,
+       |  ${Num.sqlRoundD(s"GREATEST(0.0, $predicted - $sd)", 2)} AS conf_lo,
+       |  ${Num.sqlRoundD(s"$predicted + $sd", 2)} AS conf_hi,
+       |  COALESCE(st.state_delta, 0.0) AS state_delta,
+       |  ${Num.sqlRoundD(s"$predicted - o.baseline_mean", 2)} AS vs_baseline,
+       |  CASE WHEN $predicted >= o.baseline_mean * 1.2 THEN 'push'
+       |       WHEN $predicted >= o.baseline_mean THEN 'steady'
+       |       WHEN $predicted >= o.baseline_mean * 0.8 THEN 'light'
+       |       ELSE 'recover' END AS recommendation,
+       |  COALESCE(bk.bucket_n, 0) AS bucket_n
+       |FROM grid g
+       |CROSS JOIN reg r
+       |CROSS JOIN o
+       |LEFT JOIN bk ON bk.bucket = ${sqlQualityBucket("g.scenario_score")}
+       |LEFT JOIN st ON st.state = g.scenario_state
+       |ORDER BY scenario_score, scenario_state""".stripMargin
+  }
+
+  /** q41: generalized trend analyzer — one parameterized operator covering
+    * the reference's per-metric analyzer family (hrv_trend.py,
+    * rhr_trend.py, temperature_trend.py, readiness_trend.py,
+    * progressive_overload.py): for every (entity, metric) series, an OLS
+    * slope over the daily values, recent-vs-baseline level comparison
+    * (7-sample vs 30-sample trailing means anchored at the series end,
+    * hrv_trend.py:44-72), and the ±15% suppressed/elevated classification.
+    *
+    * Scale: one scan → daily grain groupBy; the only window is a
+    * partition-wide MAX per (entity, metric) — no global ordering; the
+    * closed-form slope comes from decimal-exact sums in the same
+    * partial-aggregated pass as the level stats.
+    */
+  def q41TrendAnalyzer(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+      .agg(Num.avgD(col("value")).as("v"))
+      .withColumn("x", datediff(col("d"), lit("2025-01-01").cast("date")))
+    val wMax = Window.partitionBy("user_id", "event_type")
+    val withMax = daily.withColumn("max_x", max("x").over(wMax))
+    def condAvg(days: Int): Column =
+      Num.roundD(Num.exactSum(when(col("x") > col("max_x") - days, col("v")))
+        .cast("double") /
+        count(when(col("x") > col("max_x") - days, col("v"))))
+    val sums = withMax.groupBy(col("user_id"), col("event_type").as("metric"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        Num.exactSum(col("v")).cast("double").as("sy"),
+        sum((col("x") * col("v")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        condAvg(7).as("recent_7d_avg"),
+        condAvg(30).as("baseline_30d_avg"))
+    val n = col("n_days").cast("double")
+    val slope = when(col("n_days") > 1,
+      Num.roundD((n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx"))))
+    val diffPct = when(col("baseline_30d_avg") =!= 0,
+      Num.roundD((col("recent_7d_avg") - col("baseline_30d_avg")) /
+        col("baseline_30d_avg") * 100, 2))
+    sums.select(
+        col("user_id"), col("metric"), col("n_days"),
+        slope.as("slope"),
+        col("recent_7d_avg"), col("baseline_30d_avg"),
+        diffPct.as("diff_pct"),
+        when(slope > 0.05, "rising").when(slope < -0.05, "falling")
+          .otherwise("stable").as("trend_label"),
+        when(diffPct < -15, "suppressed").when(diffPct > 15, "elevated")
+          .otherwise("normal").as("level_status"))
+      .orderBy("user_id", "metric")
+  }
+
+  val q41Sql: String = {
+    def condAvg(days: Int): String = Num.sqlRoundD(
+      s"CAST(SUM(CAST(CASE WHEN x > max_x - $days THEN v END AS DECIMAL(25,6))) AS DOUBLE) / " +
+        s"COUNT(CASE WHEN x > max_x - $days THEN v END)")
+    val slope = Num.sqlRoundD(
+      "(CAST(n_days AS DOUBLE) * sxy - sx * sy) / (CAST(n_days AS DOUBLE) * sxx - sx * sx)")
+    val slopeCase = s"CASE WHEN n_days > 1 THEN $slope END"
+    val diffPct = Num.sqlRoundD(
+      "(recent_7d_avg - baseline_30d_avg) / baseline_30d_avg * 100", 2)
+    val diffCase = s"CASE WHEN baseline_30d_avg <> 0 THEN $diffPct END"
+    s"""WITH daily AS (
+       |  SELECT user_id, event_type, CAST(ts AS DATE) AS d,
+       |    ${Num.sqlAvg("value")} AS v
+       |  FROM events GROUP BY 1, 2, 3),
+       |wd AS (
+       |  SELECT user_id, event_type,
+       |    datediff('day', DATE '2025-01-01', d) AS x, v,
+       |    MAX(datediff('day', DATE '2025-01-01', d))
+       |      OVER (PARTITION BY user_id, event_type) AS max_x
+       |  FROM daily),
+       |sums AS (
+       |  SELECT user_id, event_type AS metric, COUNT(*) AS n_days,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * v AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    ${condAvg(7)} AS recent_7d_avg,
+       |    ${condAvg(30)} AS baseline_30d_avg
+       |  FROM wd GROUP BY 1, 2)
+       |SELECT user_id, metric, n_days,
+       |  $slopeCase AS slope,
+       |  recent_7d_avg, baseline_30d_avg,
+       |  $diffCase AS diff_pct,
+       |  CASE WHEN $slopeCase > 0.05 THEN 'rising'
+       |       WHEN $slopeCase < -0.05 THEN 'falling'
+       |       ELSE 'stable' END AS trend_label,
+       |  CASE WHEN $diffCase < -15 THEN 'suppressed'
+       |       WHEN $diffCase > 15 THEN 'elevated'
+       |       ELSE 'normal' END AS level_status
+       |FROM sums
+       |ORDER BY user_id, metric""".stripMargin
+  }
+
+  /** q42: batch scoring with the closed-form linear model — the
+    * oracle-checkable twin of [[graft.ml.Predictor]]'s MLlib pipeline
+    * (reference: models/readiness_predictor/predict.py — load model, score
+    * the feature table, emit prediction + residual). The fit (daily spend
+    * on daily purchase count) is two exact-sum aggregates broadcast back
+    * over the feature rows; scoring is a row-local expression at scan
+    * speed.
+    */
+  def q42PredictScore(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)
+    val feats = rollup(s, dir)
+      .filter(col("purchases").isNotNull && col("purchase_total").isNotNull)
+      .select(col("user_id"), col("day"),
+        col("purchases").cast("double").as("x"), col("purchase_total").as("y"))
+    val fit = feats.agg(
+        count(lit(1)).cast("double").as("n"),
+        Num.exactSum(col("x")).cast("double").as("sx"),
+        Num.exactSum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+      .select(
+        Num.roundD((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        Num.roundD((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
+          .as("intercept"))
+    feats.crossJoin(broadcast(fit))
+      .select(
+        col("user_id"), col("day"),
+        col("x").cast("long").as("purchases"),
+        col("y").as("purchase_total"),
+        Num.roundD(col("intercept") + col("slope") * col("x"), 2).as("predicted"),
+        Num.roundD(col("y") - (col("intercept") + col("slope") * col("x")), 2)
+          .as("residual"))
+      .orderBy("user_id", "day")
+  }
+
+  val q42Sql: String = {
+    val slopeRaw = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    s"""WITH $rollupCte,
+       |feats AS (
+       |  SELECT user_id, day, CAST(purchases AS DOUBLE) AS x, purchase_total AS y
+       |  FROM rollup
+       |  WHERE purchases IS NOT NULL AND purchase_total IS NOT NULL),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx
+       |  FROM feats),
+       |fit AS (
+       |  SELECT ${Num.sqlRoundD(slopeRaw)} AS slope,
+       |    ${Num.sqlRoundD(s"(sy - $slopeRaw * sx) / n")} AS intercept
+       |  FROM sums)
+       |SELECT f.user_id, f.day,
+       |  CAST(f.x AS BIGINT) AS purchases, f.y AS purchase_total,
+       |  ${Num.sqlRoundD("m.intercept + m.slope * f.x", 2)} AS predicted,
+       |  ${Num.sqlRoundD("f.y - (m.intercept + m.slope * f.x)", 2)} AS residual
+       |FROM feats f CROSS JOIN fit m
+       |ORDER BY f.user_id, f.day""".stripMargin
+  }
+}

@@ -167,7 +167,12 @@ object SemanticViews {
       "graft_churn_risk" -> churnRisk(rollup),
       "graft_load_daily" -> loadDaily(rollup),
       "graft_deviation_trends" -> deviationTrends(rollup),
-      "graft_activity_mix" -> activityMix(rollup))
+      "graft_activity_mix" -> activityMix(rollup),
+      // predictive layer (reference: sleep_performance_prediction.sql,
+      // workout_type_optimization.sql — the two analytics views the
+      // what-if simulator reads)
+      "graft_next_day_prediction" -> Predictive.nextDayPairs(rollup),
+      "graft_cohort_optimization" -> Predictive.cohortTable(rollup))
     views.foreach { case (name, df) => df.createOrReplaceTempView(name) }
     "graft_daily_rollup" +: views.map(_._1)
   }
