@@ -56,6 +56,7 @@ object SparkEntry {
     "q40_cohort_optimization" -> (Predictive.q40CohortOptimization _),
     "q41_trend_analyzer" -> (Predictive.q41TrendAnalyzer _),
     "q42_predict_score" -> (Predictive.q42PredictScore _),
+    "q43_percentiles_approx" -> (Analytics.q43PercentilesApprox _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,7 @@ object SparkEntry {
     "q42_predict_score" -> Predictive.q42Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
+    // q43: approx-percentile sketch — engine-specific results by design;
+    // ApproxPercentileSpec asserts the rank-error bound vs exact q32.
   )
 }

@@ -339,6 +339,29 @@ object Analytics {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** q43: approx-percentile profile — the registered 100 TB variant of
+    * q32. `approx_percentile` (Greenwald-Khanna sketch) is single-pass and
+    * bounded-memory per group — rank error ≤ 1/accuracy — where q32's
+    * exact `percentile` buffers every group value in executor memory and
+    * dies on a hot group at fleet scale. Same query shape, swappable
+    * output. Sketch results are engine-specific, so this row is
+    * driver-checked rows-only; ApproxPercentileSpec asserts each
+    * approximate quantile lands within the sketch's rank-error bound of
+    * the exact distribution (q32 stays the oracle-checked exact form).
+    */
+  def q43PercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.roundD(expr(s"approx_percentile(value, 0.5, $ApproxAccuracy)")).as("p50"),
+        Num.roundD(expr(s"approx_percentile(value, 0.9, $ApproxAccuracy)")).as("p90"),
+        Num.roundD(expr(s"approx_percentile(value, 0.99, $ApproxAccuracy)")).as("p99"))
+      .orderBy("event_type")
+
+  /** Sketch accuracy for q43: guaranteed rank error ≤ 1/accuracy. */
+  val ApproxAccuracy: Int = 1000
+
   /** q33: value-distribution histogram — fixed-width buckets per
     * event_type (reference: viz layer histograms over daily metrics).
     * width_bucket is a row-local expression, so the histogram is one

@@ -32,13 +32,36 @@ object Ingest {
   def detectDelimiter(headerLine: String): String =
     if (headerLine.count(_ == ';') > headerLine.count(_ == ',')) ";" else ","
 
-  private def firstLine(spark: SparkSession, p: Path): String = {
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    try {
-      val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
-      Option(r.readLine()).getOrElse("").strip()
-    } finally in.close()
+  /** First line of every file, sniffed as a distributed job: the paths are
+    * parallelized and each task opens its file through the Hadoop
+    * FileSystem API and reads one line. A driver-side loop serializes at
+    * large file counts (millions of S3 objects × one round-trip each);
+    * here the round-trips run cluster-wide. The Hadoop Configuration is
+    * shipped as Writable bytes — it is not Java-serializable, and Spark's
+    * own wrapper for this is private.
+    */
+  private def firstLines(spark: SparkSession, paths: Seq[Path]): Map[String, String] = {
+    val confBytes: Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(baos)
+      spark.sparkContext.hadoopConfiguration.write(out)
+      out.flush()
+      baos.toByteArray
+    }
+    val slices = math.max(1, math.min(paths.size, 64))
+    spark.sparkContext.parallelize(paths.map(_.toString), slices)
+      .map { s =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        conf.readFields(new java.io.DataInputStream(
+          new java.io.ByteArrayInputStream(confBytes)))
+        val p = new Path(s)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
+          s -> Option(r.readLine()).getOrElse("").strip()
+        } finally in.close()
+      }
+      .collect().toMap
   }
 
   /** Read a directory of CSVs whose files disagree on column ORDER (and
@@ -60,8 +83,9 @@ object Ingest {
       .map(_.getPath)
     require(files.nonEmpty, s"no csv files under $dir")
 
+    val headers = firstLines(spark, files)
     val byHeader: Map[String, Seq[Path]] =
-      files.groupBy(p => firstLine(spark, p))
+      files.groupBy(p => headers(p.toString))
 
     // delimiter is detected PER header group — a directory can mix
     // ';'-exported and ','-exported batches, and applying one group's
@@ -145,6 +169,20 @@ object Ingest {
       .write.mode("overwrite")
       .partitionBy("year", "month")
       .parquet(outPath)
+
+  /** Read an evolving partitioned parquet history with schema merge:
+    * partitions written before a column existed surface it as NULL, so one
+    * read spans the whole history — the reference's normalizer merges
+    * evolving CSV/JSON layouts the same way on ingest
+    * (reference: oura_normalizer.py:98-148 header-signature schema merge).
+    * This is the public-knowledge stand-in for Delta/Iceberg schema
+    * evolution (SURVEY §6 non-goal — the table-format jars are absent):
+    * `mergeSchema` pays a footer read per partition file at planning time,
+    * so at 100 TB set it here (per-read) and not globally, and compact
+    * small files first.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Bucketed managed-table write: pre-shuffle once at write time so every
     * later equi-join/aggregation on the bucket key is co-located —

@@ -121,6 +121,27 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("readEvolved merges schemas when a column appears mid-history") {
+    import spark.implicits._
+    val d = tmpDir("evolve")
+    // month 1 written before the quality column existed; month 2 carries it
+    Seq((1L, 80.0), (2L, 75.0)).toDF("id", "score")
+      .withColumn("month", lit(1))
+      .write.partitionBy("month").mode("append").parquet(d.toString + "/t")
+    Seq((3L, 90.0, "good"), (4L, 60.0, "poor")).toDF("id", "score", "quality")
+      .withColumn("month", lit(2))
+      .write.partitionBy("month").mode("append").parquet(d.toString + "/t")
+    val back = Ingest.readEvolved(spark, d.toString + "/t")
+    assert(back.columns.contains("quality"), "merged schema must carry the new column")
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[String]("quality") == null, "pre-evolution rows surface NULL")
+    assert(rows(2).getAs[String]("quality") == "good")
+    // partition pruning must still hold under mergeSchema
+    val pruned = back.filter(col("month") === 2)
+    assert(pruned.count() == 2)
+  }
+
   test("writePartitioned lays out year/month directories that prune on read") {
     val d = tmpDir("part-write")
     val events = Tables.load(spark, Sf, "events")
