@@ -33,5 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 30 queries × several whole-stage-codegen units exhaust the default
   // 240 MB code cache mid-bench; once it flushes, late queries run
   // interpreted (observed 8x slowdowns on the wide-aggregate ones).
-  "-XX:ReservedCodeCacheSize=1g",
+  // Sized 1g for 37 queries; at 45 queries late-alphabet queries (q24+)
+  // went unstable (0.9 s vs 3.0 s across runs) — 2g restores stability.
+  "-XX:ReservedCodeCacheSize=2g",
 )

