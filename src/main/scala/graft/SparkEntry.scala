@@ -59,6 +59,7 @@ object SparkEntry {
     "q43_percentiles_approx" -> (Analytics.q43PercentilesApprox _),
     "q44_multiday_plan" -> (Predictive.q44MultidayPlan _),
     "q45_feature_selection" -> (Predictive.q45FeatureSelection _),
+    "q46_dedup_clusters" -> (Clusters.q46DedupClusters _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,5 +109,7 @@ object SparkEntry {
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;
     // ApproxPercentileSpec asserts the rank-error bound vs exact q32.
+    // q46: connected components over the LSH candidate graph — edge set
+    // is the non-SQL LSH path; ClustersSpec asserts exact assignments.
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Clusters
+import org.apache.spark.sql.functions._
+
+/** Connected-components contract: exact cluster assignments on known
+  * graph shapes, and cluster semantics over the real near-dup corpus.
+  */
+class ClustersSpec extends SparkSpec {
+
+  private def cc(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    import spark.implicits._
+    Clusters.connectedComponents(
+        edges.toDF("src", "dst"), nodes.toDF("id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+  }
+
+  test("chains, stars, cycles and singletons resolve to the component minimum") {
+    // chain 1-2-3-4-5, star 10-{11,12,13}, cycle 20-21-22-20, singleton 30
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 20L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L, 20L, 21L, 22L, 30L)
+    val labels = cc(edges, nodes)
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(n => assert(labels(n) == 1L, s"chain node $n"))
+    Seq(10L, 11L, 12L, 13L).foreach(n => assert(labels(n) == 10L, s"star node $n"))
+    Seq(20L, 21L, 22L).foreach(n => assert(labels(n) == 20L, s"cycle node $n"))
+    assert(labels(30L) == 30L, "singleton keeps its own id")
+  }
+
+  test("edge direction is irrelevant") {
+    val a = cc(Seq((5L, 1L), (3L, 5L)), Seq(1L, 3L, 5L))
+    assert(a == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("q46 groups every injected duplicate with its source and keeps one canonical per cluster") {
+    val out = Clusters.q46DedupClusters(spark, Sf).cache()
+    // injected dup (id + 10000) must share its source's cluster
+    val dupRows = out.filter(col("doc_id") >= 10000)
+      .select(col("doc_id"), col("cluster_id")).collect()
+    assert(dupRows.nonEmpty)
+    val byId = out.select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dupRows.foreach { r =>
+      val (dup, cl) = (r.getLong(0), r.getLong(1))
+      assert(byId(dup - 10000) == cl, s"dup $dup not clustered with its source")
+    }
+    // exactly one canonical per cluster, and it is the minimum member
+    val bad = out.groupBy("cluster_id")
+      .agg(sum(col("is_canonical").cast("int")).as("n_canon"),
+        min("doc_id").as("min_id"), first("cluster_id").as("cid"))
+      .filter(col("n_canon") =!= 1 || col("min_id") =!= col("cid"))
+    assert(bad.count() == 0, "each cluster has exactly one canonical = min id")
+    // every doc appears exactly once
+    assert(out.count() == graft.operators.Dedup.corpus(spark, Sf).count())
+  }
+}

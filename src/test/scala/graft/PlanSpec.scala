@@ -51,4 +51,31 @@ class PlanSpec extends SparkSpec {
           p.contains("windowspecdefinition(user_id"), p.take(500))
       }
   }
+
+  test("q39 pairs days with a per-user window, not a rollup self-join") {
+    val p = planString(Predictive.q39NextDayPrediction(spark, Sf))
+    assert(p.contains("windowspecdefinition(user_id"), p.take(500))
+    // exactly zero joins: the day+1 pairing must come from LEAD
+    assert(!p.contains("Join"), "q39 should not plan any join")
+  }
+
+  test("q38/q44 join only broadcast model tables against the grid/users") {
+    Seq("q38" -> Predictive.q38WhatIf(spark, Sf),
+        "q44" -> Predictive.q44MultidayPlan(spark, Sf)).foreach { case (n, df) =>
+      val p = planString(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$n should never shuffle-join — model tables are broadcast aggregates")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
+  test("q41 plans no global window over the fact table") {
+    val p = planString(Predictive.q41TrendAnalyzer(spark, Sf))
+    assert(p.contains("windowspecdefinition(user_id"), p.take(500))
+  }
+
+  test("q46 component rounds contain no cartesian product") {
+    val p = planString(Clusters.q46DedupClusters(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
 }
