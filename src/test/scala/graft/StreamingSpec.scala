@@ -3,6 +3,7 @@ package graft
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{SessionEvent, SessionOut}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.sql.Timestamp
@@ -91,6 +92,54 @@ class StreamingSpec extends SparkSpec {
       assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("total_value") == 3.0)
       assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("total_value") == 3.0)
     } finally q.stop()
+  }
+
+  test("incrementalDailyRollup re-emits a (user, day) row when a later batch touches it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.incrementalDailyRollup(events).writeStream
+      .format("memory").queryName("incr_rollup_test").outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((ts(0), 1L, "view", 5.0), (ts(5), 1L, "purchase", 10.0))
+      q.processAllAvailable()
+      input.addData((ts(30), 1L, "purchase", 7.0))
+      q.processAllAvailable()
+      // update mode: latest emission for (day, user 1) carries BOTH purchases
+      val rows = spark.table("incr_rollup_test")
+        .filter($"user_id" === 1L).collect()
+      assert(rows.nonEmpty)
+      val last = rows.last
+      assert(last.getAs[Long]("purchases") == 2, rows.mkString(";"))
+      assert(last.getAs[Double]("purchase_total") == 17.0)
+      assert(last.getAs[Long]("views") == 1)
+    } finally q.stop()
+  }
+
+  test("upsertRollupBatch merges at (day, user) grain without dropping untouched rows") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("gold-upsert").toString + "/gold"
+    def row(day: String, uid: Long, purchases: Long, total: Double) =
+      (day, uid, 1L, purchases, total, 0L, 0L)
+    def df(rows: (String, Long, Long, Long, Double, Long, Long)*) =
+      rows.toSeq.toDF("day", "user_id", "views", "purchases", "purchase_total", "clicks", "errors")
+    // batch 1: two users on day 1
+    EventStreams.upsertRollupBatch(out)(
+      df(row("2024-01-01", 1L, 1L, 10.0), row("2024-01-01", 2L, 1L, 20.0)), 0L)
+    // batch 2: user 1's day-1 row updated; new day 2 user
+    EventStreams.upsertRollupBatch(out)(
+      df(row("2024-01-01", 1L, 2L, 17.0), row("2024-01-02", 3L, 1L, 5.0)), 1L)
+    val back = spark.read.parquet(out)
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("day", "user_id").collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("purchases"), r.getAs[Double]("purchase_total")))
+    assert(back.toSeq == Seq(
+      ("2024-01-01", 1L, 2L, 17.0),   // updated
+      ("2024-01-01", 2L, 1L, 20.0),   // untouched same-day row survives
+      ("2024-01-02", 3L, 1L, 5.0)),   // new partition
+      back.mkString(";"))
   }
 
   test("sessionize emits via event-time timeout when the stream goes quiet") {
