@@ -60,6 +60,13 @@ object SparkEntry {
     "q44_multiday_plan" -> (Predictive.q44MultidayPlan _),
     "q45_feature_selection" -> (Predictive.q45FeatureSelection _),
     "q46_dedup_clusters" -> (Clusters.q46DedupClusters _),
+    "q47_split_assign" -> (Sampling.q47SplitAssign _),
+    "q48_stratified_sample" -> ((s, d) => Sampling.q48StratifiedSample(s, d)),
+    "q49_source_mixing" -> (Sampling.q49SourceMixing _),
+    "q50_pack_sequences" -> ((s, d) => Sampling.q50PackSequences(s, d)),
+    "q51_decontaminate" -> (Curation.q51Decontaminate _),
+    "q52_pii_redact" -> (Curation.q52PiiRedact _),
+    "q53_curated_corpus" -> (Curation.q53CuratedCorpus _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -105,6 +112,13 @@ object SparkEntry {
     "q42_predict_score" -> Predictive.q42Sql,
     "q44_multiday_plan" -> Predictive.q44Sql,
     "q45_feature_selection" -> Predictive.q45Sql,
+    "q47_split_assign" -> Sampling.q47Sql,
+    "q48_stratified_sample" -> Sampling.q48Sql,
+    "q49_source_mixing" -> Sampling.q49Sql,
+    "q50_pack_sequences" -> Sampling.q50Sql,
+    "q51_decontaminate" -> Curation.q51Sql,
+    "q52_pii_redact" -> Curation.q52Sql,
+    "q53_curated_corpus" -> Curation.q53Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation beyond dedup: benchmark decontamination, PII
+  * redaction, and the end-to-end curated-corpus composition that chains
+  * quality filtering, exact dedup, and the hash split into one
+  * training-set materialization.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Word 8-gram md5 hashes per document (distinct), for documents with
+    * at least 8 tokens. Linear explode — one row per token position —
+    * hashed to a fixed-width key immediately, so the wide gram string
+    * never crosses a shuffle.
+    */
+  private def gramHashes(d: DataFrame): DataFrame =
+    d.withColumn("w", split(lower(trim(col("text"))), " "))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= 8)
+      .withColumn("i", explode(sequence(lit(1), col("n") - 7)))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), col("i"), lit(8)), " ")).as("gh"))
+      .distinct()
+
+  /** q51: benchmark decontamination — flag corpus documents sharing any
+    * word 8-gram with the benchmark set (here the doc_id % 97 == 0
+    * slice stands in for an external eval suite), reporting the matched
+    * gram count and contamination ratio. The GPT-3-style n-gram overlap
+    * rule as a join: corpus grams are a linear explode, the benchmark
+    * gram set is tiny relative to any corpus and is broadcast, so no
+    * corpus-sized shuffle exists in the plan — the scan dominates, which
+    * is the right cost shape at 100 TB.
+    */
+  def q51Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramHashes(docs(s, dir)).persist()
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("gh").distinct()
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val matched = grams.join(broadcast(benchGrams), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    totals.join(matched, Seq("doc_id"))
+      .withColumn("is_benchmark", (col("doc_id") % 97 === 0).cast("int"))
+      .withColumn("contamination",
+        Num.roundD(col("n_matched").cast("double") / col("n_grams")))
+      .select("doc_id", "is_benchmark", "n_grams", "n_matched", "contamination")
+      .orderBy("doc_id")
+  }
+
+  val q51Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |e AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+       |g AS (
+       |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh FROM e),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+       |m AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_matched
+       |  FROM g JOIN bench USING (gh) GROUP BY g.doc_id)
+       |SELECT tot.doc_id, CAST(tot.doc_id % 97 = 0 AS INT) AS is_benchmark,
+       |  n_grams, n_matched,
+       |  ${Num.sqlRoundD("CAST(n_matched AS DOUBLE) / n_grams")} AS contamination
+       |FROM tot JOIN m ON tot.doc_id = m.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
+  // RE2-and-Java-compatible patterns: character classes, bounded repeats,
+  // and ASCII \b only, so Spark and the DuckDB oracle match identically.
+  private val EmailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val PhonePat = """\b\d{3}[-.]\d{3}[-.]\d{4}\b"""
+  private val IdPat = """\b\d{9,}\b"""
+
+  /** q52: PII detection + redaction — count and replace email, phone,
+    * and long-id patterns per document, emitting the redacted content's
+    * md5 so the oracle verifies the replacement text byte-for-byte, not
+    * just the counts. Pure codegen'd regex columns at scan speed; no
+    * shuffle except the output ORDER BY.
+    */
+  def q52PiiRedact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("t", lower(trim(col("text"))))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("t"), lit(PhonePat), lit(0))).cast("long"))
+      .withColumn("n_ids",
+        size(regexp_extract_all(col("t"), lit(IdPat), lit(0))).cast("long"))
+      .withColumn("redacted_md5",
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          IdPat, "<ID>")))
+      .withColumn("is_clean",
+        (col("n_emails") + col("n_phones") + col("n_ids") === 0).cast("int"))
+      .select("doc_id", "n_emails", "n_phones", "n_ids", "redacted_md5",
+        "is_clean")
+      .orderBy("doc_id")
+
+  val q52Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(trim(text)) AS t FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$IdPat')) AS BIGINT) AS n_ids,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g'),
+       |    '$IdPat', '<ID>', 'g')) AS redacted_md5,
+       |  CAST(len(regexp_extract_all(t, '$EmailPat')) +
+       |       len(regexp_extract_all(t, '$PhonePat')) +
+       |       len(regexp_extract_all(t, '$IdPat')) = 0 AS INT) AS is_clean
+       |FROM t
+       |ORDER BY doc_id""".stripMargin
+
+  /** q53: curated training corpus — the end-to-end composition a
+    * pipeline actually materializes: exact-dedup keepers (first doc_id
+    * per content hash) that clear the quality floor and land in the
+    * train split of the q47 hash partition. One scan feeds all three
+    * predicates; the only data-sized shuffle is the dedup window on the
+    * content hash (same shape as q20), and the filters cut before any
+    * wide column moves.
+    */
+  def q53CuratedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val dupW = Window.partitionBy(col("content_h")).orderBy(col("doc_id"))
+    TextOps.stats(docs(s, dir))
+      .withColumn("content_h", md5(lower(trim(col("text")))))
+      .withColumn("dup_rk", row_number().over(dupW))
+      .withColumn("bucket", Sampling.bucket100("split", col("doc_id")))
+      .filter(col("dup_rk") === 1 && col("quality_score") >= 0.5 &&
+        col("bucket") < 80)
+      .select("doc_id", "lang", "source", "n_tokens", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, string_split(lower(trim(text)), ' ') AS w,
+       |    lower(trim(text)) AS lt, ${Sampling.sqlSaltedMd5("split", "doc_id")} AS h
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, lang, source, lt, h,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    ${Num.sqlRoundD("CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w)")} AS stopword_ratio,
+       |    ${Num.sqlRoundD("CAST(len(list_distinct(w)) AS DOUBLE) / len(w)")} AS type_token_ratio
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, lang, source, n_tokens,
+       |    ${Num.sqlRoundD("GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))")} AS quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(lt) ORDER BY doc_id) AS dup_rk,
+       |    ${Sampling.sqlBucket100("split", "doc_id")} AS bucket
+       |  FROM st)
+       |SELECT doc_id, lang, source, n_tokens, quality_score
+       |FROM q
+       |WHERE dup_rk = 1 AND quality_score >= 0.5 AND bucket < 80
+       |ORDER BY doc_id""".stripMargin
+}

@@ -16,14 +16,13 @@ object TextOps {
 
   private val toks: Column = split(lower(trim(col("text"))), " ")
 
-  /** q27: per-document quality statistics — token count, average token
-    * length, stopword ratio, type/token ratio, and a composite quality
-    * score in [0, 1] (length-normalized, stopword- and repetition-
-    * penalized). The shape of a C4/Gopher-style quality filter.
+  /** Per-document quality statistics over any frame with a `text`
+    * column — the computation behind q27, kept separate so composition
+    * queries (q53 curated corpus) reuse it without re-deriving the
+    * formulas. Adds columns; drops none, so callers keep their schema.
     */
-  def q27TextStats(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("w", toks)
+  def stats(d: DataFrame): DataFrame =
+    d.withColumn("w", toks)
       .withColumn("n_tokens", size(col("w")).cast("long"))
       // BPE-ish subword count: alpha runs, digit runs, and single
       // punctuation marks each count as one token — the usual cheap
@@ -42,6 +41,14 @@ object TextOps {
           lit(0.4) * least(col("n_tokens").cast("double") / 50.0, lit(1.0))
             + lit(0.3) * (lit(1.0) - col("stopword_ratio"))
             + lit(0.3) * col("type_token_ratio")))))
+
+  /** q27: per-document quality statistics — token count, average token
+    * length, stopword ratio, type/token ratio, and a composite quality
+    * score in [0, 1] (length-normalized, stopword- and repetition-
+    * penalized). The shape of a C4/Gopher-style quality filter.
+    */
+  def q27TextStats(s: SparkSession, dir: String): DataFrame =
+    stats(docs(s, dir))
       .select("doc_id", "lang", "n_tokens", "n_tokens_bpe", "avg_token_len",
         "stopword_ratio", "type_token_ratio", "quality_score")
       .orderBy("doc_id")

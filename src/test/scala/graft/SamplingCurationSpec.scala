@@ -1,0 +1,148 @@
+package graft
+
+import graft.operators.{Curation, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Value and plan assertions for the sampling/curation family
+  * (q47–q53): split determinism and stability, stratified cap
+  * enforcement with WindowGroupLimit, mixing-rate arithmetic, packing
+  * invariants, decontamination on a corpus with known overlap, and PII
+  * redaction on injected strings (the synthetic corpus carries no PII,
+  * so the regex mechanics are proven here, not by the oracle).
+  */
+class SamplingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q47 split is deterministic, complete, and ~80/10/10") {
+    val out = Sampling.q47SplitAssign(spark, Sf)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "validation", "test"))
+    // hash buckets are uniform: train share within a loose band of 80%
+    val trainShare = counts("train").toDouble / total
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare")
+    // determinism: a second run assigns identical splits
+    val again = Sampling.q47SplitAssign(spark, Sf)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
+  test("q47 split membership depends only on the id (stability under growth)") {
+    // recompute the bucket for a fixed id with the library column on a
+    // one-row frame: same value regardless of what else is in the table
+    val one = Seq(42L).toDF("doc_id")
+      .select(Sampling.bucket100("split", col("doc_id")).as("b"))
+      .head().getInt(0)
+    val fromTable = Sampling.q47SplitAssign(spark, Sf)
+      .filter(col("doc_id") === 42).select("bucket").head().getInt(0)
+    assert(one == fromTable)
+  }
+
+  test("q48 enforces the per-language cap and plans a WindowGroupLimit") {
+    val df = Sampling.q48StratifiedSample(spark, Sf, cap = 7)
+    val per = df.groupBy("lang").count().collect()
+    assert(per.nonEmpty)
+    per.foreach(r => assert(r.getLong(1) <= 7, s"${r.getString(0)} over cap"))
+    // rank filter must push into the window as a group-limit so each
+    // stratum carries O(cap) state, not O(stratum)
+    assert(planString(df).contains("WindowGroupLimit"), "no WindowGroupLimit")
+  }
+
+  test("q49 kept counts equal the per-row bucket decision") {
+    val out = Sampling.q49SourceMixing(spark, Sf).collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val (rate, total, kept) =
+        (r.getAs[Int]("rate_pct"), r.getAs[Long]("total_docs"),
+          r.getAs[Long]("kept_docs"))
+      assert(kept <= total)
+      // full-rate sources keep everything; others keep a strict subset
+      if (rate == 100) assert(kept == total, s"${r.getString(0)} dropped rows at 100%")
+    }
+  }
+
+  test("q50 packing is gapless per shard and flags straddlers exactly") {
+    val out = Sampling.q50PackSequences(spark, Sf, budget = 128)
+    // recompute the running layout per (lang, shard) and check every doc
+    val rows = out.orderBy("lang", "shard", "doc_id")
+      .collect().groupBy(r => (r.getString(1), r.getInt(2)))
+    rows.foreach { case (_, ds) =>
+      var cursor = 0L
+      ds.sortBy(_.getLong(0)).foreach { r =>
+        val (n, pack, off, straddles) =
+          (r.getAs[Long]("n_tok"), r.getAs[Long]("pack_id"),
+            r.getAs[Long]("pack_offset"), r.getAs[Int]("straddles"))
+        assert(pack == cursor / 128 && off == cursor % 128,
+          s"doc ${r.getLong(0)}: expected offset $cursor")
+        val expectStraddle = (cursor + n - 1) / 128 > cursor / 128
+        assert((straddles == 1) == expectStraddle)
+        cursor += n
+      }
+    }
+  }
+
+  test("q51 flags every benchmark doc fully and only overlapping docs") {
+    val out = Curation.q51Decontaminate(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (isBench, grams, matched) =
+        (r.getAs[Int]("is_benchmark"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_matched"))
+      assert(matched >= 1 && matched <= grams)
+      // a benchmark doc matches itself on every gram
+      if (isBench == 1) assert(matched == grams &&
+        r.getAs[Double]("contamination") == 1.0)
+    }
+    // the benchmark slice itself must be present (self-contamination)
+    assert(out.count(_.getAs[Int]("is_benchmark") == 1) >= 1)
+  }
+
+  test("q51 broadcasts the benchmark gram set") {
+    val p = planString(Curation.q51Decontaminate(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), "benchmark join not broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("PII patterns detect and redact injected emails, phones, and ids") {
+    val d = Seq(
+      (1L, "contact me at alice.smith+work@example.co.uk for details"),
+      (2L, "call 555-867-5309 or 555.123.4567 now"),
+      (3L, "ssn-like 123456789 and card 4111111111111111 here"),
+      (4L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    d.withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q52PiiRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1)
+    assert(out(2L).getAs[Long]("n_phones") == 2)
+    assert(out(3L).getAs[Long]("n_ids") == 2)
+    assert(out(4L).getAs[Int]("is_clean") == 1)
+    // redaction changes the hash iff something was found
+    val cleanMd5 = spark.sql(
+      "SELECT md5('clean text with no identifiers at all')").head().getString(0)
+    assert(out(4L).getAs[String]("redacted_md5") == cleanMd5)
+    assert(out(1L).getAs[String]("redacted_md5") !=
+      spark.sql("SELECT md5(lower('contact me at alice.smith+work@example.co.uk for details'))")
+        .head().getString(0))
+  }
+
+  test("q53 output is deduped, quality-floored, and train-only") {
+    val out = Curation.q53CuratedCorpus(spark, Sf)
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter(col("quality_score") < 0.5).count() == 0)
+    // every kept doc is in the train bucket of the q47 split
+    val splits = Sampling.q47SplitAssign(spark, Sf)
+    val offTrain = out.join(splits.filter(col("split") =!= "train"), "doc_id")
+    assert(offTrain.count() == 0, "curated corpus leaked non-train docs")
+    // no two kept docs share normalized content
+    val dups = Tables.load(spark, Sf, "documents")
+      .join(out.select("doc_id"), "doc_id")
+      .groupBy(md5(lower(trim(col("text"))))).count()
+      .filter(col("count") > 1)
+    assert(dups.count() == 0, "curated corpus kept duplicate content")
+  }
+}
