@@ -15,13 +15,34 @@ import org.apache.spark.sql.functions._
   * takes the neighborhood min, and stops at fixpoint). Rounds needed =
   * O(graph diameter); near-dup graphs are star/clique-like (diameter ≤
   * ~3 after [[Dedup.guardedPairs]] star-edges hot clusters), so
-  * convergence is fast. Each round is one shuffle join + one
-  * partial-aggregated groupBy; labels persist per round and unpersist
-  * the previous round, so lineage and storage stay O(1) across rounds.
+  * convergence is fast.
+  *
+  * Two disciplines any iterative DataFrame loop needs, both applied
+  * here:
+  *  - **Lineage truncation per round.** Each round references the
+  *    previous labels twice (neighbor join + carry), so the logical plan
+  *    doubles per round — exponential analysis/planning cost on the
+  *    DRIVER long before executors feel anything. Eager
+  *    `localCheckpoint` replaces every round's lineage with its
+  *    materialized partitions, keeping plans O(1) across rounds (the
+  *    same reason GraphFrames exposes checkpointInterval). On a real
+  *    cluster prefer reliable `checkpoint` to a shared dir — local
+  *    checkpoints die with an executor; the loop then restarts, it
+  *    doesn't corrupt.
+  *  - **Iterate the touched subgraph only.** Nodes with no edges can
+  *    never change label; they skip the loop and rejoin as singletons at
+  *    the end, so each round shuffles near-dup candidates (a sliver of
+  *    the corpus), never the corpus itself.
   * The convergence check is a count — the only driver-side value is the
   * loop condition, never data.
   */
 object Clusters {
+
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * observable so tests can pin the expected round count (diameter
+    * bound) instead of guessing from wall time.
+    */
+  @volatile private[graft] var lastIters: Int = 0
 
   /** Connected components over an undirected edge list.
     *
@@ -32,15 +53,23 @@ object Clusters {
     */
   def connectedComponents(edges: DataFrame, nodes: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    // the input edge list is persisted before mirroring: the union's two
-    // sides would otherwise each re-run the (possibly expensive) edge
-    // pipeline — Spark does not share unpersisted subtrees across them
-    val e = edges.select(col("src"), col("dst")).persist()
-    val bidir = e
+    def timed[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    // eager checkpoint: runs the (possibly expensive) edge pipeline
+    // exactly once and cuts its plan out of every downstream round
+    val e = timed("edges")(edges.select(col("src"), col("dst")).localCheckpoint(true))
+    val bidir = timed("bidir")(e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("cluster_id")).persist()
+      .localCheckpoint(true))
+    val active = bidir.select(col("src").as("id")).distinct()
+    var labels = timed("labels0")(active.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -56,20 +85,23 @@ object Clusters {
           least(col("cluster_id"),
             coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"),
           col("cluster_id").as("prev"))
-        .persist()
-      // the convergence count MATERIALIZES updated's cache; only then is
-      // the previous round safe to unpersist — dropping it earlier forces
-      // each round to recompute the whole unpersisted lineage chain
-      // (measured 11 s → 3 s at sf0.1)
-      val changed = updated.filter(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
-      labels = updated
+      val checkpointed = timed(s"round$iter")(updated.localCheckpoint(true))
+      val t0 = System.nanoTime()
+      val changed = checkpointed.filter(col("cluster_id") =!= col("prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      labels = checkpointed
       converged = changed == 0
       iter += 1
     }
-    bidir.unpersist()
-    e.unpersist()
-    labels.select("id", "cluster_id")
+    lastIters = iter
+    // singletons anti-join against the final labels (= exactly the
+    // edge-touched ids), then union — both sides are checkpointed, so
+    // the caller's plan stays flat no matter how many rounds ran
+    val singletons = nodes.select(col("id"))
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    labels.select("id", "cluster_id").unionByName(singletons)
   }
 
   /** q46: duplicate-cluster table over the MinHash-LSH candidate graph —

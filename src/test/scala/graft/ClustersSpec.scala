@@ -53,5 +53,10 @@ class ClustersSpec extends SparkSpec {
     assert(bad.count() == 0, "each cluster has exactly one canonical = min id")
     // every doc appears exactly once
     assert(out.count() == graft.operators.Dedup.corpus(spark, Sf).count())
+    // the guarded candidate graph is star/clique-shaped: label
+    // propagation must hit fixpoint in a handful of rounds, and the
+    // loop must notice (a 20-round run on this graph means the
+    // convergence check broke, even if the answer is still right)
+    assert(Clusters.lastIters <= 5, s"CC took ${Clusters.lastIters} rounds")
   }
 }
