@@ -67,6 +67,7 @@ object SparkEntry {
     "q51_decontaminate" -> (Curation.q51Decontaminate _),
     "q52_pii_redact" -> (Curation.q52PiiRedact _),
     "q53_curated_corpus" -> (Curation.q53CuratedCorpus _),
+    "q54_recovery_windows" -> (Predictive.q54RecoveryWindows _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,6 +120,7 @@ object SparkEntry {
     "q51_decontaminate" -> Curation.q51Sql,
     "q52_pii_redact" -> Curation.q52Sql,
     "q53_curated_corpus" -> Curation.q53Sql,
+    "q54_recovery_windows" -> Predictive.q54Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;

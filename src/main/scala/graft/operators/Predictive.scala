@@ -629,4 +629,90 @@ object Predictive {
        |FROM feats f CROSS JOIN fit m
        |ORDER BY f.user_id, f.day""".stripMargin
   }
+
+  /** Recovery-window trajectories over a rollup frame (reference:
+    * dbt .../gold/workout_recovery_windows.sql:13-80 end-to-end, consumed
+    * by insights_engine/insights/recovery_windows.py): for each
+    * purchase-active day, the engagement score 1–3 days ahead, the delta
+    * from the active day, the trailing 7-day baseline, an intensity
+    * tier, and the first horizon at which the score returns to baseline.
+    *
+    * Spark-first shape: the reference's windows run `OVER (ORDER BY
+    * date)` — a single global partition, fine for one person's history
+    * and a scale-killer for a fleet. Here every window (three LEADs, two
+    * secondary LEADs, the trailing baseline frame) shares ONE per-user
+    * sort: partitionBy(user_id), one exchange total. The active-day
+    * filter sits above the windows (trajectories must see every day) and
+    * references non-partition columns, so Catalyst cannot push it below
+    * them — the semantics are safe by construction, in both engines.
+    */
+  def recoveryWindows(roll: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val base = Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    roll
+      .withColumn("score_d1", lead("view_score_filled", 1).over(w))
+      .withColumn("score_d2", lead("view_score_filled", 2).over(w))
+      .withColumn("score_d3", lead("view_score_filled", 3).over(w))
+      .withColumn("spend_d1", lead("purchase_total", 1).over(w))
+      .withColumn("spend_d2", lead("purchase_total", 2).over(w))
+      .withColumn("baseline_7d",
+        Num.roundD(Num.exactSum(col("view_score_filled")).over(base).cast("double")
+          / count(col("view_score_filled")).over(base)))
+      .filter(col("purchases") >= 1 && col("view_score_filled").isNotNull)
+      .withColumn("intensity",
+        when(col("purchase_total") >= 40 || coalesce(col("clicks"), lit(0L)) >= 8, "high")
+          .when(col("purchase_total") >= 15 || coalesce(col("clicks"), lit(0L)) >= 4, "moderate")
+          .otherwise("light"))
+      .select(
+        col("user_id"), col("day"),
+        col("view_score_filled").as("score"),
+        col("purchase_total"), col("clicks"), col("intensity"),
+        col("baseline_7d"),
+        col("score_d1"), col("score_d2"), col("score_d3"),
+        col("spend_d1"), col("spend_d2"),
+        Num.roundD(col("score_d1") - col("view_score_filled")).as("delta_d1"),
+        Num.roundD(col("score_d2") - col("view_score_filled")).as("delta_d2"),
+        Num.roundD(col("score_d3") - col("view_score_filled")).as("delta_d3"),
+        when(col("score_d1") >= col("baseline_7d"), 1)
+          .when(col("score_d2") >= col("baseline_7d"), 2)
+          .when(col("score_d3") >= col("baseline_7d"), 3)
+          .as("days_to_recover"))
+  }
+
+  /** q54: the recovery-window view as a registered query. */
+  def q54RecoveryWindows(s: SparkSession, dir: String): DataFrame =
+    recoveryWindows(rollup(s, dir)).orderBy("user_id", "day")
+
+  val q54Sql: String = {
+    val bw = "OVER (PARTITION BY user_id ORDER BY day " +
+      "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)"
+    s"""WITH $rollupCte,
+       |daily AS (
+       |  SELECT user_id, day, view_score_filled, purchase_total, clicks, purchases,
+       |    LEAD(view_score_filled, 1) OVER w AS score_d1,
+       |    LEAD(view_score_filled, 2) OVER w AS score_d2,
+       |    LEAD(view_score_filled, 3) OVER w AS score_d3,
+       |    LEAD(purchase_total, 1) OVER w AS spend_d1,
+       |    LEAD(purchase_total, 2) OVER w AS spend_d2,
+       |    ${Num.sqlRoundD(
+            s"CAST(SUM(CAST(view_score_filled AS DECIMAL(25,6))) $bw AS DOUBLE) " +
+              s"/ COUNT(view_score_filled) $bw")} AS baseline_7d
+       |  FROM rollup
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY day))
+       |SELECT user_id, day, view_score_filled AS score,
+       |  purchase_total, clicks,
+       |  CASE WHEN purchase_total >= 40 OR COALESCE(clicks, 0) >= 8 THEN 'high'
+       |       WHEN purchase_total >= 15 OR COALESCE(clicks, 0) >= 4 THEN 'moderate'
+       |       ELSE 'light' END AS intensity,
+       |  baseline_7d, score_d1, score_d2, score_d3, spend_d1, spend_d2,
+       |  ${Num.sqlRoundD("score_d1 - view_score_filled")} AS delta_d1,
+       |  ${Num.sqlRoundD("score_d2 - view_score_filled")} AS delta_d2,
+       |  ${Num.sqlRoundD("score_d3 - view_score_filled")} AS delta_d3,
+       |  CASE WHEN score_d1 >= baseline_7d THEN 1
+       |       WHEN score_d2 >= baseline_7d THEN 2
+       |       WHEN score_d3 >= baseline_7d THEN 3 END AS days_to_recover
+       |FROM daily
+       |WHERE purchases >= 1 AND view_score_filled IS NOT NULL
+       |ORDER BY user_id, day""".stripMargin
+  }
 }
