@@ -68,6 +68,9 @@ object SparkEntry {
     "q52_pii_redact" -> (Curation.q52PiiRedact _),
     "q53_curated_corpus" -> (Curation.q53CuratedCorpus _),
     "q54_recovery_windows" -> (Predictive.q54RecoveryWindows _),
+    "q55_column_profile" -> (Profile.q55ColumnProfile _),
+    "q56_sessionize_batch" -> (Temporal.q56SessionizeBatch _),
+    "q57_asof_join" -> (Temporal.q57AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,6 +124,9 @@ object SparkEntry {
     "q52_pii_redact" -> Curation.q52Sql,
     "q53_curated_corpus" -> Curation.q53Sql,
     "q54_recovery_windows" -> Predictive.q54Sql,
+    "q55_column_profile" -> Profile.q55Sql,
+    "q56_sessionize_batch" -> Temporal.q56Sql,
+    "q57_asof_join" -> Temporal.q57Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table profiling: per-column statistics (row/non-null/distinct counts,
+  * numeric and string min/max, null ratio) in a single pass — the
+  * `ANALYZE TABLE`-style summary every warehouse keeps and the first
+  * query anyone runs against an unknown 100 TB table.
+  */
+object Profile {
+
+  private val NumericCols = Seq("event_id", "ts_us", "user_id", "value")
+  private val StringCols = Seq("event_type", "props")
+
+  /** q55: exact column profile of the events table. One aggregate node
+    * computes every metric; the unpivot to one-row-per-column is a
+    * driver-free `stack` over the single aggregated row. Numeric and
+    * string extrema stay in their own typed columns — stringifying
+    * doubles would hit engine-specific formatting, the one thing a
+    * cross-engine oracle cannot absorb.
+    *
+    * Exact `count(distinct)` on d columns multiplies rows d× through
+    * Expand before the partial aggregate — acceptable as the
+    * oracle-checked form; [[profileApprox]] is the one-pass HLL variant
+    * to run at 100 TB (ProfileSpec bounds its error against this one).
+    */
+  def q55ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val cols = NumericCols ++ StringCols
+    val aggs = cols.flatMap { c =>
+      val isNum = NumericCols.contains(c)
+      Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        // extrema are pass-through values, never arithmetic: the same
+        // stored double/int surfaces from both engines bit-identically,
+        // and rounding would overflow (floor() returns LONG; micros ×1e4
+        // exceeds it). Plain double cast — exact below 2^53.
+        (if (isNum) min(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"mnn_$c"),
+        (if (isNum) max(col(c)).cast("double")
+         else lit(null).cast("double")).as(s"mxn_$c"),
+        (if (isNum) lit(null).cast("string") else min(col(c))).as(s"mns_$c"),
+        (if (isNum) lit(null).cast("string") else max(col(c))).as(s"mxs_$c"))
+    }
+    val one = e.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', nn_$c, nd_$c, mnn_$c, mxn_$c, mns_$c, mxs_$c").mkString(", ") +
+      ") AS (column_name, n_non_null, n_distinct, min_num, max_num, min_str, max_str)"
+    one.select(col("n_rows"), expr(stackExpr))
+      .withColumn("null_ratio",
+        Num.roundD((col("n_rows") - col("n_non_null")).cast("double") / col("n_rows")))
+      .select("column_name", "n_rows", "n_non_null", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str", "null_ratio")
+      .orderBy("column_name")
+  }
+
+  val q55Sql: String = {
+    def row(c: String, isNum: Boolean): String = {
+      val mnn = if (isNum) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mxn = if (isNum) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mns = if (isNum) "CAST(NULL AS VARCHAR)" else s"MIN($c)"
+      val mxs = if (isNum) "CAST(NULL AS VARCHAR)" else s"MAX($c)"
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT($c) AS n_non_null, COUNT(DISTINCT $c) AS n_distinct,
+         |  $mnn AS min_num, $mxn AS max_num, $mns AS min_str, $mxs AS max_str,
+         |  ${Num.sqlRoundD(s"CAST(COUNT(*) - COUNT($c) AS DOUBLE) / COUNT(*)")} AS null_ratio
+         |FROM e""".stripMargin
+    }
+    val rows = (NumericCols.map(row(_, isNum = true)) ++
+      StringCols.map(row(_, isNum = false))).mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
+       |$rows
+       |ORDER BY column_name""".stripMargin
+  }
+
+  /** The 100 TB profile: identical shape, `approx_count_distinct` (HLL,
+    * one pass, no Expand blowup) in place of exact distinct counts.
+    * Engine-specific sketch results by design → no oracle; ProfileSpec
+    * asserts each estimate within HLL's relative-error envelope of q55's
+    * exact counts.
+    */
+  def profileApprox(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+    val cols = NumericCols ++ StringCols
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"nd_$c"))
+    }
+    val one = e.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
+      s"'$c', nn_$c, nd_$c").mkString(", ") +
+      ") AS (column_name, n_non_null, n_distinct_approx)"
+    one.select(col("n_rows"), expr(stackExpr))
+      .select("column_name", "n_rows", "n_non_null", "n_distinct_approx")
+      .orderBy("column_name")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch temporal operators: gap sessionization via the native
+  * `session_window` and the as-of temporal lookup as registered,
+  * oracle-checked queries. The streaming twins live in
+  * [[graft.streaming.EventStreams]] (same session semantics under a
+  * watermark); these are the batch/backfill forms.
+  */
+object Temporal {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  /** q56: batch sessionization — 30-minute-gap sessions per user via
+    * `session_window` (codegen'd session assignment inside the
+    * aggregate: one shuffle on user_id, no window-function pass). The
+    * oracle replays the identical semantics as ANSI gaps-and-islands
+    * (LAG ≥ gap starts an island), machine-checking that Spark's session
+    * merge rule — an event exactly at the window end starts a NEW
+    * session — matches the `>=` boundary, microsecond-exact.
+    */
+  def q56SessionizeBatch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        nullif(count(when(col("event_type") === "purchase", 1)), lit(0L))
+          .as("purchases"),
+        Num.sumD(col("value"), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        expr("unix_micros(session_window.start)").as("session_start_us"),
+        expr("unix_micros(session_window.end)").as("session_end_us"),
+        col("n_events"), col("purchases"), col("session_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val q56Sql: String =
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_type, value,
+       |    CASE WHEN LAG(ts) OVER w IS NULL
+       |           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |si AS (
+       |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM o)
+       |SELECT user_id,
+       |  epoch_us(MIN(ts)) AS session_start_us,
+       |  epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       |  COUNT(*) AS n_events,
+       |  NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchases,
+       |  ${Num.sqlSum("value", 2)} AS session_value
+       |FROM si
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** q57: as-of temporal lookup as a registered query — each purchase
+    * event annotated with the user's most recent view event at or before
+    * purchase time ([[AsOf.joinAsOf]]: union-and-carry, ONE shuffle on
+    * the key, each row touched once). The oracle is DuckDB's native ASOF
+    * LEFT JOIN, machine-checking the inclusive `<=` boundary and the
+    * no-earlier-view NULL contract against an independent
+    * implementation. View rows pre-aggregate per (user, instant) so
+    * neither engine faces a tie.
+    */
+  def q57AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(Num.roundD(max(col("value"))).as("view_value"))
+      .withColumn("view_ts_us", expr("unix_micros(ts)"))
+      .select(col("user_id"), col("ts"), col("view_value"), col("view_ts_us"))
+    AsOf.joinAsOf(purchases, views, "user_id", "ts", "ts",
+        Seq("view_value", "view_ts_us"))
+      .select(col("event_id"), col("user_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        col("purchase_value"), col("view_value"), col("view_ts_us"))
+      .orderBy("event_id")
+  }
+
+  val q57Sql: String =
+    s"""WITH p AS (
+       |  SELECT event_id, user_id, ts, value AS purchase_value
+       |  FROM events WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id, ts, ${Num.sqlRoundD("MAX(value)")} AS view_value,
+       |    epoch_us(ts) AS view_ts_us
+       |  FROM events WHERE event_type = 'view'
+       |  GROUP BY user_id, ts)
+       |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       |  p.purchase_value, v.view_value, v.view_ts_us
+       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+       |ORDER BY p.event_id""".stripMargin
+}

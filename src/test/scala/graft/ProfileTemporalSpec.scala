@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Profile, Temporal}
+import org.apache.spark.sql.functions._
+
+/** Value assertions for the profiler and the batch temporal operators
+  * beyond their DuckDB oracles: the HLL profile's error envelope, and
+  * the session/as-of invariants recomputed from raw events.
+  */
+class ProfileTemporalSpec extends SparkSpec {
+
+  test("approx profile stays inside the HLL error envelope of the exact profile") {
+    val exact = Profile.q55ColumnProfile(spark, Sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
+    val approx = Profile.profileApprox(spark, Sf).collect()
+      .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct_approx")).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (c, nd) =>
+      val est = approx(c)
+      // rsd 0.02 → allow 3 sigma plus small-cardinality slack
+      val tol = math.max(3, nd * 0.06)
+      assert(math.abs(est - nd) <= tol, s"$c: exact $nd, approx $est")
+    }
+  }
+
+  test("q56 sessions partition each user's events at exactly the 30-minute gap") {
+    val sessions = Temporal.q56SessionizeBatch(spark, Sf).collect()
+    val gapUs = 30L * 60 * 1000000
+    // session end = last event + gap; windows of one user never overlap
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("session_start_us"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("session_end_us") <= b.getAs[Long]("session_start_us"),
+            "overlapping sessions")
+        case _ =>
+      }
+    }
+    // event counts conserve: every event lands in exactly one session
+    val total = sessions.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.load(spark, Sf, "events").count())
+    // at least one multi-event session exists at this density
+    assert(sessions.exists(_.getAs[Long]("n_events") > 1))
+  }
+
+  test("q57 as-of lookup is never from the future and matches a recomputed probe") {
+    val out = Temporal.q57AsofJoin(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("view_ts_us")))
+        assert(r.getAs[Long]("view_ts_us") <= r.getAs[Long]("ts_us"),
+          s"future lookup on event ${r.getAs[Long]("event_id")}")
+    }
+    // spot-check one purchase against a directly computed answer
+    val e = Tables.load(spark, Sf, "events")
+    val probe = out.filter(!_.isNullAt(4)).maxBy(_.getAs[Long]("ts_us"))
+    val (uid, ts) = (probe.getAs[Long]("user_id"), probe.getAs[Long]("ts_us"))
+    val expected = e.filter(col("event_type") === "view" &&
+        col("user_id") === uid && expr("unix_micros(ts)") <= ts)
+      .agg(max(expr("unix_micros(ts)"))).head().getLong(0)
+    assert(probe.getAs[Long]("view_ts_us") == expected)
+  }
+}
