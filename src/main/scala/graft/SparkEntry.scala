@@ -71,6 +71,9 @@ object SparkEntry {
     "q55_column_profile" -> (Profile.q55ColumnProfile _),
     "q56_sessionize_batch" -> (Temporal.q56SessionizeBatch _),
     "q57_asof_join" -> (Temporal.q57AsofJoin _),
+    "q58_pivot" -> (Reshape.q58Pivot _),
+    "q59_date_spine" -> (Reshape.q59DateSpine _),
+    "q60_scd2" -> (Scd.q60Scd2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,6 +130,9 @@ object SparkEntry {
     "q55_column_profile" -> Profile.q55Sql,
     "q56_sessionize_batch" -> Temporal.q56Sql,
     "q57_asof_join" -> Temporal.q57Sql,
+    "q58_pivot" -> Reshape.q58Sql,
+    "q59_date_spine" -> Reshape.q59Sql,
+    "q60_scd2" -> Scd.q60Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;

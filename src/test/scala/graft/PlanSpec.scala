@@ -78,4 +78,29 @@ class PlanSpec extends SparkSpec {
     val p = planString(Clusters.q46DedupClusters(spark, Sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(500))
   }
+
+  test("q47 split prunes the text column from the scan") {
+    val p = planString(Sampling.q47SplitAssign(spark, Sf))
+    assert(!p.contains("text"), "q47 reads the corpus payload it never uses")
+  }
+
+  test("q54 trajectories share one per-user window and plan no join") {
+    val p = planString(Predictive.q54RecoveryWindows(spark, Sf))
+    assert(p.contains("windowspecdefinition(user_id"), p.take(500))
+    assert(!p.contains("Join"), "q54 should derive leads/baseline from windows, not self-joins")
+  }
+
+  test("q57 as-of join plans no join operator at all (union-and-carry)") {
+    val p = planString(Temporal.q57AsofJoin(spark, Sf))
+    assert(!p.contains("Join"), "as-of must be the union-and-carry window, not a join")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(500))
+  }
+
+  test("q58 fixed-list pivot is a single conditional aggregate (no distinct-discovery pass)") {
+    val p = planString(Reshape.q58Pivot(spark, Sf))
+    assert(!p.contains("Join"), p.take(500))
+    // one scan of events: a values-discovery pivot plans a second one
+    assert("FileScan parquet".r.findAllIn(p).size == 1 ||
+      "Scan parquet".r.findAllIn(p).size == 1, "pivot re-scans to discover values")
+  }
 }
