@@ -87,6 +87,43 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** q61: time-based rolling frames — RANGE BETWEEN a trailing 7-day
+    * interval, per user. The semantics q09's ROW frames cannot express:
+    * with irregular sampling, "last 7 rows" and "last 7 days" diverge;
+    * RANGE frames follow the clock, including same-instant peers. The
+    * frame bound is numeric micros over `unix_micros(ts)` so both
+    * engines evaluate the identical window; sums are decimal-exact, the
+    * window partitions by user (one exchange, never global).
+    */
+  def q61RangeFrames(s: SparkSession, dir: String): DataFrame = {
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    events(s, dir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_7d"),
+        Num.roundD(Num.exactSum(col("value")).over(w).cast("double"))
+          .as("sum_7d"),
+        Num.roundD(Num.exactSum(col("value")).over(w).cast("double")
+          / count(col("value")).over(w)).as("avg_7d"))
+      .orderBy("event_id")
+  }
+
+  val q61Sql: String = {
+    val f = "OVER (PARTITION BY user_id ORDER BY ts_us " +
+      "RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)"
+    s"""WITH e AS (SELECT *, epoch_us(ts) AS ts_us FROM events)
+       |SELECT event_id, user_id, ts_us,
+       |  COUNT(*) $f AS n_7d,
+       |  ${Num.sqlRoundD(s"CAST(SUM(CAST(value AS DECIMAL(25,6))) $f AS DOUBLE)")} AS sum_7d,
+       |  ${Num.sqlRoundD(s"CAST(SUM(CAST(value AS DECIMAL(25,6))) $f AS DOUBLE) / COUNT(value) $f")} AS avg_7d
+       |FROM e
+       |ORDER BY event_id""".stripMargin
+  }
+
   val q57Sql: String =
     s"""WITH p AS (
        |  SELECT event_id, user_id, ts, value AS purchase_value
