@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Clusters, Curation, Sampling, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the LLM-side twin of
+  * [[Pipeline]]'s medallion run: raw documents → quality stats → exact +
+  * near-dup cluster canonical filter → benchmark decontamination → PII
+  * accounting → deterministic split assignment → packed, partitioned
+  * training shards.
+  *
+  * Stage order is the cost order: cheap scan-speed predicates (quality,
+  * PII) cut the corpus BEFORE the shuffling stages (dedup window, LSH
+  * clustering), and the split/pack columns are pure arithmetic on
+  * whatever survives. Output is partitioned by (split, lang) so a
+  * trainer reads its shard with partition pruning and nothing else.
+  */
+object Curate {
+
+  case class Summary(input: Long, afterQuality: Long, afterDedup: Long,
+                     afterDecontam: Long, packed: Long)
+
+  def run(spark: SparkSession, dataDir: String, outDir: String,
+          qualityFloor: Double = 0.5): Summary = {
+    val docs = Tables.load(spark, dataDir, "documents")
+    val input = docs.count()
+
+    // 1. scan-speed quality + PII gates (no shuffle)
+    val stats = TextOps.stats(docs)
+    val quality = stats.filter(col("quality_score") >= qualityFloor)
+      .select(docs.columns.map(col) :+ col("n_tokens") :+ col("quality_score"): _*)
+    val afterQuality = quality.count()
+
+    // 2. exact dedup keeper, then near-dup cluster canonicals: survivors
+    // are one representative per duplicate cluster. The cluster table is
+    // computed over the already-reduced corpus — dedup work scales with
+    // what passed the cheap gates, not the raw crawl.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+    val exact = quality.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+    val edges = graft.operators.Dedup.minhashPairs(exact)
+      .filter(col("n_shared_bands") >= 4)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val canon = Clusters.connectedComponents(edges, exact.select(col("doc_id").as("id")))
+      .filter(col("id") === col("cluster_id")).select(col("id").as("doc_id"))
+    val deduped = exact.join(canon, "doc_id")
+    val afterDedup = deduped.count()
+
+    // 3. decontaminate: drop anything sharing an 8-gram with the
+    // benchmark slice (and the benchmark docs themselves)
+    val contaminated = Curation.q51Decontaminate(spark, dataDir)
+      .select("doc_id")
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val afterDecontam = clean.count()
+
+    // 4. split + pack + write, partitioned for pruned trainer reads
+    val curated = clean
+      .withColumn("bucket", Sampling.bucket100("split", col("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation").otherwise("test"))
+      .withColumn("shard", (col("doc_id") % 32).cast("int"))
+    val packW = org.apache.spark.sql.expressions.Window
+      .partitionBy("split", "lang", "shard").orderBy("doc_id")
+    val packed = curated
+      .withColumn("tok_end", sum(col("n_tokens")).over(packW))
+      .withColumn("pack_id", expr("(tok_end - n_tokens) div 512"))
+      .select("doc_id", "text", "lang", "source", "split", "shard",
+        "n_tokens", "quality_score", "pack_id")
+    packed.write.mode("overwrite").partitionBy("split", "lang")
+      .parquet(s"$outDir/corpus")
+    val out = spark.read.parquet(s"$outDir/corpus")
+    Summary(input, afterQuality, afterDedup, afterDecontam, out.count())
+  }
+
+  /** CLI: `runMain graft.Curate <dataDir> <outDir>` */
+  def main(args: Array[String]): Unit = {
+    val Array(dataDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val s = run(spark, dataDir, outDir)
+    println(s"curate: input=${s.input} quality=${s.afterQuality} " +
+      s"dedup=${s.afterDedup} decontam=${s.afterDecontam} packed=${s.packed}")
+    spark.stop()
+  }
+}
