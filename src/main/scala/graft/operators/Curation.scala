@@ -159,7 +159,7 @@ object Curation {
        |  SELECT doc_id, lang, source, n_tokens,
        |    ${Num.sqlRoundD("GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))")} AS quality_score,
        |    ROW_NUMBER() OVER (PARTITION BY md5(lt) ORDER BY doc_id) AS dup_rk,
-       |    ${Sampling.sqlBucket100("split", "doc_id")} AS bucket
+       |    ${Sampling.sqlBucket100} AS bucket
        |  FROM st)
        |SELECT doc_id, lang, source, n_tokens, quality_score
        |FROM q

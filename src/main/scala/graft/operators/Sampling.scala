@@ -46,13 +46,13 @@ object Sampling {
     v % 100
   }
 
-  /** Oracle-SQL fragment mirroring [[bucket100]]. */
-  def sqlBucket100(salt: String, keyExpr: String): String = {
+  /** Oracle-SQL fragment mirroring [[bucket100]]; reads the salted md5
+    * a prior CTE must expose as `h` (see [[sqlSaltedMd5]]). */
+  def sqlBucket100: String = {
     def hx(i: Int) = {
       val c = s"ascii(substr(h, $i, 1))"
       s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END)"
     }
-    // callers must provide `h` = md5('<salt>:' || key) in a prior CTE
     s"((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 100)"
   }
 
@@ -80,7 +80,7 @@ object Sampling {
        |  SELECT doc_id, lang, source, ${sqlSaltedMd5("split", "doc_id")} AS h
        |  FROM documents),
        |b AS (
-       |  SELECT doc_id, lang, source, ${sqlBucket100("split", "doc_id")} AS bucket FROM t)
+       |  SELECT doc_id, lang, source, ${sqlBucket100} AS bucket FROM t)
        |SELECT doc_id, lang, source, bucket,
        |  CASE WHEN bucket < 80 THEN 'train'
        |       WHEN bucket < 90 THEN 'validation'
@@ -163,7 +163,7 @@ object Sampling {
        |  FROM documents),
        |k AS (
        |  SELECT source, rate_pct, n_chars,
-       |    CAST(${sqlBucket100("mix", "doc_id")} < rate_pct AS INT) AS kept
+       |    CAST(${sqlBucket100} < rate_pct AS INT) AS kept
        |  FROM t)
        |SELECT source, rate_pct, COUNT(*) AS total_docs,
        |  CAST(SUM(kept) AS BIGINT) AS kept_docs,
