@@ -75,6 +75,7 @@ object SparkEntry {
     "q59_date_spine" -> (Reshape.q59DateSpine _),
     "q60_scd2" -> (Scd.q60Scd2 _),
     "q61_range_frames" -> (Temporal.q61RangeFrames _),
+    "q62_fuzzy_match" -> (Dedup.q62FuzzyMatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,6 +136,7 @@ object SparkEntry {
     "q59_date_spine" -> Reshape.q59Sql,
     "q60_scd2" -> Scd.q60Sql,
     "q61_range_frames" -> Temporal.q61Sql,
+    "q62_fuzzy_match" -> Dedup.q62Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;

@@ -304,4 +304,46 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** q62: entity resolution — blocked fuzzy matching over the customer
+    * dimension: candidate pairs form ONLY inside a blocking key
+    * (name length + 16-char prefix + nation), then exact Levenshtein
+    * verification within the block. The record-linkage shape: blocking
+    * bounds the candidate set (each block is a handful of records, so the
+    * pairwise step is quadratic only in block size, linear overall),
+    * and the expensive edit distance runs solely on block-mates — never
+    * a corpus cross join. Same guard philosophy as [[guardedPairs]]; at
+    * crawl scale, oversize blocks would route through the same
+    * representative path.
+    */
+  def q62FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .withColumn("blk", concat_ws(":",
+        col("c_nationkey"), length(col("c_name")),
+        substring(col("c_name"), 1, 16)))
+    val a = c.select(col("blk"), col("c_custkey").as("key_a"),
+      col("c_name").as("name_a"))
+    val b = c.select(col("blk"), col("c_custkey").as("key_b"),
+      col("c_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_dist") <= 1)
+      .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+      .orderBy("key_a", "key_b")
+  }
+
+  val q62Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(c_nationkey AS VARCHAR) || ':' || CAST(len(c_name) AS VARCHAR)
+      |      || ':' || substr(c_name, 1, 16) AS blk
+      |  FROM customer)
+      |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      |  a.c_name AS name_a, b.c_name AS name_b,
+      |  levenshtein(a.c_name, b.c_name) AS edit_dist
+      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY key_a, key_b""".stripMargin
 }

@@ -96,6 +96,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(user_id"), p.take(500))
   }
 
+  test("q62 fuzzy match pairs only through the blocking equi-join") {
+    val p = planString(Dedup.q62FuzzyMatch(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "entity resolution must block, never cross-join")
+  }
+
   test("q58 fixed-list pivot is a single conditional aggregate (no distinct-discovery pass)") {
     val p = planString(Reshape.q58Pivot(spark, Sf))
     assert(!p.contains("Join"), p.take(500))
