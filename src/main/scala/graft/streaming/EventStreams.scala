@@ -119,6 +119,31 @@ object EventStreams {
       }
   }
 
+  /** Watermarked stream-stream interval join: attribute each purchase to
+    * the same user's view events in the preceding hour — the streaming
+    * twin of the q57 as-of lookup (there the past is a table; here both
+    * sides flow). Both inputs carry watermarks and the join condition
+    * bounds view time on BOTH ends relative to purchase time, which is
+    * what lets the engine expire buffered rows: per-side state is the
+    * watermark horizon plus the interval, never the full stream. An
+    * unbounded condition (plain `view_ts <= purchase_ts`) would buffer
+    * the view stream forever — the classic stream-join mistake.
+    */
+  def attributeStream(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("value").as("view_value"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    p.join(v,
+      expr("p_user = v_user AND " +
+        "view_ts <= purchase_ts AND view_ts >= purchase_ts - interval 1 hour"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("purchase_value"),
+        col("view_ts"), col("view_value"))
+  }
+
   /** Incremental gold-rollup maintenance: the streaming form of the q12
     * daily rollup. A watermarked daily aggregation in Update mode — the
     * engine keeps per-(user, day) state and re-emits a row whenever a

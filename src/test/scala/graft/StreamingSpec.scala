@@ -142,6 +142,31 @@ class StreamingSpec extends SparkSpec {
       back.mkString(";"))
   }
 
+  test("attributeStream joins purchases to in-window views only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[(Timestamp, Long, Long, Double)]
+    val purchases = MemoryStream[(Timestamp, Long, Long, Double)]
+    def df(m: MemoryStream[(Timestamp, Long, Long, Double)]) =
+      m.toDF().toDF("ts", "event_id", "user_id", "value")
+    val q = EventStreams.attributeStream(df(views), df(purchases)).writeStream
+      .format("memory").queryName("attr_test").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: view 30 min before purchase (in window), view 2 h before
+      // (out of window); user 2: view AFTER purchase (never matches)
+      views.addData(
+        (ts(0), 10L, 1L, 1.0),     // t+0, out of the 1h window for t+120
+        (ts(90), 11L, 1L, 2.0),    // t+90, inside [t+60, t+120]
+        (ts(130), 12L, 2L, 3.0))   // after user 2's purchase
+      purchases.addData((ts(120), 20L, 1L, 50.0), (ts(125), 21L, 2L, 60.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr_test")
+        .select("purchase_id", "view_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((20L, 2.0)), rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout when the stream goes quiet") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
