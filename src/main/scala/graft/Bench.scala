@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // NOTE: capping spark.sql.codegen.cache.maxEntries (default 100)
+      // was tried to relieve code-cache pressure at 60+ queries and made
+      // things WORSE (32 entries → q51 recompiled across its runs,
+      // 2.0 s → 7.0 s). The per-query System.gc() below is the fix that
+      // works; leave the codegen cache at its default.
       .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
