@@ -76,6 +76,8 @@ object SparkEntry {
     "q60_scd2" -> (Scd.q60Scd2 _),
     "q61_range_frames" -> (Temporal.q61RangeFrames _),
     "q62_fuzzy_match" -> (Dedup.q62FuzzyMatch _),
+    "q63_tfidf_terms" -> ((s, d) => TextRank.q63TfidfTerms(s, d)),
+    "q64_funnel" -> (TextRank.q64Funnel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -137,6 +139,8 @@ object SparkEntry {
     "q60_scd2" -> Scd.q60Sql,
     "q61_range_frames" -> Temporal.q61Sql,
     "q62_fuzzy_match" -> Dedup.q62Sql,
+    "q63_tfidf_terms" -> TextRank.q63Sql,
+    "q64_funnel" -> TextRank.q64Sql,
     // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
     // rows-only driver check + value/plan assertions in ScalaTest specs.
     // q43: approx-percentile sketch — engine-specific results by design;
