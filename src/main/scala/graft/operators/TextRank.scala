@@ -22,7 +22,9 @@ object TextRank {
     */
   def q63TfidfTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val n = docs.count() // corpus size: one scalar, the only driver value
+    // corpus size rides along as a broadcast one-row aggregate — no
+    // eager driver-side count, no extra scan per execution
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val terms = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -32,8 +34,9 @@ object TextRank {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(df, "term")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        Num.roundD(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        Num.roundD(col("tf") * log(col("n") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select("doc_id", "rk", "term", "tf", "df", "tfidf")
