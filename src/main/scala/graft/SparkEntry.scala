@@ -78,6 +78,11 @@ object SparkEntry {
     "q62_fuzzy_match" -> (Dedup.q62FuzzyMatch _),
     "q63_tfidf_terms" -> ((s, d) => TextRank.q63TfidfTerms(s, d)),
     "q64_funnel" -> (TextRank.q64Funnel _),
+    "q65_snapshot_diff" -> (CorpusOps.q65SnapshotDiff _),
+    "q66_repetition" -> (CorpusOps.q66Repetition _),
+    "q67_vocab" -> ((s, d) => CorpusOps.q67Vocab(s, d)),
+    "q68_centroids" -> (CorpusOps.q68Centroids _),
+    "q69_filter_attrition" -> (CorpusOps.q69FilterAttrition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +109,9 @@ object SparkEntry {
     "q18_struct_json" -> Analytics.q18Sql,
     "q19_tumbling_window" -> Analytics.q19Sql,
     "q20_dedup_exact" -> Dedup.q20Sql,
+    "q21_dedup_minhash" -> Dedup.q21Sql,
+    "q22_dedup_simhash" -> Dedup.q22Sql,
+    "q23_ngram_jaccard" -> Dedup.q23Sql,
     "q25_ann_bruteforce" -> Ann.q25Sql,
     "q27_text_stats" -> TextOps.q27Sql,
     "q28_lang_id" -> TextOps.q28Sql,
@@ -123,6 +131,7 @@ object SparkEntry {
     "q42_predict_score" -> Predictive.q42Sql,
     "q44_multiday_plan" -> Predictive.q44Sql,
     "q45_feature_selection" -> Predictive.q45Sql,
+    "q46_dedup_clusters" -> Clusters.q46Sql,
     "q47_split_assign" -> Sampling.q47Sql,
     "q48_stratified_sample" -> Sampling.q48Sql,
     "q49_source_mixing" -> Sampling.q49Sql,
@@ -141,11 +150,20 @@ object SparkEntry {
     "q62_fuzzy_match" -> Dedup.q62Sql,
     "q63_tfidf_terms" -> TextRank.q63Sql,
     "q64_funnel" -> TextRank.q64Sql,
-    // q21-q24, q26: banded/bucketed LSH paths — not ANSI-SQL-expressible;
-    // rows-only driver check + value/plan assertions in ScalaTest specs.
+    "q65_snapshot_diff" -> CorpusOps.q65Sql,
+    "q66_repetition" -> CorpusOps.q66Sql,
+    "q67_vocab" -> CorpusOps.q67Sql,
+    "q68_centroids" -> CorpusOps.q68Sql,
+    "q69_filter_attrition" -> CorpusOps.q69Sql,
+    // q21/q22/q23/q46 gained full oracles in round 4: their base hash is
+    // md5-derived (engine-portable) so DuckDB replays the whole LSH
+    // pipeline, incl. the hot-bucket guard (windows) and the component
+    // closure (recursive CTE).
+    // Still rows-only by design:
+    // q24/q26: hyperplane-LSH over float embeddings — bucket membership
+    // depends on float dot-product sign, which no cross-engine replay can
+    // pin bit-for-bit; value/plan/recall assertions live in DedupAnnSpec.
     // q43: approx-percentile sketch — engine-specific results by design;
     // ApproxPercentileSpec asserts the rank-error bound vs exact q32.
-    // q46: connected components over the LSH candidate graph — edge set
-    // is the non-SQL LSH path; ClustersSpec asserts exact assignments.
   )
 }

@@ -162,6 +162,10 @@ object Analytics {
           col("b_d") === date_add(col("a_d"), col("lag")))
       .select(col("lag"), col("a_uid").as("user_id"), col("a_d").as("d"),
         col("a_val"), col("b_val"))
+      .persist()
+    // eager: `pairs` feeds three subtrees (both rank tables + the ranked
+    // join); left cold, each re-runs the daily-agg + lag-join pipeline
+    pairs.count()
     // midrank table per side: doubled average rank 2·cum - cnt + 1 over
     // the distinct-value frame (one partial-aggregated groupBy; the
     // cumulative window's input is domain-bounded, see scaladoc)

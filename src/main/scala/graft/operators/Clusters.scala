@@ -107,9 +107,11 @@ object Clusters {
   /** q46: duplicate-cluster table over the MinHash-LSH candidate graph —
     * every corpus document labeled with its cluster canonical, the
     * cluster's size, and whether this row is the cluster's keeper.
-    * Rows-only at the driver (the edge set comes from the non-SQL LSH
-    * path); ClustersSpec asserts exact assignments on chains, stars,
-    * cycles, disjoint components, and the injected corpus duplicates.
+    * Oracle-checked since round 4: the md5-based minhash is replayed by
+    * [[Dedup.sqlMinhashCte]] and the component closure by a recursive
+    * CTE ([[q46Sql]]); ClustersSpec additionally asserts exact
+    * assignments on chains, stars, cycles, disjoint components, and the
+    * injected corpus duplicates.
     */
   def q46DedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.corpus(s, dir)
@@ -126,4 +128,29 @@ object Clusters {
         (col("id") === col("cluster_id")).as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** Oracle for q46: the minhash CTE chain plus a recursive-CTE label
+    * closure. `reach` accumulates (node, label-of-a-reachable-node) pairs
+    * over the bidirectional edge list; UNION dedup terminates it, and the
+    * component id is the min reachable label — exactly the fixpoint the
+    * Spark loop converges to. Closure size is Σ component², bounded here
+    * because near-dup components are star/clique-shaped and small; the
+    * Spark side is what runs at scale.
+    */
+  val q46Sql: String =
+    s"""WITH RECURSIVE corpus AS (${Dedup.corpusSql}),
+       |${Dedup.sqlMinhashCte("corpus")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh WHERE n_shared_bands >= 4),
+       |bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT doc_id AS id FROM corpus),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
+       |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+       |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size,
+       |  (l.id = l.cluster_id) AS is_canonical
+       |FROM labels l JOIN csizes s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 }

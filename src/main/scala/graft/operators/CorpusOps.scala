@@ -1,0 +1,324 @@
+package graft.operators
+
+import graft.{Num, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-operations family: snapshot diffing, within-document
+  * repetition metrics, vocabulary statistics, embedding centroids, and
+  * filter-cascade attrition — the observability/maintenance operators a
+  * production training-data pipeline runs beside dedup and sampling.
+  * Every query here is DuckDB-oracle checked.
+  */
+object CorpusOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------- q65
+
+  /** Simulated "yesterday vs today" crawl snapshots: today drops every
+    * 13th document, revises every 7th surviving one, and adds a new doc
+    * for every 11th id. Deterministic, so the oracle rebuilds both sides.
+    */
+  private def snapshotB(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" revised")))
+          .otherwise(col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 30000)
+          .withColumn("text", concat(col("text"), lit(" fresh"))))
+
+  /** q65: snapshot diff — classify every document across two corpus
+    * snapshots as added / removed / changed / unchanged by comparing
+    * content hashes through a full outer join on the id.
+    *
+    * Scale shape: both sides reduce to (id, md5) before the join — the
+    * shuffle moves 48 bytes/doc, never text — and the join is a plain
+    * hash join on the id, partition-prunable when snapshots are stored
+    * by ingest date. This is the dbt snapshot / data-versioning
+    * primitive (reference analog: the incremental re-crawl handling in
+    * `oura_normalizer.py` merge-by-key ingest).
+    */
+  def q65SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val a = d.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val b = snapshotB(d).select(col("doc_id"), md5(col("text")).as("new_md5"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' revised' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 30000 AS doc_id, text || ' fresh' AS text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |ah AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+      |bh AS (SELECT doc_id, md5(text) AS new_md5 FROM b)
+      |SELECT COALESCE(ah.doc_id, bh.doc_id) AS doc_id,
+      |  CASE WHEN ah.doc_id IS NULL THEN 'added'
+      |       WHEN bh.doc_id IS NULL THEN 'removed'
+      |       WHEN old_md5 = new_md5 THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  old_md5, new_md5
+      |FROM ah FULL OUTER JOIN bh ON ah.doc_id = bh.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+
+  /** q66: within-document repetition metrics — the Gopher-style quality
+    * rules that catch degenerate/boilerplate text: fraction of tokens
+    * taken by the most frequent word, by the most frequent 2-gram, and
+    * the distinct-token ratio, plus the repetitive flag.
+    *
+    * Scale shape: two explode→groupBy pipelines (words, bigrams), each a
+    * single partial-aggregated shuffle keyed by (doc_id, term); the
+    * per-doc maxima come from a second map-side-combined groupBy on
+    * doc_id. Nothing is quadratic and no state exceeds one document's
+    * term set.
+    */
+  def q66Repetition(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val wordStats = w.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), count(lit(1)).as("n_distinct_words"),
+        max("c").as("top_word_n"))
+    val b = docs(s, dir)
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i], w[i+1]))")).as("bg"))
+    val bigramStats = b.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram_n"))
+    // inner join: a sub-2-word doc has no bigram row; emitting it with
+    // null metrics would hinge the oracle compare on engine null
+    // formatting. Such docs are out of scope for repetition scoring.
+    wordStats.join(bigramStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        Num.roundD(col("top_word_n").cast("double") / col("n_words")).as("top_word_frac"),
+        Num.roundD(col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        Num.roundD(col("n_distinct_words").cast("double") / col("n_words")).as("distinct_ratio"))
+      .withColumn("is_repetitive",
+        (col("top_word_frac") > 0.12 || col("top_bigram_frac") > 0.05 ||
+          col("distinct_ratio") < 0.3).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q66Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    COUNT(*) AS n_distinct_words, MAX(c) AS top_word_n
+       |  FROM wc GROUP BY doc_id),
+       |t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS wl
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 2),
+       |bi AS (
+       |  SELECT doc_id, wl, unnest(range(len(wl) - 1)) AS i FROM t),
+       |bg AS (
+       |  SELECT doc_id, wl[i+1] || ' ' || wl[i+2] AS bg FROM bi),
+       |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |bs AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_n
+       |  FROM bc GROUP BY doc_id),
+       |j AS (
+       |  SELECT ws.doc_id, n_words, n_distinct_words,
+       |    ${Num.sqlRoundD("CAST(top_word_n AS DOUBLE) / n_words")} AS top_word_frac,
+       |    ${Num.sqlRoundD("CAST(top_bigram_n AS DOUBLE) / n_bigrams")} AS top_bigram_frac,
+       |    ${Num.sqlRoundD("CAST(n_distinct_words AS DOUBLE) / n_words")} AS distinct_ratio
+       |  FROM ws JOIN bs ON ws.doc_id = bs.doc_id)
+       |SELECT doc_id, n_words, n_distinct_words, top_word_frac, top_bigram_frac,
+       |  distinct_ratio,
+       |  CAST(top_word_frac > 0.12 OR top_bigram_frac > 0.05
+       |    OR distinct_ratio < 0.3 AS INT) AS is_repetitive
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+
+  /** q67: corpus vocabulary statistics — the top 200 unigrams and top
+    * 200 bigrams by total occurrences (ties broken by term), with each
+    * term's document frequency. The corpus-statistics pass tokenizer
+    * training and quality auditing start from.
+    *
+    * Scale shape: explode → ONE partial-aggregated groupBy per kind
+    * (count + distinct-doc count via the two-level groupBy), then a
+    * rank-filter that compiles to WindowGroupLimit — each shuffle
+    * partition keeps only its local top-200 before the single-partition
+    * rank, so the global sort never sees the full vocabulary.
+    */
+  def q67Vocab(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
+    def topK(terms: DataFrame, kind: String): DataFrame = {
+      val counts = terms.groupBy("term")
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(lit(kind)).orderBy(col("n_total").desc, col("term"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(kind).as("kind"), col("term"), col("n_total"), col("n_docs"), col("rank"))
+    }
+    val uni = docs(s, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+    val bi = docs(s, dir)
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i], w[i+1]))")).as("term"))
+    topK(uni, "unigram").unionByName(topK(bi, "bigram"))
+      .orderBy("kind", "rank")
+  }
+
+  val q67Sql: String =
+    """WITH uni AS (
+      |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS wl
+      |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 2),
+      |bii AS (
+      |  SELECT doc_id, wl, unnest(range(len(wl) - 1)) AS i FROM t),
+      |bi AS (
+      |  SELECT doc_id, wl[i+1] || ' ' || wl[i+2] AS term FROM bii),
+      |ranked AS (
+      |  SELECT 'unigram' AS kind, term, COUNT(*) AS n_total,
+      |    COUNT(DISTINCT doc_id) AS n_docs,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+      |  FROM uni GROUP BY term
+      |  UNION ALL
+      |  SELECT 'bigram' AS kind, term, COUNT(*) AS n_total,
+      |    COUNT(DISTINCT doc_id) AS n_docs,
+      |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+      |  FROM bi GROUP BY term)
+      |SELECT kind, term, n_total, n_docs, rank
+      |FROM ranked WHERE rank <= 200
+      |ORDER BY kind, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+
+  /** q68: per-label embedding centroids — the embedding-space QA pass
+    * (are label clusters separated? did a batch drift?): mean of every
+    * dimension per label, decimal-exact so the oracle agrees.
+    *
+    * Scale shape: posexplode fans each vector into (label, dim, value)
+    * rows — 64× the row count but 16 bytes wide — then ONE
+    * partial-aggregated groupBy on (label, dim): 640 output groups
+    * regardless of corpus size. The map-side combine reduces each
+    * partition to ≤640 partial sums before the shuffle, so this runs at
+    * scan speed on 100 TB of vectors.
+    */
+  def q68Centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(Num.avgD(col("v").cast("double")).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "dim")
+
+  val q68Sql: String =
+    s"""WITH e AS (
+       |  SELECT label, embedding, unnest(range(len(embedding))) AS dim
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT label, dim, CAST(embedding[dim + 1] AS DOUBLE) AS v FROM e)
+       |SELECT label, dim, ${Num.sqlAvg("v")} AS centroid,
+       |  COUNT(*) AS n_vecs
+       |FROM x GROUP BY label, dim
+       |ORDER BY label, dim""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+
+  /** q69: filter-cascade attrition — how many documents survive each
+    * stage of the curation cascade (length floor → English → vocabulary
+    * diversity → benchmark exclusion → train split), cumulatively. The
+    * observability table every corpus release ships with: which rule
+    * costs how much data.
+    *
+    * Scale shape: ONE scan; every stage is a conditional aggregate over
+    * the same row (no joins — the split membership and benchmark flag
+    * are hash arithmetic), and the 6-row unpivot is a stack over a
+    * single aggregated row.
+    */
+  def q69FilterAttrition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("n_words",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(split(lower(trim(col("text"))), " "))).cast("long"))
+    val s1 = col("n_chars") >= 100
+    val s2 = s1 && col("lang") === "en"
+    val s3 = s2 && col("n_distinct") * 10 >= col("n_words") * 3
+    val s4 = s3 && col("doc_id") % 97 =!= 0
+    val s5 = s4 && Sampling.bucket100("split", col("doc_id")) < 80
+    val agg = d.agg(
+      count(lit(1)).as("c0"),
+      sum(s1.cast("long")).as("c1"), sum(s2.cast("long")).as("c2"),
+      sum(s3.cast("long")).as("c3"), sum(s4.cast("long")).as("c4"),
+      sum(s5.cast("long")).as("c5"))
+    val stages = Seq("0_input", "1_min_length", "2_english",
+      "3_diversity", "4_not_benchmark", "5_train_split")
+    val stack = s"stack(6, " + stages.zipWithIndex.map { case (n, i) =>
+      s"'$n', c$i" }.mkString(", ") + ") AS (stage, n_pass)"
+    agg.select(expr(stack), col("c0"))
+      .withColumn("pass_rate", Num.roundD(col("n_pass").cast("double") / col("c0")))
+      .select("stage", "n_pass", "pass_rate")
+      .orderBy("stage")
+  }
+
+  val q69Sql: String = {
+    val bucket = Sampling.sqlBucket100
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    len(string_split(lower(trim(text)), ' ')) AS n_words,
+       |    len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct,
+       |    ${Sampling.sqlSaltedMd5("split", "doc_id")} AS h
+       |  FROM documents),
+       |f AS (
+       |  SELECT *,
+       |    (n_chars >= 100) AS s1,
+       |    (n_chars >= 100 AND lang = 'en') AS s2,
+       |    (n_chars >= 100 AND lang = 'en' AND n_distinct * 10 >= n_words * 3) AS s3
+       |  FROM d),
+       |g AS (
+       |  SELECT *,
+       |    (s3 AND doc_id % 97 <> 0) AS s4,
+       |    (s3 AND doc_id % 97 <> 0 AND $bucket < 80) AS s5
+       |  FROM f),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+       |    CAST(SUM(CAST(s1 AS INT)) AS BIGINT) AS c1,
+       |    CAST(SUM(CAST(s2 AS INT)) AS BIGINT) AS c2,
+       |    CAST(SUM(CAST(s3 AS INT)) AS BIGINT) AS c3,
+       |    CAST(SUM(CAST(s4 AS INT)) AS BIGINT) AS c4,
+       |    CAST(SUM(CAST(s5 AS INT)) AS BIGINT) AS c5
+       |  FROM g),
+       |u AS (
+       |  SELECT '0_input' AS stage, c0 AS n_pass, c0 FROM a
+       |  UNION ALL SELECT '1_min_length', c1, c0 FROM a
+       |  UNION ALL SELECT '2_english', c2, c0 FROM a
+       |  UNION ALL SELECT '3_diversity', c3, c0 FROM a
+       |  UNION ALL SELECT '4_not_benchmark', c4, c0 FROM a
+       |  UNION ALL SELECT '5_train_split', c5, c0 FROM a)
+       |SELECT stage, n_pass,
+       |  ${Num.sqlRoundD("CAST(n_pass AS DOUBLE) / c0")} AS pass_rate
+       |FROM u
+       |ORDER BY stage""".stripMargin
+  }
+}

@@ -40,6 +40,10 @@ object Curation {
     */
   def q51Decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = gramHashes(docs(s, dir)).persist()
+    // eager materialization: `benchGrams` is consumed via a broadcast
+    // exchange that builds concurrently with the totals/matched stages —
+    // racing a cold cache, both sides recompute the 8-gram md5 explode
+    grams.count()
     val benchGrams = grams.filter(col("doc_id") % 97 === 0)
       .select("gh").distinct()
     val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))

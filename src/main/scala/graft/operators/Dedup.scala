@@ -105,13 +105,14 @@ object Dedup {
     * downstream join then move 8-byte keys instead of strings.
     */
   def shingles(docs: DataFrame, maxDf: Int = 50): DataFrame = {
-    val sh = rawShingles(docs).distinct()
-    // The shingle frame is corpus-sized, so it is NOT cached: measured at
-    // bench scale, re-evaluating the scan+explode+distinct for the df
-    // count is cheaper than a cache round-trip of every shingle row.
-    // (Small self-joined frames downstream — signatures, bands — are
-    // cached; see q21.) At 100 TB the posting lists would be materialized
-    // to storage once and reused across the whole dedup pipeline.
+    // Persisted: the distinct frame feeds both the df count and the
+    // anti-join side. While the shingle hash was xxhash64 (rounds 2-3),
+    // re-evaluating scan+explode+distinct measured cheaper than a cache
+    // round-trip; the md5-based hash (round 4, the price of the DuckDB
+    // oracle) flips that — one digest pass, cached. At 100 TB the
+    // posting lists would be materialized to storage once and reused
+    // across the whole dedup pipeline.
+    val sh = rawShingles(docs).distinct().persist()
     val hot = sh.groupBy("sh").count().filter(col("count") > maxDf)
       .select("sh")
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -120,6 +121,37 @@ object Dedup {
   private val NumPerms = 32
   private val Bands = 8
   private val RowsPerBand = NumPerms / Bands
+
+  /** 60-bit cross-engine string hash: the first 15 hex chars of md5 read
+    * as a base-16 integer, in [0, 2⁶⁰). md5 is bit-identical across
+    * engines, which is what lets the LSH family carry full DuckDB value
+    * oracles (round 4 — previously these paths used Spark-internal
+    * xxhash64 and were rows-only). Slightly slower per call than
+    * xxhash64, but the hash runs once per shingle/token; the 32 minhash
+    * "permutations" on top are plain arithmetic (see [[minhashSignatures]]),
+    * not 32 further digest calls.
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Oracle-SQL fragment mirroring [[md5Long60]]. */
+  def sqlMd5Long60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Modulus for the universal-hash minhash permutations: prime, small
+    * enough that `(x mod P) * a + b` stays well under 2⁶³ for a,b < 2³¹.
+    */
+  private val P = 1000000007L
+
+  /** The 32 (a, b) universal-hash constants — fixed seed so the oracle
+    * SQL embeds the identical numbers. a ≥ 1 (a = 0 would collapse a
+    * permutation to a constant).
+    */
+  private[graft] val perms: IndexedSeq[(Long, Long)] = {
+    val r = new scala.util.Random(20260812L)
+    IndexedSeq.fill(NumPerms)(
+      (r.nextInt(Int.MaxValue - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong))
+  }
 
   /** Default hot-bucket threshold for [[guardedPairs]]. */
   val MaxBucket = 64
@@ -186,28 +218,96 @@ object Dedup {
   }
 
   /** MinHash signature: 32 independent hash "permutations", realized as
-    * seeded xxhash64 of the shingle; the signature entry is the per-doc
-    * minimum. One groupBy with 32 partial min aggregates — map-side
-    * combined, no extra shuffle beyond the doc_id exchange. Input shingles
+    * universal hashes `(x mod P) * aᵢ + bᵢ mod P` of the shingle's 60-bit
+    * base hash; the signature entry is the per-doc minimum. One groupBy
+    * with 32 partial min aggregates — map-side combined, no extra shuffle
+    * beyond the doc_id exchange, and the 32 "hashes" are codegen'd
+    * multiply-adds, cheaper than 32 digest evaluations. Input shingles
     * need neither dedup nor a df cap: min over a multiset equals min over
     * its set, and a hot shingle only lowers signatures uniformly — so the
     * signature pass is a single scan + single exchange.
     */
-  def minhashSignatures(sh: DataFrame): DataFrame =
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val x = col("sh") % P
     sh.groupBy("doc_id")
       .agg(
-        min(xxhash64(col("sh"), lit(0))).as("m0"),
-        (1 until NumPerms).map(i =>
-          min(xxhash64(col("sh"), lit(i))).as(s"m$i")): _*)
+        min((x * perms(0)._1 + perms(0)._2) % P).as("m0"),
+        (1 until NumPerms).map { i =>
+          val (a, b) = perms(i)
+          min((x * a + b) % P).as(s"m$i")
+        }: _*)
+  }
 
-  /** Raw (non-distinct, uncapped) shingle hashes — the minhash input. */
+  /** Raw (non-distinct, uncapped) shingle hashes — the minhash input.
+    * Word 3-shingles hashed to 60-bit longs via [[md5Long60]] before any
+    * shuffle: downstream distincts/joins move 8-byte keys, and the oracle
+    * rebuilds the identical values from DuckDB's md5.
+    */
   def rawShingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", split(lower(trim(col("text"))), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w) - 3), " +
-          "i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+          "i -> cast(conv(substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15), 16, 10) as bigint))")).as("sh"))
+
+  /** Oracle CTE chain replaying the shingle pass: `words` → `shx(doc_id, x)`
+    * with x = [[md5Long60]] of each word 3-shingle (non-distinct). Callers
+    * append their own aggregation. `src` must provide (doc_id, text).
+    */
+  private def sqlShingleCte(src: String): String =
+    s"""words AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM $src
+       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+       |widx AS (
+       |  SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM words),
+       |shx AS (
+       |  SELECT doc_id,
+       |    ${sqlMd5Long60("w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} AS x
+       |  FROM widx)""".stripMargin
+
+  /** Oracle CTE chain ending in `mh(doc_a, doc_b, n_shared_bands)` — the
+    * DuckDB replay of [[minhashPairs]] over the given (doc_id, text)
+    * source CTE, including the hot-bucket guard. Shared by q21 and q46.
+    */
+  private[operators] def sqlMinhashCte(src: String): String = {
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((x % $P * $a + $b) % $P) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until Bands).map { bi =>
+      val parts = (0 until RowsPerBand).map(r => s"m${bi * RowsPerBand + r}")
+      s"SELECT doc_id, $bi AS band_idx, concat_ws(':', ${parts.mkString(", ")}) AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""${sqlShingleCte(src)},
+       |sigs AS (
+       |  SELECT doc_id, $mins FROM shx GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |bann AS (
+       |  SELECT doc_id, band_idx, band_hash,
+       |    COUNT(*) OVER wb AS bucket_n,
+       |    MIN(doc_id) OVER wb AS canon
+       |  FROM bands
+       |  WINDOW wb AS (PARTITION BY band_idx, band_hash)),
+       |bpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bann a JOIN bann b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.bucket_n <= $MaxBucket
+       |  UNION ALL
+       |  SELECT canon AS id_a, doc_id AS id_b
+       |  FROM bann WHERE bucket_n > $MaxBucket AND doc_id <> canon),
+       |mh AS (
+       |  SELECT id_a AS doc_a, id_b AS doc_b, COUNT(*) AS n_shared_bands
+       |  FROM bpairs GROUP BY 1, 2)""".stripMargin
+  }
+
+  val q21Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |${sqlMinhashCte("corpus")}
+       |SELECT doc_a, doc_b, n_shared_bands FROM mh
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q21: MinHash-LSH near-dedup. Signatures are cut into 8 bands of 4
     * rows; docs colliding on any band hash become candidates (banding:
@@ -223,9 +323,14 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(rawShingles(docs))
+    // the band key is the minhash 4-tuple itself (concatenated), not a
+    // re-hash of it: bucket membership is then exactly tuple equality,
+    // which the oracle replays verbatim. ~40-byte shuffle keys instead of
+    // 8 — at 100 TB you'd xxhash64-compress the band key and give up the
+    // cross-engine oracle; the plan shape is identical either way.
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      xxhash64(lit(b) +: parts: _*)
+      concat_ws(":", parts: _*)
     }
     // persisted in addition to guardedPairs' annotated cache: the union
     // branches there can schedule concurrently, and concurrent stages
@@ -241,9 +346,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** q22: SimHash 64-bit near-dedup. Per-token 64-bit hashes vote on each
-    * fingerprint bit (+1/-1 weighted by presence); the fingerprint is the
-    * sign vector. Candidates share at least one of four 16-bit segments
+  private val SimBits = 60
+  private val SegBits = SimBits / 4
+
+  /** q22: SimHash 60-bit near-dedup. Per-token 60-bit hashes
+    * ([[md5Long60]] — replayable by the oracle) vote on each fingerprint
+    * bit (+1/-1 weighted by occurrence); the fingerprint is the sign
+    * vector. Candidates share at least one of four 15-bit segments
     * (pigeonhole: hamming ≤ 3 guarantees a shared segment); the pair's
     * true hamming distance is checked inside the bucket only.
     */
@@ -256,19 +365,19 @@ object Dedup {
   def simhashPairs(docs: DataFrame): DataFrame = {
     val tokens = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", md5Long60(col("tok")))
     val bitVotes = tokens.groupBy("doc_id")
       .agg(
         sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
-        (1 until 64).map(i =>
+        (1 until SimBits).map(i =>
           sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1))
             .as(s"b$i")): _*)
-    val fp = (0 until 64).map(i =>
+    val fp = (0 until SimBits).map(i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     val withFp = bitVotes.select(col("doc_id"), fp.as("fingerprint"))
     val segs = withFp.select(col("doc_id"), col("fingerprint"),
       posexplode(array((0 until 4).map(k =>
-        shiftright(col("fingerprint"), 16 * k).bitwiseAND(lit(0xFFFFL))): _*))
+        shiftright(col("fingerprint"), SegBits * k).bitwiseAND(lit((1L << SegBits) - 1))): _*))
         .as(Seq("seg_idx", "seg_val")))
       .persist() // the bit-vote pass is the expensive parent — see q21
     guardedPairs(segs, "doc_id", Seq("seg_idx", "seg_val"),
@@ -281,13 +390,62 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  val q22Sql: String = {
+    val votes = (0 until SimBits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+    val fp = (0 until SimBits).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END").mkString("(", " + ", ")")
+    val segSelects = (0 until 4).map(k =>
+      s"SELECT doc_id, fingerprint, $k AS seg_idx, " +
+        s"(fingerprint >> ${SegBits * k}) & ${(1L << SegBits) - 1} AS seg_val FROM fps"
+    ).mkString("\n  UNION ALL\n  ")
+    s"""WITH corpus AS ($corpusSql),
+       |tokens AS (
+       |  SELECT doc_id, ${sqlMd5Long60("tok")} AS h
+       |  FROM corpus, unnest(string_split(lower(trim(text)), ' ')) AS t(tok)),
+       |votes AS (
+       |  SELECT doc_id, $votes FROM tokens GROUP BY doc_id),
+       |fps AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS fingerprint FROM votes),
+       |segs AS (
+       |  $segSelects),
+       |sann AS (
+       |  SELECT doc_id, fingerprint, seg_idx, seg_val,
+       |    COUNT(*) OVER ws AS bucket_n,
+       |    MIN(doc_id) OVER ws AS canon_id,
+       |    FIRST_VALUE(fingerprint) OVER (PARTITION BY seg_idx, seg_val ORDER BY doc_id) AS canon_fp
+       |  FROM segs
+       |  WINDOW ws AS (PARTITION BY seg_idx, seg_val)),
+       |spairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.fingerprint AS a_fp, b.fingerprint AS b_fp
+       |  FROM sann a JOIN sann b
+       |    ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val
+       |   AND a.doc_id < b.doc_id
+       |  WHERE a.bucket_n <= $MaxBucket
+       |  UNION ALL
+       |  SELECT canon_id, doc_id, canon_fp, fingerprint
+       |  FROM sann WHERE bucket_n > $MaxBucket AND doc_id <> canon_id)
+       |SELECT DISTINCT id_a AS doc_a, id_b AS doc_b,
+       |  bit_count(xor(a_fp, b_fp)) AS hamming
+       |FROM spairs
+       |WHERE bit_count(xor(a_fp, b_fp)) <= 8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q23: n-gram Jaccard — exact verification of candidate pairs. Pairs
     * form only through a shared shingle (inverted-index join), then
     * |A∩B| / |A∪B| from shingle-set sizes. The df cap in [[shingles]]
     * bounds each posting list, keeping the join linear in corpus size.
     */
   def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(corpus(s, dir))
+    // persisted + eagerly materialized since the md5-based shingle hash
+    // (round 4): the frame is read three times (sizes + both self-join
+    // sides), and recomputing the digest pass beat the cache only while
+    // the hash was xxhash64. At 100 TB the posting lists would be
+    // materialized to storage once — this cache is the local analog.
+    val sh = shingles(corpus(s, dir)).persist()
+    sh.count()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -304,6 +462,26 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
+
+  val q23Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |${sqlShingleCte("corpus")},
+       |sh AS (SELECT DISTINCT doc_id, x FROM shx),
+       |hot AS (SELECT x FROM sh GROUP BY x HAVING COUNT(*) > 50),
+       |shc AS (SELECT doc_id, x FROM sh WHERE x NOT IN (SELECT x FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM shc a JOIN shc b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    ${graft.Num.sqlRoundD("CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)")} AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q62: entity resolution — blocked fuzzy matching over the customer
     * dimension: candidate pairs form ONLY inside a blocking key

@@ -160,6 +160,11 @@ object Predictive {
   def q38WhatIf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = nextDayPairs(rollup(s, dir)).persist()
+    // eager materialization: the final plan consumes `pairs` through FOUR
+    // broadcast subtrees (reg/overall/buckets/states), and broadcast
+    // exchanges build concurrently on driver threads — racing a cold
+    // cache, each would recompute the whole rollup pipeline
+    pairs.count()
 
     // step-1 model: closed-form OLS of next-day outcome on prev score
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(25, 6)

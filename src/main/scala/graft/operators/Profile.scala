@@ -14,43 +14,49 @@ object Profile {
   private val NumericCols = Seq("event_id", "ts_us", "user_id", "value")
   private val StringCols = Seq("event_type", "props")
 
-  /** q55: exact column profile of the events table. One aggregate node
-    * computes every metric; the unpivot to one-row-per-column is a
-    * driver-free `stack` over the single aggregated row. Numeric and
-    * string extrema stay in their own typed columns — stringifying
-    * doubles would hit engine-specific formatting, the one thing a
-    * cross-engine oracle cannot absorb.
+  /** q55: exact column profile of the events table — one single-distinct
+    * aggregate branch per column, unioned. Numeric and string extrema
+    * stay in their own typed columns — stringifying doubles would hit
+    * engine-specific formatting, the one thing a cross-engine oracle
+    * cannot absorb.
     *
-    * Exact `count(distinct)` on d columns multiplies rows d× through
-    * Expand before the partial aggregate — acceptable as the
-    * oracle-checked form; [[profileApprox]] is the one-pass HLL variant
-    * to run at 100 TB (ProfileSpec bounds its error against this one).
+    * Why per-column branches and not one aggregate with d
+    * `count(distinct)`s: multiple distinct aggregates plan through
+    * Expand, which multiplies every input row d× (measured 3.2 s at
+    * sf0.1 — the suite's 2nd-slowest query). A branch with exactly ONE
+    * distinct aggregate plans as a plain two-stage distinct aggregate
+    * (no Expand), its scan prunes to just that column, and the union's
+    * branches schedule concurrently inside one job; the per-branch shape
+    * is exactly how ANALYZE TABLE computes per-column stats at fleet
+    * scale. [[profileApprox]] remains
+    * the one-pass HLL variant to run at 100 TB (ProfileSpec bounds its
+    * error against this one).
+    *
+    * Extrema are pass-through values, never arithmetic: the same stored
+    * double/int surfaces from both engines bit-identically, and rounding
+    * would overflow (floor() returns LONG; micros ×1e4 exceeds it).
+    * Plain double cast — exact below 2^53.
     */
   def q55ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.load(s, dir, "events")
       .withColumn("ts_us", expr("unix_micros(ts)"))
-    val cols = NumericCols ++ StringCols
-    val aggs = cols.flatMap { c =>
-      val isNum = NumericCols.contains(c)
-      Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        // extrema are pass-through values, never arithmetic: the same
-        // stored double/int surfaces from both engines bit-identically,
-        // and rounding would overflow (floor() returns LONG; micros ×1e4
-        // exceeds it). Plain double cast — exact below 2^53.
-        (if (isNum) min(col(c)).cast("double")
-         else lit(null).cast("double")).as(s"mnn_$c"),
-        (if (isNum) max(col(c)).cast("double")
-         else lit(null).cast("double")).as(s"mxn_$c"),
-        (if (isNum) lit(null).cast("string") else min(col(c))).as(s"mns_$c"),
-        (if (isNum) lit(null).cast("string") else max(col(c))).as(s"mxs_$c"))
-    }
-    val one = e.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackExpr = s"stack(${cols.length}, " + cols.map(c =>
-      s"'$c', nn_$c, nd_$c, mnn_$c, mxn_$c, mns_$c, mxs_$c").mkString(", ") +
-      ") AS (column_name, n_non_null, n_distinct, min_num, max_num, min_str, max_str)"
-    one.select(col("n_rows"), expr(stackExpr))
+    val perCol = (NumericCols.map((_, true)) ++ StringCols.map((_, false)))
+      .map { case (c, isNum) =>
+        e.agg(
+            count(lit(1)).as("n_rows"),
+            count(col(c)).as("n_non_null"),
+            countDistinct(col(c)).as("n_distinct"),
+            (if (isNum) min(col(c)).cast("double")
+             else lit(null).cast("double")).as("min_num"),
+            (if (isNum) max(col(c)).cast("double")
+             else lit(null).cast("double")).as("max_num"),
+            (if (isNum) lit(null).cast("string") else min(col(c))).as("min_str"),
+            (if (isNum) lit(null).cast("string") else max(col(c))).as("max_str"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_non_null"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            col("min_str"), col("max_str"))
+      }
+    perCol.reduce(_.unionByName(_))
       .withColumn("null_ratio",
         Num.roundD((col("n_rows") - col("n_non_null")).cast("double") / col("n_rows")))
       .select("column_name", "n_rows", "n_non_null", "n_distinct",
