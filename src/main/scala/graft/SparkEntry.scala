@@ -83,6 +83,7 @@ object SparkEntry {
     "q67_vocab" -> ((s, d) => CorpusOps.q67Vocab(s, d)),
     "q68_centroids" -> (CorpusOps.q68Centroids _),
     "q69_filter_attrition" -> (CorpusOps.q69FilterAttrition _),
+    "q70_drift_chi2" -> (Profile.q70DriftChi2 _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,6 +156,7 @@ object SparkEntry {
     "q67_vocab" -> CorpusOps.q67Sql,
     "q68_centroids" -> CorpusOps.q68Sql,
     "q69_filter_attrition" -> CorpusOps.q69Sql,
+    "q70_drift_chi2" -> Profile.q70Sql,
     // q21/q22/q23/q46 gained full oracles in round 4: their base hash is
     // md5-derived (engine-portable) so DuckDB replays the whole LSH
     // pipeline, incl. the hot-bucket guard (windows) and the component

@@ -46,13 +46,18 @@ object Num {
   def avgD(c: Column, dp: Int = 4): Column =
     round(exactSum(c).cast("double") / count(c), dp)
 
-  /** Oracle-SQL fragment mirroring [[exactSum]]. */
+  /** Oracle-SQL fragment mirroring [[exactSum]]. The `+ 0.0` normalizes
+    * IEEE negative zero: DuckDB's ROUND keeps the sign of a tiny negative
+    * value that rounds to zero (-0.0), Spark's decimal-based round never
+    * emits it, and the driver's string compare distinguishes the two.
+    * `-0.0 + 0.0 == 0.0` and is a no-op on every other value.
+    */
   def sqlSum(expr: String, dp: Int = 4): String =
-    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE), $dp)"
+    s"(ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE), $dp) + 0.0)"
 
-  /** Oracle-SQL fragment mirroring [[avgD]]. */
+  /** Oracle-SQL fragment mirroring [[avgD]]; `+ 0.0` as in [[sqlSum]]. */
   def sqlAvg(expr: String, dp: Int = 4): String =
-    s"ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE) / COUNT($expr), $dp)"
+    s"(ROUND(CAST(SUM(CAST(($expr) AS DECIMAL(25,6))) AS DOUBLE) / COUNT($expr), $dp) + 0.0)"
 
   /** Deterministic round of a raw double column.
     *

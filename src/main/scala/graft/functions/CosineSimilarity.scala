@@ -87,9 +87,14 @@ class GraftFunctions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  val register: SparkSessionExtensions => Unit = ext =>
+  val register: SparkSessionExtensions => Unit = { ext =>
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("md5_long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
+      (children: Seq[Expression]) => Md5Long60(children.head)))
+  }
 }

@@ -88,32 +88,38 @@ object Ann {
   }
 
   /** q25: exact brute-force cosine top-k — the correctness baseline
-    * (query set: vec_id < 5, k = 10). The query side is broadcast; the
-    * corpus is scanned once. Dot products and norms are decimal-exact
-    * (products of float32 are exact in double; their DECIMAL(25,12)
-    * rounding is engine-portable) so ranks are oracle-comparable.
+    * (query set: vec_id < 5, k = 10). The query side (with precomputed
+    * norms) broadcasts; the corpus is scanned ONCE and each (query,
+    * vector) pair evaluates its dot product in a single codegen'd
+    * `aggregate(zip_with(...))` fold — no posexplode fan-out, no
+    * |corpus|×dim shuffle (the round-3 shape exploded to 64× rows and
+    * aggregated them back). The |Q|×|C| broadcast nested-loop product is the
+    * honest plan for an exact baseline — every query must score every
+    * vector by definition; the bucketed paths (q26/IVF) are the scale
+    * path. Dot products and norms are decimal-exact (products of
+    * float32 are exact in double; each product's DECIMAL(25,12)
+    * rounding is engine-portable, and decimal addition is associative,
+    * so the fold equals the oracle's unordered SUM bit-for-bit).
     */
   def q25AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(25, 12)
-    val expl = embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("emb")).as(Seq("pos", "v")))
-      .persist() // feeds norms, the query side, and the dot join
-    val norms = expl.groupBy("vec_id")
-      .agg(sum((col("v") * col("v")).cast(dec)).as("norm2"))
-    val q = expl.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("pos"), col("v").as("qv"))
-    val dots = broadcast(q)
-      .join(expl.withColumnRenamed("vec_id", "n_id"), Seq("pos"))
+    // the merge re-casts to the accumulator type: decimal + decimal widens
+    // to DECIMAL(26,12), which would no longer match `aggregate`'s
+    // accumulator. Values are far below the precision bound, so the cast
+    // is lossless.
+    def dotDec(a: String, b: String): Column = expr(
+      s"aggregate(zip_with($a, $b, (x, y) -> cast(x * y as decimal(25,12)))," +
+        s" cast(0 as decimal(25,12)), (acc, v) -> cast(acc + v as decimal(25,12)))")
+    val e = embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", dotDec("qemb", "qemb"))
+    val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
+      .withColumn("nn", dotDec("nemb", "nemb"))
+    val scored = n.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .groupBy("q_id", "n_id")
-      .agg(sum((col("qv") * col("v")).cast(dec)).as("dotp"))
-    val scored = dots
-      .join(norms.select(col("vec_id").as("q_id"), col("norm2").as("qn")), Seq("q_id"))
-      .join(norms.select(col("vec_id").as("n_id"), col("norm2").as("nn")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
-        Num.roundD(col("dotp").cast("double") /
+        Num.roundD(dotDec("qemb", "nemb").cast("double") /
           sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored

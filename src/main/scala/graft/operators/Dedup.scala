@@ -113,6 +113,10 @@ object Dedup {
     // posting lists would be materialized to storage once and reused
     // across the whole dedup pipeline.
     val sh = rawShingles(docs).distinct().persist()
+    // eager: the df-count broadcast subtree and the anti-join main stage
+    // race this cache when cold, and each caller consumes the anti-join
+    // multiple times — one materialization here, every later read warm
+    sh.count()
     val hot = sh.groupBy("sh").count().filter(col("count") > maxDf)
       .select("sh")
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
@@ -126,13 +130,14 @@ object Dedup {
     * as a base-16 integer, in [0, 2⁶⁰). md5 is bit-identical across
     * engines, which is what lets the LSH family carry full DuckDB value
     * oracles (round 4 — previously these paths used Spark-internal
-    * xxhash64 and were rows-only). Slightly slower per call than
-    * xxhash64, but the hash runs once per shingle/token; the 32 minhash
-    * "permutations" on top are plain arithmetic (see [[minhashSignatures]]),
-    * not 32 further digest calls.
+    * xxhash64 and were rows-only). Slower per call than xxhash64, but the
+    * hash runs once per shingle/token (the 32 minhash "permutations" on
+    * top are plain arithmetic, see [[minhashSignatures]]), and the
+    * evaluation is the native [[graft.functions.Md5Long60]] expression —
+    * digest bytes to long directly, no hex-string round-trip.
     */
   def md5Long60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("md5_long60", c)
 
   /** Oracle-SQL fragment mirroring [[md5Long60]]. */
   def sqlMd5Long60(e: String): String =
@@ -249,7 +254,7 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(w) - 3), " +
-          "i -> cast(conv(substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 15), 16, 10) as bigint))")).as("sh"))
+          "i -> md5_long60(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
 
   /** Oracle CTE chain replaying the shingle pass: `words` → `shx(doc_id, x)`
     * with x = [[md5Long60]] of each word 3-shingle (non-distinct). Callers
@@ -439,13 +444,14 @@ object Dedup {
     * bounds each posting list, keeping the join linear in corpus size.
     */
   def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // persisted + eagerly materialized since the md5-based shingle hash
-    // (round 4): the frame is read three times (sizes + both self-join
-    // sides), and recomputing the digest pass beat the cache only while
-    // the hash was xxhash64. At 100 TB the posting lists would be
-    // materialized to storage once — this cache is the local analog.
-    val sh = shingles(corpus(s, dir)).persist()
-    sh.count()
+    // [[shingles]] caches its distinct frame (the digest pass runs once);
+    // the three consumers here (sizes + both self-join sides) re-derive
+    // only the cheap broadcast anti-join from that cache. A second cache
+    // of the capped frame measured SLOWER than re-deriving it — column-
+    // batch materialization of a corpus-sized frame costs more than three
+    // broadcast-join probes. At 100 TB the capped posting lists would be
+    // materialized to storage once and reused across the pipeline.
+    val sh = shingles(corpus(s, dir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.as("a")
     val b = sh.as("b")

@@ -83,6 +83,77 @@ object Profile {
        |ORDER BY column_name""".stripMargin
   }
 
+  /** q70: distribution-drift monitor — chi-square distance between the
+    * early and late half of the month, per event type, over fixed-width
+    * value buckets. The batch-over-batch drift check a production
+    * pipeline runs before accepting new data (the PSI shape, with a
+    * rational statistic: Σ (p−q)²/(p+q) has no logarithm, so both
+    * engines compute it bit-identically — ln's last-ulp differences
+    * would break the oracle for classic PSI).
+    *
+    * Scale shape: ONE scan → groupBy (type, bucket) with conditional
+    * partial aggregates; totals are a 5-row broadcast; the final
+    * per-type reduce sums decimal-cast terms (order-independent). State
+    * is bounded by types × buckets regardless of row count.
+    */
+  def q70DriftChi2(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+      .withColumn("half",
+        when(dayofmonth(col("ts")) <= 15, "early").otherwise("late"))
+      .withColumn("bucket",
+        least(lit(19L), floor(col("value") / 25.0)).cast("int"))
+    val counts = e.groupBy("event_type", "bucket")
+      .agg(
+        sum((col("half") === "early").cast("long")).as("c_early"),
+        sum((col("half") === "late").cast("long")).as("c_late"))
+    val totals = e.groupBy("event_type")
+      .agg(
+        sum((col("half") === "early").cast("long")).as("n_early"),
+        sum((col("half") === "late").cast("long")).as("n_late"))
+    val p = col("c_early").cast("double") / col("n_early")
+    val q = col("c_late").cast("double") / col("n_late")
+    val term = (p - q) * (p - q) / (p + q)
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("n_early"), col("n_late"), term.as("term"))
+      .groupBy("event_type", "n_early", "n_late")
+      .agg(count(lit(1)).as("n_buckets"), Num.sumD(col("term"), 6).as("chi2_distance"))
+      .withColumn("drifted", (col("chi2_distance") > 0.01).cast("int"))
+      .select("event_type", "n_early", "n_late", "n_buckets", "chi2_distance", "drifted")
+      .orderBy("event_type")
+  }
+
+  val q70Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    CASE WHEN date_part('day', ts) <= 15 THEN 'early' ELSE 'late' END AS half,
+       |    CAST(LEAST(19, FLOOR(value / 25.0)) AS INT) AS bucket
+       |  FROM events),
+       |counts AS (
+       |  SELECT event_type, bucket,
+       |    CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS c_early,
+       |    CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS c_late
+       |  FROM e GROUP BY 1, 2),
+       |totals AS (
+       |  SELECT event_type,
+       |    CAST(SUM(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+       |    CAST(SUM(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+       |  FROM e GROUP BY 1),
+       |pq AS (
+       |  SELECT c.event_type, t.n_early, t.n_late,
+       |    CAST(c_early AS DOUBLE) / n_early AS p,
+       |    CAST(c_late AS DOUBLE) / n_late AS q
+       |  FROM counts c JOIN totals t ON c.event_type = t.event_type),
+       |terms AS (
+       |  SELECT event_type, n_early, n_late,
+       |    (p - q) * (p - q) / (p + q) AS term
+       |  FROM pq)
+       |SELECT event_type, n_early, n_late, COUNT(*) AS n_buckets,
+       |  ${Num.sqlSum("term", 6)} AS chi2_distance,
+       |  CAST(${Num.sqlSum("term", 6)} > 0.01 AS INT) AS drifted
+       |FROM terms
+       |GROUP BY event_type, n_early, n_late
+       |ORDER BY event_type""".stripMargin
+
   /** The 100 TB profile: identical shape, `approx_count_distinct` (HLL,
     * one pass, no Expand blowup) in place of exact distinct counts.
     * Engine-specific sketch results by design → no oracle; ProfileSpec

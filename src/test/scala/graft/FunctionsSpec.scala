@@ -46,4 +46,26 @@ class FunctionsSpec extends SparkSpec {
     // the "*(n)" prefix marks a WholeStageCodegen stage in plan toString
     assert("""\*\(\d+\) Project \[cosine_sim""".r.findFirstIn(p).isDefined, p.take(400))
   }
+
+  test("md5_long60 equals the composable conv(substring(md5)) formulation") {
+    // the native expression must be bit-identical to what the DuckDB
+    // oracle replays: first 15 hex chars of md5, parsed base 16
+    val d = Tables.load(spark, Sf, "documents")
+      .select(col("text"),
+        call_function("md5_long60", col("text")).as("native"),
+        expr("cast(conv(substr(md5(text), 1, 15), 16, 10) as bigint)").as("composed"))
+    assert(d.filter(col("native") =!= col("composed")).count() == 0)
+    assert(d.filter(col("native") < 0 || col("native") >= expr("cast(pow(2, 60) as bigint)")).count() == 0)
+    // empty string: fixed md5, stable value
+    import spark.implicits._
+    val e = Seq("").toDF("s")
+      .select(call_function("md5_long60", col("s"))).as[Long].first()
+    assert(e == java.lang.Long.parseUnsignedLong("d41d8cd98f00b20", 16))
+  }
+
+  test("md5_long60 stays inside whole-stage codegen") {
+    val p = planString(Tables.load(spark, Sf, "documents")
+      .select(call_function("md5_long60", col("text"))))
+    assert("""\*\(\d+\) Project \[md5_long60""".r.findFirstIn(p).isDefined, p.take(400))
+  }
 }
