@@ -113,7 +113,9 @@ object SparkEntry {
     "q21_dedup_minhash" -> Dedup.q21Sql,
     "q22_dedup_simhash" -> Dedup.q22Sql,
     "q23_ngram_jaccard" -> Dedup.q23Sql,
+    "q24_dedup_embedding" -> Ann.q24Sql,
     "q25_ann_bruteforce" -> Ann.q25Sql,
+    "q26_ann_lsh" -> Ann.q26Sql,
     "q27_text_stats" -> TextOps.q27Sql,
     "q28_lang_id" -> TextOps.q28Sql,
     "q29_fingerprint" -> TextOps.q29Sql,
@@ -160,11 +162,11 @@ object SparkEntry {
     // q21/q22/q23/q46 gained full oracles in round 4: their base hash is
     // md5-derived (engine-portable) so DuckDB replays the whole LSH
     // pipeline, incl. the hot-bucket guard (windows) and the component
-    // closure (recursive CTE).
+    // closure (recursive CTE). q24/q26 followed in the same round: sign
+    // fingerprints are exact integer dots over quantized components
+    // (floor(x·1e7)) with a ±1 md5-parity plane matrix, and verification
+    // cosines are decimal folds — every step engine-portable.
     // Still rows-only by design:
-    // q24/q26: hyperplane-LSH over float embeddings — bucket membership
-    // depends on float dot-product sign, which no cross-engine replay can
-    // pin bit-for-bit; value/plan/recall assertions live in DedupAnnSpec.
     // q43: approx-percentile sketch — engine-specific results by design;
     // ApproxPercentileSpec asserts the rank-error bound vs exact q32.
   )

@@ -63,4 +63,10 @@ object Md5Long60 {
         ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
     hi >>> 4
   }
+
+  /** Driver-side convenience for deriving code-level constants (e.g. the
+    * ±1 sign-projection matrix in [[graft.operators.Ann]]) from the same
+    * engine-portable hash the oracle SQL replays.
+    */
+  def hashStr(s: String): Long = hash(UTF8String.fromString(s))
 }

@@ -18,14 +18,31 @@ object Ann {
 
   private val Dim = 64
   private val NumPlanes = 16
+  /** Quantization scale: emb values become floor(x·10⁷) longs. */
+  private val QScale = "10000000.0"
 
-  /** Deterministic random hyperplanes (seeded, code-defined — not data).
-    * 16 planes × 64 dims in [-1, 1].
+  /** ±1 sign-projection planes, 16 × 64 — the parity bit of the
+    * engine-portable 60-bit md5 hash of "plane_i_j" (so the DuckDB oracle
+    * re-derives the identical matrix from ITS md5 instead of needing 1024
+    * literals pasted into the SQL). Sign random projection with Rademacher
+    * (±1) entries has the same locality guarantees as Gaussian planes for
+    * the hyperplane-LSH family.
     */
-  private lazy val planes: Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rng.nextDouble() * 2 - 1))
-  }
+  private[operators] lazy val planeSigns: IndexedSeq[Seq[Long]] =
+    (0 until NumPlanes).map { i =>
+      (0 until Dim).map { j =>
+        if ((graft.functions.Md5Long60.hashStr(s"plane_${i}_$j") & 1L) == 1L) 1L else -1L
+      }
+    }
+
+  /** Oracle CTE producing the identical matrix as `planes(i, j, s)`. */
+  private val sqlPlanesCte: String =
+    s"""planes AS (
+       |  SELECT i, j,
+       |    CASE WHEN ${Dedup.sqlMd5Long60(
+            "'plane_' || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)")} & 1 = 1
+       |      THEN 1 ELSE -1 END AS s
+       |  FROM range(0, $NumPlanes) t(i), range(0, $Dim) u(j))""".stripMargin
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
@@ -33,19 +50,96 @@ object Ann {
 
   /** Fused native cosine (graft.functions.CosineSimilarity): one codegen'd
     * loop per row, no intermediate arrays — the per-row inner kernel of
-    * every bucketed path here.
+    * the IVF path (engine-specific double summation order, so the
+    * oracle-checked paths use [[dotDec]] instead).
     */
   private def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
-  /** 16-bit hyperplane-sign fingerprint of an embedding. sign(dot) ==
-    * sign(cosine) (norms are positive), so the native kernel serves here
-    * too.
+  /** Decimal-exact dot product of two double arrays: each product is
+    * exact in double and its DECIMAL(25,12) rounding is engine-portable;
+    * decimal addition is associative, so the codegen'd fold equals the
+    * oracle's unordered SUM bit-for-bit. The merge re-casts because
+    * decimal + decimal widens to DECIMAL(26,12), which would no longer
+    * match `aggregate`'s accumulator type; values sit far below the
+    * precision bound, so the cast is lossless.
     */
-  private def planeBucket(emb: Column): Column =
+  private[operators] def dotDec(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x * y as decimal(25,12)))," +
+      s" cast(0 as decimal(25,12)), (acc, v) -> cast(acc + v as decimal(25,12)))")
+
+  /** Engine-portable cosine between two double-array columns (by NAME):
+    * decimal dots + roundD — bit-identical to the oracle's replay.
+    */
+  private def cosineDec(a: String, b: String): Column =
+    Num.roundD(dotDec(a, b).cast("double") /
+      sqrt(dotDec(a, a).cast("double") * dotDec(b, b).cast("double")))
+
+  /** Exact integer quantization: floor(x·10⁷) of each component. floor of
+    * an IEEE double product is bit-deterministic in every engine (no
+    * rounding-mode or summation-order concerns), which is what makes the
+    * sign fingerprints — and therefore bucket assignment — oracle-portable.
+    */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => floor(x * lit(10000000.0)))
+
+  /** 16-bit sign fingerprint of a QUANTIZED embedding: bit i is the sign
+    * of the exact integer dot product with ±1 plane i. Pure long
+    * arithmetic inside whole-stage codegen — zero float ambiguity.
+    */
+  private def planeBucket(qemb: Column): Column =
     (0 until NumPlanes).map { i =>
-      when(cosine(emb, typedLit(planes(i))) >= 0, lit(1 << i)).otherwise(lit(0))
+      val dot = aggregate(
+        zip_with(qemb, typedLit(planeSigns(i)), _ * _), lit(0L), _ + _)
+      when(dot >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Oracle CTE chain `ecorpus` → `eexpl` → `fp(vec_id, bucket)` replaying
+    * [[embCorpus]] + [[quantize]] + [[planeBucket]]: the corpus with its
+    * re-encoded batch, per-component quantized explode, and the 16-bit
+    * sign fingerprint. Shared by q24 and q26.
+    */
+  private val sqlFingerprintCte: String =
+    s"""ecorpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |eexpl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v,
+       |    CAST(FLOOR(unnest(emb) * $QScale) AS BIGINT) AS q
+       |  FROM ecorpus),
+       |$sqlPlanesCte,
+       |pdot AS (
+       |  SELECT e.vec_id, p.i, SUM(e.q * p.s) AS dot
+       |  FROM eexpl e JOIN planes p ON e.j = p.j
+       |  GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS INT) AS bucket
+       |  FROM pdot GROUP BY 1),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2
+       |  FROM eexpl GROUP BY 1)""".stripMargin
+
+  /** Oracle fragment: decimal dot + cosine for a pair CTE `$pairs(id_a,
+    * id_b)` — mirrors [[cosineDec]].
+    */
+  private def sqlPairCosine(pairs: String): String =
+    s"""pdots AS (
+       |  SELECT p.id_a, p.id_b, SUM(CAST(ea.v * eb.v AS DECIMAL(25,12))) AS dotp
+       |  FROM $pairs p
+       |  JOIN eexpl ea ON ea.vec_id = p.id_a
+       |  JOIN eexpl eb ON eb.vec_id = p.id_b AND eb.j = ea.j
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.id_a, d.id_b,
+       |    ${Num.sqlRoundD(
+            "CAST(d.dotp AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))")} AS cosine
+       |  FROM pdots d
+       |  JOIN norms na ON na.vec_id = d.id_a
+       |  JOIN norms nb ON nb.vec_id = d.id_b)""".stripMargin
 
   /** Near-dup input: embeddings plus a deterministic "re-encoded batch" —
     * every 5th vector rescaled by 1.01 (same direction, cosine ≈ 1) under
@@ -60,13 +154,38 @@ object Ann {
         .withColumn("emb", expr("transform(emb, x -> x * 1.01)")))
   }
 
-  /** q24: embedding-cosine near-dedup via random-hyperplane LSH. Vectors
+  /** q24: embedding-cosine near-dedup via sign-projection LSH. Vectors
     * sharing the full 16-bit sign fingerprint become candidates (a near-dup
-    * agrees with its source on every hyperplane w.h.p.); cosine is verified
-    * inside the bucket only.
+    * agrees with its source on every plane w.h.p.); cosine is verified
+    * inside the bucket only. Fingerprints are exact integer arithmetic
+    * over quantized components ([[quantize]]/[[planeBucket]]) and the
+    * verification cosine is decimal-exact ([[cosineDec]]), so the whole
+    * pipeline — including the hot-bucket guard — carries a full DuckDB
+    * value oracle (round 4; previously rows-only).
     */
   def q24DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     embeddingPairs(embCorpus(s, dir))
+
+  val q24Sql: String =
+    s"""WITH $sqlFingerprintCte,
+       |bann AS (
+       |  SELECT vec_id, bucket,
+       |    COUNT(*) OVER wb AS bucket_n,
+       |    MIN(vec_id) OVER wb AS canon
+       |  FROM fp
+       |  WINDOW wb AS (PARTITION BY bucket)),
+       |bpairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bann a JOIN bann b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE a.bucket_n <= ${Dedup.MaxBucket}
+       |  UNION ALL
+       |  SELECT canon AS id_a, vec_id AS id_b
+       |  FROM bann WHERE bucket_n > ${Dedup.MaxBucket} AND vec_id <> canon),
+       |${sqlPairCosine("bpairs")}
+       |SELECT id_a AS vec_a, id_b AS vec_b, cosine FROM scored
+       |WHERE cosine >= 0.9
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Embedding near-dup pairs over an arbitrary (vec_id, emb) frame — the
     * q24 body, parameterized for the injected-cluster guard test. Candidate
@@ -76,13 +195,19 @@ object Ann {
     */
   def embeddingPairs(vecs: DataFrame): DataFrame = {
     // persisted in addition to guardedPairs' annotated cache: the 16
-    // plane dot products per row must not be recomputed if concurrent
-    // branches race on a cold annotated cache — see q21
-    val e = vecs.withColumn("bucket", planeBucket(col("emb"))).persist()
+    // integer plane dots per row must not be recomputed if concurrent
+    // branches race on a cold annotated cache — see q21. qemb is bound as
+    // a column first so the quantization pass runs once, not 16×, even if
+    // CollapseProject decides to inline cheap aliases.
+    val e = vecs
+      .withColumn("qemb", quantize(col("emb")))
+      .withColumn("bucket", planeBucket(col("qemb")))
+      .drop("qemb")
+      .persist()
     Dedup.guardedPairs(e, "vec_id", Seq("bucket"), payloadCols = Seq("emb"))
       .select(
         col("id_a").as("vec_a"), col("id_b").as("vec_b"),
-        Num.roundD(cosine(col("a_emb"), col("b_emb"))).as("cosine"))
+        cosineDec("a_emb", "b_emb").as("cosine"))
       .filter(col("cosine") >= 0.9)
       .orderBy("vec_a", "vec_b")
   }
@@ -103,13 +228,6 @@ object Ann {
     */
   def q25AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the merge re-casts to the accumulator type: decimal + decimal widens
-    // to DECIMAL(26,12), which would no longer match `aggregate`'s
-    // accumulator. Values are far below the precision bound, so the cast
-    // is lossless.
-    def dotDec(a: String, b: String): Column = expr(
-      s"aggregate(zip_with($a, $b, (x, y) -> cast(x * y as decimal(25,12)))," +
-        s" cast(0 as decimal(25,12)), (acc, v) -> cast(acc + v as decimal(25,12)))")
     val e = embeddings(s, dir)
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
@@ -221,7 +339,11 @@ object Ann {
     */
   def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embCorpus(s, dir).withColumn("bucket", planeBucket(col("emb"))).persist()
+    val e = embCorpus(s, dir)
+      .withColumn("qemb", quantize(col("emb")))
+      .withColumn("bucket", planeBucket(col("qemb")))
+      .drop("qemb")
+      .persist()
     def banded(df: DataFrame): DataFrame =
       df.select(col("*"),
         posexplode(array((0 until 4).map(b =>
@@ -236,7 +358,7 @@ object Ann {
       .select(col("q_id"), col("vec_id").as("n_id"), col("q_emb"), col("emb"))
       .dropDuplicates("q_id", "n_id")
       .select(col("q_id"), col("n_id"),
-        Num.roundD(cosine(col("q_emb"), col("emb"))).as("cosine"))
+        cosineDec("q_emb", "emb").as("cosine"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     cand
       .withColumn("rank", row_number().over(w))
@@ -244,4 +366,22 @@ object Ann {
       .select("q_id", "rank", "n_id", "cosine")
       .orderBy("q_id", "rank")
   }
+
+  val q26Sql: String =
+    s"""WITH $sqlFingerprintCte,
+       |bands AS (
+       |  SELECT vec_id, bi AS band_idx, (bucket >> (4 * bi)) & 15 AS band_val
+       |  FROM fp, range(0, 4) t(bi)),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM bands q JOIN bands c
+       |    ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+       |  WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id),
+       |${sqlPairCosine("cands")}
+       |SELECT id_a AS q_id, rank, id_b AS n_id, cosine FROM (
+       |  SELECT id_a, id_b, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 }
