@@ -496,38 +496,68 @@ object Dedup {
     * bounds the candidate set (each block is a handful of records, so the
     * pairwise step is quadratic only in block size, linear overall),
     * and the expensive edit distance runs solely on block-mates — never
-    * a corpus cross join. Same guard philosophy as [[guardedPairs]]; at
-    * crawl scale, oversize blocks would route through the same
-    * representative path.
+    * a corpus cross join.
+    *
+    * Blocking keys on real entity data are Zipf-distributed — one viral
+    * (nation, length, prefix) block of k records would emit O(k²)
+    * Levenshtein evaluations from a single key — so the pair step routes
+    * through [[guardedPairs]] (round 5): oversize blocks emit star edges
+    * from the block's minimum-key record instead, the same representative
+    * discipline as every LSH path, and the Levenshtein verify runs only
+    * on the guarded candidates. The oracle replays the guard with the
+    * identical windows (`bucket_n`/canonical), like q21's.
     */
-  def q62FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
-    val c = graft.Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  def q62FuzzyMatch(s: SparkSession, dir: String): DataFrame =
+    fuzzyMatchPairs(
+      graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
+
+  /** Blocked fuzzy-match body over an arbitrary
+    * (c_custkey, c_name, c_nationkey) frame — parameterized so the
+    * hot-block guard is testable on an injected oversized block
+    * (DedupAnnSpec), mirroring the minhash/simhash guard tests.
+    */
+  def fuzzyMatchPairs(customers: DataFrame,
+                      maxBucket: Int = MaxBucket): DataFrame = {
+    val c = customers
       .withColumn("blk", concat_ws(":",
         col("c_nationkey"), length(col("c_name")),
         substring(col("c_name"), 1, 16)))
-    val a = c.select(col("blk"), col("c_custkey").as("key_a"),
-      col("c_name").as("name_a"))
-    val b = c.select(col("blk"), col("c_custkey").as("key_b"),
-      col("c_name").as("name_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("key_a") < col("key_b"))
-      .withColumn("edit_dist", levenshtein(col("name_a"), col("name_b")))
+      .select(col("blk"), col("c_custkey"), col("c_name"))
+    guardedPairs(c, "c_custkey", Seq("blk"),
+        payloadCols = Seq("c_name"), maxBucket = maxBucket)
+      .withColumn("edit_dist", levenshtein(col("a_c_name"), col("b_c_name")))
       .filter(col("edit_dist") <= 1)
-      .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+      .select(col("id_a").as("key_a"), col("id_b").as("key_b"),
+        col("a_c_name").as("name_a"), col("b_c_name").as("name_b"),
+        col("edit_dist"))
       .orderBy("key_a", "key_b")
   }
 
   val q62Sql: String =
-    """WITH c AS (
-      |  SELECT c_custkey, c_name,
-      |    CAST(c_nationkey AS VARCHAR) || ':' || CAST(len(c_name) AS VARCHAR)
-      |      || ':' || substr(c_name, 1, 16) AS blk
-      |  FROM customer)
-      |SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
-      |  a.c_name AS name_a, b.c_name AS name_b,
-      |  levenshtein(a.c_name, b.c_name) AS edit_dist
-      |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-      |WHERE levenshtein(a.c_name, b.c_name) <= 1
-      |ORDER BY key_a, key_b""".stripMargin
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name,
+       |    CAST(c_nationkey AS VARCHAR) || ':' || CAST(len(c_name) AS VARCHAR)
+       |      || ':' || substr(c_name, 1, 16) AS blk
+       |  FROM customer),
+       |ann AS (
+       |  SELECT c_custkey, c_name, blk,
+       |    COUNT(*) OVER wb AS bucket_n,
+       |    MIN(c_custkey) OVER wb AS canon_id,
+       |    FIRST_VALUE(c_name) OVER (PARTITION BY blk ORDER BY c_custkey) AS canon_name
+       |  FROM c
+       |  WINDOW wb AS (PARTITION BY blk)),
+       |pairs AS (
+       |  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       |    a.c_name AS name_a, b.c_name AS name_b
+       |  FROM ann a JOIN ann b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+       |  WHERE a.bucket_n <= $MaxBucket
+       |  UNION ALL
+       |  SELECT canon_id, c_custkey, canon_name, c_name
+       |  FROM ann WHERE bucket_n > $MaxBucket AND c_custkey <> canon_id)
+       |SELECT key_a, key_b, name_a, name_b,
+       |  levenshtein(name_a, name_b) AS edit_dist
+       |FROM pairs
+       |WHERE levenshtein(name_a, name_b) <= 1
+       |ORDER BY key_a, key_b""".stripMargin
 }

@@ -79,6 +79,21 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.filter($"cosine" < 0.9999).count() == 0)
   }
 
+  test("hot-block guard: q62 fuzzy match emits O(k) star edges from a hot block") {
+    import spark.implicits._
+    // k identical names in one nation — one blocking key, the Zipf-hot
+    // case: ungated this is C(k,2) Levenshtein pairs, guarded it is k-1
+    // star edges from the block's minimum key
+    val k = 100
+    val hot = (0 until k).map(i => (i.toLong, "Customer#000000000AAAA", 7))
+    val fillers = (1000 until 1040).map(i => (i.toLong, f"Customer#$i%09dXY", 3))
+    val c = (hot ++ fillers).toDF("c_custkey", "c_name", "c_nationkey")
+    val pairs = Dedup.fuzzyMatchPairs(c).filter($"key_a" < k && $"key_b" < k)
+    assert(pairs.count() == k - 1, "hot block must emit exactly k-1 edges")
+    assert(pairs.filter($"key_a" =!= 0L).count() == 0, "all edges from the canonical min key")
+    assert(pairs.filter($"edit_dist" =!= 0).count() == 0)
+  }
+
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
     import spark.implicits._
     // 10 identical docs — below MaxBucket, so the full pairwise set appears
