@@ -215,6 +215,40 @@ object EventStreams {
       .foreachBatch(upsertRollupBatch(outDir) _)
   }
 
+  /** Streaming twin of the q71 alert-rule evaluation (reference:
+    * lambda/health_alerts/handler.py — there a 3 AM Lambda re-queries the
+    * whole gold table; here alerts fire as soon as a day's data arrives).
+    * A watermarked daily aggregation per (user, metric) in Update mode,
+    * stream-static joined to a batch-computed baseline frame
+    * ([[graft.operators.Alerts.thresholdBaseline]] — yesterday's state,
+    * refreshed by the batch pipeline) and the broadcast rules frame; a
+    * micro-batch emits an alert row whenever the day's running mean
+    * crosses mean ± k·σ. State is the daily-agg window state (bounded by
+    * watermark horizon × active users); the joins add none. Production
+    * binds the sink like [[incrementalRollupQuery]] — foreachBatch keyed
+    * upsert on (day, user_id, condition) — so re-emissions of the same
+    * updating day overwrite rather than duplicate.
+    */
+  def alertStream(events: DataFrame, baseline: DataFrame,
+                  rules: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"),
+        col("event_type").as("metric"))
+      .agg(round(avg("value"), 4).as("observed"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("user_id"), col("metric"), col("observed"))
+      .join(broadcast(baseline), Seq("user_id", "metric"))
+      .join(broadcast(rules), Seq("metric"))
+      .withColumn("threshold",
+        when(col("direction") === "above", col("mu") + col("k_sigma") * col("sigma"))
+          .otherwise(col("mu") - col("k_sigma") * col("sigma")))
+      .filter(
+        (col("direction") === "above" && col("observed") > col("threshold")) ||
+        (col("direction") === "below" && col("observed") < col("threshold")))
+      .select(col("user_id"), col("condition"), col("severity"), col("metric"),
+        col("day"), col("observed"), col("threshold"))
+
   /** Production binding: parquet-directory stream → hourly rollup →
     * partitioned parquet sink with checkpointing. Returns the writer so
     * callers control start/stop.

@@ -167,6 +167,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alertStream fires threshold alerts against a static baseline as days arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Alerts
+    // batch-side history: user 1's view score hovers near 10 (sigma>0);
+    // purchase spend near 100
+    def dayTs(d: Int): Timestamp = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val history = (1 to 10).flatMap { d =>
+      Seq((1L, "view", f"2024-01-$d%02d", 10.0 + (d % 3 - 1)),
+        (1L, "purchase", f"2024-01-$d%02d", 100.0 + (d % 5 - 2)))
+    }.toDF("user_id", "metric", "day", "observed")
+    val baseline = Alerts.thresholdBaseline(history)
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStreams.alertStream(events, baseline, Alerts.rules(spark))
+      .writeStream.format("memory").queryName("alert_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // day 11: view collapses to 2 (below mu-1.5σ) and purchase spikes
+      // to 200 (above mu+1.5σ); click has no baseline → no alert
+      input.addData(
+        (dayTs(11), 1L, "view", 2.0),
+        (dayTs(11), 1L, "purchase", 200.0),
+        (dayTs(11), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("alert_test").collect()
+        .map(r => (r.getAs[String]("condition"), r.getAs[String]("severity")))
+        .toSet
+      assert(out == Set(
+        ("Depressed View Score", "warning"),
+        ("Elevated Purchase Spend", "warning")), out.mkString(";"))
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout when the stream goes quiet") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
