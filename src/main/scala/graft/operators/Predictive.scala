@@ -106,6 +106,199 @@ object Predictive {
        |FROM pairs
        |ORDER BY user_id, day""".stripMargin
 
+  /** q72: timing-correlation cohort scan — workout-intensity quintiles ×
+    * next-day outcome (reference: insights/timing_correlation.py:28-144 —
+    * pd.qcut(total_output_kj, 5) data-driven buckets, then per-bucket
+    * mean/median/std/n of next-day readiness plus the bucket's intensity
+    * range). Mapping: intensity = a day's purchase_total on workout days
+    * (purchases ≥ 1), outcome = the NEXT day's view score.
+    *
+    * Spark-first: the day+1 pairing is a per-user LEAD window (q39's
+    * shape); the data-driven buckets are NTILE(5) per user ordered by
+    * (intensity, day) — the day tiebreak makes bucket membership
+    * deterministic where qcut's rank-order on ties is not. The reference
+    * runs pandas over one entity; this is per-entity windows + one
+    * partial-aggregated groupBy, nothing global.
+    */
+  def q72TimingQuintiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val pairs = rollup(s, dir)
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("outcome", lead("view_score_filled", 1).over(w))
+      .filter(col("next_day") ===
+        date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd"))
+      .filter(col("purchases") >= 1 && col("purchase_total").isNotNull &&
+        col("outcome").isNotNull)
+      .select(col("user_id"), col("day"),
+        col("purchase_total").as("intensity"), col("outcome"))
+    val bucketed = pairs.withColumn("bucket",
+      ntile(5).over(Window.partitionBy("user_id").orderBy("intensity", "day")))
+    bucketed.groupBy("user_id", "bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        Num.exactSum(col("outcome")).cast("double").as("sx"),
+        Num.exactSum(col("outcome") * col("outcome")).cast("double").as("sxx"),
+        Num.roundD(expr("percentile(outcome, 0.5)")).as("median_outcome"),
+        Num.avgD(col("intensity")).as("avg_intensity"),
+        min("intensity").as("min_intensity"),
+        max("intensity").as("max_intensity"))
+      .filter(col("n") >= 2)
+      .withColumn("mean_outcome", Num.roundD(col("sx") / col("n")))
+      .withColumn("var_raw",
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0)))
+      .withColumn("std_outcome",
+        Num.roundD(when(col("var_raw") > 0, sqrt(col("var_raw"))).otherwise(lit(0.0))))
+      .select("user_id", "bucket", "n", "mean_outcome", "median_outcome",
+        "std_outcome", "avg_intensity", "min_intensity", "max_intensity")
+      .orderBy("user_id", "bucket")
+  }
+
+  val q72Sql: String =
+    s"""WITH $rollupCte,
+       |tq AS (
+       |  SELECT a.user_id, a.day, a.purchase_total AS intensity,
+       |    b.view_score_filled AS outcome
+       |  FROM rollup a
+       |  JOIN rollup b ON b.user_id = a.user_id
+       |    AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+       |  WHERE a.purchases >= 1 AND a.purchase_total IS NOT NULL
+       |    AND b.view_score_filled IS NOT NULL),
+       |bk AS (
+       |  SELECT user_id, intensity, outcome,
+       |    NTILE(5) OVER (PARTITION BY user_id ORDER BY intensity, day) AS bucket
+       |  FROM tq),
+       |agg AS (
+       |  SELECT user_id, bucket, COUNT(*) AS n,
+       |    CAST(SUM(CAST(outcome AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(outcome * outcome AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    ${Num.sqlRoundD("quantile_cont(outcome, 0.5)")} AS median_outcome,
+       |    ${Num.sqlAvg("intensity")} AS avg_intensity,
+       |    MIN(intensity) AS min_intensity,
+       |    MAX(intensity) AS max_intensity
+       |  FROM bk GROUP BY 1, 2)
+       |SELECT user_id, bucket, n,
+       |  ${Num.sqlRoundD("sx / n")} AS mean_outcome,
+       |  median_outcome,
+       |  ${Num.sqlRoundD(
+            "CASE WHEN (sxx - sx * sx / n) / (n - 1.0) > 0 " +
+            "THEN SQRT((sxx - sx * sx / n) / (n - 1.0)) ELSE 0.0 END")} AS std_outcome,
+       |  avg_intensity, min_intensity, max_intensity
+       |FROM agg
+       |WHERE n >= 2
+       |ORDER BY user_id, bucket""".stripMargin
+
+  /** q74: intake-adequacy analyzer (reference: insights/nutrition_analyzer
+    * .py:23-150 — daily-intake averages overall and over the last 7 logged
+    * days, a threshold-adequacy tier per day and for the average, logging
+    * completeness, and the correlation of intake to the
+    * readiness outcome). Mapping: intake = a day's purchase_total,
+    * meals = purchase count, outcome = the NEXT day's view score — the
+    * reference correlates same-day readiness, but its own what-if/
+    * prediction views (q38/q39) establish day+1 as the causal pairing, so
+    * the composed analyzer uses next-day, as VERDICT r4 specified.
+    *
+    * Composition of proven shapes: q05's literal tier CASE, q39's LEAD
+    * day+1 pairing, q45's closed-form Pearson over decimal-exact sums.
+    * Per-user windows + one partial-aggregated groupBy — nothing global.
+    */
+  def q74NutritionAdequacy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val paired = rollup(s, dir)
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("next_score0", lead("view_score_filled", 1).over(w))
+      .withColumn("next_score",
+        when(col("next_day") ===
+          date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd"),
+          col("next_score0")))
+      .filter(col("purchases") >= 1 && col("purchase_total").isNotNull)
+      .withColumn("tier",
+        when(col("purchase_total") < 25, "low")
+          .when(col("purchase_total") < 90, "adequate")
+          .otherwise("high"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("day").desc)))
+    val px = when(col("next_score").isNotNull, col("purchase_total"))
+    val py = col("next_score")
+    val agg = paired.groupBy("user_id")
+      .agg(
+        count(lit(1)).cast("double").as("n_days"),
+        Num.exactSum(col("purchase_total")).cast("double").as("sx"),
+        Num.exactSum(col("purchases")).cast("double").as("meals"),
+        count(when(col("tier") === "low", 1)).as("n_low"),
+        count(when(col("tier") === "adequate", 1)).as("n_adequate"),
+        count(when(col("tier") === "high", 1)).as("n_high"),
+        Num.exactSum(when(col("rn") <= 7, col("purchase_total"))).cast("double").as("r7x"),
+        count(when(col("rn") <= 7, 1)).cast("double").as("r7n"),
+        count(py).cast("double").as("pn"),
+        Num.exactSum(px).cast("double").as("psx"),
+        Num.exactSum(px * px).cast("double").as("psxx"),
+        Num.exactSum(py).cast("double").as("psy"),
+        Num.exactSum(py * py).cast("double").as("psyy"),
+        Num.exactSum(px * py).cast("double").as("psxy"))
+    val avgIntake = Num.roundD(col("sx") / col("n_days"))
+    val denom = (col("pn") * col("psxx") - col("psx") * col("psx")) *
+      (col("pn") * col("psyy") - col("psy") * col("psy"))
+    agg
+      .withColumn("avg_intake", avgIntake)
+      .withColumn("avg_meals", Num.roundD(col("meals") / col("n_days"), 2))
+      .withColumn("avg_intake_7d", Num.roundD(col("r7x") / col("r7n")))
+      .withColumn("adequacy",
+        when(avgIntake < 25, "low").when(avgIntake < 90, "adequate")
+          .otherwise("high"))
+      .withColumn("next_day_r",
+        when(col("pn") >= 5 && denom > 0,
+          Num.roundD((col("pn") * col("psxy") - col("psx") * col("psy")) / sqrt(denom), 3)))
+      .select("user_id", "n_days", "avg_intake", "avg_meals", "avg_intake_7d",
+        "adequacy", "n_low", "n_adequate", "n_high", "next_day_r")
+      .orderBy("user_id")
+  }
+
+  val q74Sql: String = {
+    val tierCase = (e: String) =>
+      s"CASE WHEN $e < 25 THEN 'low' WHEN $e < 90 THEN 'adequate' ELSE 'high' END"
+    s"""WITH $rollupCte,
+       |nx AS (
+       |  SELECT a.user_id, a.day, a.purchases, a.purchase_total,
+       |    b.view_score_filled AS next_score
+       |  FROM rollup a
+       |  LEFT JOIN rollup b ON b.user_id = a.user_id
+       |    AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY),
+       |intake AS (
+       |  SELECT *, ${tierCase("purchase_total")} AS tier,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM nx WHERE purchases >= 1 AND purchase_total IS NOT NULL),
+       |agg AS (
+       |  SELECT user_id,
+       |    CAST(COUNT(*) AS DOUBLE) AS n_days,
+       |    CAST(SUM(CAST(purchase_total AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(purchases AS DECIMAL(25,6))) AS DOUBLE) AS meals,
+       |    COUNT(CASE WHEN tier = 'low' THEN 1 END) AS n_low,
+       |    COUNT(CASE WHEN tier = 'adequate' THEN 1 END) AS n_adequate,
+       |    COUNT(CASE WHEN tier = 'high' THEN 1 END) AS n_high,
+       |    CAST(SUM(CAST(CASE WHEN rn <= 7 THEN purchase_total END AS DECIMAL(25,6))) AS DOUBLE) AS r7x,
+       |    CAST(COUNT(CASE WHEN rn <= 7 THEN 1 END) AS DOUBLE) AS r7n,
+       |    CAST(COUNT(next_score) AS DOUBLE) AS pn,
+       |    CAST(SUM(CAST(CASE WHEN next_score IS NOT NULL THEN purchase_total END AS DECIMAL(25,6))) AS DOUBLE) AS psx,
+       |    CAST(SUM(CAST(CASE WHEN next_score IS NOT NULL THEN purchase_total * purchase_total END AS DECIMAL(25,6))) AS DOUBLE) AS psxx,
+       |    CAST(SUM(CAST(next_score AS DECIMAL(25,6))) AS DOUBLE) AS psy,
+       |    CAST(SUM(CAST(next_score * next_score AS DECIMAL(25,6))) AS DOUBLE) AS psyy,
+       |    CAST(SUM(CAST(CASE WHEN next_score IS NOT NULL THEN purchase_total * next_score END AS DECIMAL(25,6))) AS DOUBLE) AS psxy
+       |  FROM intake GROUP BY 1)
+       |SELECT user_id, n_days,
+       |  ${Num.sqlRoundD("sx / n_days")} AS avg_intake,
+       |  ${Num.sqlRoundD("meals / n_days", 2)} AS avg_meals,
+       |  ${Num.sqlRoundD("r7x / r7n")} AS avg_intake_7d,
+       |  ${tierCase(Num.sqlRoundD("sx / n_days"))} AS adequacy,
+       |  n_low, n_adequate, n_high,
+       |  CASE WHEN pn >= 5
+       |        AND (pn * psxx - psx * psx) * (pn * psyy - psy * psy) > 0
+       |    THEN ${Num.sqlRoundD(
+              "(pn * psxy - psx * psy) / SQRT((pn * psxx - psx * psx) * (pn * psyy - psy * psy))", 3)}
+       |  END AS next_day_r
+       |FROM agg
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** Cohort-optimization table over a rollup frame: outcome-bucket ×
     * activity-type cohort averages (reference:
     * workout_type_optimization.sql:3-40 — readiness bucket × workout type

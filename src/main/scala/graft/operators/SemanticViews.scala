@@ -154,8 +154,14 @@ object SemanticViews {
     * instead so view queries read the pruned parquet rather than
     * re-running the rollup. Returns the view names.
     */
-  def registerAll(s: SparkSession, dir: String): Seq[String] =
-    registerOver(Windows.q12DailyRollup(s, dir))
+  def registerAll(s: SparkSession, dir: String): Seq[String] = {
+    // the architecture view derives from events, not the rollup — the
+    // reference's sleep_architecture.sql likewise joins a staging table
+    // to gold rather than reading gold alone
+    Architecture.componentDaily(graft.Tables.load(s, dir, "events"))
+      .createOrReplaceTempView("graft_architecture")
+    registerOver(Windows.q12DailyRollup(s, dir)) :+ "graft_architecture"
+  }
 
   /** Register the semantic layer over an existing rollup frame. */
   def registerOver(rollup: DataFrame): Seq[String] = {
