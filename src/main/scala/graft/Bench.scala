@@ -16,8 +16,10 @@ object Bench {
       .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state timing: two warmup runs, then the minimum of two timed
-    // executions. Two warmups because wide generated aggregates (q21's 32
+    // steady-state timing: two warmup runs, then the minimum of THREE
+    // timed executions (round 5 — r4 burned analysis on q15's phantom
+    // 1.5x "regression", pure run-to-run drift; min-of-3 is the published
+    // `best`). Two warmups because wide generated aggregates (q21's 32
     // min-columns) need ~3 executions before C2 fully compiles them —
     // measured 12.8 s, 22.4 s, then 2.2 s, 1.5 s, 1.3 s for identical
     // runs — and min-of-n additionally shields against transient host
@@ -27,7 +29,21 @@ object Bench {
     // SPARK_GRAFT_ONLY=q21,q22 restricts to a prefix-matched subset for
     // local iteration; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // bench-only xxhash64 runs of the dedup family (no DuckDB twin for
+    // the hash, so no oracle entry — the md5-mode qNN queries stay the
+    // correctness gate; these publish what the 100 TB hash choice buys).
+    // x-names sort after every qNN, so the comparable series is untouched.
+    val xxBench: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      import graft.operators.Dedup
+      Seq(
+        "x21_minhash_xxhash64" ->
+          ((s: SparkSession, d: String) => Dedup.minhashPairs(Dedup.corpus(s, d), "xxhash64")),
+        "x22_simhash_xxhash64" ->
+          ((s: SparkSession, d: String) => Dedup.simhashPairs(Dedup.corpus(s, d), "xxhash64")),
+        "x23_jaccard_xxhash64" ->
+          ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(Dedup.corpus(s, d), "xxhash64")))
+    }
+    val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
       // a failing query reports -1, never a fast-looking elapsed time
@@ -46,8 +62,8 @@ object Bench {
       // compiled code leaves the cache before the next query compiles.
       System.gc()
       once(); once()
-      val (a, b) = (once(), once())
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val timed = Seq(once(), once(), once())
+      name -> (if (timed.exists(_ < 0)) -1.0 else timed.min)
     }
     // The harness that collects this output keeps only a bounded tail of
     // the process log (observed: last 2000 chars) and parses the JSON line
@@ -60,7 +76,10 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total covers the oracle-gated qNN series only, so it stays
+    // comparable round-over-round; the xNN hash-variant times are reported
+    // per-query but don't move the total
+    val total = results.filter(_._1.startsWith("q")).map(_._2).sum
     spark.stop()
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }

@@ -104,7 +104,8 @@ object Dedup {
     * longs before any shuffle: the distinct, the df count, and every
     * downstream join then move 8-byte keys instead of strings.
     */
-  def shingles(docs: DataFrame, maxDf: Int = 50): DataFrame = {
+  def shingles(docs: DataFrame, maxDf: Int = 50,
+               hashMode: String = "md5"): DataFrame = {
     // Persisted: the distinct frame feeds both the df count and the
     // anti-join side. While the shingle hash was xxhash64 (rounds 2-3),
     // re-evaluating scan+explode+distinct measured cheaper than a cache
@@ -112,7 +113,7 @@ object Dedup {
     // oracle) flips that — one digest pass, cached. At 100 TB the
     // posting lists would be materialized to storage once and reused
     // across the whole dedup pipeline.
-    val sh = rawShingles(docs).distinct().persist()
+    val sh = rawShingles(docs, hashMode).distinct().persist()
     // eager: the df-count broadcast subtree and the anti-join main stage
     // race this cache when cold, and each caller consumes the anti-join
     // multiple times — one materialization here, every later read warm
@@ -142,6 +143,39 @@ object Dedup {
   /** Oracle-SQL fragment mirroring [[md5Long60]]. */
   def sqlMd5Long60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  private val Mask60 = (1L << 60) - 1
+
+  /** Base 60-bit string hash, selectable per run (round 5 — VERDICT r4 #3):
+    *
+    *   - `"md5"` — bit-identical across engines; the mode every
+    *     oracle-gated query pins, and the 1.4× digest tax the r4 bench
+    *     measured on q23.
+    *   - `"xxhash64"` — Spark's codegen'd internal hash masked into the
+    *     same [0, 2⁶⁰) domain; the production choice at 100 TB. No DuckDB
+    *     twin, so no value oracle — the plan shape and every guard are
+    *     IDENTICAL to md5 mode (asserted by DedupAnnSpec), only the digest
+    *     arithmetic changes.
+    *
+    * The mask keeps xxhash64 values non-negative so the universal-hash
+    * minhash arithmetic `(x mod P)·a + b` stays in range either way.
+    */
+  def baseHash60(c: Column, mode: String): Column = mode match {
+    case "md5" => md5Long60(c)
+    case "xxhash64" => xxhash64(c).bitwiseAND(lit(Mask60))
+    case other => throw new IllegalArgumentException(
+      s"hashMode must be md5 or xxhash64, got $other")
+  }
+
+  /** SQL-expression fragment of [[baseHash60]], for hashes built inside
+    * `expr(...)` lambdas where a [[Column]] cannot reach.
+    */
+  private def baseHash60Expr(e: String, mode: String): String = mode match {
+    case "md5" => s"md5_long60($e)"
+    case "xxhash64" => s"(xxhash64($e) & ${Mask60}L)"
+    case other => throw new IllegalArgumentException(
+      s"hashMode must be md5 or xxhash64, got $other")
+  }
 
   /** Modulus for the universal-hash minhash permutations: prime, small
     * enough that `(x mod P) * a + b` stays well under 2⁶³ for a,b < 2³¹.
@@ -244,17 +278,18 @@ object Dedup {
   }
 
   /** Raw (non-distinct, uncapped) shingle hashes — the minhash input.
-    * Word 3-shingles hashed to 60-bit longs via [[md5Long60]] before any
-    * shuffle: downstream distincts/joins move 8-byte keys, and the oracle
-    * rebuilds the identical values from DuckDB's md5.
+    * Word 3-shingles hashed to 60-bit longs ([[baseHash60]]) before any
+    * shuffle: downstream distincts/joins move 8-byte keys, and in md5 mode
+    * the oracle rebuilds the identical values from DuckDB's md5.
     */
-  def rawShingles(docs: DataFrame): DataFrame =
+  def rawShingles(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
+    val h = baseHash60Expr("concat_ws(' ', w[i], w[i+1], w[i+2])", hashMode)
     docs
       .withColumn("w", split(lower(trim(col("text"))), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 3), " +
-          "i -> md5_long60(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+        explode(expr(s"transform(sequence(0, size(w) - 3), i -> $h)")).as("sh"))
+  }
 
   /** Oracle CTE chain replaying the shingle pass: `words` → `shx(doc_id, x)`
     * with x = [[md5Long60]] of each word 3-shingle (non-distinct). Callers
@@ -326,16 +361,20 @@ object Dedup {
     * the q21 body, parameterized so the hot-bucket guard is testable on an
     * injected duplicate cluster (DedupAnnSpec).
     */
-  def minhashPairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(rawShingles(docs))
-    // the band key is the minhash 4-tuple itself (concatenated), not a
-    // re-hash of it: bucket membership is then exactly tuple equality,
-    // which the oracle replays verbatim. ~40-byte shuffle keys instead of
-    // 8 — at 100 TB you'd xxhash64-compress the band key and give up the
-    // cross-engine oracle; the plan shape is identical either way.
+  def minhashPairs(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
+    val sigs = minhashSignatures(rawShingles(docs, hashMode))
+    // md5 mode: the band key is the minhash 4-tuple itself (concatenated),
+    // not a re-hash of it — bucket membership is then exactly tuple
+    // equality, which the oracle replays verbatim, at the price of
+    // ~40-byte shuffle keys. xxhash64 mode is the 100 TB shape: the tuple
+    // is compressed to an 8-byte key (a false band collision needs a
+    // 64-bit hash collision AND a shared band index — vanishing next to
+    // the banding false-positive rate, and candidates are verified
+    // downstream anyway). Same plan either way.
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      concat_ws(":", parts: _*)
+      val key = concat_ws(":", parts: _*)
+      if (hashMode == "xxhash64") xxhash64(key) else key
     }
     // persisted in addition to guardedPairs' annotated cache: the union
     // branches there can schedule concurrently, and concurrent stages
@@ -367,10 +406,10 @@ object Dedup {
   /** SimHash candidate pairs over an arbitrary (doc_id, text) corpus — the
     * q22 body, parameterized for the injected-cluster guard test.
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  def simhashPairs(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
     val tokens = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .withColumn("h", md5Long60(col("tok")))
+      .withColumn("h", baseHash60(col("tok"), hashMode))
     val bitVotes = tokens.groupBy("doc_id")
       .agg(
         sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
@@ -443,7 +482,13 @@ object Dedup {
     * |A∩B| / |A∪B| from shingle-set sizes. The df cap in [[shingles]]
     * bounds each posting list, keeping the join linear in corpus size.
     */
-  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(corpus(s, dir))
+
+  /** N-gram Jaccard body over an arbitrary (doc_id, text) corpus — the q23
+    * pipeline with the base hash selectable ([[baseHash60]]).
+    */
+  def ngramJaccardPairs(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
     // [[shingles]] caches its distinct frame (the digest pass runs once);
     // the three consumers here (sizes + both self-join sides) re-derive
     // only the cheap broadcast anti-join from that cache. A second cache
@@ -451,7 +496,7 @@ object Dedup {
     // batch materialization of a corpus-sized frame costs more than three
     // broadcast-join probes. At 100 TB the capped posting lists would be
     // materialized to storage once and reused across the pipeline.
-    val sh = shingles(corpus(s, dir))
+    val sh = shingles(docs, hashMode = hashMode)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = sh.as("a")
     val b = sh.as("b")

@@ -94,6 +94,34 @@ class DedupAnnSpec extends SparkSpec {
     assert(pairs.filter($"edit_dist" =!= 0).count() == 0)
   }
 
+  test("xxhash64 hash mode finds the same duplicate pairs through the same guarded plan") {
+    import spark.implicits._
+    val k = 100
+    val cluster = (0 until k).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again today"))
+    val fillers = (1000 until 1040).map(i =>
+      (i.toLong, s"unique document number $i carrying words ${i * 7} ${i * 13} ${i * 31} nobody shares"))
+    val docs = (cluster ++ fillers).toDF("doc_id", "text")
+    // identical texts hash identically under EITHER base hash, so the
+    // duplicate star edges must be hash-mode independent; and the hot-
+    // bucket guard must hold in xxhash64 mode exactly as in md5 mode
+    for (mode <- Seq("md5", "xxhash64")) {
+      val mh = Dedup.minhashPairs(docs, mode).filter($"doc_a" < k && $"doc_b" < k)
+      assert(mh.count() == k - 1, s"$mode: cluster must emit exactly k-1 edges")
+      assert(mh.filter($"n_shared_bands" === 8).count() == k - 1, s"$mode: all bands shared")
+      val sh = Dedup.simhashPairs(docs, mode).filter($"doc_a" < k && $"doc_b" < k)
+      assert(sh.filter($"hamming" === 0).count() == k - 1, s"$mode: simhash hamming 0")
+      // jaccard runs on a 10-doc cluster: the 100-doc one exceeds the
+      // shingle df cap (its shingles are "boilerplate" and get dropped,
+      // correctly — identical-signature clusters are minhash's job)
+      val small = ((0 until 10).map(i => (i.toLong, "small cluster of repeated text here")) ++
+        fillers).toDF("doc_id", "text")
+      val jc = Dedup.ngramJaccardPairs(small, mode).filter($"doc_a" < 10 && $"doc_b" < 10)
+      assert(jc.count() == 45 && jc.filter($"jaccard" === 1.0).count() == 45,
+        s"$mode: all C(10,2) pairs at jaccard 1.0")
+    }
+  }
+
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
     import spark.implicits._
     // 10 identical docs — below MaxBucket, so the full pairwise set appears
