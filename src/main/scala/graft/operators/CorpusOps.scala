@@ -159,30 +159,34 @@ object CorpusOps {
     * term's document frequency. The corpus-statistics pass tokenizer
     * training and quality auditing start from.
     *
-    * Scale shape: explode → ONE partial-aggregated groupBy per kind
-    * (count + distinct-doc count via the two-level groupBy), then a
-    * rank-filter that compiles to WindowGroupLimit — each shuffle
-    * partition keeps only its local top-200 before the single-partition
-    * rank, so the global sort never sees the full vocabulary.
+    * Scale shape: explode → ONE partial-aggregated groupBy over the
+    * unioned (kind, doc_id, term) stream, then a rank-filter that
+    * compiles to WindowGroupLimit — each shuffle partition keeps only its
+    * local top-200 per kind before the final rank, so the sort never
+    * sees the full vocabulary. `kind` reaches the window through the
+    * union, where its two branch literals differ, so it is a real
+    * (non-foldable) partition key: the round-4 shape partitioned by
+    * `lit(kind)` per branch, which constant-folded to an EMPTY partition
+    * spec and made every bench tail warn "No Partition Defined" —
+    * bounded by the group limit, but contradicting PLANS.md's no-global-
+    * window claim.
     */
   def q67Vocab(s: SparkSession, dir: String, k: Int = 200): DataFrame = {
-    def topK(terms: DataFrame, kind: String): DataFrame = {
-      val counts = terms.groupBy("term")
-        .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
-      val w = Window.partitionBy(lit(kind)).orderBy(col("n_total").desc, col("term"))
-      counts.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(lit(kind).as("kind"), col("term"), col("n_total"), col("n_docs"), col("rank"))
-    }
     val uni = docs(s, dir)
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .select(lit("unigram").as("kind"), col("doc_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("term"))
     val bi = docs(s, dir)
       .withColumn("w", split(lower(trim(col("text"))), " "))
       .filter(size(col("w")) >= 2)
-      .select(col("doc_id"),
+      .select(lit("bigram").as("kind"), col("doc_id"),
         explode(expr("transform(sequence(0, size(w) - 2), " +
           "i -> concat_ws(' ', w[i], w[i+1]))")).as("term"))
-    topK(uni, "unigram").unionByName(topK(bi, "bigram"))
+    val counts = uni.unionByName(bi).groupBy("kind", "term")
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("kind").orderBy(col("n_total").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("kind", "term", "n_total", "n_docs", "rank")
       .orderBy("kind", "rank")
   }
 

@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   */
 class SemanticViewsSpec extends SparkSpec {
 
-  test("registerAll exposes all 10 views and each returns rows via SQL") {
+  test("registerAll exposes all 11 views and each returns rows via SQL") {
     val names = SemanticViews.registerAll(spark, Sf)
-    assert(names.length == 10)
+    assert(names.length == 11)
     names.foreach { v =>
       val n = spark.sql(s"SELECT * FROM $v").count()
       assert(n > 0, s"view $v returned no rows")
