@@ -109,4 +109,25 @@ class PlanSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size == 1 ||
       "Scan parquet".r.findAllIn(p).size == 1, "pivot re-scans to discover values")
   }
+
+  test("q71 broadcasts the rules frame; baselines are entity-partitioned windows") {
+    val p = planString(Alerts.q71AlertRules(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), "rules-of-config must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no shuffle join anywhere in rule evaluation")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(500))
+  }
+
+  test("q72/q73/q74 analyzers plan only entity-partitioned windows, no global sort-shuffle") {
+    Seq(
+      "q72" -> Predictive.q72TimingQuintiles(spark, Sf),
+      "q73" -> Architecture.q73ArchitectureDeltas(spark, Sf),
+      "q74" -> Predictive.q74NutritionAdequacy(spark, Sf)
+    ).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(p.contains("windowspecdefinition(user_id"), s"$name: ${p.take(300)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans an unbounded join")
+    }
+  }
 }
