@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Morning-briefing composition — the engine form of the reference's
+  * briefing Lambda (reference: lambda/morning_briefing/handler.py:137-258),
+  * which fires four sequential Athena queries (latest core metrics, latest
+  * energy state, latest recommendation, 7-day training load), checks Gold
+  * freshness, and assembles per-day guidance. Here the four reads collapse
+  * into ONE windowed pass over the q12 rollup: each per-view latest-day
+  * LIMIT 1 becomes `row_number() = 1` per entity, the 7-day TSS average is
+  * a trailing frame on the same pass, and the staleness check is a
+  * broadcast join against the corpus max day — per-entity instead of the
+  * Lambda's single-user loop, and one scan instead of four.
+  *
+  * Scale shape: the rollup's one exchange on (user_id, day), two window
+  * functions over the same user_id partitioning (no second exchange), and
+  * a 1-row broadcast. Nothing driver-side.
+  */
+object Briefing {
+
+  /** q75: one briefing row per entity — latest-day metrics, energy state,
+    * recommended action ([[SemanticViews]] classifications evaluated on
+    * the latest row), latest + trailing-7-day load score, and the
+    * freshness flag (days behind the corpus max day > 1, the handler's
+    * stale-data branch at handler.py:190-201).
+    */
+  def q75MorningBriefing(s: SparkSession, dir: String): DataFrame = {
+    val rollup = Windows.q12DailyRollup(s, dir)
+    val vs = coalesce(col("view_score_filled"), lit(0.0))
+    val p = coalesce(col("purchases"), lit(0L))
+    val er = coalesce(col("errors"), lit(0L))
+    val clk = coalesce(col("clicks"), lit(0L))
+    val pt = col("purchase_total")
+    val clkD = col("clicks").cast("double")
+
+    val perUser = Window.partitionBy("user_id").orderBy("day")
+    val w7 = perUser.rowsBetween(-6, Window.currentRow)
+    val wDesc = Window.partitionBy("user_id").orderBy(col("day").desc)
+
+    val annotated = rollup
+      .withColumn("load_score", Num.roundD(
+        when(p === 0, lit(0.0))
+          .when(pt.isNotNull && pt > 0, least(lit(300.0), pt * coalesce(clkD, lit(140.0)) / 600.0))
+          .when(clkD.isNotNull && clkD > 0, least(lit(200.0), clkD * 12.0))
+          .otherwise(lit(0.0))))
+      .withColumn("load_7d_avg", Num.roundD(
+        Num.exactSum(col("load_score")).over(w7).cast("double")
+          / count(lit(1)).over(w7)))
+      .withColumn("rn", row_number().over(wDesc))
+
+    val latest = annotated.filter(col("rn") === 1)
+    val maxDay = rollup.agg(max("day").as("max_day"))
+
+    latest.crossJoin(broadcast(maxDay))
+      .select(
+        col("user_id"), col("day"),
+        col("view_score_filled"), col("purchases"), col("clicks"),
+        col("errors"), col("purchase_total"),
+        when(vs >= 15 && p >= 1 && er === 0, "peak")
+          .when(vs >= 10, "charged")
+          .when(vs >= 5 || p >= 1, "steady")
+          .when(er >= 3, "strained")
+          .otherwise("depleted").as("energy_state"),
+        when(vs >= 15 && clk >= 3, "high_touch")
+          .when(vs >= 8 && clk >= 1, "moderate_touch")
+          .when(vs >= 3, "light_touch")
+          .otherwise("re_engage").as("recommended_action"),
+        col("load_score").as("load_latest"),
+        col("load_7d_avg"),
+        datediff(to_date(col("max_day")), to_date(col("day")))
+          .cast("int").as("days_behind"),
+        (datediff(to_date(col("max_day")), to_date(col("day"))) > 1)
+          .cast("int").as("is_stale"))
+      .orderBy("user_id")
+  }
+
+  val q75Sql: String = {
+    val loadCase =
+      Num.sqlRoundD("""CASE
+        WHEN COALESCE(purchases, 0) = 0 THEN 0.0
+        WHEN purchase_total IS NOT NULL AND purchase_total > 0
+          THEN LEAST(300.0, purchase_total * COALESCE(CAST(clicks AS DOUBLE), 140.0) / 600.0)
+        WHEN clicks IS NOT NULL AND clicks > 0 THEN LEAST(200.0, CAST(clicks AS DOUBLE) * 12.0)
+        ELSE 0.0 END""")
+    val w7 = "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"
+    s"""WITH e AS (SELECT *, STRFTIME(ts, '%Y-%m-%d') AS day FROM events),
+       |v AS (SELECT user_id, day, COUNT(*) AS views,
+       |        ${Num.sqlAvg("value")} AS view_score
+       |      FROM e WHERE event_type = 'view' GROUP BY 1, 2),
+       |p AS (SELECT user_id, day, COUNT(*) AS purchases,
+       |        ${Num.sqlSum("value", 2)} AS purchase_total
+       |      FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |c AS (SELECT user_id, day, COUNT(*) AS clicks
+       |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+       |er AS (SELECT user_id, day, COUNT(*) AS errors
+       |      FROM e WHERE event_type = 'error' GROUP BY 1, 2),
+       |j AS (SELECT * FROM v
+       |      FULL JOIN p USING (user_id, day)
+       |      FULL JOIN c USING (user_id, day)
+       |      FULL JOIN er USING (user_id, day)),
+       |roll AS (
+       |  SELECT user_id, day, purchases, purchase_total, clicks, errors,
+       |    LAST_VALUE(view_score IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY day
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_score_filled
+       |  FROM j),
+       |ld AS (
+       |  SELECT *, $loadCase AS load_score FROM roll),
+       |ann AS (
+       |  SELECT *,
+       |    ${Num.sqlRoundD(s"CAST(SUM(CAST(load_score AS DECIMAL(25,6))) $w7 AS DOUBLE) / COUNT(*) $w7")} AS load_7d_avg,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day DESC) AS rn
+       |  FROM ld),
+       |latest AS (SELECT * FROM ann WHERE rn = 1),
+       |mx AS (SELECT MAX(day) AS max_day FROM roll)
+       |SELECT user_id, day, view_score_filled, purchases, clicks, errors,
+       |  purchase_total,
+       |  CASE
+       |    WHEN COALESCE(view_score_filled, 0) >= 15 AND COALESCE(purchases, 0) >= 1
+       |         AND COALESCE(errors, 0) = 0 THEN 'peak'
+       |    WHEN COALESCE(view_score_filled, 0) >= 10 THEN 'charged'
+       |    WHEN COALESCE(view_score_filled, 0) >= 5 OR COALESCE(purchases, 0) >= 1 THEN 'steady'
+       |    WHEN COALESCE(errors, 0) >= 3 THEN 'strained'
+       |    ELSE 'depleted' END AS energy_state,
+       |  CASE
+       |    WHEN COALESCE(view_score_filled, 0) >= 15 AND COALESCE(clicks, 0) >= 3 THEN 'high_touch'
+       |    WHEN COALESCE(view_score_filled, 0) >= 8 AND COALESCE(clicks, 0) >= 1 THEN 'moderate_touch'
+       |    WHEN COALESCE(view_score_filled, 0) >= 3 THEN 'light_touch'
+       |    ELSE 're_engage' END AS recommended_action,
+       |  load_score AS load_latest, load_7d_avg,
+       |  CAST(date_diff('day', CAST(day AS DATE), CAST(max_day AS DATE)) AS INT) AS days_behind,
+       |  CAST(date_diff('day', CAST(day AS DATE), CAST(max_day AS DATE)) > 1 AS INT) AS is_stale
+       |FROM latest CROSS JOIN mx
+       |ORDER BY user_id""".stripMargin
+  }
+}

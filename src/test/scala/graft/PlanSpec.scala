@@ -118,6 +118,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(user_id"), p.take(500))
   }
 
+  test("q75 briefing: one fact pipeline + a 1-row freshness broadcast, no shuffle join") {
+    val p = planString(Briefing.q75MorningBriefing(spark, Sf))
+    // the only nested-loop join is the broadcast of the single-row
+    // corpus-max-day aggregate — a 1-row build side is the one case where
+    // BNLJ is the right plan; anything more means the compose degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(400))
+    assert(!p.contains("SortMergeJoin"), "briefing must not shuffle-join")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, "fact scanned more than twice")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(300))
+  }
+
   test("q72/q73/q74 analyzers plan only entity-partitioned windows, no global sort-shuffle") {
     Seq(
       "q72" -> Predictive.q72TimingQuintiles(spark, Sf),
