@@ -77,4 +77,37 @@ object Num {
     val p = s"1e$dp"
     s"FLOOR(($expr) * $p + 0.5) / $p"
   }
+
+  /** Portable standard-normal CDF Φ(x), via the Abramowitz–Stegun 7.1.26
+    * erf approximation (|err| < 1.5e-7 — far inside the 2-3dp the
+    * reference reports its probabilities at). Engine-native CDFs are not
+    * cross-engine pinnable, but this formula is plain IEEE double
+    * arithmetic plus one exp(), and JVM Math.exp and DuckDB's libm exp
+    * produced bit-identical results over an 801-point probe of [-4, 4]
+    * on this container — so Spark and the oracle compute the SAME double.
+    * [[sqlPhi]] emits the mirror with identical association order.
+    */
+  def phi(x: Column): Column = {
+    val z = x / math.sqrt(2.0)
+    val az = abs(z)
+    val sg = when(z < 0, lit(-1.0)).otherwise(lit(1.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * az)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t) + lit(1.421413741)) * t
+      - lit(0.284496736)) * t + lit(0.254829592)
+    val erf = sg * (lit(1.0) - poly * t * exp(-az * az))
+    lit(0.5) * (lit(1.0) + erf)
+  }
+
+  /** Oracle-SQL fragment mirroring [[phi]]. Keep `e` a SIMPLE column
+    * reference — it is substituted several times.
+    */
+  def sqlPhi(e: String): String = {
+    val z = s"(($e) / SQRT(2.0))"
+    val az = s"ABS($z)"
+    val sg = s"(CASE WHEN $z < 0 THEN -1.0 ELSE 1.0 END)"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $az))"
+    val poly = s"(((((1.061405429 * $t - 1.453152027) * $t) + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592)"
+    s"(0.5 * (1.0 + $sg * (1.0 - $poly * $t * EXP(-$az * $az))))"
+  }
 }
