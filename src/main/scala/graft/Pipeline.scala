@@ -21,8 +21,10 @@ object Pipeline {
   case class Summary(rollupRows: Long, trainingLoadRows: Long, views: Seq[String])
 
   def run(spark: SparkSession, dataDir: String, outDir: String): Summary = {
-    // gold rollup: fused single-scan plan, partitioned for pruned reads
-    val rollup = Windows.q12DailyRollup(spark, dataDir)
+    // gold rollup: fused single-scan plan, partitioned for pruned reads.
+    // The unsorted core — a global sort before a partitioned write only
+    // reshuffles what partitionBy is about to split anyway
+    val rollup = Windows.dailyRollup(spark, dataDir)
     rollup.write.mode("overwrite")
       .partitionBy("year", "month")
       .parquet(s"$outDir/gold_daily_rollup")

@@ -29,7 +29,7 @@ object Briefing {
     * stale-data branch at handler.py:190-201).
     */
   def q75MorningBriefing(s: SparkSession, dir: String): DataFrame = {
-    val rollup = Windows.q12DailyRollup(s, dir)
+    val rollup = Windows.dailyRollup(s, dir)
     val vs = coalesce(col("view_score_filled"), lit(0.0))
     val p = coalesce(col("purchases"), lit(0L))
     val er = coalesce(col("errors"), lit(0L))

@@ -381,7 +381,7 @@ object Experiments {
     */
   def q78CorrelationPanel(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day")
-    val pairs = Windows.q12DailyRollup(s, dir)
+    val pairs = Windows.dailyRollup(s, dir)
       .withColumn("y", lead("view_score", 1).over(w))
       .filter(col("purchase_total").isNotNull && col("y").isNotNull)
       .select(col("user_id"), col("day"), col("purchase_total").as("x"), col("y"))
@@ -395,20 +395,22 @@ object Experiments {
     val rsxy = rollSum(col("x") * col("y"))
     val rNum = rn * rsxy - rsx * rsy
     val rDen = (rn * rsxx - rsx * rsx) * (rn * rsyy - rsy * rsy)
+    // the rolling stat rides the SAME windowed pass as the panel sums:
+    // max(when(rn_desc = 1, roll_r)) picks the newest pair's rolling r
+    // (null included — every other row contributes null) without the
+    // second scan + self-join a separate latest-row branch would cost
     val rolled = pairs
       .withColumn("roll_r", when(rn >= 7 && rDen > 0, Num.roundD(rNum / sqrt(rDen), 4)))
       .withColumn("rn_desc", row_number().over(wDesc))
 
-    val latestRoll = rolled.filter(col("rn_desc") === 1)
-      .select(col("user_id"), col("roll_r").as("rolling_r_latest"))
-
-    val g = pairs.groupBy("user_id").agg(
+    val g = rolled.groupBy("user_id").agg(
       count(lit(1)).cast("double").as("n"),
       Num.exactSum(col("x")).cast("double").as("sx"),
       Num.exactSum(col("y")).cast("double").as("sy"),
       Num.exactSum(col("x") * col("x")).cast("double").as("sxx"),
       Num.exactSum(col("y") * col("y")).cast("double").as("syy"),
-      Num.exactSum(col("x") * col("y")).cast("double").as("sxy"))
+      Num.exactSum(col("x") * col("y")).cast("double").as("sxy"),
+      max(when(col("rn_desc") === 1, col("roll_r"))).as("rolling_r_latest"))
       .filter(col("n") >= 5)
 
     val sxxC = col("sxx") - col("sx") * col("sx") / col("n")
@@ -425,7 +427,7 @@ object Experiments {
       .withColumn("p_value_z",
         Num.roundD(lit(2.0) * (lit(1.0) - Num.phi(abs(col("t_raw")))), 4))
 
-    stats.join(latestRoll, Seq("user_id"), "left")
+    stats
       .select(
         col("user_id"), col("n").cast("long").as("n"),
         col("r"), Num.roundD(col("r_raw") * col("r_raw"), 4).as("r_squared"),

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Predictive {
 
   private def rollup(s: SparkSession, dir: String): DataFrame =
-    Windows.q12DailyRollup(s, dir)
+    Windows.dailyRollup(s, dir)
 
   /** Reference CTE: the q12 gold rollup as oracle SQL, reused by every
     * query here the way dbt refs gold_daily_rollup.

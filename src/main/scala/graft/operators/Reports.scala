@@ -48,7 +48,7 @@ object Reports {
     * more than 3 days behind the corpus max, :220-221).
     */
   def q79WeeklyReport(s: SparkSession, dir: String): DataFrame = {
-    val rollup = Windows.q12DailyRollup(s, dir)
+    val rollup = Windows.dailyRollup(s, dir)
     val maxDay = rollup.agg(max("day").as("max_day"))
 
     val bounded = rollup.crossJoin(broadcast(maxDay))

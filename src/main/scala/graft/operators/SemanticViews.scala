@@ -160,7 +160,7 @@ object SemanticViews {
     // to gold rather than reading gold alone
     Architecture.componentDaily(graft.Tables.load(s, dir, "events"))
       .createOrReplaceTempView("graft_architecture")
-    registerOver(Windows.q12DailyRollup(s, dir)) :+ "graft_architecture"
+    registerOver(Windows.dailyRollup(s, dir)) :+ "graft_architecture"
   }
 
   /** Register the semantic layer over an existing rollup frame. */

@@ -161,7 +161,19 @@ object Windows {
     * forward-fill window re-partitions by user_id only. Output carries
     * year/month so a partitioned parquet write prunes at read time.
     */
-  def q12DailyRollup(s: SparkSession, dir: String): DataFrame = {
+  def q12DailyRollup(s: SparkSession, dir: String): DataFrame =
+    dailyRollup(s, dir).orderBy("user_id", "day")
+
+  /** q12's rollup WITHOUT the registered query's trailing global sort.
+    * Every derived pipeline (the predictive layer, briefing, weekly
+    * report, correlation panel, semantic views) consumes THIS: the
+    * orderBy is q12's output contract, not part of the rollup, and
+    * keeping it mid-pipeline costs each consumer a rangepartitioning
+    * exchange + sort that the next window's hash re-partitioning
+    * immediately discards (measured in q78's r5 plan audit: the range
+    * exchange sat directly under the window's hash exchange).
+    */
+  def dailyRollup(s: SparkSession, dir: String): DataFrame = {
     val e = events(s, dir).withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     def onlyFor(t: String): Column = when(col("event_type") === t, col("value"))
     val rolled = e.groupBy("user_id", "day")
@@ -193,7 +205,6 @@ object Windows {
       .select("user_id", "day", "year", "month", "views", "view_score",
         "view_score_filled", "purchases", "purchase_total", "clicks",
         "errors", "activity_state")
-      .orderBy("user_id", "day")
   }
 
   /** The reference-literal outer-join formulation of q12's rollup core —
