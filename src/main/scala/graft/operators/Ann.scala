@@ -384,4 +384,121 @@ object Ann {
        |  FROM scored) t
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** q81: IVF ANN with a DETERMINISTIC coarse quantizer — the
+    * oracle-pinnable twin of [[ivfTopK]]. The plan shape is identical
+    * IVF (tiny broadcast centroid table, one corpus pass for cell
+    * assignment, probe-cell equi-join, per-query top-k), but the
+    * centroids are per-label decimal-exact component means instead of
+    * k-means iterates: k-means' float accumulation order is
+    * engine-specific, exact means are not, so DuckDB replays cell
+    * assignment, probing, and verification bit-for-bit. At 100 TB the
+    * labels stand in for any cheap pre-existing partition of the
+    * corpus (a topic, a source shard, a previous clustering run) used
+    * to seed cells; swap k-means back in ([[ivfTopK]]) when no such
+    * partition exists and give up the value oracle for a recall test.
+    *
+    * nprobe = 3 of nlist = 10 cells; queries are the q25 query set, so
+    * DedupAnnSpec can measure recall of this index against the exact
+    * baseline.
+    */
+  def q81AnnIvf(s: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+    // nlist × Dim aggregate: decimal-exact component sums per label
+    val centroids = e.groupBy(col("label").as("cell")).agg(
+      array((0 until Dim).map { j =>
+        (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
+      }: _*).as("centroid"))
+
+    // one corpus pass: argmax cosine over the 10 broadcast centroids,
+    // smallest cell id on ties (the SQL mirror orders sim DESC, cell ASC)
+    val simW = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineDec("emb", "centroid"))
+      .withColumn("rn", row_number().over(simW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cell"))
+
+    // each query probes its nprobe nearest cells by the same metric
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosineDec("q_emb", "centroid"))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosineDec("q_emb", "emb").as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  val q81Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, label, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM e),
+       |cent AS (
+       |  SELECT label AS cell, j,
+       |    CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS c
+       |  FROM expl GROUP BY 1, 2),
+       |-- decimal dot of every vector against every centroid, plus norms
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell,
+       |    SUM(CAST(x.v * ct.c AS DECIMAL(25,12))) AS dvc
+       |  FROM expl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |vnorm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2 FROM expl GROUP BY 1),
+       |cnorm AS (SELECT cell, SUM(CAST(c * c AS DECIMAL(25,12))) AS n2 FROM cent GROUP BY 1),
+       |sims AS (
+       |  SELECT d.vec_id, d.cell,
+       |    ${Num.sqlRoundD("CAST(d.dvc AS DOUBLE) / SQRT(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))")} AS sim
+       |  FROM vdots d JOIN vnorm v ON v.vec_id = d.vec_id
+       |  JOIN cnorm c ON c.cell = d.cell),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims WHERE vec_id < 50) t
+       |  WHERE rn <= 3),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id AS id_a, a.vec_id AS id_b
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |pdots AS (
+       |  SELECT c.id_a, c.id_b,
+       |    SUM(CAST(qa.v * qb.v AS DECIMAL(25,12))) AS dotp
+       |  FROM cands c
+       |  JOIN expl qa ON qa.vec_id = c.id_a
+       |  JOIN expl qb ON qb.vec_id = c.id_b AND qb.j = qa.j
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.id_a, d.id_b,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))")} AS cosine
+       |  FROM pdots d
+       |  JOIN vnorm na ON na.vec_id = d.id_a
+       |  JOIN vnorm nb ON nb.vec_id = d.id_b)
+       |SELECT id_a AS q_id, rank, id_b AS n_id, cosine FROM (
+       |  SELECT id_a, id_b, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 }

@@ -157,6 +157,30 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q81 deterministic IVF: valid per-query top-k and a recall floor vs exact") {
+    val ivf = Ann.q81AnnIvf(spark, Sf).collect()
+    val byQ = ivf.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"query $q: cosines not descending")
+      assert(rs.map(_.getAs[Long]("n_id")).distinct.length == rs.length)
+      assert(!rs.exists(_.getAs[Long]("n_id") == q), s"query $q returned itself")
+    }
+    // recall@10 against the exact baseline on the shared query set —
+    // deterministic quantizer, deterministic data, so the floor is stable
+    val exact = Ann.q25AnnBruteforce(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+    val recalls = exact.map { case (q, want) =>
+      val got = byQ.get(q).map(_.map(_.getAs[Long]("n_id")).toSet).getOrElse(Set.empty)
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.35, f"IVF recall@10 $mean%.2f below floor (nprobe 3/10 cells)")
+  }
+
   test("q26 LSH ANN recalls every genuinely-near neighbor at rank 1") {
     // queries with an injected near-dup (vec_id % 5 == 0 → +10000 at
     // cosine ≈ 1) must surface it as their top hit — LSH's recall contract
