@@ -79,4 +79,61 @@ class PropertySpec extends AnyFunSuite {
       if (mt != "video") assert(a.getInt(6) == 1)
     }
   }
+
+  /** The JVM-arithmetic twin of [[Num.phi]]'s formula — same constants,
+    * same association order, so it characterizes exactly what the Column
+    * expression and the DuckDB mirror compute.
+    */
+  private def phiScalar(x: Double): Double = {
+    val z = x / math.sqrt(2.0)
+    val az = math.abs(z)
+    val sg = if (z < 0) -1.0 else 1.0
+    val t = 1.0 / (1.0 + 0.3275911 * az)
+    val poly = ((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592
+    0.5 * (1.0 + sg * (1.0 - poly * t * math.exp(-az * az)))
+  }
+
+  test("phi formula is a CDF: bounded, monotone, symmetric, correct tails") {
+    var prev = -1.0
+    (-800 to 800).foreach { i =>
+      val x = i / 100.0
+      val p = phiScalar(x)
+      assert(p >= 0.0 && p <= 1.0, s"phi($x) = $p out of range")
+      assert(p >= prev - 1.5e-7, s"phi not monotone at $x")
+      prev = p
+      // the A&S erf is odd by construction for x ≠ 0 (± ulps); at x = 0
+      // the branch takes sign +1 and the residual is the approximation
+      // error itself (~1e-9), so the bound is the A&S error bound
+      assert(math.abs(p + phiScalar(-x) - 1.0) < 2e-7, s"asymmetric at $x")
+    }
+    assert(phiScalar(-8.0) < 1e-7 && phiScalar(8.0) > 1.0 - 1e-7)
+    // spot values vs the exact normal CDF, inside the 1.5e-7 A&S bound
+    assert(math.abs(phiScalar(1.0) - 0.8413447461) < 2e-7)
+    assert(math.abs(phiScalar(-1.96) - 0.0249978951) < 2e-7)
+  }
+
+  test("conjugate-posterior effect shrinks toward the data as evidence grows") {
+    // with prior N(m0, v0) and likelihood mean m1, var v1/n: the posterior
+    // mean is a convex combination — more post observations pull it closer
+    // to the post mean. Mirrors q76's arithmetic (Experiments.scala).
+    (1 to N).foreach { _ =>
+      val m0 = (rng.nextDouble() - 0.5) * 100
+      val m1 = (rng.nextDouble() - 0.5) * 100
+      val v0 = 0.1 + rng.nextDouble() * 50
+      val v1 = 0.1 + rng.nextDouble() * 50
+      def postMean(n: Int): Double = {
+        val lik = v1 / n
+        val pv = 1.0 / (1.0 / v0 + 1.0 / lik)
+        pv * (m0 / v0 + m1 / lik)
+      }
+      val small = postMean(2); val large = postMean(50)
+      assert(math.abs(large - m1) <= math.abs(small - m1) + 1e-9,
+        "more evidence must pull the posterior toward the data")
+      Seq(small, large).foreach { pm =>
+        assert(pm >= math.min(m0, m1) - 1e-9 && pm <= math.max(m0, m1) + 1e-9,
+          "posterior mean must lie between prior and data means")
+      }
+    }
+  }
 }
