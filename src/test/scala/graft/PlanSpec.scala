@@ -141,4 +141,40 @@ class PlanSpec extends SparkSpec {
         s"$name plans an unbounded join")
     }
   }
+
+  test("q76/q77 experiments: config joins broadcast, anchor is the only nested loop") {
+    Seq(
+      "q76" -> Experiments.q76BayesianEffect(spark, Sf),
+      "q77" -> Experiments.q77DidCounterfactual(spark, Sf)
+    ).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name: interventions must broadcast")
+      // the 1-row corpus-max-day anchor is the one permitted nested loop
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, s"$name: ${p.take(400)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name must not shuffle-join config-sized frames")
+    }
+  }
+
+  test("q78 panel is one scan: windows and the groupBy share the user partitioning") {
+    val p = planString(Experiments.q78CorrelationPanel(spark, Sf))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "panel must scan the fact once")
+    assert(p.contains("windowspecdefinition(user_id"), p.take(300))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      "the rolling stat must ride the panel pass, not join back")
+  }
+
+  test("q79 weekly report: one fact aggregation pass + the 1-row anchor broadcast") {
+    val p = planString(Reports.q79WeeklyReport(spark, Sf))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(400))
+    assert(!p.contains("SortMergeJoin"), "weekly report must not shuffle-join")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, "fact scanned more than twice")
+  }
+
+  test("q81 deterministic IVF: centroids broadcast, candidates only via the cell equi-join") {
+    val p = planString(Ann.q81AnnIvf(spark, Sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "IVF must never shuffle-join or cross the corpus")
+    assert(p.contains("BroadcastHashJoin"), "probe-cell join must broadcast")
+  }
 }
