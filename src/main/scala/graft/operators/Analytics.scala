@@ -523,6 +523,113 @@ object Analytics {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** q82: FHIR R4 Bundle composition — the bundle layer above q18's
+    * per-metric Observations (reference: insights_engine/fhir/
+    * bundle_builder.py:98-216 — name-based resource ids, one Observation
+    * per positive (metric, day) value, a Patient resource as the first
+    * entry, and a `collection` Bundle wrapper carrying total + entries).
+    *
+    * Engine form: one bundle per entity (the reference's single
+    * PATIENT_REFERENCE generalized per §3), entries deterministically
+    * ordered by their resource id so the bundle TEXT itself is the
+    * oracle contract. Resource ids are name-based like the reference's
+    * uuid5, but derived from sha-256 (uuid5's SHA-1 is not available as
+    * portable arithmetic in both engines; the id is formatted to the
+    * same 8-4-4-4-12 shape and is equally deterministic). The Bundle
+    * `id`/`timestamp` are the reference's only non-reproducible fields
+    * (uuid4 + utcnow, bundle_builder.py:211-213) — here the id is keyed
+    * to the entity and the timestamp is omitted, so every run of every
+    * engine emits byte-identical bundles.
+    *
+    * Scale: one partial-aggregated pass for the daily metrics, a JSON
+    * projection, one groupBy(user) string aggregation — entries per
+    * entity are bounded (metrics × days), never corpus-wide.
+    */
+  def q82FhirBundle(s: SparkSession, dir: String): DataFrame = {
+    def uuidish(key: Column): Column = {
+      val h = sha2(key, 256)
+      concat(
+        substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+        substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+        substring(h, 21, 12))
+    }
+    val daily = Alerts.dailyMetrics(graft.Tables.load(s, dir, "events"))
+      .filter(col("observed") > 0)
+    val uid = col("user_id").cast("string")
+    val obs = daily
+      .withColumn("fid", uuidish(concat_ws(":", lit("graft"), col("metric"), col("day"), uid)))
+      .withColumn("obs_json", to_json(struct(
+        lit("Observation").as("resourceType"),
+        col("fid").as("id"),
+        lit("final").as("status"),
+        col("metric").as("code"),
+        concat(lit("Patient/user-"), uid).as("subject"),
+        concat(col("day"), lit("T00:00:00Z")).as("effectiveDateTime"),
+        floor(col("observed") * 100 + lit(0.5)).cast("int").as("value_centi"),
+        lit("score").as("unit"))))
+      .withColumn("entry_json", concat(
+        lit("{\"fullUrl\":\"urn:uuid:"), col("fid"),
+        lit("\",\"resource\":"), col("obs_json"), lit("}")))
+    val g = obs.groupBy("user_id").agg(
+      count(lit(1)).as("n_obs"),
+      array_join(array_sort(collect_list(col("entry_json"))), ",").as("entries"))
+    g.select(
+        col("user_id"),
+        (col("n_obs") + 1).as("total"),
+        concat(
+          lit("{\"resourceType\":\"Bundle\",\"id\":\"bundle-user-"), uid,
+          lit("\",\"type\":\"collection\",\"total\":"), (col("n_obs") + 1).cast("string"),
+          lit(",\"entry\":[{\"fullUrl\":\"urn:uuid:"),
+          uuidish(concat(lit("graft:patient:user-"), uid)),
+          lit("\",\"resource\":{\"resourceType\":\"Patient\",\"id\":\"user-"), uid,
+          lit("\",\"active\":true,\"name\":[{\"text\":\"Graft User "), uid,
+          lit("\"}]}},"), col("entries"), lit("]}")).as("bundle_json"))
+      .orderBy("user_id")
+  }
+
+  val q82Sql: String = {
+    def uuidish(e: String) =
+      s"""substr(sha256($e), 1, 8) || '-' || substr(sha256($e), 9, 4) || '-' ||
+         |    substr(sha256($e), 13, 4) || '-' || substr(sha256($e), 17, 4) || '-' ||
+         |    substr(sha256($e), 21, 12)""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT user_id, event_type AS metric, STRFTIME(ts, '%Y-%m-%d') AS day,
+       |    ${graft.Num.sqlAvg("value")} AS observed
+       |  FROM events GROUP BY 1, 2, 3),
+       |obs AS (
+       |  SELECT user_id,
+       |    ${uuidish("'graft:' || metric || ':' || day || ':' || CAST(user_id AS VARCHAR)")} AS fid,
+       |    metric, day, observed
+       |  FROM daily WHERE observed > 0),
+       |entries AS (
+       |  SELECT user_id,
+       |    '{"fullUrl":"urn:uuid:' || fid || '","resource":' ||
+       |    json_object(
+       |      'resourceType', 'Observation',
+       |      'id', fid,
+       |      'status', 'final',
+       |      'code', metric,
+       |      'subject', 'Patient/user-' || CAST(user_id AS VARCHAR),
+       |      'effectiveDateTime', day || 'T00:00:00Z',
+       |      'value_centi', CAST(FLOOR(observed * 100 + 0.5) AS INT),
+       |      'unit', 'score')::VARCHAR || '}' AS entry_json
+       |  FROM obs),
+       |g AS (
+       |  SELECT user_id, COUNT(*) AS n_obs,
+       |    STRING_AGG(entry_json, ',' ORDER BY entry_json) AS entries
+       |  FROM entries GROUP BY 1)
+       |SELECT user_id, n_obs + 1 AS total,
+       |  '{"resourceType":"Bundle","id":"bundle-user-' || CAST(user_id AS VARCHAR) ||
+       |  '","type":"collection","total":' || CAST(n_obs + 1 AS VARCHAR) ||
+       |  ',"entry":[{"fullUrl":"urn:uuid:' ||
+       |  ${uuidish("'graft:patient:user-' || CAST(user_id AS VARCHAR)")} ||
+       |  '","resource":{"resourceType":"Patient","id":"user-' || CAST(user_id AS VARCHAR) ||
+       |  '","active":true,"name":[{"text":"Graft User ' || CAST(user_id AS VARCHAR) ||
+       |  '"}]}},' || entries || ']}' AS bundle_json
+       |FROM g
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** q19: tumbling 1-hour window aggregation — batch form of the streaming
     * hourly rollup (reference: lambda/health_alerts/handler.py hourly
     * aggregation; the true streaming path is graft.streaming.EventStreams).
