@@ -61,10 +61,21 @@ object Experiments {
     * pre = [start-14, start-1], post = [start, end+washout] or
     * [start, today]); the range join against 3 config rows broadcasts.
     */
-  private def taggedObs(s: SparkSession, dir: String): DataFrame = {
-    val daily = Alerts.dailyMetrics(Tables.load(s, dir, "events"))
+  private def taggedObs(s: SparkSession, dir: String): DataFrame =
+    taggedObsFor(Alerts.dailyMetrics(Tables.load(s, dir, "events")), interventions(s))
+
+  /** The same period tagging over ANY daily series and ANY interventions
+    * frame — the tracker→analyzer composition of the reference
+    * (analyzer.py takes `Intervention` records from tracker.py's store):
+    * [[graft.sources.ExperimentStore.listInterventions]] output plugs in
+    * directly (`id, name, itype, …, start_day, end_day, washout_days`).
+    */
+  def taggedObsFor(daily: DataFrame, interventionsDf: DataFrame): DataFrame = {
     val maxDay = daily.agg(max("day").as("max_day"))
-    val intv = interventions(s).crossJoin(broadcast(maxDay))
+    val intv = interventionsDf
+      .withColumnRenamed("washout_days", "washout")
+      .select("id", "name", "itype", "metric", "start_day", "end_day", "washout")
+      .crossJoin(broadcast(maxDay))
       .withColumn("pre_start",
         date_format(date_sub(to_date(col("start_day")), preDays), "yyyy-MM-dd"))
       .withColumn("post_end", coalesce(
@@ -112,8 +123,15 @@ object Experiments {
     * sparse synthetic entities the degenerate groups are filtered, not
     * special-cased).
     */
-  def q76BayesianEffect(s: SparkSession, dir: String): DataFrame = {
-    val m = momentAgg(taggedObs(s, dir))
+  def q76BayesianEffect(s: SparkSession, dir: String): DataFrame =
+    bayesianFor(taggedObs(s, dir))
+
+  /** The full Bayesian battery over any period-tagged observation frame
+    * (see [[taggedObsFor]]) — the tracker→analyzer composition entry
+    * point.
+    */
+  def bayesianFor(obs: DataFrame): DataFrame = {
+    val m = momentAgg(obs)
       .filter(col("n_pre") >= 5 && col("n_post") >= 5)
       .withColumn("pre_var", variance(col("n_pre"), col("sx_pre"), col("sxx_pre")))
       .withColumn("post_var", variance(col("n_post"), col("sx_post"), col("sxx_post")))

@@ -126,6 +126,27 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("tracker → analyzer: store-persisted interventions drive the Bayesian battery") {
+    import graft.sources.ExperimentStore
+    import graft.operators.{Alerts, Experiments}
+    val dir = java.nio.file.Files.createTempDirectory("expstore-intg").toString
+    // persist the same intervention the literal config carries, then run
+    // the analyzer from the STORE's frame — the reference's tracker.py →
+    // analyzer.py flow
+    ExperimentStore.addIntervention(spark, dir, ExperimentStore.Intervention(
+      "i1", "Creatine Loading", "supplement", "", "2024-01-15", Some("2024-01-25"), 3, "", "t0"))
+    val fromStore = ExperimentStore.listInterventions(spark, dir)
+      .withColumn("metric", lit("purchase"))
+    val daily = Alerts.dailyMetrics(graft.Tables.load(spark, Sf, "events"))
+    val got = Experiments.bayesianFor(Experiments.taggedObsFor(daily, fromStore)).collect()
+    val want = q76.filter(_.getAs[String]("id") == "i1")
+    assert(got.length == want.length && got.nonEmpty)
+    val gotEff = got.map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("effect")).toMap
+    want.foreach { r =>
+      assert(gotEff(r.getAs[Long]("user_id")) == r.getAs[Double]("effect"))
+    }
+  }
+
   test("q76/q77 plans broadcast the interventions config; no SortMergeJoin") {
     Seq(Experiments.q76BayesianEffect(spark, Sf), Experiments.q77DidCounterfactual(spark, Sf))
       .foreach { df =>
