@@ -410,31 +410,53 @@ object Ann {
       array((0 until Dim).map { j =>
         (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
       }: _*).as("centroid"))
+      // integer-quantized centroid (the q24 discipline): cell RANKING only
+      // needs cross-engine-identical ordering, and exact long dots give it
+      // inside whole-stage codegen — the decimal fold (the first cut of
+      // this query) measured 7.3 s at sf0.1 doing the same job
+      .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
+      .withColumn("cnorm2",
+        expr("aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
 
-    // one corpus pass: argmax cosine over the 10 broadcast centroids,
-    // smallest cell id on ties (the SQL mirror orders sim DESC, cell ASC)
+    // cosine ORDER against a fixed vector = integer dot / sqrt(centroid
+    // norm): the vector's own norm is constant inside each ranking
+    // partition and drops out
+    def qdot(a: String): Column = expr(
+      s"CAST(aggregate(zip_with($a, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+    val simOf: Column => Column = qv => qv / sqrt(col("cnorm2").cast("double"))
+
+    // one corpus pass: argmax over the 10 broadcast centroids, smallest
+    // cell id on ties (the SQL mirror orders sim DESC, cell ASC)
+    val withQ = e.withColumn("qemb",
+      expr(s"transform(emb, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
     val simW = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineDec("emb", "centroid"))
+    val assigned = withQ.crossJoin(broadcast(centroids))
+      .withColumn("sim", simOf(qdot("qemb")))
       .withColumn("rn", row_number().over(simW))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("cell"))
+      // per-vector decimal norm ONCE at assignment (the oracle's vnorm
+      // CTE): cosineDec per candidate pair would refold BOTH norms for
+      // every pair — 3 decimal folds per pair instead of 1
+      .withColumn("n2", dotDec("emb", "emb").cast("double"))
+      .select(col("vec_id"), col("emb"), col("cell"), col("n2"))
 
     // each query probes its nprobe nearest cells by the same metric
-    val q = e.filter(col("vec_id") < 50)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val probeW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosineDec("q_emb", "centroid"))
+    val probes = withQ.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("qemb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", simOf(qdot("qemb")))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select("q_id", "q_emb", "cell")
+      .withColumn("q_n2", dotDec("q_emb", "q_emb").cast("double"))
+      .select("q_id", "q_emb", "cell", "q_n2")
 
     val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosineDec("q_emb", "emb").as("cosine"))
+        Num.roundD(dotDec("q_emb", "emb").cast("double")
+          / sqrt(col("q_n2") * col("n2"))).as("cosine"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cosine")
@@ -451,21 +473,22 @@ object Ann {
        |  FROM e),
        |cent AS (
        |  SELECT label AS cell, j,
-       |    CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS c
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq
        |  FROM expl GROUP BY 1, 2),
-       |-- decimal dot of every vector against every centroid, plus norms
+       |-- exact integer dot of every quantized vector against every
+       |-- quantized centroid: ranking only, so the vector's own norm
+       |-- (constant inside each ranking partition) drops out
        |vdots AS (
        |  SELECT x.vec_id, ct.cell,
-       |    SUM(CAST(x.v * ct.c AS DECIMAL(25,12))) AS dvc
+       |    SUM(CAST(FLOOR(x.v * $QScale) AS BIGINT) * ct.cq) AS dvc
        |  FROM expl x JOIN cent ct ON x.j = ct.j
        |  GROUP BY 1, 2),
        |vnorm AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2 FROM expl GROUP BY 1),
-       |cnorm AS (SELECT cell, SUM(CAST(c * c AS DECIMAL(25,12))) AS n2 FROM cent GROUP BY 1),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
        |sims AS (
        |  SELECT d.vec_id, d.cell,
-       |    ${Num.sqlRoundD("CAST(d.dvc AS DOUBLE) / SQRT(CAST(v.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE))")} AS sim
-       |  FROM vdots d JOIN vnorm v ON v.vec_id = d.vec_id
-       |  JOIN cnorm c ON c.cell = d.cell),
+       |    CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE)) AS sim
+       |  FROM vdots d JOIN cnorm c ON c.cell = d.cell),
        |assigned AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
