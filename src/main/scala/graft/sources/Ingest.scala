@@ -159,16 +159,24 @@ object Ingest {
       d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }
 
-  /** Partitioned parquet write: derive year/month from a timestamp column
-    * and write partitionBy(year, month) so downstream reads prune by date
-    * predicates. (reference: oura_normalizer.py:295)
+  /** Partitioned columnar write: derive year/month from a timestamp
+    * column and write partitionBy(year, month) so downstream reads prune
+    * by date predicates. (reference: oura_normalizer.py:295)
+    *
+    * `format` is parquet (default) or orc — both ship in the Spark
+    * distribution with partition pruning and predicate pushdown; Avro
+    * would need the external spark-avro connector, which is absent from
+    * /opt/spark/jars (a §6 non-goal with the same jar evidence as
+    * Delta/Iceberg).
     */
-  def writePartitioned(df: DataFrame, tsCol: String, outPath: String): Unit =
+  def writePartitioned(df: DataFrame, tsCol: String, outPath: String,
+                       format: String = "parquet"): Unit =
     df.withColumn("year", year(col(tsCol)))
       .withColumn("month", month(col(tsCol)))
       .write.mode("overwrite")
       .partitionBy("year", "month")
-      .parquet(outPath)
+      .format(format)
+      .save(outPath)
 
   /** Read an evolving partitioned parquet history with schema merge:
     * partitions written before a column existed surface it as NULL, so one

@@ -155,4 +155,22 @@ class IngestSpec extends SparkSpec {
     val p = planString(back)
     assert(!p.contains("year=2025") || p.contains("PartitionFilters"), "partition pruning expected")
   }
+
+  test("writePartitioned in ORC round-trips with pruning and pushed predicates") {
+    val d = tmpDir("orc-write")
+    val events = Tables.load(spark, Sf, "events")
+    Ingest.writePartitioned(events, "ts", d.toString + "/out", format = "orc")
+    val back = spark.read.orc(d.toString + "/out")
+      .filter(col("month") === 1 && col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    assert(back.count() ==
+      events.filter(month(col("ts")) === 1 && col("event_type") === "purchase").count())
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("orc") || p.contains("Orc"), p.take(200))
+    // the same scan disciplines as parquet: the data predicate reaches the
+    // ORC reader and the untouched columns stay out of the read schema
+    assert(p.contains("PushedFilters: [") && p.contains("event_type"),
+      "event_type filter must push into the ORC scan")
+    assert(!p.toLowerCase.contains("props"), "unselected column must be pruned")
+  }
 }
