@@ -96,5 +96,9 @@ object GraftFunctions {
       new FunctionIdentifier("md5_long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5_long60"),
       (children: Seq[Expression]) => Md5Long60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_dec"),
+      new ExpressionInfo(classOf[DotDecimal].getName, "dot_dec"),
+      (children: Seq[Expression]) => DotDecimal(children.head, children(1))))
   }
 }

@@ -58,15 +58,17 @@ object Ann {
 
   /** Decimal-exact dot product of two double arrays: each product is
     * exact in double and its DECIMAL(25,12) rounding is engine-portable;
-    * decimal addition is associative, so the codegen'd fold equals the
-    * oracle's unordered SUM bit-for-bit. The merge re-casts because
-    * decimal + decimal widens to DECIMAL(26,12), which would no longer
-    * match `aggregate`'s accumulator type; values sit far below the
-    * precision bound, so the cast is lossless.
+    * decimal addition is associative, so the fold equals the oracle's
+    * unordered SUM bit-for-bit. Since round 5 this is the native
+    * [[graft.functions.DotDecimal]] expression (one static call per row,
+    * loop in plain Java) rather than the semantically-identical
+    * `aggregate(zip_with(...))` fold, whose higher-order-function
+    * machinery paid lambda binding and Decimal boxing per ELEMENT — the
+    * swap held every consuming oracle green and cut the ANN verify
+    * phases' time (measurements in PLANS.md).
     */
-  private[operators] def dotDec(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x * y as decimal(25,12)))," +
-      s" cast(0 as decimal(25,12)), (acc, v) -> cast(acc + v as decimal(25,12)))")
+  private[operators] def dotDec(a: String, b: String): Column =
+    call_function("dot_dec", col(a), col(b))
 
   /** Engine-portable cosine between two double-array columns (by NAME):
     * decimal dots + roundD — bit-identical to the oracle's replay.

@@ -68,4 +68,35 @@ class FunctionsSpec extends SparkSpec {
       .select(call_function("md5_long60", col("text"))))
     assert("""\*\(\d+\) Project \[md5_long60""".r.findFirstIn(p).isDefined, p.take(400))
   }
+
+  test("dot_dec equals the composable aggregate(zip_with) decimal fold bit-for-bit") {
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("emb2", expr("transform(embedding, x -> cast(x as double) * 1.01)"))
+    val d = e.select(
+      call_function("dot_dec", col("emb"), col("emb2")).as("native"),
+      expr("aggregate(zip_with(emb, emb2, (x, y) -> cast(x * y as decimal(25,12)))," +
+        " cast(0 as decimal(25,12)), (acc, v) -> cast(acc + v as decimal(25,12)))").as("composed"))
+    assert(d.filter(col("native") =!= col("composed") ||
+      col("native").isNull =!= col("composed").isNull).count() == 0)
+  }
+
+  test("dot_dec null semantics match zip_with padding: mismatched lengths and null slots") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),          // equal: 3 + 8 = 11
+      (Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))       // mismatched: null
+    ).toDF("a", "b")
+      .select(call_function("dot_dec", col("a"), col("b")).as("d"))
+      .collect()
+    assert(df(0).getDecimal(0).doubleValue() == 11.0)
+    assert(df(1).isNullAt(0))
+  }
+
+  test("dot_dec stays inside whole-stage codegen") {
+    val p = planString(Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select(call_function("dot_dec", col("emb"), col("emb"))))
+    assert("""\*\(\d+\) Project \[.*dot_dec""".r.findFirstIn(p).isDefined, p.take(400))
+  }
 }
