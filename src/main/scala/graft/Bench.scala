@@ -41,7 +41,11 @@ object Bench {
         "x22_simhash_xxhash64" ->
           ((s: SparkSession, d: String) => Dedup.simhashPairs(Dedup.corpus(s, d), "xxhash64")),
         "x23_jaccard_xxhash64" ->
-          ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(Dedup.corpus(s, d), "xxhash64")))
+          ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(Dedup.corpus(s, d), "xxhash64")),
+        // float-verify IVF — the ANN analog of the hash modes: same plan
+        // as q81, native cosine_sim instead of the decimal oracle verify
+        "x81_ann_ivf_float" ->
+          ((s: SparkSession, d: String) => graft.operators.Ann.q81AnnIvf(s, d, verify = "float")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

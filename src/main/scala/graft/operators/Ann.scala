@@ -404,7 +404,8 @@ object Ann {
     * DedupAnnSpec can measure recall of this index against the exact
     * baseline.
     */
-  def q81AnnIvf(s: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10): DataFrame = {
+  def q81AnnIvf(s: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10,
+                verify: String = "decimal"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, dir)
     // nlist × Dim aggregate: decimal-exact component sums per label
@@ -453,12 +454,21 @@ object Ann {
       .withColumn("q_n2", dotDec("q_emb", "q_emb").cast("double"))
       .select("q_id", "q_emb", "cell", "q_n2")
 
+    // verify = "decimal" is the oracle contract; "float" is the 100 TB
+    // production choice (the fused native cosine_sim — same plan, no
+    // DuckDB twin), published as the bench-only x81 series like the
+    // dedup family's xxhash64 modes
+    val verified: Column = verify match {
+      case "decimal" => Num.roundD(dotDec("q_emb", "emb").cast("double")
+        / sqrt(col("q_n2") * col("n2")))
+      case "float" => Num.roundD(cosine(col("q_emb"), col("emb")))
+      case other => throw new IllegalArgumentException(
+        s"verify must be decimal or float, got $other")
+    }
     val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        Num.roundD(dotDec("q_emb", "emb").cast("double")
-          / sqrt(col("q_n2") * col("n2"))).as("cosine"))
+      .select(col("q_id"), col("vec_id").as("n_id"), verified.as("cosine"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cosine")
