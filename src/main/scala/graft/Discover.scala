@@ -45,19 +45,23 @@ object Discover {
         concat(lit("purchase->view+1@user"), col("user_id")).as("finding_key"),
         col("r").as("rho"),
         col("n").as("n"))
-    val findings = lagF.unionByName(panelF)
+    // persist: the battery (two fact scans + windows) is consumed three
+    // times below (anti-join count, save, total count) — without it each
+    // consumer would replay the full scan.
+    val findings = lagF.unionByName(panelF).persist()
+    try {
+      val priorRun = InsightStore.listRuns(spark, storeDir).lastOption
+      val newCount = priorRun match {
+        case Some(d) =>
+          val prior = InsightStore.loadByDate(spark, storeDir, d).get
+            .select("finding_key")
+          findings.join(prior, Seq("finding_key"), "left_anti").count()
+        case None => findings.count()
+      }
 
-    val priorRun = InsightStore.listRuns(spark, storeDir).lastOption
-    val newCount = priorRun match {
-      case Some(d) =>
-        val prior = InsightStore.loadByDate(spark, storeDir, d).get
-          .select("finding_key")
-        findings.join(prior, Seq("finding_key"), "left_anti").count()
-      case None => findings.count()
-    }
-
-    InsightStore.save(findings, runDate, storeDir)
-    Summary(runDate, findings.count(), newCount, priorRun)
+      InsightStore.save(findings, runDate, storeDir)
+      Summary(runDate, findings.count(), newCount, priorRun)
+    } finally findings.unpersist()
   }
 
   /** CLI: dataDir storeDir runDate [minRho] → one summary JSON line. */

@@ -20,6 +20,17 @@ object DotDecimalKernel {
     * (BigDecimal.valueOf — the canonical shortest representation — then
     * HALF_UP to scale 12) and accumulated exactly. Mismatched lengths or
     * null slots yield null, as zip_with's padding does.
+    *
+    * Overflow semantics are pinned to the NON-ANSI cast regardless of the
+    * session's `spark.sql.ansi.enabled` (under ANSI the composable form
+    * would throw instead — that one divergence is deliberate: a
+    * deterministic null contract beats a config-dependent exception):
+    * a NaN/Infinity product, a product outside decimal(25,12), or an
+    * accumulation step whose sum exceeds precision 25 all yield null —
+    * and null is ABSORBING in the fold (`cast(null + v)` stays null), so
+    * checking per step, not just at the end, is what exact replication
+    * requires (a later subtraction can bring the exact sum back in range,
+    * but the composable form would already be null by then).
     */
   def compute(a: ArrayData, b: ArrayData): Decimal = {
     val n = a.numElements()
@@ -29,7 +40,11 @@ object DotDecimalKernel {
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
       val p = a.getDouble(i) * b.getDouble(i)
-      sum = sum.add(java.math.BigDecimal.valueOf(p).setScale(Twelve, HalfUp))
+      if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) return null
+      val prod = java.math.BigDecimal.valueOf(p).setScale(Twelve, HalfUp)
+      if (prod.precision() > 25) return null
+      sum = sum.add(prod)
+      if (sum.precision() > 25) return null
       i += 1
     }
     Decimal(BigDecimal(sum), 25, 12)

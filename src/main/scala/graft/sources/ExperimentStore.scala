@@ -62,19 +62,35 @@ object ExperimentStore {
     snapshot(s, dir)._1
 
   /** Commit `next` as version `readVersion + 1`. Returns false when a
-    * concurrent writer claimed that version after our read — rename onto
-    * an existing directory fails atomically, the If-Match precondition of
-    * tracker.py:96-103 — and the caller reloads and replays.
+    * concurrent writer claimed that version after our read — the
+    * If-Match precondition of tracker.py:96-103 — and the caller reloads
+    * and replays.
+    *
+    * Each attempt stages under a UNIQUE per-writer path (never shared, so
+    * racing writers can't interleave files into one staging directory),
+    * and the ONLY win condition is the atomic no-overwrite rename onto
+    * `v=N` — `FileContext.rename` with the default `Rename.NONE` fails
+    * when the destination exists instead of moving the source inside it
+    * (the `FileSystem.rename` hazard on HDFS). A writer that crashes
+    * before its rename leaves an orphaned `.staging-*` directory;
+    * `versions()` only reads `v=` children, so orphans are inert.
     */
   private[graft] def commitAt(next: DataFrame, dir: String, readVersion: Int): Boolean = {
     val s = next.sparkSession
     val v = readVersion + 1
-    val staged = s"$dir/.staging-v$v"
-    next.coalesce(1).write.mode("overwrite").parquet(staged)
-    val f = fs(s, dir)
-    val ok = !f.exists(new Path(s"$dir/v=$v")) &&
-      f.rename(new Path(staged), new Path(s"$dir/v=$v"))
-    if (!ok) f.delete(new Path(staged), true)
+    val staged = s"$dir/.staging-v$v-${java.util.UUID.randomUUID}"
+    next.coalesce(1).write.parquet(staged)
+    val conf = s.sparkContext.hadoopConfiguration
+    val ok =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(new Path(dir).toUri, conf)
+          .rename(new Path(staged), new Path(s"$dir/v=$v"))
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException => false // lost-race shapes vary by FS; retry handles it
+      }
+    if (!ok) fs(s, dir).delete(new Path(staged), true)
     ok
   }
 

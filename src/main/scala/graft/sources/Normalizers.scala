@@ -23,11 +23,22 @@ object Normalizers {
     * applies first (reference: mfp_normalizer.py:66-68, identical in the
     * ingestion trigger and the other Glue jobs).
     */
-  def snakeCaseColumns(df: DataFrame): DataFrame =
-    df.columns.foldLeft(df) { (d, c) =>
-      val snake = c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
+  def snakeCaseColumns(df: DataFrame): DataFrame = {
+    val renamed = df.columns.map { c =>
+      c -> c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
+    }
+    // Two distinct raw headers collapsing to one snake name ('Total Time'
+    // and 'total.time' -> total_time) would silently produce an ambiguous
+    // column that only fails at resolution time — fail fast with the pair.
+    renamed.groupBy(_._2).foreach { case (snake, raws) =>
+      require(raws.length == 1,
+        s"snakeCaseColumns: headers ${raws.map(r => s"'${r._1}'").mkString(", ")} " +
+          s"all normalize to '$snake' — disambiguate the source headers")
+    }
+    renamed.foldLeft(df) { case (d, (c, snake)) =>
       if (snake != c) d.withColumnRenamed(c, snake) else d
     }
+  }
 
   /** Split a raw workout timestamp like `2026-02-21 07:25 (-05)` into a
     * date part, a time-of-day part, and a rebuilt UTC timestamp string —

@@ -77,6 +77,24 @@ class ExperimentStoreSpec extends SparkSpec {
     // no staging litter left behind from the refused commit
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/.staging-v2")))
+    val litter = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith(".staging"))
+    assert(litter.isEmpty, litter.mkString(","))
+  }
+
+  test("racing writers for one version stage in isolation: the loser's rows never reach the snapshot") {
+    import spark.implicits._
+    val dir = newDir()
+    ExperimentStore.addIntervention(spark, dir, intv("a", "2024-01-05"))   // v=1
+    // Both writers read v=1 and race for v=2. Staging paths are unique per
+    // attempt, so neither can write into the other's staged directory; the
+    // committed v=2 must be EXACTLY the winner's frame, never a mix.
+    val winner = Seq(intv("a", "2024-01-05"), intv("w", "2024-02-01")).toDS.toDF
+    val loser = Seq(intv("a", "2024-01-05"), intv("l", "2024-03-01")).toDS.toDF
+    assert(ExperimentStore.commitAt(winner, dir, 1))
+    assert(!ExperimentStore.commitAt(loser, dir, 1))
+    val ids = spark.read.parquet(s"$dir/v=2")
+      .collect().map(_.getAs[String]("id")).sorted.toSeq
+    assert(ids == Seq("a", "w"), s"committed snapshot polluted: $ids")
   }
 }

@@ -93,6 +93,33 @@ class FunctionsSpec extends SparkSpec {
     assert(df(1).isNullAt(0))
   }
 
+  test("dot_dec overflow semantics match the non-ANSI composable fold: null, never throw") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1e200, 1.0), Seq(1e200, 1.0)),   // product overflows double -> Infinity
+      (Seq(Double.NaN, 1.0), Seq(1.0, 1.0)), // NaN product
+      (Seq(1e10, 1.0), Seq(1e10, 1.0)),      // product 1e20 > decimal(25,12) max
+      (Seq(9e12, 9e12), Seq(1.0, 1.0)),      // each product fits; the SUM (1.8e13) overflows
+      (Seq(9e12, 9e12, -9e12), Seq(1.0, 1.0, 1.0)) // sum overflows mid-fold, later element would recover — still null
+    ).toDF("a", "b")
+    // dot_dec pins the NON-ANSI cast semantics (null on overflow) regardless
+    // of the session's ansi.enabled — compare under the matching mode (under
+    // ANSI the composable fold throws instead, which is the one divergence).
+    val prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val out = df.select(
+        call_function("dot_dec", col("a"), col("b")).as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> cast(x * y as decimal(25,12)))," +
+          " cast(0 as decimal(25,12)), (acc, v) -> cast(acc + v as decimal(25,12)))").as("composed"))
+        .collect()
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(r.isNullAt(0), s"row $i: native should be null, got ${r.get(0)}")
+        assert(r.isNullAt(1), s"row $i: composable form disagrees — got ${r.get(1)}")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prior)
+  }
+
   test("dot_dec stays inside whole-stage codegen") {
     val p = planString(Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))

@@ -13,6 +13,13 @@ class NormalizersSpec extends SparkSpec {
     assert(got == Seq("saturated_fat", "live_on-demand", "avg_speed_mph", "ok_name"))
   }
 
+  test("snakeCaseColumns fails fast when two raw headers collide post-normalization") {
+    val df = Seq((1, 2)).toDF("Total Time", "total.time")
+    val e = intercept[IllegalArgumentException](Normalizers.snakeCaseColumns(df))
+    assert(e.getMessage.contains("Total Time") && e.getMessage.contains("total.time"),
+      e.getMessage)
+  }
+
   test("parseWorkoutTimestamp splits offset and zone-name suffixes, with and without seconds") {
     val df = Seq(
       ("2026-02-21 07:25 (-05)"),
