@@ -42,6 +42,9 @@ object Bench {
           ((s: SparkSession, d: String) => Dedup.simhashPairs(Dedup.corpus(s, d), "xxhash64")),
         "x23_jaccard_xxhash64" ->
           ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(Dedup.corpus(s, d), "xxhash64")),
+        "x46_clusters_xxhash64" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Clusters.dedupClusters(Dedup.corpus(s, d), "xxhash64")),
         // float-verify IVF — the ANN analog of the hash modes: same plan
         // as q81, native cosine_sim instead of the decimal oracle verify
         "x81_ann_ivf_float" ->

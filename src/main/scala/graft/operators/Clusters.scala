@@ -113,9 +113,16 @@ object Clusters {
     * assignments on chains, stars, cycles, disjoint components, and the
     * injected corpus duplicates.
     */
-  def q46DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = Dedup.corpus(s, dir)
-    val edges = Dedup.minhashPairs(docs)
+  def q46DedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(Dedup.corpus(s, dir))
+
+  /** The q46 body over an arbitrary corpus with the base hash selectable —
+    * md5 is the oracle gate, xxhash64 the production mode (the bench's
+    * x46 series prices the difference; the cluster pipeline itself is
+    * hash-agnostic).
+    */
+  def dedupClusters(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
+    val edges = Dedup.minhashPairs(docs, hashMode)
       // ≥ half the bands shared ⇒ estimated Jaccard well above the 0.6
       // banding knee — treat as duplicate evidence
       .filter(col("n_shared_bands") >= 4)

@@ -45,11 +45,17 @@ object Curation {
     // racing a cold cache, both sides recompute the 8-gram md5 explode
     grams.count()
     val benchGrams = grams.filter(col("doc_id") % 97 === 0)
-      .select("gh").distinct()
-    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val matched = grams.join(broadcast(benchGrams), "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    totals.join(matched, Seq("doc_id"))
+      .select("gh").distinct().withColumn("bm", lit(1))
+    // One pass over the gram stream: the broadcast left probe tags each
+    // gram with benchmark membership, so totals and matched counts come
+    // out of a SINGLE doc_id shuffle (the totals⋈matched formulation
+    // pays two shuffles plus a join for the same numbers). The inner
+    // join's keep-only-contaminated semantics survive as the n_matched>0
+    // filter.
+    grams.join(broadcast(benchGrams), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("bm")).as("n_matched"))
+      .filter(col("n_matched") > 0)
       .withColumn("is_benchmark", (col("doc_id") % 97 === 0).cast("int"))
       .withColumn("contamination",
         Num.roundD(col("n_matched").cast("double") / col("n_grams")))

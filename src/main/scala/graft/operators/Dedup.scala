@@ -498,11 +498,20 @@ object Dedup {
     // materialized to storage once and reused across the pipeline.
     val sh = shingles(docs, hashMode = hashMode)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Intersection counts via posting-list pair emission: ONE shuffle of
+    // the shingle table (groupBy sh) and the i<j pairs unfold map-side
+    // from each ≤maxDf-long sorted list, against TWO shuffles for the
+    // equivalent self-join (both join inputs repartition on sh). Pair
+    // volume is identical — the df cap bounds each list, so emission is
+    // O(maxDf²) per shingle either way — and sort_array makes doc_a <
+    // doc_b by construction, matching the join's ordering predicate.
+    val inter = sh.groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> named_struct('doc_a', x, 'doc_b', y))))")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
