@@ -9,39 +9,66 @@ import org.apache.spark.sql.functions._
   * (bronze normalize → gold_daily_rollup → semantic views → analytics
   * outputs) as one orchestrated entry point over a data directory.
   * (reference: glue/dbt_gold_refresh.py orchestration +
-  * oura_normalizer.py:295 partitioned gold writes.)
+  * oura_normalizer.py:295 partitioned gold writes +
+  * lambda/pipeline_orchestrator/handler.py — chain gold refresh into the
+  * briefing step, and skip when another pipeline run is already active.)
   *
   * Layout written under `outDir`:
   *   gold_daily_rollup/year=YYYY/month=M/ — partitioned gold table
   *   training_load/                        — exact EMA CTL/ATL/TSB
+  *   morning_briefing/                     — q75 over the materialized gold
   * and the 8 semantic views registered on the session for SQL access.
+  *
+  * Concurrency: the orchestrator's "manual pipeline in progress — skip"
+  * guard (handler.py:99-103, which polls Glue job states) becomes an
+  * ATOMIC lock-file claim — `FileSystem.createNewFile` on
+  * `outDir/.pipeline-running` either claims the run or proves another
+  * writer holds it; no poll race window. The lock releases in a finally,
+  * so a failed run never wedges the next one (a crashed JVM can leave
+  * the file — callers clear it explicitly, mirroring the reference's
+  * manual recovery for a dead Glue run).
   */
 object Pipeline {
 
-  case class Summary(rollupRows: Long, trainingLoadRows: Long, views: Seq[String])
+  case class Summary(rollupRows: Long, trainingLoadRows: Long,
+                     briefingRows: Long, views: Seq[String],
+                     skipped: Boolean = false)
 
   def run(spark: SparkSession, dataDir: String, outDir: String): Summary = {
-    // gold rollup: fused single-scan plan, partitioned for pruned reads.
-    // The unsorted core — a global sort before a partitioned write only
-    // reshuffles what partitionBy is about to split anyway
-    val rollup = Windows.dailyRollup(spark, dataDir)
-    rollup.write.mode("overwrite")
-      .partitionBy("year", "month")
-      .parquet(s"$outDir/gold_daily_rollup")
+    val lock = new org.apache.hadoop.fs.Path(s"$outDir/.pipeline-running")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    if (!fs.createNewFile(lock))
+      return Summary(0, 0, 0, Seq.empty, skipped = true)
+    try {
+      // gold rollup: fused single-scan plan, partitioned for pruned reads.
+      // The unsorted core — a global sort before a partitioned write only
+      // reshuffles what partitionBy is about to split anyway
+      val rollup = Windows.dailyRollup(spark, dataDir)
+      rollup.write.mode("overwrite")
+        .partitionBy("year", "month")
+        .parquet(s"$outDir/gold_daily_rollup")
 
-    // analytics: exact training-load EMA
-    val tl = TrainingLoad.asDf(spark, dataDir)
-    tl.write.mode("overwrite").parquet(s"$outDir/training_load")
+      // analytics: exact training-load EMA
+      val tl = TrainingLoad.asDf(spark, dataDir)
+      tl.write.mode("overwrite").parquet(s"$outDir/training_load")
 
-    // semantic layer for ad-hoc SQL — over the materialized gold table,
-    // so view queries read pruned parquet instead of re-running the rollup
-    val gold = spark.read.parquet(s"$outDir/gold_daily_rollup")
-    val views = SemanticViews.registerOver(gold)
+      // semantic layer for ad-hoc SQL — over the materialized gold table,
+      // so view queries read pruned parquet instead of re-running the rollup
+      val gold = spark.read.parquet(s"$outDir/gold_daily_rollup")
+      val views = SemanticViews.registerOver(gold)
 
-    Summary(
-      rollupRows = gold.count(),
-      trainingLoadRows = spark.read.parquet(s"$outDir/training_load").count(),
-      views = views)
+      // briefing step: q75 over the gold table just refreshed (one pruned
+      // parquet read + windows — the rollup never recomputes)
+      graft.operators.Briefing.briefingOver(gold)
+        .write.mode("overwrite").parquet(s"$outDir/morning_briefing")
+
+      Summary(
+        rollupRows = gold.count(),
+        trainingLoadRows = spark.read.parquet(s"$outDir/training_load").count(),
+        briefingRows = spark.read.parquet(s"$outDir/morning_briefing").count(),
+        views = views)
+    } finally fs.delete(lock, false)
   }
 
   /** CLI: `runMain graft.Pipeline <dataDir> <outDir>` */
@@ -57,8 +84,9 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = run(spark, dataDir, outDir)
-    println(s"pipeline: rollup=${s.rollupRows} rows, training_load=${s.trainingLoadRows} rows, " +
-      s"views=${s.views.mkString(",")}")
+    println(if (s.skipped) "pipeline: SKIPPED (another run holds the lock)"
+      else s"pipeline: rollup=${s.rollupRows} rows, training_load=${s.trainingLoadRows} rows, " +
+        s"briefing=${s.briefingRows} rows, views=${s.views.mkString(",")}")
     spark.stop()
   }
 }

@@ -28,8 +28,16 @@ object Briefing {
     * freshness flag (days behind the corpus max day > 1, the handler's
     * stale-data branch at handler.py:190-201).
     */
-  def q75MorningBriefing(s: SparkSession, dir: String): DataFrame = {
-    val rollup = Windows.dailyRollup(s, dir)
+  def q75MorningBriefing(s: SparkSession, dir: String): DataFrame =
+    briefingOver(Windows.dailyRollup(s, dir))
+
+  /** The q75 body over an arbitrary daily-rollup frame — [[graft.Pipeline]]
+    * runs it over the MATERIALIZED gold table (the orchestrator's
+    * briefing-after-gold-refresh step reads the refreshed table, it never
+    * recomputes the rollup; reference: lambda/pipeline_orchestrator/
+    * handler.py:118-126 invoking the briefing Lambda after the gold jobs).
+    */
+  def briefingOver(rollup: DataFrame): DataFrame = {
     val vs = coalesce(col("view_score_filled"), lit(0.0))
     val p = coalesce(col("purchases"), lit(0L))
     val er = coalesce(col("errors"), lit(0L))

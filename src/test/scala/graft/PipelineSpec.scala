@@ -8,6 +8,13 @@ class PipelineSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
     val s = Pipeline.run(spark, Sf, out)
     assert(s.rollupRows > 0 && s.trainingLoadRows > 0 && s.views.length == 10)
+    assert(!s.skipped)
+
+    // the briefing step ran over the materialized gold and matches the
+    // registered q75 (same engine, rollup from parquet vs from source)
+    val briefing = spark.read.parquet(s"$out/morning_briefing")
+    assert(briefing.count() ==
+      graft.operators.Briefing.q75MorningBriefing(spark, Sf).count())
 
     // partition layout exists and predicates prune to partition filters
     val gold = spark.read.parquet(s"$out/gold_daily_rollup")
@@ -18,5 +25,20 @@ class PipelineSpec extends SparkSpec {
 
     // the semantic layer answers SQL over the same session
     assert(spark.sql("SELECT COUNT(*) FROM graft_energy_state").first().getLong(0) > 0)
+  }
+
+  test("a held run lock makes the pipeline skip, and a released one lets it run") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline-lock").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$out/.pipeline-running")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    assert(fs.createNewFile(lock))                 // another run holds the lock
+    val skipped = Pipeline.run(spark, Sf, out)
+    assert(skipped.skipped && skipped.rollupRows == 0)
+    assert(fs.exists(lock), "a skipped run must not release the other run's lock")
+    fs.delete(lock, false)
+    val ran = Pipeline.run(spark, Sf, out)
+    assert(!ran.skipped && ran.rollupRows > 0 && ran.briefingRows > 0)
+    assert(!fs.exists(lock), "a completed run must release its lock")
   }
 }
