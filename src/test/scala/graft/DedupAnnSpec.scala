@@ -132,6 +132,41 @@ class DedupAnnSpec extends SparkSpec {
     assert(mh.count() == 45, "10-doc cluster below threshold keeps all C(10,2) pairs")
   }
 
+  test("q83 incremental probe flags exact copies at 8 bands and misses nothing it should hit") {
+    val out = Dedup.q83IncrementalMinhash(spark, Sf)
+    // the +10000 slice is byte-identical to its source doc: all 8 bands
+    // collide and the best match is the source itself (or an even-lower
+    // doc sharing identical text — never a non-match)
+    val exact = out.filter(col("batch_doc_id") >= 10000 && col("batch_doc_id") < 20000)
+    assert(exact.count() > 0)
+    assert(exact.filter(col("n_shared_bands") =!= 8 || col("is_near_dup") =!= 1).count() == 0,
+      "every exact copy must share all 8 bands")
+    // the 'revised edition' slice appends two words: near-dup, still ≥4 bands
+    val revised = out.filter(col("batch_doc_id") >= 20000)
+    assert(revised.count() > 0)
+    assert(revised.filter(col("is_near_dup") === 1).count() == revised.count(),
+      "appending two words must not break band-level similarity")
+  }
+
+  test("q83 hot index buckets probe through their canonical only: O(1) per probe, not O(k)") {
+    import spark.implicits._
+    val k = 100
+    val clusterText = "the quick brown fox jumps over the lazy dog again and again today"
+    val index = ((0 until k).map(i => (i.toLong, clusterText)) ++
+      (1000 until 1040).map(i =>
+        (i.toLong, s"unique document number $i carrying words ${i * 7} ${i * 13} ${i * 31} nobody shares")))
+      .toDF("doc_id", "text")
+    val batch = Seq((50000L, clusterText)).toDF("doc_id", "text")
+    val hits = Dedup.incrementalMinhash(index, batch)
+    // the probe doc collides with ALL k cluster members' buckets, but the
+    // guard routes it to the canonical member only — one output row,
+    // matched at the canonical id 0 with all bands shared
+    assert(hits.count() == 1)
+    val r = hits.collect().head
+    assert(r.getAs[Long]("match_doc_id") == 0L &&
+      r.getAs[Long]("n_shared_bands") == 8L && r.getAs[Int]("is_near_dup") == 1)
+  }
+
   test("q25 brute-force ANN returns a full descending top-10 per query") {
     val rows = Ann.q25AnnBruteforce(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
