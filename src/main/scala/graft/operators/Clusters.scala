@@ -144,8 +144,12 @@ object Clusters {
     * because near-dup components are star/clique-shaped and small; the
     * Spark side is what runs at scale.
     */
-  val q46Sql: String =
-    s"""WITH RECURSIVE corpus AS (${Dedup.corpusSql}),
+  /** The shared oracle CTE chain: corpus → minhash edges → recursive
+    * closure → `labels(id, cluster_id)` + `csizes` (q46 and q84 both
+    * consume it; callers open with WITH RECURSIVE).
+    */
+  private def sqlClusterCte: String =
+    s"""corpus AS (${Dedup.corpusSql}),
        |${Dedup.sqlMinhashCte("corpus")},
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh WHERE n_shared_bands >= 4),
        |bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
@@ -155,9 +159,70 @@ object Clusters {
        |  UNION
        |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
        |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
-       |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)
+       |csizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY 1)""".stripMargin
+
+  val q46Sql: String =
+    s"""WITH RECURSIVE $sqlClusterCte
        |SELECT l.id AS doc_id, l.cluster_id, s.cluster_size,
        |  (l.id = l.cluster_id) AS is_canonical
        |FROM labels l JOIN csizes s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** q84: keep-best canonical selection — collapse each duplicate
+    * cluster to its highest-QUALITY member instead of its minimum id
+    * (the curation decision a training pipeline actually wants: among
+    * near-identical copies, keep the best-scored one, not an arbitrary
+    * one). Joins the q46 cluster labels with the q27 quality score and
+    * picks the per-cluster argmax (ties to the lowest id).
+    *
+    * Scale shape: the labels pipeline is q46's; the quality score is a
+    * scan-speed projection; the keeper choice is ONE max(struct) window
+    * over cluster_id — no self-join, and the window partitioning reuses
+    * the label join's hash partitioning on cluster_id.
+    */
+  def q84KeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Dedup.corpus(s, dir)
+    val labels = dedupClusters(docs)
+    val quality = TextOps.stats(docs).select(col("doc_id"), col("quality_score"))
+    labels.join(quality, Seq("doc_id"))
+      // argmax via struct max: quality first, then the NEGATED id, so the
+      // struct max is (best quality, lowest id) — one window aggregate
+      .withColumn("best", max(struct(
+          col("quality_score").as("q"), (-col("doc_id")).as("nid")))
+        .over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"),
+        (-col("best.nid")).as("keeper_doc_id"),
+        (col("doc_id") === -col("best.nid")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val q84Sql: String =
+    s"""WITH RECURSIVE $sqlClusterCte,
+       |t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus),
+       |st AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    ${graft.Num.sqlRoundD("CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w)")} AS stopword_ratio,
+       |    ${graft.Num.sqlRoundD("CAST(len(list_distinct(w)) AS DOUBLE) / len(w)")} AS type_token_ratio
+       |  FROM t),
+       |quality AS (
+       |  SELECT doc_id,
+       |    ${graft.Num.sqlRoundD("GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))")} AS quality_score
+       |  FROM st),
+       |j AS (
+       |  SELECT l.id AS doc_id, l.cluster_id, s.cluster_size, q.quality_score
+       |  FROM labels l JOIN csizes s USING (cluster_id)
+       |  JOIN quality q ON q.doc_id = l.id),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS keeper_doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id) AS rn FROM j)
+       |  WHERE rn = 1)
+       |SELECT j.doc_id, j.cluster_id, j.cluster_size, j.quality_score,
+       |  b.keeper_doc_id, CAST(j.doc_id = b.keeper_doc_id AS INT) AS is_keeper
+       |FROM j JOIN best b USING (cluster_id)
+       |ORDER BY j.doc_id""".stripMargin
 }

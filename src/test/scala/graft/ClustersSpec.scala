@@ -59,4 +59,30 @@ class ClustersSpec extends SparkSpec {
     // convergence check broke, even if the answer is still right)
     assert(Clusters.lastIters <= 5, s"CC took ${Clusters.lastIters} rounds")
   }
+
+  test("q84 keep-best picks exactly one keeper per cluster: the quality argmax, ties to the lowest id") {
+    val out = Clusters.q84KeepBest(spark, Sf).cache()
+    // one keeper per cluster, and no member outscores it
+    val perCluster = out.groupBy("cluster_id").agg(
+      sum(col("is_keeper")).as("n_keepers"),
+      max(col("quality_score")).as("best_q"),
+      max(when(col("is_keeper") === 1, col("quality_score"))).as("keeper_q"))
+    assert(perCluster.filter(col("n_keepers") =!= 1).count() == 0, "exactly one keeper per cluster")
+    assert(perCluster.filter(col("keeper_q") =!= col("best_q")).count() == 0,
+      "the keeper carries the cluster's best quality score")
+    // singleton clusters keep themselves
+    val singles = out.filter(col("cluster_size") === 1)
+    assert(singles.count() > 0)
+    assert(singles.filter(col("keeper_doc_id") =!= col("doc_id") || col("is_keeper") =!= 1).count() == 0)
+    // an injected +10000 copy has IDENTICAL text to its source, so it can
+    // never strictly outscore it — a copy can top the quality ranking only
+    // tied with its source, and the id tie-break then picks the source:
+    // the keeper of a dup-containing cluster is never the copy
+    val dupClusters = out.filter(col("doc_id") >= 10000).select("cluster_id").distinct()
+    val keepers = out.filter(col("is_keeper") === 1).join(dupClusters, "cluster_id")
+    assert(keepers.count() == dupClusters.count())
+    assert(keepers.filter(col("doc_id") >= 10000).count() == 0,
+      "a +10000 copy must never be the keeper")
+    out.unpersist()
+  }
 }

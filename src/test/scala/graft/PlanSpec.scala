@@ -35,7 +35,8 @@ class PlanSpec extends SparkSpec {
       "q22" -> Dedup.q22DedupSimhash(spark, Sf),
       "q23" -> Dedup.q23NgramJaccard(spark, Sf),
       "q24" -> Ann.q24DedupEmbedding(spark, Sf),
-      "q26" -> Ann.q26AnnLsh(spark, Sf)
+      "q26" -> Ann.q26AnnLsh(spark, Sf),
+      "q83" -> Dedup.q83IncrementalMinhash(spark, Sf)
     ).foreach { case (name, df) =>
       val p = planString(df)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
