@@ -100,5 +100,9 @@ object GraftFunctions {
       new FunctionIdentifier("dot_dec"),
       new ExpressionInfo(classOf[DotDecimal].getName, "dot_dec"),
       (children: Seq[Expression]) => DotDecimal(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_bands"),
+      new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
+      (children: Seq[Expression]) => MinhashBands(children.head)))
   }
 }

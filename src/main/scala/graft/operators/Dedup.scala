@@ -123,9 +123,11 @@ object Dedup {
     sh.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
-  private val NumPerms = 32
-  private val Bands = 8
-  private val RowsPerBand = NumPerms / Bands
+  // MinHash-LSH constants live with the native band expression (single
+  // source of truth between the kernel and the oracle-SQL generators here)
+  private def NumPerms = graft.functions.MinhashParams.NumPerms
+  private def Bands = graft.functions.MinhashParams.Bands
+  private def RowsPerBand = graft.functions.MinhashParams.RowsPerBand
 
   /** 60-bit cross-engine string hash: the first 15 hex chars of md5 read
     * as a base-16 integer, in [0, 2⁶⁰). md5 is bit-identical across
@@ -177,20 +179,8 @@ object Dedup {
       s"hashMode must be md5 or xxhash64, got $other")
   }
 
-  /** Modulus for the universal-hash minhash permutations: prime, small
-    * enough that `(x mod P) * a + b` stays well under 2⁶³ for a,b < 2³¹.
-    */
-  private val P = 1000000007L
-
-  /** The 32 (a, b) universal-hash constants — fixed seed so the oracle
-    * SQL embeds the identical numbers. a ≥ 1 (a = 0 would collapse a
-    * permutation to a constant).
-    */
-  private[graft] val perms: IndexedSeq[(Long, Long)] = {
-    val r = new scala.util.Random(20260812L)
-    IndexedSeq.fill(NumPerms)(
-      (r.nextInt(Int.MaxValue - 1).toLong + 1L, r.nextInt(Int.MaxValue).toLong))
-  }
+  private def P = graft.functions.MinhashParams.P
+  private[graft] def perms = graft.functions.MinhashParams.perms
 
   /** Default hot-bucket threshold for [[guardedPairs]]. */
   val MaxBucket = 64
@@ -254,27 +244,6 @@ object Dedup {
         payloadCols.flatMap(p =>
           Seq(col("canon").getField(p).as(s"a_$p"), col(p).as(s"b_$p"))): _*)
     smallPairs.unionByName(hotPairs)
-  }
-
-  /** MinHash signature: 32 independent hash "permutations", realized as
-    * universal hashes `(x mod P) * aᵢ + bᵢ mod P` of the shingle's 60-bit
-    * base hash; the signature entry is the per-doc minimum. One groupBy
-    * with 32 partial min aggregates — map-side combined, no extra shuffle
-    * beyond the doc_id exchange, and the 32 "hashes" are codegen'd
-    * multiply-adds, cheaper than 32 digest evaluations. Input shingles
-    * need neither dedup nor a df cap: min over a multiset equals min over
-    * its set, and a hot shingle only lowers signatures uniformly — so the
-    * signature pass is a single scan + single exchange.
-    */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val x = col("sh") % P
-    sh.groupBy("doc_id")
-      .agg(
-        min((x * perms(0)._1 + perms(0)._2) % P).as("m0"),
-        (1 until NumPerms).map { i =>
-          val (a, b) = perms(i)
-          min((x * a + b) % P).as(s"m$i")
-        }: _*)
   }
 
   /** Raw (non-distinct, uncapped) shingle hashes — the minhash input.
@@ -388,21 +357,32 @@ object Dedup {
     * once, bucketed by band_hash, and probed by each new batch.
     */
   def minhashBands(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
-    val sigs = minhashSignatures(rawShingles(docs, hashMode))
-    // md5 mode: the band key is the minhash 4-tuple itself (concatenated),
-    // not a re-hash of it — bucket membership is then exactly tuple
-    // equality, which the oracle replays verbatim, at the price of
-    // ~40-byte shuffle keys. xxhash64 mode is the 100 TB shape: the tuple
-    // is compressed to an 8-byte key (a false band collision needs a
-    // 64-bit hash collision AND a shared band index — vanishing next to
-    // the banding false-positive rate, and candidates are verified
-    // downstream anyway). Same plan either way.
-    val bandCols = (0 until Bands).map { b =>
-      val parts = (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}"))
-      val key = concat_ws(":", parts: _*)
-      if (hashMode == "xxhash64") xxhash64(key) else key
-    }
-    sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    // Signature stage is ROW-LOCAL (round 6): a document's shingles are
+    // one row's array, so the 32 per-permutation minimums never needed an
+    // aggregation — the native `minhash_bands` expression walks the array
+    // once per row and the exploded-shingles shuffle (the corpus-sized
+    // exchange that used to dominate this family at scale) is GONE. The
+    // oracle still replays the exploded GROUP BY formulation: min over
+    // the same multiset gives identical values.
+    //
+    // md5 mode: the band key is the minhash 4-tuple itself (m:m:m:m) —
+    // bucket membership is exactly tuple equality, which the oracle
+    // replays verbatim, at the price of ~40-byte shuffle keys. xxhash64
+    // mode is the 100 TB shape: the tuple is compressed to an 8-byte key
+    // (a false band collision needs a 64-bit hash collision AND a shared
+    // band index — vanishing next to the banding false-positive rate, and
+    // candidates are verified downstream anyway). Same plan either way.
+    val h = baseHash60Expr("concat_ws(' ', w[i], w[i+1], w[i+2])", hashMode)
+    val bands = docs
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        posexplode(call_function("minhash_bands",
+          expr(s"transform(sequence(0, size(w) - 3), i -> $h)")))
+          .as(Seq("band_idx", "band_hash")))
+    if (hashMode == "xxhash64")
+      bands.withColumn("band_hash", xxhash64(col("band_hash")))
+    else bands
   }
 
   /** q83: incremental near-dedup — each new-batch document probed against

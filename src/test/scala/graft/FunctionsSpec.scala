@@ -120,6 +120,34 @@ class FunctionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", prior)
   }
 
+  test("minhash_bands equals the exploded groupBy-min formulation band for band") {
+    import graft.functions.MinhashParams._
+    val d = Tables.load(spark, Sf, "documents")
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= 3)
+    // native row-local path
+    val native = d.select(col("doc_id"),
+      posexplode(call_function("minhash_bands",
+        expr("transform(sequence(0, size(w) - 3), i -> md5_long60(concat_ws(' ', w[i], w[i+1], w[i+2])))")))
+        .as(Seq("band_idx", "band_hash")))
+    // exploded reference: explode shingles, groupBy 32 mins, concat bands
+    val exploded = d.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(w) - 3), i -> md5_long60(concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("sh"))
+      .groupBy("doc_id")
+      .agg(min((col("sh") % P * perms(0)._1 + perms(0)._2) % P).as("m0"),
+        (1 until NumPerms).map { i =>
+          min((col("sh") % P * perms(i)._1 + perms(i)._2) % P).as(s"m$i")
+        }: _*)
+    val refBands = exploded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map { b =>
+        concat_ws(":", (0 until RowsPerBand).map(r => col(s"m${b * RowsPerBand + r}")): _*)
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    assert(native.count() == refBands.count())
+    assert(native.exceptAll(refBands).count() == 0 &&
+      refBands.exceptAll(native).count() == 0,
+      "native and exploded band tables must be identical multisets")
+  }
+
   test("dot_dec stays inside whole-stage codegen") {
     val p = planString(Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
