@@ -104,5 +104,9 @@ object GraftFunctions {
       new FunctionIdentifier("minhash_bands"),
       new ExpressionInfo(classOf[MinhashBands].getName, "minhash_bands"),
       (children: Seq[Expression]) => MinhashBands(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      (children: Seq[Expression]) => Simhash60(children.head)))
   }
 }

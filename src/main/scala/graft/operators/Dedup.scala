@@ -494,18 +494,18 @@ object Dedup {
     * q22 body, parameterized for the injected-cluster guard test.
     */
   def simhashPairs(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
-      .withColumn("h", baseHash60(col("tok"), hashMode))
-    val bitVotes = tokens.groupBy("doc_id")
-      .agg(
-        sum(when(col("h").bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1)).as("b0"),
-        (1 until SimBits).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1))
-            .as(s"b$i")): _*)
-    val fp = (0 until SimBits).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val withFp = bitVotes.select(col("doc_id"), fp.as("fingerprint"))
+    // Signature stage is ROW-LOCAL (round 6, same rework as
+    // [[minhashBands]]): the native `simhash60` expression accumulates
+    // the 60 bit votes in one pass over the row's own token-hash array —
+    // the exploded (doc_id, token) shuffle into a 60-column vote
+    // aggregate is GONE, and the oracle still replays the exploded GROUP
+    // BY (identical votes, identical sign vector).
+    val h = baseHash60Expr("t", hashMode)
+    val withFp = docs
+      .withColumn("toks", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"),
+        call_function("simhash60", expr(s"transform(toks, t -> $h)")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
     val segs = withFp.select(col("doc_id"), col("fingerprint"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("fingerprint"), SegBits * k).bitwiseAND(lit((1L << SegBits) - 1))): _*))
