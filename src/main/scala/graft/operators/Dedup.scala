@@ -421,14 +421,34 @@ object Dedup {
     */
   def incrementalMinhash(index: DataFrame, batch: DataFrame,
                          hashMode: String = "md5",
-                         maxBucket: Int = MaxBucket): DataFrame = {
+                         maxBucket: Int = MaxBucket): DataFrame =
+    incrementalProbe(guardedIndex(minhashBands(index, hashMode), maxBucket),
+      batch, hashMode)
+
+  /** The standing index with its hot-bucket guard applied — precompute
+    * ONCE (batch refresh or at stream start) and reuse across probes:
+    * buckets over `maxBucket` keep only their canonical member.
+    */
+  def guardedIndex(indexBands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wB = Window.partitionBy("band_idx", "band_hash")
-    val guarded = minhashBands(index, hashMode)
+    indexBands
       .withColumn("bucket_n", count(lit(1)).over(wB))
       .withColumn("canon", min(col("doc_id")).over(wB))
       .filter(col("bucket_n") <= maxBucket || col("doc_id") === col("canon"))
       .select(col("doc_id").as("match_doc_id"), col("band_idx"), col("band_hash"))
+  }
+
+  /** Probe `batch` documents against a prepared [[guardedIndex]] — the
+    * q83 tail, factored so the STREAMING twin
+    * ([[graft.streaming.EventStreams.nearDupQuery]]) reuses it per
+    * micro-batch against an index built once. The batch's own signature
+    * stage is the row-local `minhash_bands` expression, so this is a
+    * stateless scan + one band-key join.
+    */
+  def incrementalProbe(guarded: DataFrame, batch: DataFrame,
+                       hashMode: String = "md5"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probe = minhashBands(batch, hashMode)
       .select(col("doc_id").as("batch_doc_id"), col("band_idx"), col("band_hash"))
     val matches = probe.join(guarded, Seq("band_idx", "band_hash"))

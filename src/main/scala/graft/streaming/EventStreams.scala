@@ -249,6 +249,32 @@ object EventStreams {
       .select(col("user_id"), col("condition"), col("severity"), col("metric"),
         col("day"), col("observed"), col("threshold"))
 
+  /** Streaming incremental near-dedup — q83's probe as a stream: each
+    * arriving document flags against the standing corpus band index
+    * ([[graft.operators.Dedup.guardedIndex]], built ONCE outside the
+    * stream) with ZERO streaming state. What makes this streamable at all
+    * is the row-local `minhash_bands` expression: the old exploded
+    * signature formulation needed a corpus-wide aggregation — an
+    * update-mode stateful operator on a stream — while the row-local form
+    * is a stateless per-row projection, so the whole probe is scan →
+    * band explode → stream-static join, and the per-doc best-match
+    * aggregation runs INSIDE foreachBatch where a document's 8 band rows
+    * are guaranteed co-batched (a micro-batch is a plain batch frame).
+    * Sink contract matches [[upsertRollupBatch]]'s layering: append of
+    * per-batch results, exactly-once via the checkpointed batch id.
+    */
+  def nearDupQuery(docs: DataFrame, guardedIdx: DataFrame, outDir: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.incrementalProbe(guardedIdx, batch)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Production binding: parquet-directory stream → hourly rollup →
     * partitioned parquet sink with checkpointing. Returns the writer so
     * callers control start/stop.

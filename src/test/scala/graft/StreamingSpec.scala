@@ -142,6 +142,48 @@ class StreamingSpec extends SparkSpec {
       back.mkString(";"))
   }
 
+  test("nearDupQuery flags streamed documents against the static band index, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val indexDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a completely different document about streaming joins and band indexes " +
+        "carrying enough running words that two appended tokens still leave most " +
+        "of its shingles untouched which is the realistic corpus document shape " +
+        "for near duplicate detection at any practical scale factor"),
+      (3L, "unique filler content carrying words nobody else shares at all here")
+    ).toDF("doc_id", "text")
+    val guarded = Dedup.guardedIndex(Dedup.minhashBands(indexDocs)).cache()
+
+    val out = java.nio.file.Files.createTempDirectory("neardup-out").toString + "/flags"
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupQuery(
+      input.toDF.toDF("doc_id", "text"), guarded, out, ckpt)
+    // batch 1: an exact copy of doc 1 and a novel doc
+    input.addData((100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (101L, "entirely novel words that collide with nothing in the standing index"))
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 2 (two words appended)
+    input.addData((102L, "a completely different document about streaming joins and band indexes " +
+      "carrying enough running words that two appended tokens still leave most " +
+      "of its shingles untouched which is the realistic corpus document shape " +
+      "for near duplicate detection at any practical scale factor revised edition"))
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.parquet(out).orderBy("batch_doc_id").collect()
+      .map(r => (r.getAs[Long]("batch_doc_id"),
+        Option(r.getAs[java.lang.Long]("match_doc_id")).map(_.toLong),
+        r.getAs[Long]("n_shared_bands"), r.getAs[Int]("is_near_dup")))
+    assert(back.length == 3, back.mkString(";"))
+    assert(back(0) == (100L, Some(1L), 8L, 1), s"exact copy: ${back(0)}")
+    assert(back(1)._1 == 101L && back(1)._4 == 0, s"novel doc must not flag: ${back(1)}")
+    assert(back(2)._1 == 102L && back(2)._2 == Some(2L) && back(2)._4 == 1,
+      s"near-dup: ${back(2)}")
+  }
+
   test("attributeStream joins purchases to in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
