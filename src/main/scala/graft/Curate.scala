@@ -32,10 +32,12 @@ object Curate {
       .select(docs.columns.map(col) :+ col("n_tokens") :+ col("quality_score"): _*)
     val afterQuality = quality.count()
 
-    // 2. exact dedup keeper, then near-dup cluster canonicals: survivors
-    // are one representative per duplicate cluster. The cluster table is
-    // computed over the already-reduced corpus — dedup work scales with
-    // what passed the cheap gates, not the raw crawl.
+    // 2. exact dedup keeper, then near-dup cluster KEEP-BEST survivors:
+    // one representative per duplicate cluster, chosen by quality argmax
+    // (q84's decision — ties to the lowest id), not an arbitrary minimum
+    // id. The cluster table is computed over the already-reduced corpus —
+    // dedup work scales with what passed the cheap gates, not the raw
+    // crawl.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
     val exact = quality.withColumn("_rk", row_number().over(w))
@@ -43,9 +45,15 @@ object Curate {
     val edges = graft.operators.Dedup.minhashPairs(exact)
       .filter(col("n_shared_bands") >= 4)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val canon = Clusters.connectedComponents(edges, exact.select(col("doc_id").as("id")))
-      .filter(col("id") === col("cluster_id")).select(col("id").as("doc_id"))
-    val deduped = exact.join(canon, "doc_id")
+    val labels = Clusters.connectedComponents(edges, exact.select(col("doc_id").as("id")))
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    val keepers = labels
+      .join(exact.select(col("doc_id").as("id"), col("quality_score")), "id")
+      .withColumn("best", max(struct(
+          col("quality_score").as("q"), (-col("id")).as("nid"))).over(wC))
+      .filter(col("id") === -col("best.nid"))
+      .select(col("id").as("doc_id"))
+    val deduped = exact.join(keepers, "doc_id")
     val afterDedup = deduped.count()
 
     // 3. decontaminate: drop anything sharing an 8-gram with the
