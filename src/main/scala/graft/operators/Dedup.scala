@@ -97,32 +97,6 @@ object Dedup {
       |  WHERE sha256(lower(trim(d.text))) = h.content_hash)
       |ORDER BY batch_doc_id""".stripMargin
 
-  /** Distinct word 3-shingles per doc as 64-bit hashes, with a
-    * document-frequency cap: shingles occurring in more than `maxDf` docs
-    * are dropped (boilerplate guard — at corpus scale a viral phrase would
-    * otherwise create a quadratic bucket). Shingle strings are hashed to
-    * longs before any shuffle: the distinct, the df count, and every
-    * downstream join then move 8-byte keys instead of strings.
-    */
-  def shingles(docs: DataFrame, maxDf: Int = 50,
-               hashMode: String = "md5"): DataFrame = {
-    // Persisted: the distinct frame feeds both the df count and the
-    // anti-join side. While the shingle hash was xxhash64 (rounds 2-3),
-    // re-evaluating scan+explode+distinct measured cheaper than a cache
-    // round-trip; the md5-based hash (round 4, the price of the DuckDB
-    // oracle) flips that — one digest pass, cached. At 100 TB the
-    // posting lists would be materialized to storage once and reused
-    // across the whole dedup pipeline.
-    val sh = rawShingles(docs, hashMode).distinct().persist()
-    // eager: the df-count broadcast subtree and the anti-join main stage
-    // race this cache when cold, and each caller consumes the anti-join
-    // multiple times — one materialization here, every later read warm
-    sh.count()
-    val hot = sh.groupBy("sh").count().filter(col("count") > maxDf)
-      .select("sh")
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
-  }
-
   // MinHash-LSH constants live with the native band expression (single
   // source of truth between the kernel and the oracle-SQL generators here)
   private def NumPerms = graft.functions.MinhashParams.NumPerms
@@ -595,24 +569,34 @@ object Dedup {
   /** N-gram Jaccard body over an arbitrary (doc_id, text) corpus — the q23
     * pipeline with the base hash selectable ([[baseHash60]]).
     */
-  def ngramJaccardPairs(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
-    // [[shingles]] caches its distinct frame (the digest pass runs once);
-    // the three consumers here (sizes + both self-join sides) re-derive
-    // only the cheap broadcast anti-join from that cache. A second cache
-    // of the capped frame measured SLOWER than re-deriving it — column-
-    // batch materialization of a corpus-sized frame costs more than three
-    // broadcast-join probes. At 100 TB the capped posting lists would be
-    // materialized to storage once and reused across the pipeline.
-    val sh = shingles(docs, hashMode = hashMode)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    // Intersection counts via posting-list pair emission: ONE shuffle of
-    // the shingle table (groupBy sh) and the i<j pairs unfold map-side
-    // from each ≤maxDf-long sorted list, against TWO shuffles for the
-    // equivalent self-join (both join inputs repartition on sh). Pair
-    // volume is identical — the df cap bounds each list, so emission is
-    // O(maxDf²) per shingle either way — and sort_array makes doc_a <
-    // doc_b by construction, matching the join's ordering predicate.
-    val inter = sh.groupBy("sh").agg(sort_array(collect_list("doc_id")).as("ids"))
+  def ngramJaccardPairs(docs: DataFrame, hashMode: String = "md5",
+                        maxDf: Int = 50): DataFrame = {
+    // The ENTIRE inverted index is ONE corpus-wide shuffle (round 6): a
+    // groupBy(sh) with partial-aggregated collect_set builds the sorted
+    // posting list per shingle (map-side set merge dedups locally — the
+    // separate distinct pass is redundant), the df cap is a size filter
+    // on the grouped list (boilerplate guard — a viral phrase would
+    // otherwise create a quadratic bucket), and per-doc set sizes come
+    // from exploding the CAPPED lists, a post-guard sliver. The round-5
+    // chain paid three corpus-wide shuffles for the same numbers:
+    // distinct → df-count groupBy + broadcast anti-join → separate
+    // sizes/lists groupBys. Persisted because sizes and pair emission
+    // both consume it and the md5 digest pass should run once; at 100 TB
+    // the capped posting lists would be materialized to storage once and
+    // reused across the whole dedup pipeline.
+    val lists = rawShingles(docs, hashMode)
+      .groupBy("sh").agg(sort_array(collect_set("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .persist()
+    // eager: the sizes and pair stages race this cache when cold (see q21)
+    lists.count()
+    val sizes = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // Intersection counts via posting-list pair emission: the i<j pairs
+    // unfold map-side from each ≤maxDf-long sorted list — emission is
+    // O(maxDf²) per shingle, and sort_array makes doc_a < doc_b by
+    // construction.
+    val inter = lists
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
