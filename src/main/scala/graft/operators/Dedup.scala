@@ -584,6 +584,15 @@ object Dedup {
     // both consume it and the md5 digest pass should run once; at 100 TB
     // the capped posting lists would be materialized to storage once and
     // reused across the whole dedup pipeline.
+    //
+    // Memory bound, stated honestly: collect_set buffers a shingle's FULL
+    // doc set before the size filter drops it — O(max pre-cap df) per
+    // aggregation key (8 B × df). Fine while the most viral shingle stays
+    // in the millions of docs; for a corpus where one shingle's df alone
+    // outgrows an executor (≫10⁸), flip back to the pre-dropping
+    // formulation (distinct → df-count → broadcast anti-join, round 5 in
+    // git history), which never materializes a viral posting list at the
+    // cost of two extra corpus-wide shuffles.
     val lists = rawShingles(docs, hashMode)
       .groupBy("sh").agg(sort_array(collect_set("doc_id")).as("ids"))
       .filter(size(col("ids")) <= maxDf)
