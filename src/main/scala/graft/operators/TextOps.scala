@@ -158,4 +158,79 @@ object TextOps {
       |FROM expanded
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** q85: token-surprisal quality scoring — the statistical complement to
+    * q27's length/stopword heuristics: each document's unigram
+    * cross-entropy against the corpus' OWN unigram distribution, avg over
+    * tokens of −ln p(tok) with p = corpus frequency / total tokens. High
+    * surprisal marks rare-token-heavy content (OCR noise, gibberish,
+    * codes); very low marks boilerplate — the shape of a KenLM-style
+    * perplexity filter with the LM replaced by the corpus itself, fully
+    * deterministic and cross-engine checkable.
+    *
+    * Plan: one corpus-wide token groupBy builds the frequency table, the
+    * scoring join re-partitions the token stream on the SAME key (the
+    * frequency subtree's exchange is reused), the 1-row total broadcasts,
+    * and the per-doc aggregate is the only other shuffle. Per-token
+    * surprisal is quantized ([[Num.roundD]] at 6dp) BEFORE the exact
+    * average: ln is not IEEE correctly-rounded, so raw libm ulp skew
+    * between engines must be rounded away pre-sum.
+    */
+  def q85TokenSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("total"))
+    val perDoc = toks.join(freq, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("sp", Num.roundD(
+        -log(col("cnt").cast("double") / col("total").cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.avgD(col("sp")).as("avg_surprisal"))
+      .persist() // one row per doc; consumed by the stats agg AND the output
+    // Tiers are SELF-NORMALIZING — corpus mean ± σ of the per-doc score —
+    // so they discriminate at any corpus (absolute nat thresholds are
+    // vocabulary-size artifacts). All stats math is exact decimal sums +
+    // IEEE-exact ops (÷, ×, sqrt), so both engines compare identical
+    // doubles.
+    val st = perDoc.agg(
+      Num.exactSum(col("avg_surprisal")).cast("double").as("sx"),
+      Num.exactSum(col("avg_surprisal") * col("avg_surprisal")).cast("double").as("sxx"),
+      count(lit(1)).cast("double").as("n"))
+    val mu = col("sx") / col("n")
+    val sigma = sqrt(greatest(col("sxx") / col("n") - mu * mu, lit(0.0)))
+    perDoc.crossJoin(broadcast(st))
+      .withColumn("info_tier",
+        when(col("avg_surprisal") > mu + sigma, "rare")
+          .when(col("avg_surprisal") < mu - sigma, "common")
+          .otherwise("typical"))
+      .select("doc_id", "n_tokens", "avg_surprisal", "info_tier")
+      .orderBy("doc_id")
+  }
+
+  val q85Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+       |  FROM documents),
+       |f AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM f),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ${Num.sqlRoundD("-LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))", 6)} AS sp
+       |  FROM t JOIN f USING (tok) CROSS JOIN tot),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens, ${Num.sqlAvg("sp")} AS avg_surprisal
+       |  FROM sc GROUP BY doc_id),
+       |st AS (
+       |  SELECT
+       |    CAST(SUM(CAST(avg_surprisal AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(avg_surprisal * avg_surprisal AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM perdoc)
+       |SELECT doc_id, n_tokens, avg_surprisal,
+       |  CASE WHEN avg_surprisal > sx / n + SQRT(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) THEN 'rare'
+       |       WHEN avg_surprisal < sx / n - SQRT(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) THEN 'common'
+       |       ELSE 'typical' END AS info_tier
+       |FROM perdoc CROSS JOIN st ORDER BY doc_id""".stripMargin
 }
