@@ -156,6 +156,59 @@ object Ann {
         .withColumn("emb", expr("transform(emb, x -> x * 1.01)")))
   }
 
+  /** q86: embedding-space decontamination — SEMANTIC leakage detection
+    * between the corpus and a benchmark set (the `% 97` slice, q51's
+    * convention), complementing q51's surface-form n-gram rule: a
+    * paraphrased or re-encoded benchmark item shares no 8-gram but lands
+    * in the same hyperplane bucket with near-1 cosine. Corpus vectors
+    * probe the benchmark's sign-fingerprint buckets; exact decimal cosine
+    * verifies inside the bucket; each probe keeps its best match (highest
+    * cosine, ties to the lowest benchmark id) and flags ≥ 0.95.
+    *
+    * Scale shape: the benchmark stays benchmark-sized (thousands), so its
+    * bucket table BROADCASTS — the corpus is never shuffled, and
+    * per-probe candidates are bounded by the benchmark's bucket
+    * occupancy, never by corpus hot buckets. One scan + one window on the
+    * (tiny) hit set.
+    */
+  def q86EmbedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isBench = col("vec_id") % 97 === 0 && col("vec_id") < 10000
+    val all = embCorpus(s, dir)
+      .withColumn("qemb", quantize(col("emb")))
+      .withColumn("bucket", planeBucket(col("qemb")))
+      .drop("qemb")
+    val bench = all.filter(isBench)
+      .select(col("vec_id").as("bench_id"), col("bucket"), col("emb").as("bemb"))
+    val hits = all.filter(!isBench)
+      .join(broadcast(bench), Seq("bucket"))
+      .select(col("vec_id"), col("bench_id"), cosineDec("emb", "bemb").as("cosine"))
+    hits.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("bench_id"))))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("is_contaminated", (col("cosine") >= 0.95).cast("int"))
+      .orderBy("vec_id")
+  }
+
+  val q86Sql: String =
+    s"""WITH $sqlFingerprintCte,
+       |bench AS (
+       |  SELECT vec_id AS bench_id, bucket FROM fp
+       |  WHERE vec_id % 97 = 0 AND vec_id < 10000),
+       |cand AS (
+       |  SELECT f.vec_id AS id_a, b.bench_id AS id_b
+       |  FROM fp f JOIN bench b USING (bucket)
+       |  WHERE NOT (f.vec_id % 97 = 0 AND f.vec_id < 10000)),
+       |${sqlPairCosine("cand")},
+       |best AS (
+       |  SELECT id_a, id_b, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+       |  FROM scored)
+       |SELECT id_a AS vec_id, id_b AS bench_id, cosine,
+       |  CAST(cosine >= 0.95 AS INT) AS is_contaminated
+       |FROM best WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** q24: embedding-cosine near-dedup via sign-projection LSH. Vectors
     * sharing the full 16-bit sign fingerprint become candidates (a near-dup
     * agrees with its source on every plane w.h.p.); cosine is verified

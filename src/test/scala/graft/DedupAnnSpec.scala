@@ -167,6 +167,25 @@ class DedupAnnSpec extends SparkSpec {
       r.getAs[Long]("n_shared_bands") == 8L && r.getAs[Int]("is_near_dup") == 1)
   }
 
+  test("q86 flags every injected rescale of a benchmark vector as contaminated") {
+    val out = Ann.q86EmbedDecontaminate(spark, Sf).cache()
+    // injected +10000 rescales of benchmark (%97) vectors are guaranteed
+    // semantic leaks: same direction, cosine 1.0, same sign bucket
+    val leaks = Ann.embCorpus(spark, Sf)
+      .filter(col("vec_id") >= 10000 && (col("vec_id") - 10000) % 97 === 0)
+      .select("vec_id")
+    val n = leaks.count()
+    assert(n > 0, "test data must contain at least one injected benchmark rescale")
+    val matched = out.join(leaks, "vec_id")
+    assert(matched.count() == n, "every injected benchmark rescale must surface")
+    assert(matched.filter(col("is_contaminated") =!= 1 ||
+      col("bench_id") =!= col("vec_id") - 10000).count() == 0,
+      "each leak must flag contaminated and match its own source")
+    // benchmark members themselves never appear on the probe side
+    assert(out.filter(col("vec_id") % 97 === 0 && col("vec_id") < 10000).count() == 0)
+    out.unpersist()
+  }
+
   test("q25 brute-force ANN returns a full descending top-10 per query") {
     val rows = Ann.q25AnnBruteforce(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
