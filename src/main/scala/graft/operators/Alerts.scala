@@ -47,11 +47,14 @@ object Alerts {
 
   /** Per-(user, metric, day) observed value: the daily mean of the metric
     * (metric = event_type — the §3 mapping of the reference's per-day bio
-    * metrics). One partial-aggregated shuffle.
+    * metrics), plus the daily SUM the load-based rules consume (q71's
+    * overtraining branch — carried here so all three alert branches ride
+    * ONE fact scan and one shuffle). One partial-aggregated shuffle.
     */
   def dailyMetrics(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"), col("event_type").as("metric"), dayCol.as("day"))
-      .agg(Num.avgD(col("value")).as("observed"))
+      .agg(Num.avgD(col("value")).as("observed"),
+        Num.sumD(col("value"), 2).as("observed_sum"))
 
   /** Static per-(user, metric) baseline over the FULL history — mean and
     * std from decimal-exact sums (the q14 discipline: engine-native stddev
@@ -90,7 +93,10 @@ object Alerts {
     * 1.2× chronic load).
     */
   def q71AlertRules(s: SparkSession, dir: String): DataFrame = {
-    val daily = dailyMetrics(Tables.load(s, dir, "events"))
+    // persisted: the annotated-window chain AND the load branch both
+    // consume it — one fact scan + one shuffle total, cached at daily
+    // grain (tiny next to the fact table)
+    val daily = dailyMetrics(Tables.load(s, dir, "events")).persist()
 
     val wSeq = Window.partitionBy("user_id", "metric").orderBy("day")
     val wBase = wSeq.rowsBetween(-30, -1)
@@ -133,10 +139,12 @@ object Alerts {
         lit("Readiness Declining").as("condition"), lit("info").as("severity"),
         col("metric"), col("day"), col("observed"), col("prev1").as("threshold"))
 
-    val load = Tables.load(s, dir, "events")
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), dayCol.as("day"))
-      .agg(Num.sumD(col("value"), 2).as("daily_load"))
+    // The load branch rides the SAME daily aggregate as the threshold and
+    // streak branches (dailyMetrics carries the daily sum) — no second
+    // fact scan; its window repartitions only the purchase slice of the
+    // small daily frame.
+    val load = daily.filter(col("metric") === "purchase")
+      .select(col("user_id"), col("day"), col("observed_sum").as("daily_load"))
     val lSeq = Window.partitionBy("user_id").orderBy("day")
     def rollAvg(f: org.apache.spark.sql.expressions.WindowSpec): Column =
       Num.roundD(Num.exactSum(col("daily_load")).over(f).cast("double")
