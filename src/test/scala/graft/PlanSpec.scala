@@ -80,6 +80,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(500))
   }
 
+  test("q84 keep-best plans no cartesian product and one cluster-partitioned window") {
+    val p = planString(Clusters.q84KeepBest(spark, Sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(p.contains("windowspecdefinition(cluster_id"), p.take(500))
+  }
+
+  test("q85 surprisal: the only nested loops are the 1-row stat broadcasts") {
+    val p = planString(TextOps.q85TokenSurprisal(spark, Sf))
+    // total-token count + corpus mean/σ — single-row build sides, the one
+    // case where BNLJ is the right plan (q75's discipline). The plan TEXT
+    // shows the total broadcast once per perDoc lineage copy (the runtime
+    // cache dedups it), so the bound is ≤ 3, not == 2.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
+  }
+
+  test("q86 embedding decontamination broadcasts the benchmark side — the corpus never shuffles") {
+    val p = planString(Ann.q86EmbedDecontaminate(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), "benchmark bucket table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
   test("q47 split prunes the text column from the scan") {
     val p = planString(Sampling.q47SplitAssign(spark, Sf))
     assert(!p.contains("text"), "q47 reads the corpus payload it never uses")
