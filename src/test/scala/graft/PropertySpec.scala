@@ -136,4 +136,44 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private def arr(xs: Array[Long]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+
+  test("MinhashBandsKernel equals the naive per-permutation minimum on random arrays") {
+    import graft.functions.{MinhashBandsKernel, MinhashParams => MP}
+    (1 to N).foreach { _ =>
+      val xs = Array.fill(1 + rng.nextInt(120))(rng.nextLong().abs % (1L << 60))
+      val out = MinhashBandsKernel.compute(arr(xs))
+      val mins = MP.perms.map { case (a, b) => xs.map(x => (x % MP.P * a + b) % MP.P).min }
+      val expected = (0 until MP.Bands).map(bd =>
+        (0 until MP.RowsPerBand).map(r => mins(bd * MP.RowsPerBand + r)).mkString(":"))
+      val got = (0 until MP.Bands).map(i => out.getUTF8String(i).toString)
+      assert(got == expected)
+    }
+    // order invariance: a permutation of the shingle multiset gives identical bands
+    val xs = Array.fill(50)(rng.nextLong().abs % (1L << 60))
+    val shuffled = rng.shuffle(xs.toList).toArray
+    assert((0 until MP.Bands).forall(i =>
+      MinhashBandsKernel.compute(arr(xs)).getUTF8String(i).toString ==
+        MinhashBandsKernel.compute(arr(shuffled)).getUTF8String(i).toString))
+    // null contract: empty array is null
+    assert(MinhashBandsKernel.compute(arr(Array.empty[Long])) == null)
+  }
+
+  test("Simhash60Kernel equals the naive bit-vote fold and is order-invariant") {
+    import graft.functions.Simhash60Kernel
+    (1 to N).foreach { _ =>
+      val hs = Array.fill(1 + rng.nextInt(120))(rng.nextLong().abs % (1L << 60))
+      val got = Simhash60Kernel.compute(arr(hs)).asInstanceOf[Long]
+      val expected = (0 until 60).map { b =>
+        val vote = hs.map(h => if (((h >>> b) & 1L) != 0L) 1 else -1).sum
+        if (vote > 0) 1L << b else 0L
+      }.sum
+      assert(got == expected)
+      val shuffled = rng.shuffle(hs.toList).toArray
+      assert(Simhash60Kernel.compute(arr(shuffled)) == got, "votes are order-invariant")
+    }
+    assert(Simhash60Kernel.compute(arr(Array.empty[Long])) == null)
+  }
 }
