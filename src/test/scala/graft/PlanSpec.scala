@@ -8,6 +8,15 @@ import graft.operators._
   */
 class PlanSpec extends SparkSpec {
 
+  // Plan-string assertions must see the FULL lineage: a persisted subtree
+  // left behind by another suite (operators persist internally) makes
+  // CacheManager substitute InMemoryTableScan into the plan text and
+  // hides the nodes asserted on — suite-order-dependent flakes otherwise.
+  override def planString(df: org.apache.spark.sql.DataFrame): String = {
+    spark.sharedState.cacheManager.clearCache()
+    super.planString(df)
+  }
+
   test("q01 pushes the shipdate filter into the parquet scan") {
     val p = planString(Relational.q01ScanAgg(spark, Sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
