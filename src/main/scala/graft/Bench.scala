@@ -59,7 +59,10 @@ object Bench {
         // float-verify IVF — the ANN analog of the hash modes: same plan
         // as q81, native cosine_sim instead of the decimal oracle verify
         "x81_ann_ivf_float" ->
-          ((s: SparkSession, d: String) => graft.operators.Ann.q81AnnIvf(s, d, verify = "float")))
+          ((s: SparkSession, d: String) => graft.operators.Ann.q81AnnIvf(s, d, verify = "float")),
+        "x86_embed_decon_float" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Ann.q86EmbedDecontaminate(s, d, verify = "float")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

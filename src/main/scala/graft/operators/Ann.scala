@@ -171,7 +171,8 @@ object Ann {
     * occupancy, never by corpus hot buckets. One scan + one window on the
     * (tiny) hit set.
     */
-  def q86EmbedDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  def q86EmbedDecontaminate(s: SparkSession, dir: String,
+                            verify: String = "dec"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val isBench = col("vec_id") % 97 === 0 && col("vec_id") < 10000
     val all = embCorpus(s, dir)
@@ -180,9 +181,15 @@ object Ann {
       .drop("qemb")
     val bench = all.filter(isBench)
       .select(col("vec_id").as("bench_id"), col("bucket"), col("emb").as("bemb"))
+    // verify="dec" is the oracle gate (decimal-exact cosine); "float" is
+    // the production kernel (native cosine_sim) on the identical plan —
+    // the bench's x86 series prices the difference
+    val cos =
+      if (verify == "float") Num.roundD(cosine(col("emb"), col("bemb")))
+      else cosineDec("emb", "bemb")
     val hits = all.filter(!isBench)
       .join(broadcast(bench), Seq("bucket"))
-      .select(col("vec_id"), col("bench_id"), cosineDec("emb", "bemb").as("cosine"))
+      .select(col("vec_id"), col("bench_id"), cos.as("cosine"))
     hits.withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("bench_id"))))
       .filter(col("rn") === 1).drop("rn")

@@ -198,6 +198,31 @@ object Clusters {
       .orderBy("doc_id")
   }
 
+  /** q87: dedup-savings report — the aggregate a curation pipeline
+    * publishes after a dedup run: per cluster size, how many clusters,
+    * how many documents they hold, and how many are redundant (droppable
+    * copies = docs − clusters). A bounded aggregate over the q46 label
+    * table (one row per distinct cluster size), so the report costs two
+    * partial-aggregated shuffles over corpus-sized input and emits a
+    * handful of rows.
+    */
+  def q87DedupReport(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(Dedup.corpus(s, dir))
+      .filter(col("is_canonical")) // one row per cluster, size already carried
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_redundant"))
+      .orderBy("cluster_size")
+
+  val q87Sql: String =
+    s"""WITH RECURSIVE $sqlClusterCte
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_redundant
+       |FROM csizes GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   val q84Sql: String =
     s"""WITH RECURSIVE $sqlClusterCte,
        |t AS (

@@ -60,6 +60,18 @@ class ClustersSpec extends SparkSpec {
     assert(Clusters.lastIters <= 5, s"CC took ${Clusters.lastIters} rounds")
   }
 
+  test("q87 dedup report accounts for every document and every droppable copy") {
+    val rep = Clusters.q87DedupReport(spark, Sf).cache()
+    val docs = graft.operators.Dedup.corpus(spark, Sf).count()
+    val agg = rep.agg(sum("n_docs"), sum("n_redundant"), sum("n_clusters")).first()
+    assert(agg.getLong(0) == docs, "every corpus document lands in exactly one cluster")
+    assert(agg.getLong(1) == docs - agg.getLong(2),
+      "redundant = docs minus one keeper per cluster")
+    assert(rep.filter(col("cluster_size") >= 2).count() > 0,
+      "injected duplicates must produce multi-doc clusters")
+    rep.unpersist()
+  }
+
   test("q84 keep-best picks exactly one keeper per cluster: the quality argmax, ties to the lowest id") {
     val out = Clusters.q84KeepBest(spark, Sf).cache()
     // one keeper per cluster, and no member outscores it
