@@ -46,16 +46,7 @@ object Bench {
           ((s: SparkSession, d: String) =>
             graft.operators.Clusters.dedupClusters(Dedup.corpus(s, d), "xxhash64")),
         "x83_incremental_xxhash64" ->
-          ((s: SparkSession, d: String) => {
-            import org.apache.spark.sql.functions._
-            val base = graft.Tables.load(s, d, "documents").select("doc_id", "text")
-            val batch = base.filter(col("doc_id") % 5 === 0)
-              .withColumn("doc_id", col("doc_id") + 10000)
-              .unionByName(base.filter(col("doc_id") % 10 === 0)
-                .withColumn("doc_id", col("doc_id") + 20000)
-                .withColumn("text", concat(col("text"), lit(" revised edition"))))
-            Dedup.incrementalMinhash(base, batch, "xxhash64")
-          }),
+          ((s: SparkSession, d: String) => Dedup.q83IncrementalMinhash(s, d, "xxhash64")),
         // float-verify IVF — the ANN analog of the hash modes: same plan
         // as q81, native cosine_sim instead of the decimal oracle verify
         "x81_ann_ivf_float" ->

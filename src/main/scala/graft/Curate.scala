@@ -46,12 +46,9 @@ object Curate {
       .filter(col("n_shared_bands") >= 4)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = Clusters.connectedComponents(edges, exact.select(col("doc_id").as("id")))
-    val wC = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
-    val keepers = labels
-      .join(exact.select(col("doc_id").as("id"), col("quality_score")), "id")
-      .withColumn("best", max(struct(
-          col("quality_score").as("q"), (-col("id")).as("nid"))).over(wC))
-      .filter(col("id") === -col("best.nid"))
+    val keepers = Clusters.withKeeper(
+        labels.join(exact.select(col("doc_id").as("id"), col("quality_score")), "id"), "id")
+      .filter(col("is_keeper") === 1)
       .select(col("id").as("doc_id"))
     val deduped = exact.join(keepers, "doc_id")
     val afterDedup = deduped.count()

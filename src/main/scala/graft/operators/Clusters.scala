@@ -180,21 +180,32 @@ object Clusters {
     * over cluster_id — no self-join, and the window partitioning reuses
     * the label join's hash partitioning on cluster_id.
     */
-  def q84KeepBest(s: SparkSession, dir: String): DataFrame = {
+  /** Per-cluster quality argmax (ties to the LOWEST id) over any frame
+    * carrying (cluster_id, quality_score, `idCol`): adds `keeper_id` and
+    * `is_keeper`. The single definition of the keep-best decision — q84
+    * and the [[graft.Curate]] collapse stage both ride it, so the shipped
+    * pipeline can never drift from the oracle-validated query. Argmax via
+    * struct max: quality first, then the NEGATED id, so the struct max is
+    * (best quality, lowest id) — one window aggregate, no self-join.
+    */
+  def withKeeper(df: DataFrame, idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    df.withColumn("best", max(struct(
+        col("quality_score").as("q"), (-col(idCol)).as("nid")))
+      .over(Window.partitionBy("cluster_id")))
+      .withColumn("keeper_id", -col("best.nid"))
+      .withColumn("is_keeper", (col(idCol) === -col("best.nid")).cast("int"))
+      .drop("best")
+  }
+
+  def q84KeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = Dedup.corpus(s, dir)
     val labels = dedupClusters(docs)
     val quality = TextOps.stats(docs).select(col("doc_id"), col("quality_score"))
-    labels.join(quality, Seq("doc_id"))
-      // argmax via struct max: quality first, then the NEGATED id, so the
-      // struct max is (best quality, lowest id) — one window aggregate
-      .withColumn("best", max(struct(
-          col("quality_score").as("q"), (-col("doc_id")).as("nid")))
-        .over(Window.partitionBy("cluster_id")))
+    withKeeper(labels.join(quality, Seq("doc_id")), "doc_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality_score"),
-        (-col("best.nid")).as("keeper_doc_id"),
-        (col("doc_id") === -col("best.nid")).cast("int").as("is_keeper"))
+        col("keeper_id").as("keeper_doc_id"), col("is_keeper"))
       .orderBy("doc_id")
   }
 

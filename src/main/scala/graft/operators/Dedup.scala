@@ -109,9 +109,9 @@ object Dedup {
     * oracles (round 4 — previously these paths used Spark-internal
     * xxhash64 and were rows-only). Slower per call than xxhash64, but the
     * hash runs once per shingle/token (the 32 minhash "permutations" on
-    * top are plain arithmetic, see [[minhashSignatures]]), and the
-    * evaluation is the native [[graft.functions.Md5Long60]] expression —
-    * digest bytes to long directly, no hex-string round-trip.
+    * top are plain arithmetic inside [[graft.functions.MinhashBands]]),
+    * and the evaluation is the native [[graft.functions.Md5Long60]]
+    * expression — digest bytes to long directly, no hex-string round-trip.
     */
   def md5Long60(c: Column): Column =
     call_function("md5_long60", c)
@@ -373,7 +373,8 @@ object Dedup {
     * written bucketed by band_hash once and every batch probe co-locates
     * on the bucket key with no index-side shuffle.
     */
-  def q83IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+  def q83IncrementalMinhash(s: SparkSession, dir: String,
+                            hashMode: String = "md5"): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     val batch = d.filter(col("doc_id") % 5 === 0)
       .withColumn("doc_id", col("doc_id") + 10000)
@@ -381,7 +382,7 @@ object Dedup {
         d.filter(col("doc_id") % 10 === 0)
           .withColumn("doc_id", col("doc_id") + 20000)
           .withColumn("text", concat(col("text"), lit(" revised edition"))))
-    incrementalMinhash(d, batch)
+    incrementalMinhash(d, batch, hashMode)
   }
 
   /** The q83 body: probe `batch` bands against the `index` corpus bands.

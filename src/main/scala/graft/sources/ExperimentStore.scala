@@ -88,7 +88,13 @@ object ExperimentStore {
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException => false // lost-race shapes vary by FS; retry handles it
+        case e: java.io.IOException =>
+          // lost-race shapes vary by FS, so a broad catch is needed — but a
+          // genuine I/O fault must not masquerade silently as a race: log
+          // it so a double "lost the race" failure is diagnosable.
+          Console.err.println(s"[experiment-store] rename to v=$v failed " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — treating as a lost version race")
+          false
       }
     if (!ok) fs(s, dir).delete(new Path(staged), true)
     ok

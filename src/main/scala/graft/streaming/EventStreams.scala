@@ -260,17 +260,24 @@ object EventStreams {
     * band explode → stream-static join, and the per-doc best-match
     * aggregation runs INSIDE foreachBatch where a document's 8 band rows
     * are guaranteed co-batched (a micro-batch is a plain batch frame).
-    * Sink contract matches [[upsertRollupBatch]]'s layering: append of
-    * per-batch results, exactly-once via the checkpointed batch id.
+    *
+    * Sink idempotence: each micro-batch OVERWRITES its own
+    * `batch_id=<id>` partition — a replayed batch (crash between the
+    * parquet write and the checkpoint commit) rewrites the same partition
+    * instead of appending duplicates. Readers get the flag table via
+    * partition discovery over `outDir`. `hashMode` must match the mode
+    * the guarded index was built with (md5 keys are strings, xxhash64
+    * keys are longs — mixing them would silently join zero rows).
     */
   def nearDupQuery(docs: DataFrame, guardedIdx: DataFrame, outDir: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   hashMode: String = "md5"): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.incrementalProbe(guardedIdx, batch)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.incrementalProbe(guardedIdx, batch, hashMode)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .start()
