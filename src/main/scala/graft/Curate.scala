@@ -50,6 +50,14 @@ object Curate {
         labels.join(exact.select(col("doc_id").as("id"), col("quality_score")), "id"), "id")
       .filter(col("is_keeper") === 1)
       .select(col("id").as("doc_id"))
+    // dedup accounting (q87's shape) over the labels just computed — the
+    // run documents its own savings beside the corpus it writes
+    labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_redundant"))
+      .write.mode("overwrite").parquet(s"$outDir/dedup_report")
     val deduped = exact.join(keepers, "doc_id")
     val afterDedup = deduped.count()
 

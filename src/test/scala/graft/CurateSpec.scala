@@ -30,6 +30,12 @@ class CurateSpec extends SparkSpec {
       .select("doc_id")
     val all = spark.read.parquet(s"$out/corpus").select("doc_id")
     assert(all.join(contaminated, "doc_id").count() == 0)
+    // the run documents its own dedup savings: one keeper per cluster
+    val rep = spark.read.parquet(s"$out/dedup_report")
+    val agg = rep.agg(sum("n_clusters"), sum("n_docs"), sum("n_redundant")).first()
+    assert(agg.getLong(0) == s.afterDedup, "keepers = clusters")
+    assert(agg.getLong(1) - agg.getLong(2) == s.afterDedup,
+      "docs minus redundant = keepers")
   }
 
   test("curate rerun is deterministic") {
