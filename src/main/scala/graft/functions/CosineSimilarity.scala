@@ -108,5 +108,9 @@ object GraftFunctions {
       new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
       (children: Seq[Expression]) => Simhash60(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("collect_set_capped"),
+      new ExpressionInfo(classOf[CollectSetCapped].getName, "collect_set_capped"),
+      (children: Seq[Expression]) => CollectSetCapped(children.head, children(1))))
   }
 }

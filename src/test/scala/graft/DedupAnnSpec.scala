@@ -122,6 +122,28 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("viral-shingle guard: q23 drops the over-cap shingle without buffering its posting list") {
+    import spark.implicits._
+    // One boilerplate phrase shared by 500 docs — df 10× the cap of 50.
+    // Under the plain collect_set formulation this key buffers all 500
+    // ids before the filter drops it; collect_set_capped spills the key
+    // at 51 (the buffer-bound invariant is pinned in FunctionsSpec), so
+    // here we assert the SEMANTICS survive: viral-shingle docs pair only
+    // through genuinely shared content, and true dupes still score 1.0.
+    val viral = (0 until 500).map(i =>
+      (i.toLong, s"shared viral boilerplate opens every page then unique ${i * 7} ${i * 13} ${i * 31}"))
+    val dupes = Seq(
+      (9000L, "a genuinely duplicated document body nobody else carries"),
+      (9001L, "a genuinely duplicated document body nobody else carries"))
+    val out = Dedup.ngramJaccardPairs((viral ++ dupes).toDF("doc_id", "text"))
+    assert(out.filter($"doc_a" < 500 && $"doc_b" < 500).count() == 0,
+      "viral-shingle docs share only capped shingles — no pairs")
+    val dup = out.filter($"doc_a" === 9000L).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("doc_b") == 9001L &&
+      dup.head.getAs[Double]("jaccard") == 1.0,
+      "the true duplicate pair must survive the guard at jaccard 1.0")
+  }
+
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
     import spark.implicits._
     // 10 identical docs — below MaxBucket, so the full pairwise set appears

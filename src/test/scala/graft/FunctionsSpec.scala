@@ -148,6 +148,54 @@ class FunctionsSpec extends SparkSpec {
       "native and exploded band tables must be identical multisets")
   }
 
+  test("collect_set_capped equals sort_array(collect_set) + size filter bit-for-bit") {
+    // q23's posting-list bound: the capped aggregate must emit exactly the
+    // rows the unbounded-buffer filter formulation emits. Cap 5 on the
+    // real shingle stream exercises both branches (kept lists and
+    // over-cap NULLs) heavily.
+    val raw = graft.operators.Dedup.rawShingles(Tables.load(spark, Sf, "documents"))
+    val capped = raw.groupBy("sh")
+      .agg(call_function("collect_set_capped", col("doc_id"), lit(5)).as("ids"))
+      .filter(col("ids").isNotNull)
+    val ref = raw.groupBy("sh")
+      .agg(sort_array(collect_set("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 5)
+    assert(capped.count() == ref.count())
+    assert(capped.exceptAll(ref).count() == 0 && ref.exceptAll(capped).count() == 0,
+      "capped and filter formulations must produce identical posting lists")
+  }
+
+  test("collect_set_capped buffer storage never exceeds the cap under a viral key") {
+    import graft.functions.CappedLongSet
+    val b = new CappedLongSet(50)
+    (0 until 100000).foreach { i =>
+      b.add(i.toLong)
+      assert(b.set.size <= 50, s"buffer grew to ${b.set.size} at insert $i")
+    }
+    assert(b.overflow && b.set.isEmpty, "viral key must spill to the empty overflow state")
+    // a complete partial merges exactly; an overflowed partial poisons
+    val c = new CappedLongSet(50)
+    (0L until 10L).foreach(c.add)
+    val d = new CappedLongSet(50)
+    (5L until 20L).foreach(d.add)
+    c.mergeIn(d)
+    assert(!c.overflow && c.set.size == 20)
+    c.mergeIn(b)
+    assert(c.overflow && c.set.isEmpty)
+  }
+
+  test("collect_set_capped is registered on the SQL surface and ignores nulls") {
+    import spark.implicits._
+    Seq(Some(3L), Some(1L), None, Some(2L), Some(1L)).toDF("v")
+      .createOrReplaceTempView("csc_fn_test")
+    val kept = spark.sql("SELECT collect_set_capped(v, 3) AS ids FROM csc_fn_test")
+      .first().getSeq[Long](0)
+    assert(kept == Seq(1L, 2L, 3L), s"sorted distinct expected, got $kept")
+    val dropped = spark.sql("SELECT collect_set_capped(v, 2) AS ids FROM csc_fn_test")
+      .first()
+    assert(dropped.isNullAt(0), "over-cap group must evaluate to NULL")
+  }
+
   test("dot_dec stays inside whole-stage codegen") {
     val p = planString(Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))

@@ -53,6 +53,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q23 builds its inverted index through the bounded collect_set_capped aggregate") {
+    // the viral-shingle memory bound (VERDICT r6 #1) is structural only if
+    // the bounded aggregate is actually in the plan — guard the rework
+    // against a silent revert to collect_set + post-filter
+    val p = planString(Dedup.q23NgramJaccard(spark, Sf))
+    assert(p.contains("collect_set_capped"), "posting lists must use the bounded aggregate")
+  }
+
   test("windows are partitioned by entity keys (no global window on events)") {
     Seq(Windows.q08WindowLagLead(spark, Sf), Windows.q09WindowRolling(spark, Sf))
       .foreach { df =>
