@@ -913,4 +913,185 @@ object Predictive {
        |WHERE purchases >= 1 AND view_score_filled IS NOT NULL
        |ORDER BY user_id, day""".stripMargin
   }
+
+  /** q88: workout-type → next-day recovery with a Mann-Whitney U rank-sum
+    * test between the two largest cohorts (reference: insights_engine/
+    * insights/workout_recovery.py:92-140 — next-day readiness segmented
+    * by prior-day workout category, per-category n/mean/median/std over
+    * cohorts of ≥5 observations, then scipy.stats.mannwhitneyu two-sided
+    * between the two largest groups — the reference's only non-parametric
+    * two-sample test). Mapping: category = the day's activity_state (the
+    * §3 stand-in for the workout-type categorization, a per-day CASE like
+    * the reference's), outcome = the NEXT day's view score via q39's
+    * day+1 pairing.
+    *
+    * The reference pulls one entity's frame into scipy; this runs the
+    * test for EVERY entity in one pass of entity-partitioned windows —
+    * no join, no global sort. Cohort sizes and the two-largest selection
+    * are count + dense_rank windows over (user, category) — the category
+    * name in the ordering makes rank assignment total, so "top 2" is
+    * exactly two cohorts. Pooled midranks are RANK + tie-count windows
+    * over (user, outcome), kept DOUBLED (2·rank + t − 1, always integral)
+    * so rank sums accumulate exactly in longs — q15's midrank discipline.
+    * The tie-corrected normal approximation
+    * σ² = n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1))) with continuity
+    * correction matches scipy's asymptotic two-sided method; Σ(t³−t)
+    * folds row-wise as Σ(t²−1) (each of a t-row tie group contributes
+    * t²−1). p rides [[Num.phi]], the portable erf CDF the oracle replays
+    * bit-identically; per-group stats round at the reference's 1dp.
+    * Degenerate users — fewer than two ≥5-observation cohorts, or all
+    * pooled outcomes tied (σ = 0) — are filtered, not special-cased
+    * (q76's guard discipline).
+    */
+  def q88MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val pairs = rollup(s, dir)
+      .withColumn("next_day", lead("day", 1).over(w))
+      .withColumn("outcome", lead("view_score_filled", 1).over(w))
+      .filter(col("next_day") ===
+        date_format(date_add(to_date(col("day")), 1), "yyyy-MM-dd"))
+      .filter(col("outcome").isNotNull)
+      .select(col("user_id"), col("activity_state").as("category"), col("outcome"))
+    mannWhitneyPanel(pairs)
+  }
+
+  /** The Mann-Whitney panel body over an arbitrary
+    * (user_id, category, outcome) observation frame — q88's kernel,
+    * exposed so the spec can pin U/z/p on a hand-computed sample.
+    */
+  def mannWhitneyPanel(pairs: DataFrame): DataFrame = {
+    val wCat = Window.partitionBy("user_id", "category")
+    val wRank = Window.partitionBy("user_id").orderBy(desc("cat_n"), asc("category"))
+    val top2 = pairs
+      .withColumn("cat_n", count(lit(1)).over(wCat))
+      .filter(col("cat_n") >= 5)
+      .withColumn("cat_rank", dense_rank().over(wRank))
+      .filter(col("cat_rank") <= 2)
+    val wVal = Window.partitionBy("user_id").orderBy("outcome")
+    val wTie = Window.partitionBy("user_id", "outcome")
+    val ranked = top2
+      .withColumn("min_rank", rank().over(wVal).cast("long"))
+      .withColumn("tie_n", count(lit(1)).over(wTie))
+      .withColumn("r2", lit(2L) * col("min_rank") + col("tie_n") - lit(1L))
+    def side(rk: Int) = {
+      val v = when(col("cat_rank") === rk, col("outcome"))
+      Seq(
+        max(when(col("cat_rank") === rk, col("category"))).as(s"g$rk"),
+        count(v).cast("double").as(s"n$rk"),
+        Num.exactSum(v).cast("double").as(s"sx$rk"),
+        Num.exactSum(v * v).cast("double").as(s"sxx$rk"),
+        Num.roundD(expr(s"percentile(if(cat_rank = $rk, outcome, null), 0.5)"), 1)
+          .as(s"median$rk"))
+    }
+    val aggs = side(1) ++ side(2) ++ Seq(
+      sum(when(col("cat_rank") === 1, col("r2"))).as("r1d"),
+      count(lit(1)).cast("double").as("nn"),
+      sum(col("tie_n") * col("tie_n") - lit(1L)).as("tie_sum0"))
+    val g = ranked.groupBy("user_id").agg(aggs.head, aggs.tail: _*)
+      .filter(col("g2").isNotNull)
+    val u1 = (col("r1d").cast("double") / lit(2.0)) -
+      ((col("n1") * (col("n1") + lit(1.0))) / lit(2.0))
+    val mu = (col("n1") * col("n2")) / lit(2.0)
+    val sig2 = ((col("n1") * col("n2")) / lit(12.0)) *
+      ((col("nn") + lit(1.0)) -
+        (col("tie_sum0").cast("double") / (col("nn") * (col("nn") - lit(1.0)))))
+    def stdOf(n: Column, sx: Column, sxx: Column): Column = {
+      val v = (sxx - sx * sx / n) / (n - lit(1.0))
+      Num.roundD(when(v > 0, sqrt(v)).otherwise(lit(0.0)), 1)
+    }
+    val staged = g
+      .withColumn("u1", u1)
+      .withColumn("mu", mu)
+      .withColumn("sig2", sig2)
+      .filter(col("sig2") > 0)
+      .withColumn("z_raw",
+        ((col("u1") - col("mu")) - (lit(0.5) * signum(col("u1") - col("mu")))) /
+          sqrt(col("sig2")))
+      .withColumn("p_value", Num.roundD(
+        lit(2.0) * (lit(1.0) - Num.phi(abs(col("z_raw"))))))
+    staged.select(
+      col("user_id"), col("g1"), col("g2"),
+      col("n1").cast("bigint").as("n1"), col("n2").cast("bigint").as("n2"),
+      Num.roundD(col("sx1") / col("n1"), 1).as("mean1"),
+      Num.roundD(col("sx2") / col("n2"), 1).as("mean2"),
+      col("median1"), col("median2"),
+      stdOf(col("n1"), col("sx1"), col("sxx1")).as("std1"),
+      stdOf(col("n2"), col("sx2"), col("sxx2")).as("std2"),
+      Num.roundD(col("u1"), 1).as("u_stat"),
+      Num.roundD(col("z_raw")).as("z_stat"),
+      col("p_value"),
+      (col("p_value") < 0.05).cast("int").as("significant"))
+      .orderBy("user_id")
+  }
+
+  val q88Sql: String =
+    s"""WITH $rollupCte,
+       |prs AS (
+       |  SELECT a.user_id, a.activity_state AS category,
+       |    b.view_score_filled AS outcome
+       |  FROM rollup a
+       |  JOIN rollup b ON b.user_id = a.user_id
+       |    AND CAST(b.day AS DATE) = CAST(a.day AS DATE) + INTERVAL 1 DAY
+       |  WHERE b.view_score_filled IS NOT NULL),
+       |cn AS (
+       |  SELECT user_id, category, outcome,
+       |    COUNT(*) OVER (PARTITION BY user_id, category) AS cat_n
+       |  FROM prs),
+       |t2 AS (
+       |  SELECT *, DENSE_RANK() OVER
+       |      (PARTITION BY user_id ORDER BY cat_n DESC, category) AS cat_rank
+       |  FROM cn WHERE cat_n >= 5),
+       |rk AS (
+       |  SELECT *,
+       |    RANK() OVER (PARTITION BY user_id ORDER BY outcome) AS min_rank,
+       |    COUNT(*) OVER (PARTITION BY user_id, outcome) AS tie_n
+       |  FROM t2 WHERE cat_rank <= 2),
+       |g AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN cat_rank = 1 THEN category END) AS g1,
+       |    CAST(COUNT(CASE WHEN cat_rank = 1 THEN outcome END) AS DOUBLE) AS n1,
+       |    CAST(SUM(CASE WHEN cat_rank = 1 THEN CAST(outcome AS DECIMAL(25,6)) END) AS DOUBLE) AS sx1,
+       |    CAST(SUM(CASE WHEN cat_rank = 1 THEN CAST(outcome * outcome AS DECIMAL(25,6)) END) AS DOUBLE) AS sxx1,
+       |    ${Num.sqlRoundD("quantile_cont(outcome, 0.5) FILTER (WHERE cat_rank = 1)", 1)} AS median1,
+       |    MAX(CASE WHEN cat_rank = 2 THEN category END) AS g2,
+       |    CAST(COUNT(CASE WHEN cat_rank = 2 THEN outcome END) AS DOUBLE) AS n2,
+       |    CAST(SUM(CASE WHEN cat_rank = 2 THEN CAST(outcome AS DECIMAL(25,6)) END) AS DOUBLE) AS sx2,
+       |    CAST(SUM(CASE WHEN cat_rank = 2 THEN CAST(outcome * outcome AS DECIMAL(25,6)) END) AS DOUBLE) AS sxx2,
+       |    ${Num.sqlRoundD("quantile_cont(outcome, 0.5) FILTER (WHERE cat_rank = 2)", 1)} AS median2,
+       |    SUM(CASE WHEN cat_rank = 1 THEN 2 * min_rank + tie_n - 1 END) AS r1d,
+       |    CAST(COUNT(*) AS DOUBLE) AS nn,
+       |    SUM(tie_n * tie_n - 1) AS tie_sum0
+       |  FROM rk GROUP BY user_id),
+       |st AS (
+       |  SELECT *,
+       |    (CAST(r1d AS DOUBLE) / 2.0) - ((n1 * (n1 + 1.0)) / 2.0) AS u1,
+       |    (n1 * n2) / 2.0 AS mu,
+       |    ((n1 * n2) / 12.0) *
+       |      ((nn + 1.0) - (CAST(tie_sum0 AS DOUBLE) / (nn * (nn - 1.0)))) AS sig2
+       |  FROM g WHERE g2 IS NOT NULL),
+       |zc AS (
+       |  SELECT *,
+       |    ((u1 - mu) - (0.5 * SIGN(u1 - mu))) / SQRT(sig2) AS z_raw
+       |  FROM st WHERE sig2 > 0),
+       |za AS (SELECT *, ABS(z_raw) AS az FROM zc),
+       |pc AS (
+       |  SELECT *, ${Num.sqlRoundD(s"2.0 * (1.0 - ${Num.sqlPhi("az")})")} AS p_value
+       |  FROM za)
+       |SELECT user_id, g1, g2,
+       |  CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       |  ${Num.sqlRoundD("sx1 / n1", 1)} AS mean1,
+       |  ${Num.sqlRoundD("sx2 / n2", 1)} AS mean2,
+       |  median1, median2,
+       |  ${Num.sqlRoundD(
+            "CASE WHEN (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) > 0 " +
+            "THEN SQRT((sxx1 - sx1 * sx1 / n1) / (n1 - 1.0)) ELSE 0.0 END", 1)} AS std1,
+       |  ${Num.sqlRoundD(
+            "CASE WHEN (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) > 0 " +
+            "THEN SQRT((sxx2 - sx2 * sx2 / n2) / (n2 - 1.0)) ELSE 0.0 END", 1)} AS std2,
+       |  ${Num.sqlRoundD("u1", 1)} AS u_stat,
+       |  ${Num.sqlRoundD("z_raw")} AS z_stat,
+       |  p_value,
+       |  CAST(p_value < 0.05 AS INT) AS significant
+       |FROM pc
+       |ORDER BY user_id""".stripMargin
 }

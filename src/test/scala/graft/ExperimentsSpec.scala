@@ -147,6 +147,46 @@ class ExperimentsSpec extends SparkSpec {
     }
   }
 
+  test("q88: hand-computed Mann-Whitney U, tie-corrected z, and p match") {
+    import spark.implicits._
+    // Cohort a: 1,2,3,4,5; cohort b: 3,4,5,6,7 (n1 = n2 = 5, name-asc
+    // tie-break makes a the g1 side). Pooled midranks:
+    // 1,2,3.5,3.5,5.5,5.5,7.5,7.5,9,10 → R1 = 19.5 → U1 = 4.5.
+    // Ties: three groups of 2 → Σ(t³−t) = 18; σ² = (25/12)(11 − 18/90)
+    // = 22.5; z = (4.5 − 12.5 + 0.5)/√22.5 = −1.5811 (continuity
+    // correction toward the mean); p = 2(1 − Φ(|z|)) ≈ 0.1139 — the
+    // values scipy.stats.mannwhitneyu(method='asymptotic') reports.
+    val obs =
+      (Seq(1, 2, 3, 4, 5).map(v => (1L, "a", v.toDouble)) ++
+        Seq(3, 4, 5, 6, 7).map(v => (1L, "b", v.toDouble)) ++
+        // user 2: second cohort below the n≥5 floor → no test row
+        Seq(1, 2, 3, 4, 5).map(v => (2L, "a", v.toDouble)) ++
+        Seq(1, 2).map(v => (2L, "b", v.toDouble)) ++
+        // user 3: every pooled outcome tied → σ = 0 → filtered
+        Seq.fill(5)((3L, "a", 9.0)) ++ Seq.fill(5)((3L, "b", 9.0)))
+        .toDF("user_id", "category", "outcome")
+    val rows = graft.operators.Predictive.mannWhitneyPanel(obs).collect()
+    assert(rows.length == 1, s"only user 1 qualifies, got ${rows.length}")
+    val r = rows.head
+    assert(r.getAs[String]("g1") == "a" && r.getAs[String]("g2") == "b")
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 5L)
+    assert(r.getAs[Double]("u_stat") == 4.5)
+    assert(math.abs(r.getAs[Double]("z_stat") - -1.5811) < 1e-4)
+    assert(math.abs(r.getAs[Double]("p_value") - 0.1139) < 2e-4)
+    assert(r.getAs[Int]("significant") == 0)
+    assert(r.getAs[Double]("mean1") == 3.0 && r.getAs[Double]("mean2") == 5.0)
+    assert(r.getAs[Double]("median1") == 3.0 && r.getAs[Double]("median2") == 5.0)
+  }
+
+  test("q88: the panel runs on entity-partitioned windows with no join") {
+    val p = graft.operators.Predictive.q88MannWhitney(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("windowspecdefinition(user_id"), p.take(400))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cohort selection and ranks must be windows, not joins")
+  }
+
   test("q76/q77 plans broadcast the interventions config; no SortMergeJoin") {
     Seq(Experiments.q76BayesianEffect(spark, Sf), Experiments.q77DidCounterfactual(spark, Sf))
       .foreach { df =>
