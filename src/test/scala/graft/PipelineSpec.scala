@@ -41,4 +41,23 @@ class PipelineSpec extends SparkSpec {
     assert(!ran.skipped && ran.rollupRows > 0 && ran.briefingRows > 0)
     assert(!fs.exists(lock), "a completed run must release its lock")
   }
+
+  test("a crashed run's stale lock is reclaimed past the TTL; a fresh one is honored") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline-stale").toString
+    val lock = new org.apache.hadoop.fs.Path(s"$out/.pipeline-running")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    // crash debris: a lock whose claim time is two TTLs in the past
+    assert(fs.createNewFile(lock))
+    val ttlMs = 60 * 1000L
+    fs.setTimes(lock, System.currentTimeMillis() - 2 * ttlMs, -1)
+    val ran = Pipeline.run(spark, Sf, out, staleAfterMs = ttlMs)
+    assert(!ran.skipped && ran.rollupRows > 0, "a stale lock must be reclaimed")
+    assert(!fs.exists(lock), "the reclaimed run must release its own claim")
+    // a fresh lock inside the TTL still wins
+    assert(fs.createNewFile(lock))
+    val skipped = Pipeline.run(spark, Sf, out, staleAfterMs = ttlMs)
+    assert(skipped.skipped, "a live lock inside the TTL must be honored")
+    assert(fs.exists(lock))
+  }
 }
