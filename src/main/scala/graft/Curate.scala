@@ -45,47 +45,55 @@ object Curate {
     val edges = graft.operators.Dedup.minhashPairs(exact)
       .filter(col("n_shared_bands") >= 4)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // persisted: the savings report, the keeper join, and every
+    // downstream stage built on the keepers consume the labels —
+    // unpersisted, connectedComponents (an iterative pipeline) recomputes
+    // once per action (ADVICE r6). Released after the final corpus write,
+    // Discover's try/finally discipline.
     val labels = Clusters.connectedComponents(edges, exact.select(col("doc_id").as("id")))
-    val keepers = Clusters.withKeeper(
-        labels.join(exact.select(col("doc_id").as("id"), col("quality_score")), "id"), "id")
-      .filter(col("is_keeper") === 1)
-      .select(col("id").as("doc_id"))
-    // dedup accounting (q87's shape) over the labels just computed — the
-    // run documents its own savings beside the corpus it writes
-    labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      .groupBy("cluster_size")
-      .agg(count(lit(1)).as("n_clusters"),
-        (count(lit(1)) * col("cluster_size")).as("n_docs"),
-        (count(lit(1)) * (col("cluster_size") - 1)).as("n_redundant"))
-      .write.mode("overwrite").parquet(s"$outDir/dedup_report")
-    val deduped = exact.join(keepers, "doc_id")
-    val afterDedup = deduped.count()
+      .persist()
+    try {
+      val keepers = Clusters.withKeeper(
+          labels.join(exact.select(col("doc_id").as("id"), col("quality_score")), "id"), "id")
+        .filter(col("is_keeper") === 1)
+        .select(col("id").as("doc_id"))
+      // dedup accounting (q87's shape) over the labels just computed — the
+      // run documents its own savings beside the corpus it writes
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("cluster_size")).as("n_docs"),
+          (count(lit(1)) * (col("cluster_size") - 1)).as("n_redundant"))
+        .write.mode("overwrite").parquet(s"$outDir/dedup_report")
+      val deduped = exact.join(keepers, "doc_id")
+      val afterDedup = deduped.count()
 
-    // 3. decontaminate: drop anything sharing an 8-gram with the
-    // benchmark slice (and the benchmark docs themselves)
-    val contaminated = Curation.q51Decontaminate(spark, dataDir)
-      .select("doc_id")
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    val afterDecontam = clean.count()
+      // 3. decontaminate: drop anything sharing an 8-gram with the
+      // benchmark slice (and the benchmark docs themselves)
+      val contaminated = Curation.q51Decontaminate(spark, dataDir)
+        .select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val afterDecontam = clean.count()
 
-    // 4. split + pack + write, partitioned for pruned trainer reads
-    val curated = clean
-      .withColumn("bucket", Sampling.bucket100("split", col("doc_id")))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "validation").otherwise("test"))
-      .withColumn("shard", (col("doc_id") % 32).cast("int"))
-    val packW = org.apache.spark.sql.expressions.Window
-      .partitionBy("split", "lang", "shard").orderBy("doc_id")
-    val packed = curated
-      .withColumn("tok_end", sum(col("n_tokens")).over(packW))
-      .withColumn("pack_id", expr("(tok_end - n_tokens) div 512"))
-      .select("doc_id", "text", "lang", "source", "split", "shard",
-        "n_tokens", "quality_score", "pack_id")
-    packed.write.mode("overwrite").partitionBy("split", "lang")
-      .parquet(s"$outDir/corpus")
-    val out = spark.read.parquet(s"$outDir/corpus")
-    Summary(input, afterQuality, afterDedup, afterDecontam, out.count())
+      // 4. split + pack + write, partitioned for pruned trainer reads
+      val curated = clean
+        .withColumn("bucket", Sampling.bucket100("split", col("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "validation").otherwise("test"))
+        .withColumn("shard", (col("doc_id") % 32).cast("int"))
+      val packW = org.apache.spark.sql.expressions.Window
+        .partitionBy("split", "lang", "shard").orderBy("doc_id")
+      val packed = curated
+        .withColumn("tok_end", sum(col("n_tokens")).over(packW))
+        .withColumn("pack_id", expr("(tok_end - n_tokens) div 512"))
+        .select("doc_id", "text", "lang", "source", "split", "shard",
+          "n_tokens", "quality_score", "pack_id")
+      packed.write.mode("overwrite").partitionBy("split", "lang")
+        .parquet(s"$outDir/corpus")
+      val out = spark.read.parquet(s"$outDir/corpus")
+      Summary(input, afterQuality, afterDedup, afterDecontam, out.count())
+    } finally labels.unpersist()
   }
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir>` */

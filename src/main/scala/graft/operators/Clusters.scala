@@ -179,6 +179,14 @@ object Clusters {
     * scan-speed projection; the keeper choice is ONE max(struct) window
     * over cluster_id — no self-join, and the window partitioning reuses
     * the label join's hash partitioning on cluster_id.
+    *
+    * In-suite cost note: q84 and q87 each recompute the full cluster
+    * pipeline (minhash → CC) because every registered query is
+    * self-contained BY CONTRACT — do not "optimize" the suite by sharing
+    * state across queries. The production shape computes labels once and
+    * shares them across the keep-best collapse and the savings report,
+    * exactly as [[graft.Curate]] does (one persisted label table feeding
+    * [[withKeeper]] and the report write).
     */
   /** Per-cluster quality argmax (ties to the LOWEST id) over any frame
     * carrying (cluster_id, quality_score, `idCol`): adds `keeper_id` and
@@ -215,7 +223,10 @@ object Clusters {
     * copies = docs − clusters). A bounded aggregate over the q46 label
     * table (one row per distinct cluster size), so the report costs two
     * partial-aggregated shuffles over corpus-sized input and emits a
-    * handful of rows.
+    * handful of rows. The cluster-pipeline recompute behind it is the
+    * query-self-containment contract, not the production shape — see the
+    * q84 cost note above; [[graft.Curate]] shares one label table across
+    * both consumers.
     */
   def q87DedupReport(s: SparkSession, dir: String): DataFrame =
     dedupClusters(Dedup.corpus(s, dir))

@@ -168,20 +168,26 @@ object TextOps {
     * perplexity filter with the LM replaced by the corpus itself, fully
     * deterministic and cross-engine checkable.
     *
-    * Plan: one corpus-wide token groupBy builds the frequency table, the
-    * scoring join re-partitions the token stream on the SAME key (the
-    * frequency subtree's exchange is reused), the 1-row total broadcasts,
-    * and the per-doc aggregate is the only other shuffle. Per-token
-    * surprisal is quantized ([[Num.roundD]] at 6dp) BEFORE the exact
-    * average: ln is not IEEE correctly-rounded, so raw libm ulp skew
-    * between engines must be rounded away pre-sum.
+    * Plan: one corpus-wide token groupBy builds the frequency table (the
+    * LM aggregation — inherently corpus-wide), then the scoring join
+    * BROADCASTS it back onto the token stream, so the exploded
+    * (doc_id, token) stream never exchanges (round 7 — the same
+    * shuffle-elimination move the LSH signatures got in round 6); the
+    * 1-row total broadcasts, and the per-doc aggregate is the only
+    * corpus-wide shuffle left. A unigram vocab is megabytes after
+    * df-flooring even on a web corpus; if it ever outgrows broadcast,
+    * floor the vocab first — tokens below the floor saturate at max
+    * surprisal by construction, so the floor is a quality knob, not a
+    * correctness loss. Per-token surprisal is quantized ([[Num.roundD]]
+    * at 6dp) BEFORE the exact average: ln is not IEEE correctly-rounded,
+    * so raw libm ulp skew between engines must be rounded away pre-sum.
     */
   def q85TokenSurprisal(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum("cnt").as("total"))
-    val perDoc = toks.join(freq, "tok")
+    val perDoc = toks.join(broadcast(freq), "tok")
       .crossJoin(broadcast(tot))
       .withColumn("sp", Num.roundD(
         -log(col("cnt").cast("double") / col("total").cast("double")), 6))

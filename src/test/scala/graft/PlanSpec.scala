@@ -103,14 +103,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(cluster_id"), p.take(500))
   }
 
-  test("q85 surprisal: the only nested loops are the 1-row stat broadcasts") {
+  test("q85 surprisal: frequency table broadcasts — the token stream never re-shuffles") {
     val p = planString(TextOps.q85TokenSurprisal(spark, Sf))
     // total-token count + corpus mean/σ — single-row build sides, the one
     // case where BNLJ is the right plan (q75's discipline). The plan TEXT
     // shows the total broadcast once per perDoc lineage copy (the runtime
     // cache dedups it), so the bound is ≤ 3, not == 2.
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p.take(500))
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
+    // the vocab join-back must ride a broadcast: the only corpus-wide
+    // exchanges are the LM groupBy and the per-doc aggregate
+    assert(p.contains("BroadcastHashJoin"), "frequency join-back must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p.take(500))
   }
 
   test("q86 embedding decontamination broadcasts the benchmark side — the corpus never shuffles") {
