@@ -414,12 +414,40 @@ object Dedup {
       .select(col("doc_id").as("match_doc_id"), col("band_idx"), col("band_hash"))
   }
 
+  /** Index refresh: materialize the GUARDED standing band index as a
+    * managed table bucketed by the probe's join keys (band_idx,
+    * band_hash) — the write the q83/streaming docstrings promise. The
+    * corpus is shingled, signed, and guard-filtered ONCE per refresh;
+    * every later batch or stream probe's equi-join then co-locates on
+    * the bucket key with NO index-side exchange (the scan's bucketing IS
+    * the join partitioning — only the batch side shuffles, and a probe
+    * batch is small by definition). Pay the corpus shuffle once in the
+    * refresh, never per probe: [[graft.sources.Ingest.writeBucketed]]'s
+    * §4 co-location contract applied to the near-dup family.
+    */
+  def refreshIndex(docs: DataFrame, table: String, hashMode: String = "md5",
+                   maxBucket: Int = MaxBucket, numBuckets: Int = 32): Unit =
+    graft.sources.Ingest.writeBucketed(
+      guardedIndex(minhashBands(docs, hashMode), maxBucket),
+      table, "band_idx", numBuckets, sortCol = None,
+      moreBucketCols = Seq("band_hash"))
+
+  /** Probe a batch against a [[refreshIndex]]-materialized index table —
+    * [[incrementalProbe]] over the bucketed scan. `hashMode` must match
+    * the refresh (md5 band keys are strings, xxhash64 keys longs).
+    */
+  def probeIndex(s: SparkSession, table: String, batch: DataFrame,
+                 hashMode: String = "md5"): DataFrame =
+    incrementalProbe(s.table(table), batch, hashMode)
+
   /** Probe `batch` documents against a prepared [[guardedIndex]] — the
     * q83 tail, factored so the STREAMING twin
     * ([[graft.streaming.EventStreams.nearDupQuery]]) reuses it per
-    * micro-batch against an index built once. The batch's own signature
-    * stage is the row-local `minhash_bands` expression, so this is a
-    * stateless scan + one band-key join.
+    * micro-batch against an index built once — pass
+    * `spark.table(<refreshIndex table>)` to stream against the
+    * materialized index. The batch's own signature stage is the
+    * row-local `minhash_bands` expression, so this is a stateless scan +
+    * one band-key join.
     */
   def incrementalProbe(guarded: DataFrame, batch: DataFrame,
                        hashMode: String = "md5"): DataFrame = {

@@ -200,9 +200,10 @@ object Ingest {
     * never per query.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    numBuckets: Int, sortCol: Option[String] = None): Unit = {
+                    numBuckets: Int, sortCol: Option[String] = None,
+                    moreBucketCols: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, bucketCol)
+      .bucketBy(numBuckets, bucketCol, moreBucketCols: _*)
     sortCol.fold(w)(sc => w.sortBy(sc)).saveAsTable(table)
   }
 }

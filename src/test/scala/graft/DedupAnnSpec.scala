@@ -144,6 +144,45 @@ class DedupAnnSpec extends SparkSpec {
       "the true duplicate pair must survive the guard at jaccard 1.0")
   }
 
+  test("materialized band index: two batches probe one bucketed table with no index-side exchange") {
+    import org.apache.spark.sql.functions._
+    val table = "neardup_index_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, table, numBuckets = 8)
+
+    // batch 1 (exact copies) and batch 2 (revised near-dups) probe the
+    // SAME standing table — the index is never re-built between ingests
+    val b1 = d.filter(col("doc_id") % 5 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val b2 = d.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("text", concat(col("text"), lit(" revised edition")))
+    for (b <- Seq(b1, b2)) {
+      val fromTable = Dedup.probeIndex(spark, table, b)
+      val selfContained = Dedup.incrementalMinhash(d, b)
+      assert(fromTable.exceptAll(selfContained).count() == 0 &&
+        selfContained.exceptAll(fromTable).count() == 0,
+        "table-backed probe must equal the self-contained q83 path")
+    }
+
+    // co-location: force the shuffle-join path (broadcast would hide the
+    // bucketing) and assert the only (band_idx, band_hash) exchange is
+    // the probe side's — the index scan is bucketed on the join keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString(Dedup.probeIndex(spark, table, b1))
+      assert(p.contains("Bucketed: true"), p.take(600))
+      assert("Exchange hashpartitioning\\(band_idx".r.findAllIn(p).size == 1,
+        s"only the probe side may exchange on the band keys:\n${p.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
     import spark.implicits._
     // 10 identical docs — below MaxBucket, so the full pairwise set appears
