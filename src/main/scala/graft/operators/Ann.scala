@@ -128,18 +128,18 @@ object Ann {
   /** Oracle fragment: decimal dot + cosine for a pair CTE `$pairs(id_a,
     * id_b)` — mirrors [[cosineDec]].
     */
-  private def sqlPairCosine(pairs: String): String =
-    s"""pdots AS (
+  private def sqlPairCosine(pairs: String, prefix: String = ""): String =
+    s"""${prefix}pdots AS (
        |  SELECT p.id_a, p.id_b, SUM(CAST(ea.v * eb.v AS DECIMAL(25,12))) AS dotp
        |  FROM $pairs p
        |  JOIN eexpl ea ON ea.vec_id = p.id_a
        |  JOIN eexpl eb ON eb.vec_id = p.id_b AND eb.j = ea.j
        |  GROUP BY 1, 2),
-       |scored AS (
+       |${prefix}scored AS (
        |  SELECT d.id_a, d.id_b,
        |    ${Num.sqlRoundD(
             "CAST(d.dotp AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))")} AS cosine
-       |  FROM pdots d
+       |  FROM ${prefix}pdots d
        |  JOIN norms na ON na.vec_id = d.id_a
        |  JOIN norms nb ON nb.vec_id = d.id_b)""".stripMargin
 
@@ -399,7 +399,14 @@ object Ann {
     * (cosine ≈ 1 shares every sign band w.h.p.), which random base
     * vectors alone cannot exhibit.
     */
-  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
+  def q26AnnLsh(s: SparkSession, dir: String): DataFrame =
+    lshTopK(s, dir, maxQ = 50, k = 10).orderBy("q_id", "rank")
+
+  /** The q26 body with the query set and k parameterized — queries are
+    * independent, so a subset run returns the identical per-query rows
+    * (q91's recall report scores the `maxQ = 5` slice).
+    */
+  private def lshTopK(s: SparkSession, dir: String, maxQ: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embCorpus(s, dir)
       .withColumn("qemb", quantize(col("emb")))
@@ -411,7 +418,7 @@ object Ann {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
           .as(Seq("band_idx", "band_val")))
-    val q = banded(e.filter(col("vec_id") < 50))
+    val q = banded(e.filter(col("vec_id") < maxQ))
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("band_idx"), col("band_val"))
     val cand = broadcast(q)
@@ -424,10 +431,89 @@ object Ann {
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     cand
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cosine")
-      .orderBy("q_id", "rank")
   }
+
+  /** q91: ANN recall report — recall@k of the LSH-bucketed index (q26's
+    * pipeline) against the exact brute-force baseline on a probe query
+    * set, the accuracy metric an ANN deployment publishes beside its
+    * latency (and the quantitative answer to "what does the banding
+    * trade away?"). Per query: how many of the true top-k the index
+    * returned. Both sides rank with the identical
+    * (cosine desc, id) tie-break on identical 4dp decimal cosines, so
+    * set membership — and therefore recall — is deterministic and the
+    * DuckDB oracle replays it exactly.
+    *
+    * Scale shape: the exact side is the q25 plan (probe-set broadcast ×
+    * one corpus pass — priced by the probe set's size, which is a QA
+    * sample, not the workload); the index side is q26's banded bucket
+    * join; the final compare joins two k-row-per-query frames on
+    * (q_id, n_id). Run periodically over a fixed probe set, this is the
+    * regression gate that catches index-parameter drift at 100 TB.
+    */
+  def q91AnnRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embCorpus(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", dotDec("qemb", "qemb"))
+    val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
+      .withColumn("nn", dotDec("nemb", "nemb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val exact = n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(dotDec("qemb", "nemb").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    val approx = lshTopK(s, dir, maxQ = 5, k = k)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_found"))
+      .withColumn("recall_at_k",
+        Num.roundD(col("n_found").cast("double") / col("n_exact")))
+      .select("q_id", "n_exact", "n_found", "recall_at_k")
+      .orderBy("q_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH $sqlFingerprintCte,
+       |bands AS (
+       |  SELECT vec_id, bi AS band_idx, (bucket >> (4 * bi)) & 15 AS band_val
+       |  FROM fp, range(0, 4) t(bi)),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM bands q JOIN bands c
+       |    ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |${sqlPairCosine("cands")},
+       |lsh AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 10),
+       |acands AS (
+       |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM ecorpus q JOIN ecorpus c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |${sqlPairCosine("acands", "e")},
+       |exact AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |    FROM escored) t
+       |  WHERE rank <= 10)
+       |SELECT e.id_a AS q_id, COUNT(*) AS n_exact, COUNT(l.id_b) AS n_found,
+       |  ${Num.sqlRoundD("CAST(COUNT(l.id_b) AS DOUBLE) / COUNT(*)")} AS recall_at_k
+       |FROM exact e
+       |LEFT JOIN lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b
+       |GROUP BY e.id_a
+       |ORDER BY q_id""".stripMargin
 
   val q26Sql: String =
     s"""WITH $sqlFingerprintCte,

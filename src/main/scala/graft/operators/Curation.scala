@@ -84,6 +84,184 @@ object Curation {
        |FROM tot JOIN m ON tot.doc_id = m.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  /** q89: DSIR-style importance weights — the data-SELECTION complement
+    * to q85's perplexity filter: score each document by how much more
+    * likely its content is under a TARGET-domain n-gram model than under
+    * the source (whole-corpus) model, the published importance-resampling
+    * recipe for choosing pretraining data that matches a target
+    * distribution (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling": hashed unigram+bigram bag-of-words
+    * models, per-example log importance weight Σ ln p_t(f) − ln p_s(f)).
+    * Target here = the `lang = 'en'` slice, standing in for the paper's
+    * target corpus; features are unigrams + bigrams hashed into 4096
+    * buckets ([[Dedup.md5Long60]] mod B — the hashing trick, and md5 keeps
+    * the bucketing cross-engine); both models are add-one smoothed over
+    * the bucket space. The paper resamples with Gumbel noise; a
+    * hash-deterministic engine publishes the weight and a deterministic
+    * `selected = avg_log_ratio > 0` flag instead (§2c discipline: no
+    * rand(), reruns and the oracle agree bit-for-bit) — a caller can
+    * turn the weights into any sample size it wants.
+    *
+    * Plan shape at 100 TB: the feature stream is a linear explode; the
+    * bucket model is ONE partial-aggregated groupBy collapsing to 4096
+    * rows + a 1-row total — both broadcast back onto the stream (q85's
+    * round-7 join-back move), so the only corpus-wide shuffle is the
+    * per-doc aggregate. Per-feature log-ratios are quantized at 6dp
+    * BEFORE the exact decimal average (ln is not IEEE
+    * correctly-rounded — q85's discipline).
+    */
+  def q89DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val feats = docs(s, dir)
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(
+          col("w"),
+          expr("if(size(w) >= 2, transform(sequence(0, size(w) - 2), " +
+            "i -> concat(w[i], ' ', w[i+1])), array())"))).as("f"))
+      .withColumn("b", Dedup.md5Long60(col("f")) % B)
+    val model = feats.groupBy("b").agg(
+      count(when(col("lang") === "en", 1)).as("ct"),
+      count(lit(1)).as("cs"))
+    val tots = model.agg(sum("ct").as("tt"), sum("cs").as("ts"))
+    val lrTable = model.crossJoin(broadcast(tots))
+      .select(col("b"), Num.roundD(
+        log((col("ct") + lit(1.0)) / (col("tt") + lit(B.toDouble))) -
+          log((col("cs") + lit(1.0)) / (col("ts") + lit(B.toDouble))), 6).as("lr"))
+    feats.join(broadcast(lrTable), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        Num.avgD(col("lr")).as("avg_log_ratio"))
+      .withColumn("selected", (col("avg_log_ratio") > 0).cast("int"))
+      .select("doc_id", "n_features", "avg_log_ratio", "selected")
+      .orderBy("doc_id")
+  }
+
+  val q89Sql: String = {
+    val bucket = s"(${graft.operators.Dedup.sqlMd5Long60("f")} % 4096)"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
+       |bii AS (
+       |  SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |  FROM t WHERE len(w) >= 2),
+       |bi AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS f FROM bii),
+       |feats AS (
+       |  SELECT doc_id, lang, $bucket AS b FROM uni
+       |  UNION ALL
+       |  SELECT doc_id, lang, $bucket AS b FROM bi),
+       |model AS (
+       |  SELECT b,
+       |    COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+       |    COUNT(*) AS cs
+       |  FROM feats GROUP BY b),
+       |tots AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cs) AS BIGINT) AS ts
+       |  FROM model),
+       |lrt AS (
+       |  SELECT b,
+       |    ${Num.sqlRoundD(
+             "LN((ct + 1.0) / (tt + 4096.0)) - LN((cs + 1.0) / (ts + 4096.0))", 6)} AS lr
+       |  FROM model CROSS JOIN tots),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_features, ${Num.sqlAvg("lr")} AS avg_log_ratio
+       |  FROM feats JOIN lrt USING (b) GROUP BY doc_id)
+       |SELECT doc_id, n_features, avg_log_ratio,
+       |  CAST(avg_log_ratio > 0 AS INT) AS selected
+       |FROM perdoc
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q90: C4/MassiveText-style quality-rule battery — the published
+    * heuristic filter set a web-corpus pipeline runs before anything
+    * model-based (Raffel et al. 2020 "C4": terminal punctuation, min
+    * length, no lorem ipsum, no curly braces; Rae et al. 2021
+    * "MassiveText"/Gopher: mean word length in [3, 10], ≥80% words with
+    * an alphabetic character, minimum stop-word evidence — the
+    * within-doc repetition rules of that family are q66). One row per
+    * document with each rule's verdict, the failure count, and the overall
+    * pass — the per-rule flags (not just the conjunction) are what q69's
+    * attrition report and any filter-tuning loop consume.
+    *
+    * All rules are row-local array/string arithmetic on the tokenized
+    * text — scan-speed codegen, no shuffle but the harness ORDER BY —
+    * and every predicate is engine-portable by construction (no regex
+    * beyond a character class, integer word sums, exact comparisons on
+    * 4dp-rounded ratios).
+    */
+  def q90C4Rules(s: SparkSession, dir: String): DataFrame =
+    c4Rules(docs(s, dir)).orderBy("doc_id")
+
+  /** The q90 battery over any (doc_id, text) frame — factored so the spec
+    * can inject rule-violating documents.
+    */
+  def c4Rules(d: DataFrame): DataFrame = {
+    val t = d
+      .withColumn("t", lower(trim(col("text"))))
+      .withColumn("w", split(col("t"), " "))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("mean_word_len", Num.roundD(
+        expr("aggregate(w, 0L, (a, x) -> a + length(x))").cast("double") /
+          col("n_words")))
+      .withColumn("alpha_ratio", Num.roundD(
+        expr("size(filter(w, x -> x rlike '[a-z]'))").cast("double") /
+          col("n_words")))
+      .withColumn("stopword_cnt",
+        expr("size(filter(w, x -> x in ('the', 'a', 'of', 'to', 'and')))").cast("bigint"))
+    val rules = Seq(
+      "r_terminal_punct" -> expr("right(t, 1) in ('.', '!', '?', '\"')"),
+      "r_min_words" -> (col("n_words") >= 5),
+      "r_no_lorem" -> !col("t").contains("lorem ipsum"),
+      "r_no_brace" -> !col("t").contains("{"),
+      "r_word_len" -> (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0),
+      "r_alpha" -> (col("alpha_ratio") >= 0.8),
+      "r_stopwords" -> (col("stopword_cnt") >= 2))
+    val flagged = rules.foldLeft(t) { case (df, (name, c)) =>
+      df.withColumn(name, c.cast("int"))
+    }
+    flagged
+      .withColumn("n_failed",
+        rules.map { case (n, _) => lit(1) - col(n) }
+          .reduce(_ + _).cast("bigint"))
+      .withColumn("passed", (col("n_failed") === 0).cast("int"))
+      .select(Seq("doc_id", "n_words", "mean_word_len", "alpha_ratio",
+        "stopword_cnt").map(col) ++ rules.map(r => col(r._1)) ++
+        Seq(col("n_failed"), col("passed")): _*)
+  }
+
+  val q90Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(trim(text)) AS t,
+       |    string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, t, w,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    ${Num.sqlRoundD(
+            "CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE) / len(w)")} AS mean_word_len,
+       |    ${Num.sqlRoundD(
+            "CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)")} AS alpha_ratio,
+       |    CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS stopword_cnt
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, n_words, mean_word_len, alpha_ratio, stopword_cnt,
+       |    CAST(right(t, 1) IN ('.', '!', '?', '"') AS INT) AS r_terminal_punct,
+       |    CAST(n_words >= 5 AS INT) AS r_min_words,
+       |    CAST(NOT contains(t, 'lorem ipsum') AS INT) AS r_no_lorem,
+       |    CAST(NOT contains(t, '{') AS INT) AS r_no_brace,
+       |    CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT) AS r_word_len,
+       |    CAST(alpha_ratio >= 0.8 AS INT) AS r_alpha,
+       |    CAST(stopword_cnt >= 2 AS INT) AS r_stopwords
+       |  FROM st)
+       |SELECT *,
+       |  CAST(7 - (r_terminal_punct + r_min_words + r_no_lorem + r_no_brace
+       |    + r_word_len + r_alpha + r_stopwords) AS BIGINT) AS n_failed,
+       |  CAST((r_terminal_punct + r_min_words + r_no_lorem + r_no_brace
+       |    + r_word_len + r_alpha + r_stopwords) = 7 AS INT) AS passed
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   // RE2-and-Java-compatible patterns: character classes, bounded repeats,
   // and ASCII \b only, so Spark and the DuckDB oracle match identically.
   private val EmailPat = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""

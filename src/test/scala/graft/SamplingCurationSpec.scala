@@ -129,6 +129,68 @@ class SamplingCurationSpec extends SparkSpec {
         .head().getString(0))
   }
 
+  test("q89 DSIR weights rank the target-domain language above the rest") {
+    // the whole point of the importance weight: documents from the
+    // target distribution (lang = 'en') must score higher under the
+    // target/source log-ratio than documents from other languages
+    val w = Curation.q89DsirWeights(spark, Sf)
+      .join(Tables.load(spark, Sf, "documents").select("doc_id", "lang"), "doc_id")
+    val mean = w.groupBy(col("lang") === "en")
+      .agg(avg("avg_log_ratio"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(mean(true) > mean(false),
+      s"en mean ${mean(true)} must exceed non-en mean ${mean(false)}")
+    assert(w.count() == Tables.load(spark, Sf, "documents").count(),
+      "every document gets a weight")
+    // selected ⇔ avg_log_ratio > 0, by definition
+    assert(w.filter((col("avg_log_ratio") > 0) =!=
+      (col("selected") === 1)).count() == 0)
+  }
+
+  test("q90 rule battery flags injected violations and passes clean text") {
+    import spark.implicits._
+    val injected = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs to the hills."),
+      (2L, "lorem ipsum dolor sit amet and the rest of the filler text goes here."),
+      (3L, "function() { return 42; } the code block of a scraped page and a test."),
+      (4L, "12 34 56 78 90 11 22 33"),
+      (5L, "short one")
+    ).toDF("doc_id", "text")
+    val out = Curation.c4Rules(injected).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("passed") == 1, "clean sentence must pass all rules")
+    assert(out(2L).getAs[Int]("r_no_lorem") == 0)
+    assert(out(3L).getAs[Int]("r_no_brace") == 0)
+    assert(out(4L).getAs[Int]("r_alpha") == 0)
+    assert(out(4L).getAs[Int]("r_stopwords") == 0)
+    assert(out(5L).getAs[Int]("r_min_words") == 0)
+    assert(out(5L).getAs[Int]("r_terminal_punct") == 0)
+    // the failure count is exactly the number of zero flags
+    out.values.foreach { r =>
+      val flags = Seq("r_terminal_punct", "r_min_words", "r_no_lorem",
+        "r_no_brace", "r_word_len", "r_alpha", "r_stopwords").map(r.getAs[Int])
+      assert(r.getAs[Long]("n_failed") == flags.count(_ == 0))
+      assert((r.getAs[Int]("passed") == 1) == flags.forall(_ == 1))
+    }
+  }
+
+  test("q91 recall is a valid fraction and the exact side always finds the re-encoded twin") {
+    val out = graft.operators.Ann.q91AnnRecall(spark, Sf).collect()
+    assert(out.length == 5, "one row per probe query")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == 10)
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_found") <= 10)
+    }
+    // vec 0's 1.01-rescaled twin (vec 10000, cosine ≈ 1) is in the
+    // corpus: the brute-force top-10 contains it by construction, and an
+    // LSH index that misses an identical-direction vector would be
+    // broken — its recall must be > 0
+    val q0 = out.find(_.getAs[Long]("q_id") == 0L).get
+    assert(q0.getAs[Long]("n_found") >= 1, "q0 must at least find its re-encoded twin")
+  }
+
   test("q53 output is deduped, quality-floored, and train-only") {
     val out = Curation.q53CuratedCorpus(spark, Sf)
     val n = out.count()
