@@ -53,7 +53,10 @@ object Bench {
           ((s: SparkSession, d: String) => graft.operators.Ann.q81AnnIvf(s, d, verify = "float")),
         "x86_embed_decon_float" ->
           ((s: SparkSession, d: String) =>
-            graft.operators.Ann.q86EmbedDecontaminate(s, d, verify = "float")))
+            graft.operators.Ann.q86EmbedDecontaminate(s, d, verify = "float")),
+        "x89_dsir_xxhash64" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Curation.q89DsirWeights(s, d, "xxhash64")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

@@ -110,7 +110,8 @@ object Curation {
     * BEFORE the exact decimal average (ln is not IEEE
     * correctly-rounded — q85's discipline).
     */
-  def q89DsirWeights(s: SparkSession, dir: String): DataFrame = {
+  def q89DsirWeights(s: SparkSession, dir: String,
+                     hashMode: String = "md5"): DataFrame = {
     val B = 4096
     val feats = docs(s, dir)
       .withColumn("w", split(lower(trim(col("text"))), " "))
@@ -119,7 +120,9 @@ object Curation {
           col("w"),
           expr("if(size(w) >= 2, transform(sequence(0, size(w) - 2), " +
             "i -> concat(w[i], ' ', w[i+1])), array())"))).as("f"))
-      .withColumn("b", Dedup.md5Long60(col("f")) % B)
+      // md5 buckets are the oracle contract; xxhash64 is the production
+      // digest (x89 prices the delta, the dedup family's §2e convention)
+      .withColumn("b", Dedup.baseHash60(col("f"), hashMode) % B)
     val model = feats.groupBy("b").agg(
       count(when(col("lang") === "en", 1)).as("ct"),
       count(lit(1)).as("cs"))
