@@ -161,6 +161,80 @@ class PropertySpec extends AnyFunSuite {
     assert(MinhashBandsKernel.compute(arr(Array.empty[Long])) == null)
   }
 
+  test("CappedLongSet equals a reference distinct-set under random streams and merge trees") {
+    import graft.functions.CappedLongSet
+    (1 to N).foreach { _ =>
+      val cap = 1 + rng.nextInt(40)
+      val domain = 1 + rng.nextInt(80)
+      val stream = Array.fill(1 + rng.nextInt(200))(rng.nextInt(domain).toLong)
+      // random partitioning into partial buffers, then a merge chain —
+      // the shapes partial aggregation actually produces
+      val parts = stream.grouped(1 + rng.nextInt(stream.length)).map { chunk =>
+        val b = new CappedLongSet(cap)
+        chunk.foreach(b.add)
+        b
+      }.toSeq
+      val merged = parts.reduce { (a, b) => a.mergeIn(b); a }
+      val distinct = stream.toSet
+      if (distinct.size > cap)
+        assert(merged.overflow && merged.set.isEmpty,
+          s"df ${distinct.size} > cap $cap must overflow")
+      else {
+        assert(!merged.overflow)
+        assert(merged.set == distinct, "non-overflow buffer must hold the exact distinct set")
+      }
+      // the storage invariant, at every point: checked inside add(); here
+      // assert the end state too
+      assert(merged.set.size <= cap)
+    }
+  }
+
+  /** Naive in-memory Mann-Whitney — midranks via sorting, the textbook
+    * formulas — characterizing exactly what q88's window formulation must
+    * produce (Predictive.scala mannWhitneyPanel).
+    */
+  private def naiveMannWhitney(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+    val pooled = (a.map((_, 1)) ++ b.map((_, 2))).sortBy(_._1)
+    // value → average of its 1-based sorted positions (the midrank)
+    val midOf = pooled.zipWithIndex.groupBy(_._1._1)
+      .map { case (v, g) => v -> g.map(_._2 + 1).sum.toDouble / g.size }
+    val r1 = a.map(midOf).sum
+    val n1 = a.size.toDouble; val n2 = b.size.toDouble; val nn = n1 + n2
+    val u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    val ties = pooled.groupBy(_._1).values.map(_.size.toDouble)
+      .map(t => t * t * t - t).sum
+    val sig2 = n1 * n2 / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    val mu = n1 * n2 / 2.0
+    val z = (u1 - mu - 0.5 * math.signum(u1 - mu)) / math.sqrt(sig2)
+    (u1, z)
+  }
+
+  test("q88's doubled-midrank algebra equals the naive sorted-rank Mann-Whitney") {
+    (1 to N).foreach { _ =>
+      // small value domains force heavy ties — the hard case
+      val domain = 2 + rng.nextInt(8)
+      val a = Seq.fill(5 + rng.nextInt(20))(rng.nextInt(domain).toDouble)
+      val b = Seq.fill(5 + rng.nextInt(20))(rng.nextInt(domain).toDouble)
+      if (!(a ++ b).forall(_ == (a ++ b).head)) { // σ > 0 guard, as q88 filters
+        // replicate the window formulation: min_rank = count(less) + 1,
+        // tie_n = count(equal), doubled midrank = 2·min_rank + tie_n − 1
+        val pooled = a ++ b
+        def dr(v: Double): Long =
+          2L * (pooled.count(_ < v) + 1) + pooled.count(_ == v) - 1
+        val r1 = a.map(dr).sum.toDouble / 2.0
+        val n1 = a.size.toDouble; val n2 = b.size.toDouble; val nn = n1 + n2
+        val u1 = r1 - n1 * (n1 + 1.0) / 2.0
+        val tieSum = pooled.map(v => { val t = pooled.count(_ == v).toDouble; t * t - 1 }).sum
+        val sig2 = n1 * n2 / 12.0 * ((nn + 1.0) - tieSum / (nn * (nn - 1.0)))
+        val z = (u1 - n1 * n2 / 2.0 - 0.5 * math.signum(u1 - n1 * n2 / 2.0)) /
+          math.sqrt(sig2)
+        val (u1Ref, zRef) = naiveMannWhitney(a, b)
+        assert(math.abs(u1 - u1Ref) < 1e-9, s"U $u1 vs $u1Ref")
+        assert(math.abs(z - zRef) < 1e-9, s"z $z vs $zRef")
+      }
+    }
+  }
+
   test("Simhash60Kernel equals the naive bit-vote fold and is order-invariant") {
     import graft.functions.Simhash60Kernel
     (1 to N).foreach { _ =>
