@@ -84,6 +84,42 @@ object Predictor {
         col("prediction"),
         (col("label") - col("prediction")).as("residual"))
 
+  /** Training-run tracking — the reference's MLflow layer
+    * (models/readiness_predictor/mlflow_config.py: local tracking with a
+    * file backend; train.py:309-330: each candidate run logs its params
+    * and CV metrics under a run name, the baseline included) on the same
+    * file-backed pattern as the insight store: one parquet log, run
+    * records appended, best-run selection by metric. `runDate` is an
+    * argument, never the clock (repo determinism discipline), and the
+    * model artifact path rides along as a param — which is all
+    * mlflow.log_model amounts to for a file backend.
+    */
+  def logRun(spark: org.apache.spark.sql.SparkSession, trackingDir: String,
+             runName: String, params: Map[String, String],
+             metrics: Map[String, Double], runDate: String): Unit = {
+    import spark.implicits._
+    Seq((runName, runDate, params, metrics))
+      .toDF("run_name", "run_date", "params", "metrics")
+      .write.mode("append").parquet(trackingDir)
+  }
+
+  /** All logged runs, newest run_date first. */
+  def listRuns(spark: org.apache.spark.sql.SparkSession, trackingDir: String): DataFrame =
+    spark.read.parquet(trackingDir).orderBy(col("run_date").desc, col("run_name"))
+
+  /** The best run by a metric (minimize for losses like cv_mae, maximize
+    * for scores like cv_r2) — train.py's candidate-selection step over
+    * the tracking log. Ties break on run name for determinism.
+    */
+  def bestRun(spark: org.apache.spark.sql.SparkSession, trackingDir: String,
+              metric: String, minimize: Boolean = true): DataFrame = {
+    val v = element_at(col("metrics"), metric)
+    spark.read.parquet(trackingDir)
+      .filter(v.isNotNull)
+      .orderBy(if (minimize) v.asc else v.desc, col("run_name"))
+      .limit(1)
+  }
+
   /** r² of scored rows — the train.py r2_score metric, from exact sums. */
   def r2(scored: DataFrame): Double = {
     val row = scored.agg(

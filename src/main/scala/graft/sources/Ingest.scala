@@ -206,4 +206,101 @@ object Ingest {
       .bucketBy(numBuckets, bucketCol, moreBucketCols: _*)
     sortCol.fold(w)(sc => w.sortBy(sc)).saveAsTable(table)
   }
+
+  // --- Ingest admission control ------------------------------------------
+  // The ingestion trigger's validation layer (reference:
+  // lambda/ingestion_trigger/handler.py:29-170): per-source expected-header
+  // contracts, source detection from the landing path, delimiter fallback,
+  // the SAME snake_case normalization the normalizers apply, a
+  // missing/unexpected column diff per file, and schema-drift alerts with
+  // a per-source cooldown. The reference validates one S3 object per
+  // Lambda event; a 100 TB landing zone admits thousands of files per
+  // batch, so here the header reads run cluster-wide ([[firstLines]]) and
+  // the report is one frame for the whole landing.
+
+  /** The reference's header normalization — one regex, shared verbatim by
+    * the trigger and every normalizer (handler.py:131 SYNC comment;
+    * [[Normalizers.snakeCaseColumns]] is the DataFrame-level twin).
+    */
+  def normalizeHeader(h: String): String =
+    h.strip.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
+
+  /** First contract key contained in the file path, else "unknown"
+    * (handler.py:110-115; sorted so overlapping keys resolve
+    * deterministically).
+    */
+  def detectSource(path: String, contracts: Map[String, Seq[String]]): String =
+    contracts.keys.toSeq.sorted.find(path.contains).getOrElse("unknown")
+
+  /** Validate every landed file's header line against its source's
+    * contract: missing columns ⇒ invalid (`quarantined` — the trigger
+    * skips the normalizer job for these), unexpected columns ⇒ schema
+    * drift (ingested, but [[driftAlerts]] raises it). Unknown sources
+    * have an empty contract and therefore validate, exactly like the
+    * reference's `EXPECTED_HEADERS.get(source, [])`.
+    *
+    * The per-file header reads are the distributed [[firstLines]] pass;
+    * the per-header string work is O(files × columns) driver-side — the
+    * same admission-time envelope as [[readCsvGrouped]]'s signature
+    * grouping.
+    */
+  def validateLanding(spark: SparkSession, dir: String,
+                      contracts: Map[String, Seq[String]]): DataFrame = {
+    import spark.implicits._
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+      while (it.hasNext) buf += it.next().getPath
+      buf.toSeq
+    }
+    val headers = firstLines(spark, files)
+    files.map { p =>
+      val path = p.toString
+      val source = detectSource(path, contracts)
+      val expected = contracts.getOrElse(source, Seq.empty)
+      val line = headers.getOrElse(path, "")
+      val raw0 = line.split(",", -1).toSeq
+      val raw = if (raw0.length <= 1) line.split(";", -1).toSeq else raw0
+      val found = raw.map(normalizeHeader)
+      val missing = (expected.toSet -- found.toSet).toSeq.sorted
+      val unexpected = (found.toSet -- expected.toSet).toSeq.sorted
+      val valid = missing.isEmpty
+      (path, source, found.length, missing, unexpected, valid,
+        if (valid) "ingested" else "quarantined")
+    }.toDF("file", "source", "header_count", "missing", "unexpected",
+      "valid", "status")
+  }
+
+  /** Schema-drift alerting with a per-source cooldown (handler.py:78-106,
+    * 140-160): sources showing unexpected columns raise ONE alert per
+    * cooldown window, recorded in a parquet log so repeat landings stay
+    * quiet. `nowTs` (epoch seconds) is an argument, never the clock —
+    * the repo's determinism discipline. Returns the alerts emitted by
+    * THIS call (empty when everything was already alerted or clean).
+    */
+  def driftAlerts(spark: SparkSession, report: DataFrame, logDir: String,
+                  nowTs: Long, cooldownSec: Long = 3600): DataFrame = {
+    val drifted = report.filter(size(col("unexpected")) > 0)
+      .groupBy("source")
+      .agg(sort_array(array_distinct(flatten(collect_list(col("unexpected")))))
+        .as("new_columns"))
+    val recent =
+      try spark.read.parquet(logDir)
+        .filter(col("alert_ts") > nowTs - cooldownSec)
+        .select("source").distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException => // no log yet
+        return emitDrift(spark, drifted, logDir, nowTs)
+      }
+    emitDrift(spark, drifted.join(recent, Seq("source"), "left_anti"), logDir, nowTs)
+  }
+
+  private def emitDrift(spark: SparkSession, toAlert: DataFrame,
+                        logDir: String, nowTs: Long): DataFrame = {
+    val alerts = toAlert.withColumn("alert_ts", lit(nowTs))
+      .select("source", "new_columns", "alert_ts")
+    alerts.write.mode("append").parquet(logDir)
+    spark.read.parquet(logDir).filter(col("alert_ts") === nowTs)
+  }
 }

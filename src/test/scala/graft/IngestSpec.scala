@@ -121,6 +121,55 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("validateLanding routes files by header contract: valid, quarantined, drifted, delimiter fallback") {
+    val d = tmpDir("landing")
+    Files.createDirectories(d.resolve("alpha"))
+    Files.createDirectories(d.resolve("beta"))
+    Files.createDirectories(d.resolve("misc"))
+    // raw headers need the trigger's normalization ('Day Score' → day_score)
+    write(d.resolve("alpha"), "good.csv", "ID,Day,Score\n1,2024-01-01,80\n")
+    write(d.resolve("alpha"), "short.csv", "id,day\n1,2024-01-01\n")
+    write(d.resolve("alpha"), "drift.csv", "id,day,score,New Col\n1,2024-01-01,80,x\n")
+    write(d.resolve("beta"), "semi.csv", "date;value\n2024-01-01;3\n")
+    write(d.resolve("misc"), "free.csv", "whatever,cols\n1,2\n")
+    val contracts = Map("alpha" -> Seq("id", "day", "score"),
+      "beta" -> Seq("date", "value"))
+    val rep = Ingest.validateLanding(spark, d.toString, contracts)
+      .collect().map(r => r.getAs[String]("file").split('/').last -> r).toMap
+    assert(rep("good.csv").getAs[String]("status") == "ingested")
+    assert(rep("good.csv").getAs[Boolean]("valid"))
+    assert(rep("short.csv").getAs[String]("status") == "quarantined")
+    assert(rep("short.csv").getSeq[String](rep("short.csv").fieldIndex("missing")).toSeq == Seq("score"))
+    assert(rep("drift.csv").getAs[Boolean]("valid"), "drift is ingested, not quarantined")
+    assert(rep("drift.csv").getSeq[String](rep("drift.csv").fieldIndex("unexpected")).toSeq == Seq("new_col"))
+    assert(rep("semi.csv").getAs[Boolean]("valid"), "semicolon delimiter must fall back")
+    assert(rep("semi.csv").getAs[String]("source") == "beta")
+    // unknown source: empty contract validates, the reference's behavior
+    assert(rep("free.csv").getAs[String]("source") == "unknown")
+    assert(rep("free.csv").getAs[Boolean]("valid"))
+  }
+
+  test("driftAlerts raises once per source per cooldown window") {
+    val d = tmpDir("landing-drift")
+    Files.createDirectories(d.resolve("alpha"))
+    write(d.resolve("alpha"), "drift.csv", "id,day,score,surprise\n1,2,3,4\n")
+    val contracts = Map("alpha" -> Seq("id", "day", "score"))
+    val rep = Ingest.validateLanding(spark, d.toString, contracts)
+    val log = tmpDir("drift-log").toString + "/log"
+    val t0 = 1700000000L
+    val first = Ingest.driftAlerts(spark, rep, log, nowTs = t0)
+    assert(first.count() == 1)
+    assert(first.head().getSeq[String](first.head().fieldIndex("new_columns")).toSeq == Seq("surprise"))
+    // same drift inside the cooldown: suppressed
+    val second = Ingest.driftAlerts(spark, rep, log, nowTs = t0 + 10)
+    assert(second.count() == 0, "alert inside the cooldown must be suppressed")
+    // past the cooldown: raised again
+    val third = Ingest.driftAlerts(spark, rep, log, nowTs = t0 + 3601)
+    assert(third.count() == 1)
+    // the log accumulated exactly the two raised alerts
+    assert(spark.read.parquet(log).count() == 2)
+  }
+
   test("readEvolved merges schemas when a column appears mid-history") {
     import spark.implicits._
     val d = tmpDir("evolve")

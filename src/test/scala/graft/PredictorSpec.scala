@@ -32,6 +32,27 @@ class PredictorSpec extends SparkSpec {
     assert(r2 > 0.05, s"held-out r² was $r2 — no generalizing signal captured")
   }
 
+  test("run tracking logs candidates and selects the best by metric") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tracking").toString + "/runs"
+    Predictor.logRun(spark, dir, "candidate_ridge",
+      Map("model_type" -> "ridge", "n_features" -> "5"),
+      Map("cv_mae" -> 4.2, "cv_r2" -> 0.61), "2024-01-10")
+    Predictor.logRun(spark, dir, "candidate_ols",
+      Map("model_type" -> "ols", "n_features" -> "5"),
+      Map("cv_mae" -> 3.8, "cv_r2" -> 0.58), "2024-01-10")
+    Predictor.logRun(spark, dir, "naive_baseline",
+      Map("model_type" -> "NaiveBaseline_7d_avg"),
+      Map("cv_mae" -> 6.0), "2024-01-10")
+    assert(Predictor.listRuns(spark, dir).count() == 3)
+    val bestLoss = Predictor.bestRun(spark, dir, "cv_mae").head()
+    assert(bestLoss.getAs[String]("run_name") == "candidate_ols")
+    val bestScore = Predictor.bestRun(spark, dir, "cv_r2", minimize = false).head()
+    assert(bestScore.getAs[String]("run_name") == "candidate_ridge")
+    // a run without the metric never wins that metric's selection
+    assert(Predictor.bestRun(spark, dir, "cv_r2", minimize = true)
+      .head().getAs[String]("run_name") != "naive_baseline")
+  }
+
   test("save/load round-trip scores identically") {
     val model = Predictor.fit(feats)
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString
