@@ -215,6 +215,89 @@ object CorpusOps {
       |FROM ranked WHERE rank <= 200
       |ORDER BY kind, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+
+  /** q92: Zipf-law fit — the corpus-health scalar tokenizer and data
+    * teams watch: natural text's rank-frequency curve is a power law
+    * with exponent ≈ −1 (Zipf 1949; Piantadosi 2014 reviews the modern
+    * evidence), so the OLS slope of (ln rank, ln count) over the top of
+    * the vocabulary diagnoses corpora that are too repetitive (steep) or
+    * too synthetic/templated (flat) before any model sees them. Fit over
+    * the q67 top-`topK` unigram vocabulary: the rank window is the same
+    * WindowGroupLimit-capped top-k (never the full vocabulary), the fit
+    * is the closed-form OLS over decimal-exact sums (q31's discipline),
+    * and both ln coordinates quantize at 6dp pre-sum (q85's libm
+    * discipline). Output is one row: slope, intercept, r², and a shape
+    * CASE evaluated on the rounded slope the row reports.
+    */
+  def q92ZipfFit(s: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val pts = q67Vocab(s, dir, topK).filter(col("kind") === "unigram")
+      .select(
+        Num.roundD(log(col("rank").cast("double")), 6).as("x"),
+        Num.roundD(log(col("n_total").cast("double")), 6).as("y"))
+    val g = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.exactSum(col("x")).cast("double").as("sx"),
+      Num.exactSum(col("y")).cast("double").as("sy"),
+      Num.exactSum(col("x") * col("x")).cast("double").as("sxx"),
+      Num.exactSum(col("x") * col("y")).cast("double").as("sxy"),
+      Num.exactSum(col("y") * col("y")).cast("double").as("syy"))
+    val staged = g.select(
+      col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+    staged
+      .withColumn("slope_raw", col("num") / col("den"))
+      .select(
+        col("n").cast("bigint").as("n_points"),
+        Num.roundD(col("slope_raw")).as("zipf_slope"),
+        Num.roundD((col("sy") - col("slope_raw") * col("sx")) / col("n")).as("intercept"),
+        Num.roundD(col("num") * col("num") / (col("den") * col("deny"))).as("r_squared"))
+      .withColumn("shape",
+        when(abs(col("zipf_slope") + 1.0) <= 0.3, "zipfian")
+          .when(col("zipf_slope") > -0.7, "flat")
+          .otherwise("steep"))
+  }
+
+  val q92Sql: String =
+    s"""WITH uni AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT term, COUNT(*) AS n_total,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+       |  FROM uni GROUP BY term),
+       |pts AS (
+       |  SELECT ${Num.sqlRoundD("LN(CAST(rank AS DOUBLE))", 6)} AS x,
+       |    ${Num.sqlRoundD("LN(CAST(n_total AS DOUBLE))", 6)} AS y
+       |  FROM ranked WHERE rank <= 1000),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy
+       |  FROM pts),
+       |st AS (
+       |  SELECT n, sx, sy,
+       |    (n * sxy - sx * sy) AS num,
+       |    (n * sxx - sx * sx) AS den,
+       |    (n * syy - sy * sy) AS deny
+       |  FROM g),
+       |fit AS (
+       |  SELECT CAST(n AS BIGINT) AS n_points,
+       |    ${Num.sqlRoundD("(num / den)")} AS zipf_slope,
+       |    ${Num.sqlRoundD("(sy - (num / den) * sx) / n")} AS intercept,
+       |    ${Num.sqlRoundD("num * num / (den * deny)")} AS r_squared
+       |  FROM st)
+       |SELECT n_points, zipf_slope, intercept, r_squared,
+       |  CASE WHEN ABS(zipf_slope + 1.0) <= 0.3 THEN 'zipfian'
+       |       WHEN zipf_slope > -0.7 THEN 'flat'
+       |       ELSE 'steep' END AS shape
+       |FROM fit""".stripMargin
+
   // ---------------------------------------------------------------- q68
 
   /** q68: per-label embedding centroids — the embedding-space QA pass
