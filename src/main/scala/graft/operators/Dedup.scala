@@ -500,6 +500,110 @@ object Dedup {
        |FROM batch bt LEFT JOIN best ON bt.doc_id = best.batch_doc_id
        |ORDER BY batch_doc_id""".stripMargin
 
+  /** q93: repeated-substring detection — the exact-substring member of
+    * the dedup family (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": duplicated ≥k-token SPANS are removed
+    * even when the documents containing them are distinct — the published
+    * complement to document-level MinHash, which this repo's q21/q46
+    * already cover). A token position is duplicated when its word k-gram
+    * occurs in ≥2 distinct documents; runs of duplicated positions merge
+    * into maximal spans (two marked gram positions closer than k overlap
+    * in token space, so the island break is `gap > k` — the span union is
+    * exact and disjoint). Output: per affected document, the span count,
+    * duplicated-token total, longest span, and duplicated fraction — the
+    * report a substring-dedup pass publishes before cutting. Within-doc
+    * self-repetition is q66's metric; this one is strictly cross-doc
+    * (distinct-doc frequency), so boilerplate shared across pages is
+    * what it finds.
+    *
+    * Scale shape: the positional gram stream is a linear explode hashed
+    * row-locally to 8-byte keys; the duplicated-gram table is ONE
+    * partial-aggregated distinct-count groupBy; the mark-back is an
+    * equi-join on the gram hash (AQE skew-split handles viral grams —
+    * the join carries one row per gram, never a posting list); islands
+    * are per-doc windows. The reference has no substring dedup; the
+    * suffix-array formulation of the paper is replaced by the k-gram
+    * positional join, which distributes and needs no global sort.
+    */
+  def q93RepeatedSubstrings(s: SparkSession, dir: String): DataFrame =
+    repeatedSubstrings(corpus(s, dir))
+
+  /** q93 body over any (doc_id, text) corpus, k and hash mode selectable. */
+  def repeatedSubstrings(docs: DataFrame, k: Int = 8,
+                         hashMode: String = "md5"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = baseHash60Expr(s"array_join(slice(w, i, $k), ' ')", hashMode)
+    val grams = docs
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .withColumn("n_tokens", size(col("w")).cast("bigint"))
+      .filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> $h)"))
+          .as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select("gh")
+    val wSeq = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(dupGrams, Seq("gh"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wSeq) > k, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("span_id"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + k).cast("bigint").as("dup_tokens"),
+        max(col("e") - col("s") + k).cast("bigint").as("longest_span_tokens"))
+      .withColumn("dup_fraction",
+        Num.roundD(col("dup_tokens").cast("double") / col("n_tokens")))
+      .select("doc_id", "n_tokens", "n_dup_spans", "dup_tokens",
+        "longest_span_tokens", "dup_fraction")
+      .orderBy("doc_id")
+  }
+
+  val q93Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus
+       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |e AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w,
+       |    unnest(generate_series(1, len(w) - 7)) AS i
+       |  FROM t),
+       |grams AS (
+       |  SELECT doc_id, n_tokens, i AS pos,
+       |    ${sqlMd5Long60("array_to_string(w[i:i+7], ' ')")} AS gh
+       |  FROM e),
+       |dup AS (
+       |  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |marked AS (
+       |  SELECT g.doc_id, g.n_tokens, g.pos FROM grams g JOIN dup USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    CASE WHEN pos - LAG(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+       |  FROM marked
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, n_tokens, span_id, MIN(pos) AS s, MAX(pos) AS e
+       |  FROM sp GROUP BY 1, 2, 3),
+       |perdoc AS (
+       |  SELECT doc_id, n_tokens, COUNT(*) AS n_dup_spans,
+       |    CAST(SUM(e - s + 8) AS BIGINT) AS dup_tokens,
+       |    CAST(MAX(e - s + 8) AS BIGINT) AS longest_span_tokens
+       |  FROM spans GROUP BY 1, 2)
+       |SELECT doc_id, n_tokens, n_dup_spans, dup_tokens, longest_span_tokens,
+       |  ${Num.sqlRoundD("CAST(dup_tokens AS DOUBLE) / n_tokens")} AS dup_fraction
+       |FROM perdoc
+       |ORDER BY doc_id""".stripMargin
+
   private val SimBits = 60
   private val SegBits = SimBits / 4
 

@@ -183,6 +183,28 @@ class DedupAnnSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q93 spans cover exactly the shared substring, not the whole document") {
+    import spark.implicits._
+    // two docs share a 10-token boilerplate opening; tails are unique.
+    // k = 8 ⇒ the shared prefix contributes gram positions 1..3 (1-based),
+    // one island, dup span = (3 − 1) + 8 = 10 tokens — exactly the prefix.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$shared unique tail first with words 11 13 17 19 23 29"),
+      (2L, s"$shared another closing entirely distinct 31 37 41 43 47 53"),
+      (3L, "completely unrelated text with enough tokens to form grams today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSubstrings(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[Long]("n_dup_spans") == 1L, s"doc $id span count")
+      assert(out(id).getAs[Long]("dup_tokens") == 10L,
+        s"doc $id must flag exactly the 10 shared tokens, got ${out(id)}")
+      assert(out(id).getAs[Long]("longest_span_tokens") == 10L)
+    }
+    assert(!out.contains(3L), "a doc with no cross-doc gram must not be flagged")
+  }
+
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
     import spark.implicits._
     // 10 identical docs — below MaxBucket, so the full pairwise set appears
