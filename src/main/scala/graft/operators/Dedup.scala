@@ -604,6 +604,118 @@ object Dedup {
        |FROM perdoc
        |ORDER BY doc_id""".stripMargin
 
+  /** q94: substring-dedup cut — the operational step above q93's report:
+    * REMOVE every cross-doc duplicated span and rebuild each document
+    * from its surviving tokens (Lee et al. 2021's ExactSubstr
+    * deduplication applied, not just measured). Covered token positions
+    * come from exploding each span's token range (bounded by document
+    * length); the kept stream is the (doc_id, pos) anti-join — both
+    * sides co-partitioned on doc_id — and the rebuild is one per-doc
+    * sort_array(collect_struct) so token order is restored without a
+    * per-doc window. The rebuilt text's md5 is the oracle contract
+    * (q52's redaction discipline: the oracle verifies the OUTPUT TEXT
+    * byte-for-byte, not just the counts). Documents losing every token
+    * (full duplicates) survive as zero-token rows — the caller's drop
+    * decision, reported, not silently applied.
+    */
+  def q94SubstringCut(s: SparkSession, dir: String): DataFrame =
+    cutRepeatedSubstrings(corpus(s, dir))
+
+  /** q94 body: rebuild documents with cross-doc duplicated spans removed. */
+  def cutRepeatedSubstrings(docs: DataFrame, k: Int = 8,
+                            hashMode: String = "md5"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = baseHash60Expr(s"array_join(slice(w, i, $k), ' ')", hashMode)
+    val toks = docs
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), col("w"),
+        posexplode(col("w")).as(Seq("pos", "tok")))
+    val grams = docs
+      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> $h)"))
+          .as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("gh")
+    val wSeq = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = grams.join(dupGrams, Seq("gh"))
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wSeq) > k, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").as("s"), max("pos").as("e"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") + lit(k - 1))).as("pos"))
+    val rebuilt = toks.select("doc_id", "pos", "tok")
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept"),
+        md5(concat_ws(" ", expr("transform(sort_array(collect_list(" +
+          "struct(pos, tok))), x -> x.tok)"))).as("kmd5"))
+    // fully-cut documents (every token covered) have no kept rows: the
+    // doc-list left join restores them as zero-token / md5('') rows
+    // without re-running the span pipeline
+    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("kmd5"), md5(lit(""))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q94Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |tk0 AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus),
+       |toks AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(w))) - 1 AS pos, w
+       |  FROM tk0),
+       |tok AS (SELECT doc_id, pos, w[pos + 1] AS tok FROM toks),
+       |t AS (SELECT doc_id, w FROM tk0 WHERE len(w) >= 8),
+       |e AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${sqlMd5Long60("array_to_string(w[i:i+7], ' ')")} AS gh
+       |  FROM e),
+       |dup AS (
+       |  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+       |marked AS (
+       |  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - LAG(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+       |  FROM marked
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sp AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM isl),
+       |spans AS (
+       |  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) AS e
+       |  FROM sp GROUP BY 1, 2),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(s, e + 7)) AS pos
+       |  FROM spans),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.pos, tk.tok
+       |  FROM tok tk LEFT JOIN covered c
+       |    ON c.doc_id = tk.doc_id AND c.pos = tk.pos
+       |  WHERE c.doc_id IS NULL),
+       |rebuilt AS (
+       |  SELECT doc_id, COUNT(*) AS kept,
+       |    md5(array_to_string(list(tok ORDER BY pos), ' ')) AS kmd5
+       |  FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id,
+       |  CAST(COALESCE(r.kept, 0) AS BIGINT) AS n_kept_tokens,
+       |  COALESCE(r.kmd5, md5('')) AS kept_md5
+       |FROM corpus c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   private val SimBits = 60
   private val SegBits = SimBits / 4
 

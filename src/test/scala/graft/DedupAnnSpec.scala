@@ -205,6 +205,29 @@ class DedupAnnSpec extends SparkSpec {
     assert(!out.contains(3L), "a doc with no cross-doc gram must not be flagged")
   }
 
+  test("q94 cut removes exactly the shared prefix and keeps the unique tail byte-for-byte") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tail1 = "unique tail first with words 11 13 17 19 23 29"
+    val tail3 = "completely unrelated text with enough tokens to form grams today"
+    val docs = Seq(
+      (1L, s"$shared $tail1"),
+      (2L, s"$shared another closing entirely distinct 31 37 41 43 47 53"),
+      (3L, tail3)
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutRepeatedSubstrings(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def md5Of(s0: String): String =
+      spark.sql(s"SELECT md5('$s0')").head().getString(0)
+    assert(out(1L).getAs[Long]("n_kept_tokens") == 11L)
+    assert(out(1L).getAs[String]("kept_md5") == md5Of(tail1),
+      "doc 1 must keep its unique tail verbatim")
+    assert(out(2L).getAs[Long]("n_kept_tokens") == 10L)
+    assert(out(3L).getAs[Long]("n_kept_tokens") == 10L)
+    assert(out(3L).getAs[String]("kept_md5") == md5Of(tail3),
+      "an unaffected doc must survive the cut byte-for-byte")
+  }
+
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {
     import spark.implicits._
     // 10 identical docs — below MaxBucket, so the full pairwise set appears
