@@ -40,6 +40,25 @@ object Normalizers {
     }
   }
 
+  /** Collision-tolerant variant of [[snakeCaseColumns]] (ADVICE r6): when
+    * two raw headers normalize to the same snake name, later ones take a
+    * positional suffix (`total_time`, `total_time_2`, …) instead of
+    * failing the ingest. The default stays fail-fast — ambiguity should
+    * be fixed at the source — but a recovery path needs to land the file
+    * first to inspect it.
+    */
+  def snakeCaseColumnsDedup(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = df.columns.map { c =>
+      val snake =
+        c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
+      val n = seen.getOrElse(snake, 0) + 1
+      seen(snake) = n
+      c -> (if (n == 1) snake else s"${snake}_$n")
+    }
+    df.toDF(renamed.map(_._2): _*)
+  }
+
   /** Split a raw workout timestamp like `2026-02-21 07:25 (-05)` into a
     * date part, a time-of-day part, and a rebuilt UTC timestamp string —
     * regexp extraction because the raw suffix varies between offsets and

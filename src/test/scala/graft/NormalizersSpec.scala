@@ -20,6 +20,15 @@ class NormalizersSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("snakeCaseColumnsDedup suffixes collisions instead of failing, values intact") {
+    val df = Seq((1, 2, 3)).toDF("Total Time", "total.time", "other")
+    val out = Normalizers.snakeCaseColumnsDedup(df)
+    assert(out.columns.toSeq == Seq("total_time", "total_time_2", "other"))
+    val r = out.head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2 && r.getInt(2) == 3,
+      "positional values must follow their renamed headers")
+  }
+
   test("parseWorkoutTimestamp splits offset and zone-name suffixes, with and without seconds") {
     val df = Seq(
       ("2026-02-21 07:25 (-05)"),
