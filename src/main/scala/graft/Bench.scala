@@ -56,7 +56,10 @@ object Bench {
             graft.operators.Ann.q86EmbedDecontaminate(s, d, verify = "float")),
         "x89_dsir_xxhash64" ->
           ((s: SparkSession, d: String) =>
-            graft.operators.Curation.q89DsirWeights(s, d, "xxhash64")))
+            graft.operators.Curation.q89DsirWeights(s, d, "xxhash64")),
+        "x95_semdedup_float" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Ann.q95SemDedup(s, d, verify = "float")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
@@ -91,6 +94,9 @@ object Bench {
     // never a lost bench line.
     val slow = results.filter { case (n, v) => n.startsWith("q") && v > 0 }
       .sortBy(-_._2).take(10).map(_._1)
+    // the in-suite session is done — release its heap and executor pools
+    // BEFORE forking, so the child measures on an uncontended host
+    spark.stop()
     val isolated: Map[String, Double] =
       if (slow.isEmpty) Map.empty
       else try {
@@ -99,13 +105,16 @@ object Bench {
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
         val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++
           Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ") ++ slow
-        val sb = new StringBuilder
+        val sb = new java.lang.StringBuffer // appended from the pump thread
         val proc = scala.sys.process.Process(cmd, None, "SPARK_GRAFT_SF_DIR" -> sfDir)
-          .run(scala.sys.process.ProcessLogger(l => sb.append(l).append('\n'), _ => ()))
+          .run(scala.sys.process.ProcessLogger(l => { sb.append(l).append('\n'); () }, _ => ()))
         val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
         while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(500)
         if (proc.isAlive()) { proc.destroy(); Map.empty }
         else {
+          // exitValue() joins the I/O pump threads, so the tail of the
+          // child's output is in the buffer before the parse reads it
+          proc.exitValue()
           val run = """(\S+) run\d+: ([0-9.]+) s""".r
           run.findAllMatchIn(sb.toString).toSeq
             .groupMapReduce(_.group(1))(_.group(2).toDouble)(math.min)

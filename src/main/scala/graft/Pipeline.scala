@@ -61,7 +61,19 @@ object Pipeline {
         try System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime > staleAfterMs
         catch { case _: java.io.FileNotFoundException => true }
-      val reclaimed = stale && { fs.delete(lock, false); fs.createNewFile(lock) }
+      // Reclaim by RENAMING the debris aside, never by deleting the lock
+      // path: a delete could remove a lock another reclaimer just
+      // re-created (delete+create is two steps), whereas rename moves
+      // only the ORIGINAL stale file — at most one contender's rename
+      // succeeds, and everyone then contends on the same atomic
+      // createNewFile, which admits exactly one winner.
+      val reclaimed = stale && {
+        val debris = new org.apache.hadoop.fs.Path(
+          s"$outDir/.pipeline-stale-${System.nanoTime()}")
+        val renamed = try fs.rename(lock, debris) catch { case _: Exception => false }
+        if (renamed) fs.delete(debris, false)
+        fs.createNewFile(lock)
+      }
       if (!reclaimed) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"pipeline: skipping — $lock is held by a live run " +

@@ -111,6 +111,10 @@ object GraftFunctions {
     ext.injectFunction((
       new FunctionIdentifier("collect_set_capped"),
       new ExpressionInfo(classOf[CollectSetCapped].getName, "collect_set_capped"),
-      (children: Seq[Expression]) => CollectSetCapped(children.head, children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(value, cap) => CollectSetCapped(value, cap)
+        case other => throw new IllegalArgumentException(
+          s"collect_set_capped requires exactly 2 arguments (value, cap), got ${other.length}")
+      }))
   }
 }
