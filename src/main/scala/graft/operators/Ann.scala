@@ -682,4 +682,226 @@ object Ann {
        |  FROM scored) t
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  /** The SemDeDup pipeline shared by q95 (per-document decision table)
+    * and q96 (per-cluster report): deterministic cells, greedy
+    * keep-low-centroid-similarity ordering, banded in-cell candidate
+    * pairs, decimal-exact cosine verification.
+    *
+    * Returns (members, scored): `members(vec_id, cell, csim, pos)` —
+    * every corpus vector with its cell, centroid similarity, and greedy
+    * scan position; `scored(id_a, id_b, cosine)` — the verified in-cell
+    * candidate pairs with pos_a < pos_b.
+    */
+  private def semDedupFrames(s: SparkSession, dir: String,
+                             verify: String = "dec"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embCorpus(s, dir)
+      .withColumn("qemb", quantize(col("emb")))
+      .withColumn("bucket", planeBucket(col("qemb")))
+      // exact long self-dot of the quantized vector: the vector-norm leg
+      // of the centroid similarity (cnorm2's discipline from q81)
+      .withColumn("qn2", expr(
+        "aggregate(zip_with(qemb, qemb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .persist()
+    // deterministic "k-means" cells: per-label decimal-exact component
+    // means (q81's coarse quantizer), integer-quantized for exact dots
+    val centroids = e.groupBy(col("label").as("cell")).agg(
+      array((0 until Dim).map { j =>
+        (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
+      }: _*).as("centroid"))
+      .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
+      .withColumn("cnorm2", expr(
+        "aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .select("cell", "qcent", "cnorm2")
+    val qdot = expr(
+      "CAST(aggregate(zip_with(qemb, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+    // one corpus pass: argmax cell over the broadcast centroids; csim is
+    // the full cosine (exact-integer dot and norms, so the double is
+    // bit-identical cross-engine) — the vector norm doesn't move the
+    // argmax but IS needed to order DIFFERENT vectors inside one cell
+    val simW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val members = e.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
+      .withColumn("rn", row_number().over(simW))
+      .filter(col("rn") === 1)
+      // greedy scan order: LOW centroid similarity first (the paper's
+      // keep-the-outlier policy), ties to the lower id
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id"))))
+      .select(col("vec_id"), col("cell"), col("csim"), col("pos"),
+        col("emb"), col("bucket"))
+      .persist()
+    // in-cell candidates via the 4×4-bit sign bands (q26's banding): a
+    // true semantic dup (cos ≈ 1) agrees on every band w.h.p., so recall
+    // is preserved while in-cell pair density drops ~16× per band key —
+    // the dense |cell|² similarity matrix of the reference recipe never
+    // materializes
+    def banded(df: DataFrame): DataFrame =
+      df.select(col("*"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
+          .as(Seq("band_idx", "band_val")))
+    val a = banded(members).select(
+      col("cell"), col("band_idx"), col("band_val"),
+      col("vec_id").as("id_a"), col("pos").as("pos_a"), col("emb").as("a_emb"))
+    val b = banded(members).select(
+      col("cell"), col("band_idx"), col("band_val"),
+      col("vec_id").as("id_b"), col("pos").as("pos_b"), col("emb").as("b_emb"))
+    // verify="dec" is the oracle contract; "float" is the production
+    // kernel on the identical plan (the q81/q86 convention — x95 prices
+    // the decimal tax in the bench)
+    val cos =
+      if (verify == "float") Num.roundD(cosine(col("a_emb"), col("b_emb")))
+      else cosineDec("a_emb", "b_emb")
+    val scored = a.join(b, Seq("cell", "band_idx", "band_val"))
+      .filter(col("pos_a") < col("pos_b"))
+      .select(col("id_a"), col("id_b"), col("a_emb"), col("b_emb"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+    (members, scored)
+  }
+
+  /** Shared oracle CTE chain replaying [[semDedupFrames]] on top of
+    * [[sqlFingerprintCte]]'s `ecorpus`/`eexpl`/`fp`/`norms`: label
+    * recovery for the re-encoded batch, per-label quantized centroids,
+    * argmax cell assignment, greedy position, banded in-cell pairs,
+    * decimal pair cosines (`sscored`).
+    */
+  private val sqlSemDedupCte: String =
+    s"""$sqlFingerprintCte,
+       |elab AS (
+       |  SELECT e.vec_id, b.label FROM ecorpus e
+       |  JOIN embeddings b ON b.vec_id = e.vec_id % 10000),
+       |cent AS (
+       |  SELECT l.label AS cell, x.j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(x.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq
+       |  FROM eexpl x JOIN elab l ON l.vec_id = x.vec_id
+       |  GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
+       |qn AS (SELECT vec_id, SUM(q * q) AS qn2 FROM eexpl GROUP BY 1),
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell, SUM(x.q * ct.cq) AS dvc
+       |  FROM eexpl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |csims AS (
+       |  SELECT d.vec_id, d.cell,
+       |    CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS csim
+       |  FROM vdots d
+       |  JOIN cnorm c ON c.cell = d.cell
+       |  JOIN qn q ON q.vec_id = d.vec_id),
+       |mem AS (
+       |  SELECT vec_id, cell, csim,
+       |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY csim ASC, vec_id) AS pos
+       |  FROM (
+       |    SELECT vec_id, cell, csim,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM csims) t
+       |  WHERE rn = 1),
+       |sbands AS (
+       |  SELECT vec_id, bi AS band_idx, (bucket >> (4 * bi)) & 15 AS band_val
+       |  FROM fp, range(0, 4) t(bi)),
+       |spairs AS (
+       |  SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b
+       |  FROM mem pa
+       |  JOIN mem pb ON pb.cell = pa.cell AND pa.pos < pb.pos
+       |  JOIN sbands ba ON ba.vec_id = pa.vec_id
+       |  JOIN sbands bb ON bb.vec_id = pb.vec_id
+       |    AND bb.band_idx = ba.band_idx AND bb.band_val = ba.band_val),
+       |${sqlPairCosine("spairs", "s")}""".stripMargin
+
+  /** q95: SemDeDup — semantic deduplication by within-cluster embedding
+    * similarity (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the corpus,
+    * compare only within clusters, and among semantic duplicates keep
+    * the item LEAST similar to its cluster centroid (the paper's
+    * best-performing keep policy). Complements the surface-form family
+    * (q21-q23: shared shingles) and q24 (full-fingerprint near-dup):
+    * SemDeDup targets paraphrases and re-encodings that share no exact
+    * n-gram, and its keep policy is centroid-aware rather than id-based.
+    *
+    * Determinism: cells are q81's deterministic coarse quantizer
+    * (per-label decimal-exact means — at 100 TB any cheap existing
+    * partition seeds cells; swap MLlib k-means in when none exists and
+    * trade the value oracle for a recall test); the greedy order is
+    * (centroid-sim ASC, vec_id); a vector is dropped iff some
+    * earlier-scanned cellmate matches it at cosine ≥ eps — the
+    * vectorized max-over-earlier-items semantics of the paper's released
+    * implementation, which is join-expressible and needs no sequential
+    * scan.
+    *
+    * Plan shape at 100 TB: centroids are a tiny broadcast (nlist rows);
+    * assignment is one corpus pass; candidate pairs join on (cell, sign
+    * band) so the |cell|² similarity matrix never materializes (nlist
+    * scales with corpus size exactly as IVF's does, and the banding
+    * bounds in-cell density independently); verification is
+    * decimal-exact cosine on candidates only. No corpus×corpus product
+    * (PlanSpec-asserted).
+    */
+  def q95SemDedup(s: SparkSession, dir: String, eps: Double = 0.99,
+                  verify: String = "dec"): DataFrame = {
+    val (members, scored) = semDedupFrames(s, dir, verify)
+    val dropped = scored.filter(col("cosine") >= eps)
+      .select(col("id_b")).distinct()
+    members.join(dropped, members("vec_id") === dropped("id_b"), "left")
+      .select(col("vec_id"), col("cell"),
+        Num.roundD(col("csim")).as("centroid_sim"),
+        col("id_b").isNull.cast("int").as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val q95Sql: String =
+    s"""WITH $sqlSemDedupCte,
+       |sdrops AS (SELECT DISTINCT id_b FROM sscored WHERE cosine >= 0.99)
+       |SELECT m.vec_id, m.cell, ${Num.sqlRoundD("m.csim")} AS centroid_sim,
+       |  CAST(d.id_b IS NULL AS INT) AS kept
+       |FROM mem m LEFT JOIN sdrops d ON d.id_b = m.vec_id
+       |ORDER BY m.vec_id""".stripMargin
+
+  /** q96: the per-cluster SemDeDup report — the tuning artifact a
+    * curation run publishes beside q95's decision table: per cell, the
+    * member count, candidate pairs checked, verified duplicates at eps,
+    * vectors dropped, and the drop rate. This is how an operator sizes
+    * eps and nlist before committing a 100 TB dedup pass (q87's savings
+    * report, lifted to the semantic family). Same pipeline as q95, so
+    * the plan-shape guarantees carry over; the report itself is one
+    * bounded groupBy over the (already candidate-bounded) pair set.
+    */
+  def q96SemDedupReport(s: SparkSession, dir: String, eps: Double = 0.99): DataFrame = {
+    val (members, scored) = semDedupFrames(s, dir)
+    val pairStats = scored
+      .join(members.select(col("vec_id").as("id_b"), col("cell")), Seq("id_b"))
+      .groupBy("cell").agg(
+        count(lit(1)).as("pairs_checked"),
+        count(when(col("cosine") >= eps, 1)).as("dup_pairs"),
+        countDistinct(when(col("cosine") >= eps, col("id_b"))).as("n_dropped"))
+    members.groupBy("cell").agg(count(lit(1)).as("n_members"))
+      .join(pairStats, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("pairs_checked"), lit(0L)).as("pairs_checked"),
+        coalesce(col("dup_pairs"), lit(0L)).as("dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        Num.roundD(coalesce(col("n_dropped"), lit(0L)).cast("double") /
+          col("n_members").cast("double")).as("drop_rate"))
+      .orderBy("cell")
+  }
+
+  val q96Sql: String =
+    s"""WITH $sqlSemDedupCte,
+       |pstat AS (
+       |  SELECT m.cell,
+       |    COUNT(*) AS pairs_checked,
+       |    COUNT(CASE WHEN sc.cosine >= 0.99 THEN 1 END) AS dup_pairs,
+       |    COUNT(DISTINCT CASE WHEN sc.cosine >= 0.99 THEN sc.id_b END) AS n_dropped
+       |  FROM sscored sc JOIN mem m ON m.vec_id = sc.id_b
+       |  GROUP BY 1)
+       |SELECT m.cell, COUNT(*) AS n_members,
+       |  COALESCE(MAX(p.pairs_checked), 0) AS pairs_checked,
+       |  COALESCE(MAX(p.dup_pairs), 0) AS dup_pairs,
+       |  COALESCE(MAX(p.n_dropped), 0) AS n_dropped,
+       |  ${Num.sqlRoundD("CAST(COALESCE(MAX(p.n_dropped), 0) AS DOUBLE) / COUNT(*)")} AS drop_rate
+       |FROM mem m LEFT JOIN pstat p ON p.cell = m.cell
+       |GROUP BY m.cell
+       |ORDER BY m.cell""".stripMargin
 }

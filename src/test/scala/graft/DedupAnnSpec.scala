@@ -355,4 +355,48 @@ class DedupAnnSpec extends SparkSpec {
       assert(cos >= 0.99, s"query $q: cosine $cos")
     }
   }
+
+  test("q95 semdedup drops exactly one member of every injected twin pair") {
+    val out = Ann.q95SemDedup(spark, Sf).cache()
+    val corpus = Ann.embCorpus(spark, Sf)
+    assert(out.count() == corpus.count(), "every corpus vector gets a decision row")
+    // group by the base id: twin groups (orig + rescale) lose exactly one
+    // member; singletons (random 64-dim vectors, cosine ≪ 0.99 apart)
+    // lose none
+    val g = out.withColumn("base", col("vec_id") % 10000)
+      .groupBy("base").agg(
+        count(lit(1)).as("n"),
+        sum(lit(1) - col("kept")).as("ndrop"))
+    assert(g.filter(col("n") === 2).count() ==
+      corpus.filter(col("vec_id") >= 10000).count())
+    assert(g.filter(col("n") === 2 && col("ndrop") =!= 1).count() == 0,
+      "each twin pair must lose exactly one member")
+    assert(g.filter(col("n") === 1 && col("ndrop") =!= 0).count() == 0,
+      "no singleton may be dropped")
+    // keep policy: the survivor is the twin LESS similar to its centroid
+    // (greedy order is csim ASC, so the kept member's csim is <= — rounding
+    // is monotone, so the comparison survives the 4dp output rounding)
+    val twins = out.withColumn("base", col("vec_id") % 10000)
+    val kept = twins.filter(col("kept") === 1)
+      .select(col("base"), col("centroid_sim").as("kept_sim"))
+    val dropped = twins.filter(col("kept") === 0)
+      .select(col("base"), col("centroid_sim").as("drop_sim"))
+    assert(kept.join(dropped, "base").filter(col("kept_sim") > col("drop_sim"))
+      .count() == 0, "kept member must not be closer to the centroid than its dropped twin")
+    out.unpersist()
+  }
+
+  test("q96 semdedup report accounts for every member and every dropped vector") {
+    val rep = Ann.q96SemDedupReport(spark, Sf).cache()
+    val corpus = Ann.embCorpus(spark, Sf)
+    assert(rep.agg(sum("n_members")).head.getLong(0) == corpus.count())
+    assert(rep.agg(sum("n_dropped")).head.getLong(0) ==
+      corpus.filter(col("vec_id") >= 10000).count(),
+      "report drop total must equal the injected twin count")
+    assert(rep.filter(col("dup_pairs") > col("pairs_checked")).count() == 0)
+    assert(rep.filter(col("n_dropped") > col("dup_pairs")).count() == 0,
+      "every dropped vector needs at least one verifying pair")
+    assert(rep.filter(col("drop_rate") < 0 || col("drop_rate") > 1).count() == 0)
+    rep.unpersist()
+  }
 }

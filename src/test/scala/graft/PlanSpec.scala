@@ -222,4 +222,22 @@ class PlanSpec extends SparkSpec {
       "IVF must never shuffle-join or cross the corpus")
     assert(p.contains("BroadcastHashJoin"), "probe-cell join must broadcast")
   }
+
+  test("q95/q96 semdedup: no cartesian; the only nested loop is the tiny centroid broadcast") {
+    Seq("q95" -> Ann.q95SemDedup(spark, Sf),
+        "q96" -> Ann.q96SemDedupReport(spark, Sf)).foreach { case (name, df) =>
+      val p = planString(df)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      // cell assignment is argmax over the broadcast nlist-row centroid
+      // table — the only permitted nested loop. PlanSpec plans with the
+      // cache cleared, so the shared `members` frame re-inlines that
+      // broadcast once per consumer (decision table + both banded pair
+      // sides + the report's cell lookup): ≤ 4 occurrences, all of them
+      // the same nlist-row build. In-cell candidates must go through the
+      // (cell, band) equi-join, never a product — any BNLJ beyond the
+      // re-inlined centroid broadcasts would show up as a 5th.
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+        s"$name: a nested loop beyond the centroid broadcast: ${p.take(400)}")
+    }
+  }
 }
