@@ -693,10 +693,10 @@ object Ann {
     * scan position; `scored(id_a, id_b, cosine)` — the verified in-cell
     * candidate pairs with pos_a < pos_b.
     */
-  private def semDedupFrames(s: SparkSession, dir: String,
+  private def semDedupFrames(vecs: DataFrame,
                              verify: String = "dec"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val e = embCorpus(s, dir)
+    val e = vecs
       .withColumn("qemb", quantize(col("emb")))
       .withColumn("bucket", planeBucket(col("qemb")))
       // exact long self-dot of the quantized vector: the vector-norm leg
@@ -737,29 +737,31 @@ object Ann {
     // true semantic dup (cos ≈ 1) agrees on every band w.h.p., so recall
     // is preserved while in-cell pair density drops ~16× per band key —
     // the dense |cell|² similarity matrix of the reference recipe never
-    // materializes
-    def banded(df: DataFrame): DataFrame =
-      df.select(col("*"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
-          .as(Seq("band_idx", "band_val")))
-    val a = banded(members).select(
-      col("cell"), col("band_idx"), col("band_val"),
-      col("vec_id").as("id_a"), col("pos").as("pos_a"), col("emb").as("a_emb"))
-    val b = banded(members).select(
-      col("cell"), col("band_idx"), col("band_val"),
-      col("vec_id").as("id_b"), col("pos").as("pos_b"), col("emb").as("b_emb"))
+    // materializes. Pair generation goes through [[Dedup.guardedPairs]]
+    // keyed on (cell, band) and ORDERED BY pos: a viral embedding (one
+    // vector repeated k times — the empty-document embedding of a crawl
+    // corpus — lands on one (cell, band) key in every band) emits O(k)
+    // star edges from the group's FIRST-SCANNED member instead of O(k²)
+    // pairs. For a hot group the greedy therefore degrades to "dropped
+    // iff the group's first-scanned member matches at ≥ eps" — exact for
+    // the identical-vector case that creates hot groups, and the same
+    // bounded trade q24 documents for its buckets.
+    val banded = members.select(
+      col("cell"), col("vec_id"), col("pos"), col("emb"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
+        .as(Seq("band_idx", "band_val")))
     // verify="dec" is the oracle contract; "float" is the production
     // kernel on the identical plan (the q81/q86 convention — x95 prices
     // the decimal tax in the bench)
     val cos =
       if (verify == "float") Num.roundD(cosine(col("a_emb"), col("b_emb")))
       else cosineDec("a_emb", "b_emb")
-    val scored = a.join(b, Seq("cell", "band_idx", "band_val"))
-      .filter(col("pos_a") < col("pos_b"))
-      .select(col("id_a"), col("id_b"), col("a_emb"), col("b_emb"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"), cos.as("cosine"))
+    val scored = Dedup.guardedPairs(banded, "pos",
+        Seq("cell", "band_idx", "band_val"), payloadCols = Seq("vec_id", "emb"))
+      .dropDuplicates("a_vec_id", "b_vec_id")
+      .select(col("a_vec_id").as("id_a"), col("b_vec_id").as("id_b"),
+        cos.as("cosine"))
     (members, scored)
   }
 
@@ -799,16 +801,32 @@ object Ann {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
        |    FROM csims) t
        |  WHERE rn = 1),
-       |sbands AS (
-       |  SELECT vec_id, bi AS band_idx, (bucket >> (4 * bi)) & 15 AS band_val
-       |  FROM fp, range(0, 4) t(bi)),
+       |sband AS (
+       |  SELECT m.vec_id, m.cell, m.pos, t.bi AS band_idx,
+       |    (f.bucket >> (4 * t.bi)) & 15 AS band_val
+       |  FROM mem m JOIN fp f ON f.vec_id = m.vec_id
+       |  CROSS JOIN range(0, 4) t(bi)),
+       |-- the hot-group guard (Dedup.guardedPairs keyed on (cell, band),
+       |-- ordered by pos): small groups emit all ordered pairs, hot
+       |-- groups star edges from the first-scanned member
+       |sann AS (
+       |  SELECT vec_id, cell, pos, band_idx, band_val,
+       |    COUNT(*) OVER wg AS grp_n,
+       |    MIN(pos) OVER wg AS canon_pos,
+       |    FIRST_VALUE(vec_id) OVER
+       |      (PARTITION BY cell, band_idx, band_val ORDER BY pos) AS canon_vec
+       |  FROM sband
+       |  WINDOW wg AS (PARTITION BY cell, band_idx, band_val)),
        |spairs AS (
-       |  SELECT DISTINCT pa.vec_id AS id_a, pb.vec_id AS id_b
-       |  FROM mem pa
-       |  JOIN mem pb ON pb.cell = pa.cell AND pa.pos < pb.pos
-       |  JOIN sbands ba ON ba.vec_id = pa.vec_id
-       |  JOIN sbands bb ON bb.vec_id = pb.vec_id
-       |    AND bb.band_idx = ba.band_idx AND bb.band_val = ba.band_val),
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |    FROM sann a JOIN sann b
+       |      ON b.cell = a.cell AND b.band_idx = a.band_idx
+       |      AND b.band_val = a.band_val AND a.pos < b.pos
+       |    WHERE a.grp_n <= ${Dedup.MaxBucket}
+       |    UNION ALL
+       |    SELECT canon_vec AS id_a, vec_id AS id_b
+       |    FROM sann WHERE grp_n > ${Dedup.MaxBucket} AND pos <> canon_pos) u),
        |${sqlPairCosine("spairs", "s")}""".stripMargin
 
   /** q95: SemDeDup — semantic deduplication by within-cluster embedding
@@ -835,13 +853,23 @@ object Ann {
     * assignment is one corpus pass; candidate pairs join on (cell, sign
     * band) so the |cell|² similarity matrix never materializes (nlist
     * scales with corpus size exactly as IVF's does, and the banding
-    * bounds in-cell density independently); verification is
+    * bounds in-cell density independently); a viral repeated embedding
+    * emits O(k) star edges through the shared [[Dedup.guardedPairs]]
+    * hot-group guard instead of O(k²) pairs; verification is
     * decimal-exact cosine on candidates only. No corpus×corpus product
     * (PlanSpec-asserted).
     */
   def q95SemDedup(s: SparkSession, dir: String, eps: Double = 0.99,
-                  verify: String = "dec"): DataFrame = {
-    val (members, scored) = semDedupFrames(s, dir, verify)
+                  verify: String = "dec"): DataFrame =
+    semDedup(embCorpus(s, dir), eps, verify)
+
+  /** The q95 body over an arbitrary (vec_id, emb, label) frame — the
+    * library entry point (and the injected-hot-cluster guard test's):
+    * per-vector decision table (vec_id, cell, centroid_sim, kept).
+    */
+  def semDedup(vecs: DataFrame, eps: Double = 0.99,
+               verify: String = "dec"): DataFrame = {
+    val (members, scored) = semDedupFrames(vecs, verify)
     val dropped = scored.filter(col("cosine") >= eps)
       .select(col("id_b")).distinct()
     members.join(dropped, members("vec_id") === dropped("id_b"), "left")
@@ -869,7 +897,7 @@ object Ann {
     * bounded groupBy over the (already candidate-bounded) pair set.
     */
   def q96SemDedupReport(s: SparkSession, dir: String, eps: Double = 0.99): DataFrame = {
-    val (members, scored) = semDedupFrames(s, dir)
+    val (members, scored) = semDedupFrames(embCorpus(s, dir))
     val pairStats = scored
       .join(members.select(col("vec_id").as("id_b"), col("cell")), Seq("id_b"))
       .groupBy("cell").agg(

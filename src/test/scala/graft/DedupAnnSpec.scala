@@ -386,6 +386,47 @@ class DedupAnnSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semdedup hot-cluster guard: a viral embedding keeps exactly its first-scanned copy") {
+    import spark.implicits._
+    val k = 100 // > MaxBucket: every (cell, band) group the cluster lands on is hot
+    val rng = new scala.util.Random(11)
+    val base = Seq.fill(64)(rng.nextDouble() * 2 - 1)
+    val cluster = (0 until k).map(i => (i.toLong, base, 0))
+    // distinct label so the filler centroid pulls the random vectors into
+    // their own cell: the viral cluster's cell then holds ONLY the k
+    // copies, and each hot (cell, band) group's first-scanned member is a
+    // cluster copy by construction
+    val fillers = (1000 until 1040).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(64)(r.nextDouble() * 2 - 1), 1)
+    }
+    val vecs = (cluster ++ fillers).toDF("vec_id", "emb", "label")
+    val out = Ann.semDedup(vecs).cache()
+    assert(out.count() == k + 40)
+    // identical vectors tie on centroid_sim, so the greedy order falls to
+    // vec_id: the cluster's minimum id survives, all other copies drop —
+    // through O(k) star edges, not O(k²) pairs (guardedPairs' bound)
+    val clusterRows = out.filter(col("vec_id") < k)
+    assert(clusterRows.filter(col("kept") === 1).count() == 1)
+    assert(clusterRows.filter(col("kept") === 1).head.getAs[Long]("vec_id") == 0L)
+    assert(out.filter(col("vec_id") >= 1000 && col("kept") === 0).count() == 0,
+      "random fillers must all survive")
+    out.unpersist()
+  }
+
+  test("semdedup is idempotent on its kept set") {
+    // every ≥eps pair had its later member dropped, so re-running on the
+    // survivors finds no duplicate left to drop (the injected twins are
+    // the only ≥0.99 pairs in the corpus, and they never straddle cells)
+    val corpus = Ann.embCorpus(spark, Sf)
+    val first = Ann.q95SemDedup(spark, Sf)
+    val kept = corpus.join(first.filter(col("kept") === 1).select("vec_id"), "vec_id")
+    val second = Ann.semDedup(kept)
+    assert(second.filter(col("kept") === 0).count() == 0,
+      "second pass must drop nothing")
+    assert(second.count() == first.filter(col("kept") === 1).count())
+  }
+
   test("q96 semdedup report accounts for every member and every dropped vector") {
     val rep = Ann.q96SemDedupReport(spark, Sf).cache()
     val corpus = Ann.embCorpus(spark, Sf)

@@ -230,13 +230,14 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       // cell assignment is argmax over the broadcast nlist-row centroid
       // table — the only permitted nested loop. PlanSpec plans with the
-      // cache cleared, so the shared `members` frame re-inlines that
-      // broadcast once per consumer (decision table + both banded pair
-      // sides + the report's cell lookup): ≤ 4 occurrences, all of them
-      // the same nlist-row build. In-cell candidates must go through the
-      // (cell, band) equi-join, never a product — any BNLJ beyond the
-      // re-inlined centroid broadcasts would show up as a 5th.
-      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      // cache cleared, so the persisted `members`/`annotated` frames
+      // re-inline that one broadcast once per consumer (decision table /
+      // report lookups + guardedPairs' two small-pair sides and hot-star
+      // side): every occurrence is the same nlist-row build. A corpus-
+      // sized nested loop would also plan SortMergeJoin-free pair paths
+      // differently; the bound catches a degenerate rewrite without
+      // pinning the exact inline count.
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
         s"$name: a nested loop beyond the centroid broadcast: ${p.take(400)}")
     }
   }
