@@ -693,8 +693,29 @@ object Ann {
     * scan position; `scored(id_a, id_b, cosine)` — the verified in-cell
     * candidate pairs with pos_a < pos_b.
     */
-  private def semDedupFrames(vecs: DataFrame,
-                             verify: String = "dec"): (DataFrame, DataFrame) = {
+  /** Deterministic "k-means" cells over a (vec_id, emb, label) frame:
+    * per-label decimal-exact component means (q81's coarse quantizer),
+    * integer-quantized for exact dots. One aggregation pass; the result
+    * is nlist rows — always broadcast by consumers.
+    */
+  private def centroidTable(vecs: DataFrame): DataFrame =
+    vecs.groupBy(col("label").as("cell")).agg(
+      array((0 until Dim).map { j =>
+        (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
+      }: _*).as("centroid"))
+      .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
+      .withColumn("cnorm2", expr(
+        "aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      .select("cell", "qcent", "cnorm2")
+
+  /** Argmax cell assignment of `vecs` against a broadcast centroid
+    * table, one pass: returns (vec_id, cell, csim, emb, bucket) with the
+    * 16-bit sign fingerprint along for banding. csim is the full cosine
+    * (exact-integer dot and norms, so the double is bit-identical
+    * cross-engine) — the vector norm doesn't move the argmax but IS
+    * needed to order DIFFERENT vectors inside one cell.
+    */
+  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs
       .withColumn("qemb", quantize(col("emb")))
@@ -703,35 +724,25 @@ object Ann {
       // of the centroid similarity (cnorm2's discipline from q81)
       .withColumn("qn2", expr(
         "aggregate(zip_with(qemb, qemb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
-      .persist()
-    // deterministic "k-means" cells: per-label decimal-exact component
-    // means (q81's coarse quantizer), integer-quantized for exact dots
-    val centroids = e.groupBy(col("label").as("cell")).agg(
-      array((0 until Dim).map { j =>
-        (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
-      }: _*).as("centroid"))
-      .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
-      .withColumn("cnorm2", expr(
-        "aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
-      .select("cell", "qcent", "cnorm2")
     val qdot = expr(
       "CAST(aggregate(zip_with(qemb, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
-    // one corpus pass: argmax cell over the broadcast centroids; csim is
-    // the full cosine (exact-integer dot and norms, so the double is
-    // bit-identical cross-engine) — the vector norm doesn't move the
-    // argmax but IS needed to order DIFFERENT vectors inside one cell
     val simW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-    val members = e.crossJoin(broadcast(centroids))
+    e.crossJoin(broadcast(centroids))
       .withColumn("csim",
         qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
       .withColumn("rn", row_number().over(simW))
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("csim"), col("emb"), col("bucket"))
+  }
+
+  private def semDedupFrames(vecs: DataFrame,
+                             verify: String = "dec"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val members = assignCells(vecs, centroidTable(vecs))
       // greedy scan order: LOW centroid similarity first (the paper's
       // keep-the-outlier policy), ties to the lower id
       .withColumn("pos", row_number().over(
         Window.partitionBy("cell").orderBy(col("csim").asc, col("vec_id"))))
-      .select(col("vec_id"), col("cell"), col("csim"), col("pos"),
-        col("emb"), col("bucket"))
       .persist()
     // in-cell candidates via the 4×4-bit sign bands (q26's banding): a
     // true semantic dup (cos ≈ 1) agrees on every band w.h.p., so recall
@@ -932,4 +943,178 @@ object Ann {
        |FROM mem m LEFT JOIN pstat p ON p.cell = m.cell
        |GROUP BY m.cell
        |ORDER BY m.cell""".stripMargin
+
+  /** q97: incremental semantic-dedup probe — the q83 move applied to the
+    * embedding family: an ingest batch probes the STANDING corpus
+    * structure (centroid cells + sign-band index) instead of re-running
+    * SemDeDup over corpus∪batch. Each batch vector is assigned a cell by
+    * the standing centroids, probes the index on (cell, band), and
+    * reports its best match (highest cosine, ties to the lowest corpus
+    * id) with an `is_dup` flag at eps — the admission decision a
+    * streaming ingest makes per document before it ever joins the
+    * corpus.
+    *
+    * The synthetic batch holds re-encodes (×0.99 — same direction,
+    * cosine 1: must flag) and inversions (×−1 — cosine −1 to their
+    * source: must pass) of deterministic corpus slices.
+    *
+    * Scale shape: centroids broadcast (nlist rows); the index side is
+    * assigned + banded ONCE per refresh (materializable bucketed on the
+    * probe keys exactly like [[Dedup.refreshIndex]] — only the
+    * batch-side shuffles per probe, and a batch is small by definition);
+    * hot index (cell, band) groups are probed through their canonical
+    * member only ([[Dedup.guardedIndex]]'s asymmetric guard), so a viral
+    * index bucket cannot multiply probe output. No corpus×corpus
+    * product.
+    */
+  def q97SemProbe(s: SparkSession, dir: String, eps: Double = 0.99,
+                  verify: String = "dec"): DataFrame = {
+    val e = embeddings(s, dir)
+    val batch = e.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 40000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .unionByName(
+        e.filter(col("vec_id") % 11 === 0)
+          .withColumn("vec_id", col("vec_id") + 50000)
+          .withColumn("emb", expr("transform(emb, x -> -x)")))
+    semProbe(e, batch, eps, verify)
+  }
+
+  /** The q97 body over arbitrary frames: `index` (vec_id, emb, label) is
+    * the standing corpus, `batch` (vec_id, emb) the probe set. One row
+    * per batch vector: (vec_id, cell, match_vec_id, cosine, is_dup),
+    * null match for batch vectors colliding nowhere.
+    */
+  def semProbe(index: DataFrame, batch: DataFrame, eps: Double = 0.99,
+               verify: String = "dec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = centroidTable(index)
+    def banded(assigned: DataFrame): DataFrame =
+      assigned.select(
+        col("vec_id"), col("cell"), col("emb"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
+          .as(Seq("band_idx", "band_val")))
+    // standing side: assigned + banded once per refresh; hot groups keep
+    // only their canonical (minimum-id) member — the probe still surfaces
+    // the cluster, but a viral bucket can't multiply candidates
+    val wG = Window.partitionBy("cell", "band_idx", "band_val")
+    val ib = banded(assignCells(index, centroids))
+      .withColumn("grp_n", count(lit(1)).over(wG))
+      .withColumn("canon", min(col("vec_id")).over(wG))
+      .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
+      .select(col("vec_id").as("match_vec_id"), col("cell"),
+        col("band_idx"), col("band_val"), col("emb").as("i_emb"))
+    val bAssigned = assignCells(batch, centroids).persist()
+    val bb = banded(bAssigned)
+      .select(col("vec_id"), col("cell"), col("band_idx"), col("band_val"),
+        col("emb").as("b_emb"))
+    val cos =
+      if (verify == "float") Num.roundD(cosine(col("b_emb"), col("i_emb")))
+      else cosineDec("b_emb", "i_emb")
+    val cand = bb.join(ib, Seq("cell", "band_idx", "band_val"))
+      .select(col("vec_id"), col("match_vec_id"), col("b_emb"), col("i_emb"))
+      .dropDuplicates("vec_id", "match_vec_id")
+      .select(col("vec_id"), col("match_vec_id"), cos.as("cosine"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("match_vec_id"))
+    val best = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    bAssigned.select(col("vec_id"), col("cell"))
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
+        when(col("cosine") >= eps, 1).otherwise(0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  val q97Sql: String =
+    s"""WITH ie AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |be AS (
+       |  SELECT vec_id + 40000 AS vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 0.99) AS emb
+       |  FROM embeddings WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 50000,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * -1.0)
+       |  FROM embeddings WHERE vec_id % 11 = 0),
+       |allv AS (
+       |  SELECT vec_id, emb FROM ie
+       |  UNION ALL SELECT vec_id, emb FROM be),
+       |eexpl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v,
+       |    CAST(FLOOR(unnest(emb) * $QScale) AS BIGINT) AS q
+       |  FROM allv),
+       |$sqlPlanesCte,
+       |pdot AS (
+       |  SELECT e.vec_id, p.i, SUM(e.q * p.s) AS dot
+       |  FROM eexpl e JOIN planes p ON e.j = p.j
+       |  GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << i ELSE 0 END) AS INT) AS bucket
+       |  FROM pdot GROUP BY 1),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2
+       |  FROM eexpl GROUP BY 1),
+       |qn AS (SELECT vec_id, SUM(q * q) AS qn2 FROM eexpl GROUP BY 1),
+       |cent AS (
+       |  SELECT l.label AS cell, x.j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(x.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq
+       |  FROM eexpl x JOIN ie l ON l.vec_id = x.vec_id
+       |  GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell, SUM(x.q * ct.cq) AS dvc
+       |  FROM eexpl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |csims AS (
+       |  SELECT d.vec_id, d.cell,
+       |    CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) AS csim
+       |  FROM vdots d
+       |  JOIN cnorm c ON c.cell = d.cell
+       |  JOIN qn q ON q.vec_id = d.vec_id),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM csims) t
+       |  WHERE rn = 1),
+       |iband AS (
+       |  SELECT a.vec_id, a.cell, t.bi AS band_idx,
+       |    (f.bucket >> (4 * t.bi)) & 15 AS band_val
+       |  FROM asg a JOIN fp f ON f.vec_id = a.vec_id
+       |  CROSS JOIN range(0, 4) t(bi)
+       |  WHERE a.vec_id < 40000),
+       |-- the asymmetric hot-group guard: over-cap index groups keep only
+       |-- their canonical member
+       |idx AS (
+       |  SELECT vec_id, cell, band_idx, band_val FROM (
+       |    SELECT vec_id, cell, band_idx, band_val,
+       |      COUNT(*) OVER wg AS grp_n, MIN(vec_id) OVER wg AS canon
+       |    FROM iband
+       |    WINDOW wg AS (PARTITION BY cell, band_idx, band_val)) g
+       |  WHERE grp_n <= ${Dedup.MaxBucket} OR vec_id = canon),
+       |bband AS (
+       |  SELECT a.vec_id, a.cell, t.bi AS band_idx,
+       |    (f.bucket >> (4 * t.bi)) & 15 AS band_val
+       |  FROM asg a JOIN fp f ON f.vec_id = a.vec_id
+       |  CROSS JOIN range(0, 4) t(bi)
+       |  WHERE a.vec_id >= 40000),
+       |cand AS (
+       |  SELECT DISTINCT b.vec_id AS id_a, i.vec_id AS id_b
+       |  FROM bband b JOIN idx i
+       |    ON i.cell = b.cell AND i.band_idx = b.band_idx
+       |    AND i.band_val = b.band_val),
+       |${sqlPairCosine("cand")},
+       |best AS (
+       |  SELECT id_a, id_b, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+       |  FROM scored)
+       |SELECT b.vec_id, b.cell, t.id_b AS match_vec_id, t.cosine,
+       |  CASE WHEN t.cosine >= 0.99 THEN 1 ELSE 0 END AS is_dup
+       |FROM (SELECT vec_id, cell FROM asg WHERE vec_id >= 40000) b
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) t ON t.id_a = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
 }

@@ -427,6 +427,46 @@ class DedupAnnSpec extends SparkSpec {
     assert(second.count() == first.filter(col("kept") === 1).count())
   }
 
+  test("q97 probe flags every re-encoded batch vector and passes every inverted one") {
+    val out = Ann.q97SemProbe(spark, Sf).cache()
+    // re-encodes (×0.99, +40000): same direction, cosine 1.0 — must flag
+    // with their own source as the best match
+    val re = out.filter(col("vec_id") >= 40000 && col("vec_id") < 50000)
+    assert(re.count() > 0)
+    assert(re.filter(col("is_dup") =!= 1).count() == 0,
+      "every re-encoded batch vector must flag as a duplicate")
+    assert(re.filter(col("match_vec_id") =!= col("vec_id") - 40000).count() == 0,
+      "each re-encode must match its own source")
+    // inversions (×-1, +50000): cosine −1 to their source, ≪ 0.99 to
+    // everything else — must pass admission
+    val inv = out.filter(col("vec_id") >= 50000)
+    assert(inv.count() > 0)
+    assert(inv.filter(col("is_dup") =!= 0).count() == 0,
+      "no inverted batch vector may flag")
+    out.unpersist()
+  }
+
+  test("semProbe hot index guard: a viral index cluster surfaces once per probe") {
+    import spark.implicits._
+    val k = 100
+    val rng = new scala.util.Random(13)
+    val base = Seq.fill(64)(rng.nextDouble() * 2 - 1)
+    val cluster = (0 until k).map(i => (i.toLong, base, 0))
+    val fillers = (1000 until 1040).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(64)(r.nextDouble() * 2 - 1), 1)
+    }
+    val index = (cluster ++ fillers).toDF("vec_id", "emb", "label")
+    val batch = Seq((90000L, base)).toDF("vec_id", "emb")
+    val out = Ann.semProbe(index, batch).collect()
+    // ONE output row, matched to the cluster's canonical member — the
+    // asymmetric guard probed the hot (cell, band) groups through vec 0
+    // only, so the viral cluster cannot multiply candidates
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("match_vec_id") == 0L)
+    assert(out.head.getAs[Int]("is_dup") == 1)
+  }
+
   test("q96 semdedup report accounts for every member and every dropped vector") {
     val rep = Ann.q96SemDedupReport(spark, Sf).cache()
     val corpus = Ann.embCorpus(spark, Sf)

@@ -225,7 +225,8 @@ class PlanSpec extends SparkSpec {
 
   test("q95/q96 semdedup: no cartesian; the only nested loop is the tiny centroid broadcast") {
     Seq("q95" -> Ann.q95SemDedup(spark, Sf),
-        "q96" -> Ann.q96SemDedupReport(spark, Sf)).foreach { case (name, df) =>
+        "q96" -> Ann.q96SemDedupReport(spark, Sf),
+        "q97" -> Ann.q97SemProbe(spark, Sf)).foreach { case (name, df) =>
       val p = planString(df)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
       // cell assignment is argmax over the broadcast nlist-row centroid
