@@ -52,6 +52,27 @@ object Pipeline {
     val lock = new org.apache.hadoop.fs.Path(s"$outDir/.pipeline-running")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
+    // Fencing token (ADVICE r7): a run that legitimately outlives the TTL is
+    // indistinguishable from a crash, so a reclaimer may take over while the
+    // slow holder is still running — and the slow holder's finally must NOT
+    // then delete the NEW holder's lock (which would admit a third run). The
+    // claim writes a unique token into the lock file; the finally deletes
+    // the lock only if the token on disk is still ours.
+    val token = java.util.UUID.randomUUID().toString
+    def stampToken(): Unit = {
+      val os = fs.create(lock, true) // we own the path — overwrite our empty claim
+      try os.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
+    def tokenOnDiskIsMine: Boolean =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](128)
+          val n = in.read(buf)
+          n > 0 && new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8) == token
+        } finally in.close()
+      } catch { case _: Exception => false }
     if (!fs.createNewFile(lock)) {
       // held — unless the holder crashed: the file's mtime is the claim
       // time (set atomically by the create), so age > TTL means no live
@@ -81,6 +102,7 @@ object Pipeline {
         return Summary(0, 0, 0, Seq.empty, skipped = true)
       }
     }
+    stampToken()
     try {
       // gold rollup: fused single-scan plan, partitioned for pruned reads.
       // The unsorted core — a global sort before a partitioned write only
@@ -109,7 +131,7 @@ object Pipeline {
         trainingLoadRows = spark.read.parquet(s"$outDir/training_load").count(),
         briefingRows = spark.read.parquet(s"$outDir/morning_briefing").count(),
         views = views)
-    } finally fs.delete(lock, false)
+    } finally if (tokenOnDiskIsMine) fs.delete(lock, false)
   }
 
   /** CLI: `runMain graft.Pipeline <dataDir> <outDir>` */

