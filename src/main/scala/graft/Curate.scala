@@ -1,36 +1,68 @@
 package graft
 
-import graft.operators.{Clusters, Curation, Sampling, TextOps}
+import graft.operators.{Ann, Clusters, Curation, Dedup, Sampling, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation — the LLM-side twin of
-  * [[Pipeline]]'s medallion run: raw documents → quality stats → exact +
-  * near-dup cluster canonical filter → benchmark decontamination → PII
+  * [[Pipeline]]'s medallion run: raw documents → quality stats →
+  * (optional) exact-substring cut → exact + near-dup cluster canonical
+  * filter → (optional) semantic dedup → benchmark decontamination → PII
   * accounting → deterministic split assignment → packed, partitioned
   * training shards.
   *
   * Stage order is the cost order: cheap scan-speed predicates (quality,
   * PII) cut the corpus BEFORE the shuffling stages (dedup window, LSH
   * clustering), and the split/pack columns are pure arithmetic on
-  * whatever survives. Output is partitioned by (split, lang) so a
-  * trainer reads its shard with partition pruning and nothing else.
+  * whatever survives. The dedup ladder runs in Lee et al. 2021's order:
+  * the ExactSubstr CUT first (removing cross-doc boilerplate spans
+  * changes document surface forms, so fuzzy matching must see the cut
+  * text), then exact/near-dup document filtering, then SemDeDup (Abbas
+  * et al. 2023) last — paraphrase twins share no surface form, so
+  * nothing earlier can catch them. Output is partitioned by (split,
+  * lang) so a trainer reads its shard with partition pruning and
+  * nothing else.
   */
 object Curate {
 
   case class Summary(input: Long, afterQuality: Long, afterDedup: Long,
-                     afterDecontam: Long, packed: Long)
+                     afterDecontam: Long, packed: Long,
+                     afterCut: Long = -1L, afterSemantic: Long = -1L)
 
   def run(spark: SparkSession, dataDir: String, outDir: String,
-          qualityFloor: Double = 0.5): Summary = {
+          qualityFloor: Double = 0.5,
+          substringCut: Boolean = false,
+          semanticDedup: Boolean = false,
+          semanticEps: Double = 0.99): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
     // 1. scan-speed quality + PII gates (no shuffle)
     val stats = TextOps.stats(docs)
-    val quality = stats.filter(col("quality_score") >= qualityFloor)
+    val quality0 = stats.filter(col("quality_score") >= qualityFloor)
       .select(docs.columns.map(col) :+ col("n_tokens") :+ col("quality_score"): _*)
-    val afterQuality = quality.count()
+    val afterQuality = quality0.count()
+
+    // 1b. optional ExactSubstr cut (Lee et al. 2021): remove every
+    // cross-doc duplicated span and rebuild each survivor from its kept
+    // tokens. Runs over the quality-reduced corpus (the gram table
+    // scales with what passed the cheap gate); token counts are
+    // recomputed from the REBUILT text so packing budgets stay honest,
+    // while quality_score keeps grading the document as admitted.
+    // Fully-cut documents (pure boilerplate) drop here — that is the
+    // operator's decision point, taken where q94 reports it.
+    val (quality, afterCut) =
+      if (!substringCut) (quality0, -1L)
+      else {
+        val rebuilt = Dedup.cutCorpusText(quality0.select("doc_id", "text"))
+          .filter(col("n_kept_tokens") > 0)
+          .select(col("doc_id"), col("kept_text"),
+            col("n_kept_tokens").cast("int").as("n_tokens"))
+        val cut = quality0.drop("text", "n_tokens")
+          .join(rebuilt, "doc_id")
+          .withColumnRenamed("kept_text", "text")
+        (cut, cut.count())
+      }
 
     // 2. exact dedup keeper, then near-dup cluster KEEP-BEST survivors:
     // one representative per duplicate cluster, chosen by quality argmax
@@ -68,11 +100,34 @@ object Curate {
       val deduped = exact.join(keepers, "doc_id")
       val afterDedup = deduped.count()
 
+      // 2b. optional SemDeDup (Abbas et al. 2023), LAST in the dedup
+      // ladder: embeddings of the surviving docs (vec_id aligns with
+      // doc_id) cluster into deterministic cells and a doc drops iff an
+      // earlier-scanned cellmate matches at cosine ≥ eps — q95's
+      // decision applied as an anti-join, so documents WITHOUT an
+      // embedding row pass through untouched (the embedding table may
+      // trail the corpus; absence is not evidence of duplication). The
+      // float kernel verifies: this is the production path, where the
+      // decimal oracle tax buys nothing.
+      val (surviving, afterSemantic) =
+        if (!semanticDedup) (deduped, -1L)
+        else {
+          val vecs = Tables.load(spark, dataDir, "embeddings")
+            .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+            .select("vec_id", "emb", "label")
+            .join(deduped.select(col("doc_id").as("vec_id")), "vec_id")
+          val droppedSem = Ann.semDedup(vecs, semanticEps, verify = "float")
+            .filter(col("kept") === 0)
+            .select(col("vec_id").as("doc_id"))
+          val sd = deduped.join(droppedSem, Seq("doc_id"), "left_anti")
+          (sd, sd.count())
+        }
+
       // 3. decontaminate: drop anything sharing an 8-gram with the
       // benchmark slice (and the benchmark docs themselves)
       val contaminated = Curation.q51Decontaminate(spark, dataDir)
         .select("doc_id")
-      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val clean = surviving.join(contaminated, Seq("doc_id"), "left_anti")
       val afterDecontam = clean.count()
 
       // 4. split + pack + write, partitioned for pruned trainer reads
@@ -92,7 +147,8 @@ object Curate {
       packed.write.mode("overwrite").partitionBy("split", "lang")
         .parquet(s"$outDir/corpus")
       val out = spark.read.parquet(s"$outDir/corpus")
-      Summary(input, afterQuality, afterDedup, afterDecontam, out.count())
+      Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
+        afterCut, afterSemantic)
     } finally labels.unpersist()
   }
 

@@ -12,12 +12,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as raw long and truncate to micros —
-      // the same truncation DuckDB applies, so oracle compares align.
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+      // vectorized reader rejects — read nanos as raw long and truncate
+      // to micros, the same truncation DuckDB applies) and as plain
+      // TIMESTAMP(MICROS)/NTZ. Branch on what the file actually holds so
+      // either vintage loads; the NTZ wall time is interpreted in the
+      // session zone (UTC everywhere in this repo), matching DuckDB's
+      // naive read.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

@@ -983,36 +983,113 @@ object Ann {
   /** The q97 body over arbitrary frames: `index` (vec_id, emb, label) is
     * the standing corpus, `batch` (vec_id, emb) the probe set. One row
     * per batch vector: (vec_id, cell, match_vec_id, cosine, is_dup),
-    * null match for batch vectors colliding nowhere.
+    * null match for batch vectors colliding nowhere. Self-contained
+    * composition of [[semanticIndexFrames]] + [[semProbeAgainst]]; a
+    * production ingest materializes the index once with
+    * [[refreshSemanticIndex]] and probes it with [[probeSemanticIndex]].
     */
   def semProbe(index: DataFrame, batch: DataFrame, eps: Double = 0.99,
                verify: String = "dec"): DataFrame = {
+    val (centroids, guarded) = semanticIndexFrames(index)
+    semProbeAgainst(guarded, centroids, batch, eps, verify)
+  }
+
+  /** The 4×4-bit sign bands of an [[assignCells]] output, one row per
+    * (vector, band) — the candidate join key of the whole semantic
+    * family (q95/q96 pair generation, q97's probe, the standing index).
+    */
+  private def bandedCells(assigned: DataFrame): DataFrame =
+    assigned.select(
+      col("vec_id"), col("cell"), col("emb"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
+        .as(Seq("band_idx", "band_val")))
+
+  /** The STANDING semantic index as two frames — compute ONCE per
+    * refresh, reuse across every probe:
+    *   - `centroids(cell, qcent, cnorm2)`: the deterministic coarse
+    *     quantizer, nlist rows — always broadcast by consumers (it is
+    *     what assigns a batch vector its cell without touching the
+    *     corpus);
+    *   - `guarded(match_vec_id, cell, band_idx, band_val, i_emb)`: every
+    *     corpus vector assigned + sign-banded, with
+    *     [[Dedup.guardedIndex]]'s asymmetric hot-group guard applied —
+    *     (cell, band) groups over [[Dedup.MaxBucket]] keep only their
+    *     canonical (minimum-id) member, so a viral repeated embedding
+    *     (the empty-document vector of a crawl corpus) can never
+    *     multiply probe candidates.
+    */
+  def semanticIndexFrames(index: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val centroids = centroidTable(index)
-    def banded(assigned: DataFrame): DataFrame =
-      assigned.select(
-        col("vec_id"), col("cell"), col("emb"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("bucket"), 4 * b).bitwiseAND(lit(0xF))): _*))
-          .as(Seq("band_idx", "band_val")))
-    // standing side: assigned + banded once per refresh; hot groups keep
-    // only their canonical (minimum-id) member — the probe still surfaces
-    // the cluster, but a viral bucket can't multiply candidates
     val wG = Window.partitionBy("cell", "band_idx", "band_val")
-    val ib = banded(assignCells(index, centroids))
+    val guarded = bandedCells(assignCells(index, centroids))
       .withColumn("grp_n", count(lit(1)).over(wG))
       .withColumn("canon", min(col("vec_id")).over(wG))
       .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
       .select(col("vec_id").as("match_vec_id"), col("cell"),
         col("band_idx"), col("band_val"), col("emb").as("i_emb"))
-    val bAssigned = assignCells(batch, centroids).persist()
-    val bb = banded(bAssigned)
+    (centroids, guarded)
+  }
+
+  /** Semantic-index refresh: materialize [[semanticIndexFrames]] as
+    * managed tables — the q97 docstring's promised write, the embedding
+    * twin of [[Dedup.refreshIndex]]. The guarded member index lands
+    * bucketed on the probe's exact join keys (cell, band_idx, band_val),
+    * so every later batch or stream probe's equi-join co-locates on the
+    * bucket key with NO index-side exchange: the corpus is assigned,
+    * banded, and guard-filtered once per refresh, and only the (small by
+    * definition) probe batch ever shuffles. The centroid table (nlist
+    * rows) lands beside it as `<table>_centroids` — the probe broadcasts
+    * it for cell assignment, so the pair of tables is the complete
+    * standing state of the semantic-admission path.
+    */
+  def refreshSemanticIndex(index: DataFrame, table: String,
+                           numBuckets: Int = 32): Unit = {
+    val (centroids, guarded) = semanticIndexFrames(index)
+    graft.sources.Ingest.writeBucketed(guarded, table, "cell", numBuckets,
+      sortCol = None, moreBucketCols = Seq("band_idx", "band_val"))
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+  }
+
+  /** Probe a batch against a [[refreshSemanticIndex]]-materialized index
+    * — [[semProbeAgainst]] over the bucketed scan and its centroid
+    * side-table.
+    */
+  def probeSemanticIndex(s: SparkSession, table: String, batch: DataFrame,
+                         eps: Double = 0.99, verify: String = "dec",
+                         cache: Boolean = true): DataFrame =
+    semProbeAgainst(s.table(table), s.table(s"${table}_centroids"),
+      batch, eps, verify, cache)
+
+  /** The probe tail against a PREPARED index: assign each batch vector a
+    * cell via the broadcast centroids, band it, equi-join the guarded
+    * member index on (cell, band_idx, band_val), verify candidates, and
+    * keep each batch vector's best match (highest cosine, ties to the
+    * lowest corpus id). `cache = false` skips persisting the batch
+    * assignment — the streaming micro-batch setting
+    * ([[graft.streaming.EventStreams.semAdmissionQuery]]), where a
+    * per-batch persist would leak cached partitions across an unbounded
+    * run; the assignment is then computed twice (banding + final join),
+    * a bounded recompute of a one-pass projection over a small batch.
+    */
+  def semProbeAgainst(guarded: DataFrame, centroids: DataFrame,
+                      batch: DataFrame, eps: Double = 0.99,
+                      verify: String = "dec",
+                      cache: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bAssigned = {
+      val a = assignCells(batch, centroids)
+      if (cache) a.persist() else a
+    }
+    val bb = bandedCells(bAssigned)
       .select(col("vec_id"), col("cell"), col("band_idx"), col("band_val"),
         col("emb").as("b_emb"))
     val cos =
       if (verify == "float") Num.roundD(cosine(col("b_emb"), col("i_emb")))
       else cosineDec("b_emb", "i_emb")
-    val cand = bb.join(ib, Seq("cell", "band_idx", "band_val"))
+    val cand = bb.join(guarded, Seq("cell", "band_idx", "band_val"))
       .select(col("vec_id"), col("match_vec_id"), col("b_emb"), col("i_emb"))
       .dropDuplicates("vec_id", "match_vec_id")
       .select(col("vec_id"), col("match_vec_id"), cos.as("cosine"))

@@ -621,9 +621,28 @@ object Dedup {
   def q94SubstringCut(s: SparkSession, dir: String): DataFrame =
     cutRepeatedSubstrings(corpus(s, dir))
 
-  /** q94 body: rebuild documents with cross-doc duplicated spans removed. */
+  /** q94 body: rebuild documents with cross-doc duplicated spans removed
+    * — the md5 contract view over [[cutCorpusText]] (the oracle verifies
+    * the output text byte-for-byte via its hash; [[graft.Curate]]
+    * consumes the text itself).
+    */
   def cutRepeatedSubstrings(docs: DataFrame, k: Int = 8,
-                            hashMode: String = "md5"): DataFrame = {
+                            hashMode: String = "md5"): DataFrame =
+    cutCorpusText(docs, k, hashMode)
+      .select(col("doc_id"), col("n_kept_tokens"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy("doc_id")
+
+  /** The substring-cut rebuild with the surviving TEXT materialized:
+    * (doc_id, n_kept_tokens, kept_text), one row per input document —
+    * fully-cut documents surface as zero-token / empty-text rows (the
+    * caller's drop decision, reported, not silently applied). This is
+    * the operational form a curation pipeline consumes
+    * ([[graft.Curate]]'s ExactSubstr stage); [[cutRepeatedSubstrings]]
+    * is its hash-contract view for the q94 oracle.
+    */
+  def cutCorpusText(docs: DataFrame, k: Int = 8,
+                    hashMode: String = "md5"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = baseHash60Expr(s"array_join(slice(w, i, $k), ' ')", hashMode)
     val toks = docs
@@ -654,16 +673,15 @@ object Dedup {
       .join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("kept"),
-        md5(concat_ws(" ", expr("transform(sort_array(collect_list(" +
-          "struct(pos, tok))), x -> x.tok)"))).as("kmd5"))
+        concat_ws(" ", expr("transform(sort_array(collect_list(" +
+          "struct(pos, tok))), x -> x.tok)")).as("ktext"))
     // fully-cut documents (every token covered) have no kept rows: the
-    // doc-list left join restores them as zero-token / md5('') rows
+    // doc-list left join restores them as zero-token / empty-text rows
     // without re-running the span pipeline
     docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept"), lit(0L)).as("n_kept_tokens"),
-        coalesce(col("kmd5"), md5(lit(""))).as("kept_md5"))
-      .orderBy("doc_id")
+        coalesce(col("ktext"), lit("")).as("kept_text"))
   }
 
   val q94Sql: String =

@@ -282,6 +282,43 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming semantic admission — [[nearDupQuery]]'s embedding twin,
+    * q97's probe as a stream: each arriving vector is assigned a cell by
+    * the STANDING broadcast centroids, banded, and joined against the
+    * standing guarded member index ([[graft.operators.Ann.semanticIndexFrames]],
+    * built once outside the stream — or `spark.table(...)` pairs from a
+    * [[graft.operators.Ann.refreshSemanticIndex]] materialization) with
+    * ZERO streaming state. What makes this streamable is that cell
+    * assignment is a per-row projection against an nlist-row broadcast —
+    * no corpus-wide aggregation ever runs inside the stream — so the
+    * whole probe is scan → assign → band explode → stream-static join,
+    * and the per-vector best-match window runs INSIDE foreachBatch where
+    * a vector's 4 band rows are guaranteed co-batched. `cache = false`
+    * on the probe body: a per-micro-batch persist would accumulate
+    * cached partitions over an unbounded run.
+    *
+    * Sink idempotence: each micro-batch OVERWRITES its own
+    * `batch_id=<id>` partition (the [[nearDupQuery]] contract) — a
+    * replayed batch rewrites the same partition instead of appending
+    * duplicates. Verification runs the float kernel (native fused
+    * cosine): the admission decision thresholds at eps, where the
+    * decimal oracle tax buys nothing.
+    */
+  def semAdmissionQuery(vecs: DataFrame, guardedIdx: DataFrame,
+                        centroids: DataFrame, outDir: String,
+                        checkpoint: String, eps: Double = 0.99)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Ann.semProbeAgainst(guardedIdx, centroids, batch,
+            eps, verify = "float", cache = false)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Production binding: parquet-directory stream → hourly rollup →
     * partitioned parquet sink with checkpointing. Returns the writer so
     * callers control start/stop.

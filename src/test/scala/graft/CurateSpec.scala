@@ -38,6 +38,59 @@ class CurateSpec extends SparkSpec {
       "docs minus redundant = keepers")
   }
 
+  test("substring cut removes boilerplate byte-verifiably and SemDeDup drops the semantic twin") {
+    import spark.implicits._
+    // 10-token cross-doc boilerplate (mixed case: the cut normalizes to
+    // the lowercase gram stream, so the byte check pins that too)
+    val boiler = "Subscribe To Our Newsletter For Updates Every Single Week Thanks"
+    val docs = Seq(
+      (1L, s"$boiler alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
+      (2L, s"$boiler mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"),
+      // semantic twins: fully distinct surface forms, identical vectors
+      (3L, "zulu yankee xavier walter ulysses trent simon robert quentin peter oliver nathan"),
+      (4L, "magnus leopold kevin jonas ivan henry gustav frederik erik daniel casper bertil"),
+      (5L, "granite basalt schist gneiss marble slate quartzite obsidian pumice tuff shale chert"),
+      (6L, "maple willow cedar spruce aspen poplar birch alder rowan hazel linden juniper")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("web"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+    val dataDir = java.nio.file.Files.createTempDirectory("curate-data").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    val emb = (1L to 6L).map { i =>
+      val src = if (i == 4L) 3L else i // doc 4 is doc 3's semantic twin
+      (i, Array.tabulate(64)(j => math.sin(src * 64.0 + j).toFloat).toSeq,
+        (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    emb.coalesce(1).write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+
+    val out = java.nio.file.Files.createTempDirectory("curate-opt").toString
+    val s = Curate.run(spark, dataDir, out,
+      substringCut = true, semanticDedup = true)
+    val corpus = spark.read.parquet(s"$out/corpus")
+
+    // the boilerplate is cut from shard TEXT, byte-verifiably: doc 1
+    // keeps exactly its lowercased unique tail, and no shard text
+    // anywhere still carries the boilerplate
+    val t1 = corpus.filter(col("doc_id") === 1L)
+      .select("text").as[String].collect()
+    assert(t1.toSeq == Seq(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"), t1.toSeq)
+    assert(corpus.filter(lower(col("text"))
+      .contains("subscribe to our newsletter")).count() == 0,
+      "boilerplate must not reach any shard")
+
+    // the dropped semantic twin never reaches a shard; its source does
+    val ids = corpus.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(3L) && !ids.contains(4L),
+      s"twin 4 must drop, source 3 must survive: $ids")
+
+    // stage accounting: both optional stages report their counts
+    assert(s.afterCut == s.afterQuality, "no doc is ALL boilerplate here")
+    assert(s.afterSemantic == s.afterDedup - 1, "exactly the twin drops")
+    assert(s.packed == s.afterDecontam)
+  }
+
   test("curate rerun is deterministic") {
     val (a, b) = (java.nio.file.Files.createTempDirectory("ca").toString,
       java.nio.file.Files.createTempDirectory("cb").toString)

@@ -183,6 +183,55 @@ class DedupAnnSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("materialized semantic index: two batches probe one bucketed table with no index-side exchange") {
+    import org.apache.spark.sql.functions._
+    val table = "sem_index_test"
+    for (t <- Seq(table, s"${table}_centroids")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Ann.refreshSemanticIndex(e, table, numBuckets = 8)
+
+    // batch 1 (re-encodes, must flag) and batch 2 (inversions, must pass)
+    // probe the SAME standing table pair — the index is never re-assigned
+    // or re-banded between ingests
+    val b1 = e.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 40000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .select("vec_id", "emb")
+    val b2 = e.filter(col("vec_id") % 11 === 0)
+      .withColumn("vec_id", col("vec_id") + 50000)
+      .withColumn("emb", expr("transform(emb, x -> -x)"))
+      .select("vec_id", "emb")
+    for (b <- Seq(b1, b2)) {
+      val fromTable = Ann.probeSemanticIndex(spark, table, b)
+      val selfContained = Ann.semProbe(e, b)
+      assert(fromTable.exceptAll(selfContained).count() == 0 &&
+        selfContained.exceptAll(fromTable).count() == 0,
+        "table-backed probe must equal the self-contained q97 path")
+    }
+    val flagged = Ann.probeSemanticIndex(spark, table, b1)
+    assert(flagged.filter(col("is_dup") =!= 1).count() == 0 &&
+      flagged.count() > 0, "every re-encoded batch vector must flag")
+
+    // co-location: force the shuffle-join path (broadcast would hide the
+    // bucketing) and assert the only (cell, band) exchange is the probe
+    // side's — the index scan is bucketed on the join keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString(Ann.probeSemanticIndex(spark, table, b1))
+      assert(p.contains("Bucketed: true"), p.take(600))
+      assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).size == 1,
+        s"only the probe side may exchange on the cell/band keys:\n${p.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q93 spans cover exactly the shared substring, not the whole document") {
     import spark.implicits._
     // two docs share a 10-token boilerplate opening; tails are unique.

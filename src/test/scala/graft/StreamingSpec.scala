@@ -184,6 +184,49 @@ class StreamingSpec extends SparkSpec {
       s"near-dup: ${back(2)}")
   }
 
+  test("semAdmissionQuery flags streamed re-encodes against the static semantic index, statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Ann
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    // standing state, built ONCE outside the stream (a production run
+    // reads the refreshSemanticIndex table pair instead)
+    val (centroids, guarded) = Ann.semanticIndexFrames(e)
+    val c = centroids.cache()
+    val g = guarded.cache()
+
+    val src = e.filter(col("vec_id").isin(0L, 1L)).orderBy("vec_id").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("emb")))
+    val reencoded = src(0).map(_ * 0.99)
+    val inverted = src(1).map(x => -x)
+
+    val out = java.nio.file.Files.createTempDirectory("semadm-out").toString + "/flags"
+    val ckpt = java.nio.file.Files.createTempDirectory("semadm-ckpt").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStreams.semAdmissionQuery(
+      input.toDF.toDF("vec_id", "emb"), g, c, out, ckpt)
+    // batch 1: a re-encode of corpus vector 0 (same direction, cosine 1)
+    input.addData((1000L, reencoded))
+    q.processAllAvailable()
+    // batch 2: an inversion of corpus vector 1 (cosine −1 to its source)
+    input.addData((1001L, inverted))
+    q.processAllAvailable()
+    q.stop()
+
+    val back = spark.read.parquet(out).orderBy("vec_id").collect()
+    assert(back.length == 2, back.mkString(";"))
+    assert(back(0).getAs[Long]("vec_id") == 1000L &&
+      back(0).getAs[Int]("is_dup") == 1 &&
+      back(0).getAs[java.lang.Long]("match_vec_id") == 0L,
+      s"re-encode must flag against its source: ${back(0)}")
+    assert(back(1).getAs[Long]("vec_id") == 1001L &&
+      back(1).getAs[Int]("is_dup") == 0,
+      s"inversion must be admitted: ${back(1)}")
+  }
+
   test("attributeStream joins purchases to in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
