@@ -1103,6 +1103,151 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** q98: the complete ANN accuracy artifact — q91's recall report
+    * extended to cover BOTH index types against ONE shared exact
+    * baseline: per (index_type, query), how many of the true top-k the
+    * index returned. The `lsh` leg is q26's sign-band bucket join; the
+    * `ivf` leg is q81's deterministic coarse quantizer lifted to the
+    * probed corpus (label-seeded decimal-exact centroids, argmax cell
+    * assignment, top-nprobe probe cells per query). One report row set
+    * per index type makes the recall/latency trade directly legible —
+    * the artifact an ANN deployment publishes when CHOOSING its index,
+    * not just monitoring one.
+    *
+    * Scale shape: the exact side is one probe-broadcast corpus pass
+    * (probe set is a QA sample); each index leg is its own family's
+    * candidate join (bounded by band density resp. nprobe cell
+    * occupancy); the recall compare joins k-row-per-query frames. All
+    * ranking uses the (cosine desc, id) tie-break on 4dp decimal
+    * cosines, so recall is deterministic and DuckDB replays it.
+    */
+  def q98AnnRecallByIndex(s: SparkSession, dir: String, k: Int = 10,
+                          nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embCorpus(s, dir)
+    // shared exact baseline (q91's): probe broadcast × one corpus pass
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", dotDec("qemb", "qemb"))
+    val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
+      .withColumn("nn", dotDec("nemb", "nemb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val exact = n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(dotDec("qemb", "nemb").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+      .persist()
+
+    def recallOf(indexType: String, approx: DataFrame): DataFrame =
+      exact.join(approx.select(col("q_id"), col("n_id"), lit(1).as("hit")),
+          Seq("q_id", "n_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_found"))
+        .withColumn("recall_at_k",
+          Num.roundD(col("n_found").cast("double") / col("n_exact")))
+        .select(lit(indexType).as("index_type"), col("q_id"),
+          col("n_exact"), col("n_found"), col("recall_at_k"))
+
+    // lsh leg: q26's banded bucket join, restricted to the probe set
+    val lsh = lshTopK(s, dir, maxQ = 5, k = k).select("q_id", "n_id")
+
+    // ivf leg over the SAME corpus: label-seeded cells (re-encodes carry
+    // their source's label), argmax assignment for the corpus, the
+    // top-nprobe cells per probe query, candidates by cell equi-join
+    val centroids = centroidTable(e)
+    val probes = {
+      val pe = e.filter(col("vec_id") < 5)
+        .withColumn("qemb", quantize(col("emb")))
+        .withColumn("qn2", expr(
+          "aggregate(zip_with(qemb, qemb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      val qdot = expr(
+        "CAST(aggregate(zip_with(qemb, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+      val wp = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      pe.crossJoin(broadcast(centroids))
+        .withColumn("csim",
+          qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= nprobe)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
+    }
+    val corpusCells = assignCells(e, centroids)
+      .select(col("vec_id").as("n_id"), col("cell"), col("emb").as("n_emb"))
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val ivf = broadcast(probes).join(corpusCells, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosineDec("q_emb", "n_emb").as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+
+    recallOf("ivf", ivf).unionByName(recallOf("lsh", lsh))
+      .orderBy("index_type", "q_id")
+  }
+
+  val q98Sql: String =
+    s"""WITH $sqlSemDedupCte,
+       |acands AS (
+       |  SELECT q.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM ecorpus q JOIN ecorpus c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |${sqlPairCosine("acands", "e")},
+       |exact AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |    FROM escored) t
+       |  WHERE rank <= 10),
+       |bands AS (
+       |  SELECT vec_id, bi AS band_idx, (bucket >> (4 * bi)) & 15 AS band_val
+       |  FROM fp, range(0, 4) t(bi)),
+       |lcands AS (
+       |  SELECT DISTINCT q.vec_id AS id_a, c.vec_id AS id_b
+       |  FROM bands q JOIN bands c
+       |    ON q.band_idx = c.band_idx AND q.band_val = c.band_val
+       |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |${sqlPairCosine("lcands", "l")},
+       |lsh AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |    FROM lscored) t
+       |  WHERE rank <= 10),
+       |-- ivf leg: csims/mem are the SemDeDup chain's assignment CTEs —
+       |-- the identical deterministic coarse quantizer over ecorpus
+       |iprobe AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM csims WHERE vec_id < 5) t
+       |  WHERE rn <= 3),
+       |icands AS (
+       |  SELECT p.q_id AS id_a, m.vec_id AS id_b
+       |  FROM iprobe p JOIN mem m ON m.cell = p.cell
+       |  WHERE m.vec_id <> p.q_id),
+       |${sqlPairCosine("icands", "i")},
+       |ivf AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+       |    FROM iscored) t
+       |  WHERE rank <= 10)
+       |SELECT * FROM (
+       |  SELECT 'ivf' AS index_type, e.id_a AS q_id, COUNT(*) AS n_exact,
+       |    COUNT(i.id_b) AS n_found,
+       |    ${Num.sqlRoundD("CAST(COUNT(i.id_b) AS DOUBLE) / COUNT(*)")} AS recall_at_k
+       |  FROM exact e LEFT JOIN ivf i ON i.id_a = e.id_a AND i.id_b = e.id_b
+       |  GROUP BY e.id_a
+       |  UNION ALL
+       |  SELECT 'lsh', e.id_a, COUNT(*), COUNT(l.id_b),
+       |    ${Num.sqlRoundD("CAST(COUNT(l.id_b) AS DOUBLE) / COUNT(*)")}
+       |  FROM exact e LEFT JOIN lsh l ON l.id_a = e.id_a AND l.id_b = e.id_b
+       |  GROUP BY e.id_a)
+       |ORDER BY index_type, q_id""".stripMargin
+
   val q97Sql: String =
     s"""WITH ie AS (
        |  SELECT vec_id, label,
