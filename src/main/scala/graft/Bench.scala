@@ -83,43 +83,56 @@ object Bench {
       val timed = Seq(once(), once(), once())
       name -> (if (timed.exists(_ < 0)) -1.0 else timed.min)
     }
-    // Isolated minimums for the 10 slowest oracle-gated queries: ONE
-    // forked fresh JVM (no 90-query JIT/code-cache history — the known
-    // in-suite drift source) runs graft.OneQ over them, min-of-3 each.
+    // Isolated minimums for the 10 slowest oracle-gated queries: one
+    // forked FRESH JVM PER QUERY (no suite JIT/code-cache history — the
+    // known in-suite drift source) runs graft.OneQ, warmups + min-of-3.
     // Cross-round regression reads needed SURVEY prose for these numbers
     // in r5→r6 (VERDICT r6 #7); publishing them in the artifact makes the
-    // compare mechanical. Fork works because `run / fork := true` gives
-    // this JVM the real classpath and javaOptions to propagate. Bounded
-    // and fail-soft: a hung or crashed child yields an empty section,
-    // never a lost bench line.
+    // compare mechanical. Per-query forks because a SHARED fork left its
+    // FIRST query JIT-biased even behind OneQ's two warmups (measured
+    // 7.3 s first-slot vs 3.3 s for the same query running after seven
+    // others, r8) — separate JVMs make every slot identical by
+    // construction. Fork works because `run / fork := true` gives this
+    // JVM the real classpath and javaOptions to propagate. Bounded and
+    // fail-soft: a hung or crashed child costs only its own entry (and
+    // the 600 s section budget skips stragglers), never the bench line.
     val slow = results.filter { case (n, v) => n.startsWith("q") && v > 0 }
       .sortBy(-_._2).take(10).map(_._1)
     // the in-suite session is done — release its heap and executor pools
-    // BEFORE forking, so the child measures on an uncontended host
+    // BEFORE forking, so the children measure on an uncontended host
     spark.stop()
+    val isoStart = System.nanoTime()
     val isolated: Map[String, Double] =
       if (slow.isEmpty) Map.empty
-      else try {
+      else {
         import scala.jdk.CollectionConverters._
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments.asScala.toSeq
-        val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ") ++ slow
-        val sb = new java.lang.StringBuffer // appended from the pump thread
-        val proc = scala.sys.process.Process(cmd, None, "SPARK_GRAFT_SF_DIR" -> sfDir)
-          .run(scala.sys.process.ProcessLogger(l => { sb.append(l).append('\n'); () }, _ => ()))
-        val deadline = System.nanoTime() + 600L * 1000 * 1000 * 1000
-        while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(500)
-        if (proc.isAlive()) { proc.destroy(); Map.empty }
-        else {
-          // exitValue() joins the I/O pump threads, so the tail of the
-          // child's output is in the buffer before the parse reads it
-          proc.exitValue()
-          val run = """(\S+) run\d+: ([0-9.]+) s""".r
-          run.findAllMatchIn(sb.toString).toSeq
-            .groupMapReduce(_.group(1))(_.group(2).toDouble)(math.min)
-        }
-      } catch { case _: Throwable => Map.empty }
+        val base = Seq(s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ")
+        val run = """(\S+) run\d+: ([0-9.]+) s""".r
+        slow.flatMap { q =>
+          if (System.nanoTime() - isoStart > 600L * 1000 * 1000 * 1000) None
+          else try {
+            val sb = new java.lang.StringBuffer // appended from the pump thread
+            val proc = scala.sys.process.Process(base :+ q, None,
+                "SPARK_GRAFT_SF_DIR" -> sfDir)
+              .run(scala.sys.process.ProcessLogger(
+                l => { sb.append(l).append('\n'); () }, _ => ()))
+            val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
+            while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(500)
+            if (proc.isAlive()) { proc.destroy(); None }
+            else {
+              // exitValue() joins the I/O pump threads, so the tail of the
+              // child's output is in the buffer before the parse reads it
+              proc.exitValue()
+              val times = run.findAllMatchIn(sb.toString).toSeq
+                .filter(_.group(1) == q).map(_.group(2).toDouble)
+              if (times.isEmpty) None else Some(q -> times.min)
+            }
+          } catch { case _: Throwable => None }
+        }.toMap
+      }
     // The harness that collects this output keeps only a bounded tail of
     // the process log (observed: last 2000 chars) and parses the JSON line
     // out of that window. With 60+ queries at full names and full double
