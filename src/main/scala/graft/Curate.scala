@@ -152,9 +152,10 @@ object Curate {
     } finally labels.unpersist()
   }
 
-  /** CLI: `runMain graft.Curate <dataDir> <outDir>` */
+  /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]` */
   def main(args: Array[String]): Unit = {
-    val Array(dataDir, outDir) = args
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val Array(dataDir, outDir) = pos
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -164,9 +165,12 @@ object Curate {
       .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = run(spark, dataDir, outDir)
+    val s = run(spark, dataDir, outDir,
+      substringCut = flags.contains("--cut"),
+      semanticDedup = flags.contains("--semantic"))
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
-      s"dedup=${s.afterDedup} decontam=${s.afterDecontam} packed=${s.packed}")
+      s"cut=${s.afterCut} dedup=${s.afterDedup} semantic=${s.afterSemantic} " +
+      s"decontam=${s.afterDecontam} packed=${s.packed}")
     spark.stop()
   }
 }

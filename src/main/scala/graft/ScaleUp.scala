@@ -51,6 +51,21 @@ object ScaleUp {
             s"(xxhash64('flip', $k, j) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS FLOAT))"))
     }.reduce(_ unionByName _)
 
+  /** Events scale along the USER axis: replica k shifts user_id (and
+    * event_id, to keep ids unique) while keeping timestamps, types, and
+    * values — 10× the entities inside the same wall-clock range, which
+    * is how an event stream actually grows and exactly the axis the
+    * per-entity window partitioning (§4) must absorb. Per-user series
+    * are preserved verbatim, so every windowed result over a replica
+    * user equals its source user's.
+    */
+  def scaleEvents(ev: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      if (k == 0) ev
+      else ev.withColumn("user_id", col("user_id") + lit(k * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorStr) = args
     val factor = factorStr.toInt
@@ -68,6 +83,9 @@ object ScaleUp {
     scaleEmbeddings(spark.read.parquet(s"$srcDir/embeddings.parquet"), factor)
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    scaleEvents(Tables.load(spark, srcDir, "events"), factor)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     println(s"scaleup: wrote $outDir at ${factor}x from $srcDir")
     spark.stop()
   }

@@ -47,6 +47,21 @@ class ScaleUpSpec extends SparkSpec {
     assert(up.exceptAll(up2).count() == 0 && up2.exceptAll(up).count() == 0)
   }
 
+  test("scaleEvents replicates along the user axis with per-user series verbatim") {
+    val ev = Tables.load(spark, Sf, "events").filter(col("user_id") < 5)
+    val up = ScaleUp.scaleEvents(ev, 3)
+    assert(up.count() == 3 * ev.count())
+    assert(up.select("event_id").distinct().count() == up.count(),
+      "event ids must stay unique across replicas")
+    // a replica user's series is its source user's, verbatim: every
+    // windowed result over the replica therefore equals the source's
+    val src = ev.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val rep = up.filter(col("user_id") >= 1000000L && col("user_id") < 2000000L)
+      .select((col("user_id") - 1000000L).as("user_id"),
+        col("ts"), col("event_type"), col("value"))
+    assert(src.exceptAll(rep).count() == 0 && rep.exceptAll(src).count() == 0)
+  }
+
   test("scaleEmbeddings: within-replica cosines exact, cross-replica twins destroyed") {
     import spark.implicits._
     val e = Tables.load(spark, Sf, "embeddings").filter(col("vec_id") < 20)
