@@ -1053,6 +1053,30 @@ object Ann {
       .saveAsTable(s"${table}_centroids")
   }
 
+  /** Incremental semantic-index maintenance: append an ADMITTED batch to
+    * the standing [[refreshSemanticIndex]] table without re-assigning
+    * the corpus — the embedding twin of [[Dedup.appendIndex]]. The batch
+    * is assigned against the STANDING centroids (cells are defined at
+    * refresh time and not moved by appends — the standard IVF
+    * maintenance contract), banded, guard-filtered alone, and appended
+    * under the table's bucket spec. Hot (cell, band) groups can grow
+    * past the cap across appends until the next full refresh
+    * re-tightens them; each append costs one batch-sized shuffle.
+    */
+  def appendSemanticIndex(s: SparkSession, table: String,
+                          batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val wG = Window.partitionBy("cell", "band_idx", "band_val")
+    val guarded = bandedCells(assignCells(batch, s.table(s"${table}_centroids")))
+      .withColumn("grp_n", count(lit(1)).over(wG))
+      .withColumn("canon", min(col("vec_id")).over(wG))
+      .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
+      .select(col("vec_id").as("match_vec_id"), col("cell"),
+        col("band_idx"), col("band_val"), col("emb").as("i_emb"))
+    graft.sources.Ingest.appendBucketed(guarded, table, "cell",
+      Seq("band_idx", "band_val"))
+  }
+
   /** Probe a batch against a [[refreshSemanticIndex]]-materialized index
     * — [[semProbeAgainst]] over the bucketed scan and its centroid
     * side-table.

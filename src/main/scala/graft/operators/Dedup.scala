@@ -432,6 +432,24 @@ object Dedup {
       table, "band_idx", numBuckets, sortCol = None,
       moreBucketCols = Seq("band_hash"))
 
+  /** Incremental index maintenance: append an ADMITTED batch's bands to
+    * the standing [[refreshIndex]] table without re-shingling the corpus
+    * — the write a production ingest issues after [[probeIndex]] clears
+    * a batch. The batch is shingled, signed, and guard-filtered ALONE
+    * (one batch-sized shuffle), then appended under the table's bucket
+    * spec so probes keep their no-index-side-exchange plan. The
+    * hot-bucket guard is therefore per-append: a bucket can grow past
+    * the cap ACROSS appends until the next full [[refreshIndex]]
+    * re-tightens it — the standard delta-plus-compaction trade, priced
+    * at one capped batch per append vs a corpus rebuild. `hashMode` must
+    * match the refresh.
+    */
+  def appendIndex(s: SparkSession, table: String, batch: DataFrame,
+                  hashMode: String = "md5", maxBucket: Int = MaxBucket): Unit =
+    graft.sources.Ingest.appendBucketed(
+      guardedIndex(minhashBands(batch, hashMode), maxBucket),
+      table, "band_idx", Seq("band_hash"))
+
   /** Probe a batch against a [[refreshIndex]]-materialized index table —
     * [[incrementalProbe]] over the bucketed scan. `hashMode` must match
     * the refresh (md5 band keys are strings, xxhash64 keys longs).

@@ -210,6 +210,30 @@ object Ingest {
     sortCol.fold(w)(sc => w.sortBy(sc)).saveAsTable(table)
   }
 
+  /** Bucketed APPEND: add a batch to an existing [[writeBucketed]] table
+    * under the SAME bucket spec — each append lands new per-bucket files,
+    * the scan stays `Bucketed: true`, and later probes keep their
+    * no-index-side-exchange plan. The incremental half of the §4
+    * co-location contract: the landing pipeline pays one batch-sized
+    * shuffle per append, never a corpus-sized rebuild. (Spark validates
+    * the bucket spec against the existing table; a mismatched spec fails
+    * loudly rather than silently degrading the table.)
+    */
+  def appendBucketed(df: DataFrame, table: String, bucketCol: String,
+                     moreBucketCols: Seq[String] = Nil): Unit = {
+    // the existing table owns the bucket spec: read its count from the
+    // catalog so an append can never mismatch it (Spark fails loudly on
+    // a mismatched spec; deriving it removes the failure mode entirely)
+    val numBuckets = df.sparkSession.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a bucketed table — refresh it with writeBucketed first"))
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, bucketCol, moreBucketCols: _*)
+      .saveAsTable(table)
+  }
+
   // --- Ingest admission control ------------------------------------------
   // The ingestion trigger's validation layer (reference:
   // lambda/ingestion_trigger/handler.py:29-170): per-source expected-header

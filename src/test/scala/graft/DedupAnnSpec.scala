@@ -232,6 +232,79 @@ class DedupAnnSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("appendIndex: an admitted batch joins the standing band index without a corpus rebuild") {
+    import org.apache.spark.sql.functions._
+    val table = "neardup_append_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d.filter(col("doc_id") % 2 === 0), table, numBuckets = 8)
+    Dedup.appendIndex(spark, table, d.filter(col("doc_id") % 2 === 1))
+
+    // exact copies of APPENDED docs must flag against their append-half
+    // source — proof the append is probe-visible
+    val probe = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + 90000)
+    val out = Dedup.probeIndex(spark, table, probe).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("is_near_dup") == 1 &&
+        r.getAs[java.lang.Long]("match_doc_id") ==
+          r.getAs[Long]("batch_doc_id") - 90000, r.toString)
+    }
+    // refresh(A) + append(B) answers this probe exactly like a full
+    // rebuild over A∪B (no hot buckets span the halves at this SF)
+    val fromTable = Dedup.probeIndex(spark, table, probe)
+    val full = Dedup.incrementalMinhash(d, probe)
+    assert(fromTable.exceptAll(full).count() == 0 &&
+      full.exceptAll(fromTable).count() == 0)
+    // appends must not degrade the scan: still bucketed, probe-side-only
+    // exchange on the band keys
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString(Dedup.probeIndex(spark, table, probe))
+      assert(p.contains("Bucketed: true"), p.take(600))
+      assert("Exchange hashpartitioning\\(band_idx".r.findAllIn(p).size == 1,
+        p.take(800))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("appendSemanticIndex: appended vectors are probe-visible without corpus re-assignment") {
+    import org.apache.spark.sql.functions._
+    val table = "sem_append_test"
+    for (t <- Seq(table, s"${table}_centroids")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Ann.refreshSemanticIndex(e.filter(col("vec_id") % 2 === 0), table, numBuckets = 8)
+    Ann.appendSemanticIndex(spark, table,
+      e.filter(col("vec_id") % 2 === 1).select("vec_id", "emb"))
+
+    // re-encodes of APPENDED vectors must flag against their source at
+    // cosine 1 — the append is probe-visible, centroids untouched
+    val probe = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 90000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .select("vec_id", "emb")
+    val out = Ann.probeSemanticIndex(spark, table, probe).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("is_dup") == 1 &&
+        r.getAs[java.lang.Long]("match_vec_id") ==
+          r.getAs[Long]("vec_id") - 90000, r.toString)
+    }
+  }
+
   test("q93 spans cover exactly the shared substring, not the whole document") {
     import spark.implicits._
     // two docs share a 10-token boilerplate opening; tails are unique.
