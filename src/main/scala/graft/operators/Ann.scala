@@ -1039,10 +1039,12 @@ object Ann {
     * so every later batch or stream probe's equi-join co-locates on the
     * bucket key with NO index-side exchange: the corpus is assigned,
     * banded, and guard-filtered once per refresh, and only the (small by
-    * definition) probe batch ever shuffles. The centroid table (nlist
-    * rows) lands beside it as `<table>_centroids` — the probe broadcasts
-    * it for cell assignment, so the pair of tables is the complete
-    * standing state of the semantic-admission path.
+    * definition) probe batch ever shuffles. Two side tables land beside
+    * it: `<table>_centroids` (nlist rows — the probe broadcasts it for
+    * cell assignment) and `<table>_members` (the unguarded one-row-per-
+    * member serving view, partitioned by cell, consumed by
+    * [[searchSemanticIndex]]). The triple is the complete standing state
+    * of the semantic-admission and semantic-serving paths.
     */
   def refreshSemanticIndex(index: DataFrame, table: String,
                            numBuckets: Int = 32): Unit = {
@@ -1051,6 +1053,14 @@ object Ann {
       sortCol = None, moreBucketCols = Seq("band_idx", "band_val"))
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
+    // the SERVING view: one row per member, UNGUARDED (the hot-group
+    // guard bounds dedup pair generation; a top-k search must see every
+    // member), partitioned by cell so a broadcast nprobe-cell probe
+    // prunes partitions at the scan (DPP) instead of reading the corpus
+    assignCells(index, centroids)
+      .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
+      .write.mode("overwrite").format("parquet").partitionBy("cell")
+      .saveAsTable(s"${table}_members")
   }
 
   /** Incremental semantic-index maintenance: append an ADMITTED batch to
@@ -1067,14 +1077,21 @@ object Ann {
                           batch: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val wG = Window.partitionBy("cell", "band_idx", "band_val")
-    val guarded = bandedCells(assignCells(batch, s.table(s"${table}_centroids")))
-      .withColumn("grp_n", count(lit(1)).over(wG))
-      .withColumn("canon", min(col("vec_id")).over(wG))
-      .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
-      .select(col("vec_id").as("match_vec_id"), col("cell"),
-        col("band_idx"), col("band_val"), col("emb").as("i_emb"))
-    graft.sources.Ingest.appendBucketed(guarded, table, "cell",
-      Seq("band_idx", "band_val"))
+    val assigned = assignCells(batch, s.table(s"${table}_centroids")).persist()
+    try {
+      val guarded = bandedCells(assigned)
+        .withColumn("grp_n", count(lit(1)).over(wG))
+        .withColumn("canon", min(col("vec_id")).over(wG))
+        .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
+        .select(col("vec_id").as("match_vec_id"), col("cell"),
+          col("band_idx"), col("band_val"), col("emb").as("i_emb"))
+      graft.sources.Ingest.appendBucketed(guarded, table, "cell",
+        Seq("band_idx", "band_val"))
+      assigned
+        .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
+        .write.mode("append").format("parquet").partitionBy("cell")
+        .saveAsTable(s"${table}_members")
+    } finally assigned.unpersist()
   }
 
   /** Probe a batch against a [[refreshSemanticIndex]]-materialized index
@@ -1086,6 +1103,53 @@ object Ann {
                          cache: Boolean = true): DataFrame =
     semProbeAgainst(s.table(table), s.table(s"${table}_centroids"),
       batch, eps, verify, cache)
+
+  /** Top-k cosine SEARCH against a [[refreshSemanticIndex]] table — the
+    * serving path of the materialized index (the dedup probe asks "is
+    * this a near-dup?"; this asks "what are the k nearest neighbors?").
+    * IVF shape over the standing state: each query is assigned its
+    * `nprobe` nearest cells by the broadcast centroid table, candidates
+    * come from those cells' members, the fused native cosine ranks them,
+    * and a per-query window keeps the top k (ties to the lower id).
+    *
+    * Candidates come from the `<table>_members` serving view (one row
+    * per member, UNGUARDED — the hot-group guard bounds dedup pair
+    * generation, a search must see every member), which the refresh
+    * writes partitioned by cell. The query set BROADCASTS — a serving
+    * batch is small by definition — so the member side is a pure scan
+    * with no exchange, and the broadcast join's cell keys prune the
+    * partitioned scan (DPP): probing 3 of nlist cells reads 3 cells'
+    * files, not the corpus.
+    */
+  def searchSemanticIndex(s: SparkSession, table: String, queries: DataFrame,
+                          k: Int = 10, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = s.table(s"${table}_centroids")
+    val probeW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val qe = queries
+      .withColumn("qemb", quantize(col("emb")))
+      .withColumn("qn2", expr(
+        "aggregate(zip_with(qemb, qemb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+    val qdot = expr(
+      "CAST(aggregate(zip_with(qemb, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+    val probes = qe.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
+    val members = s.table(s"${table}_members")
+      .select(col("member_id").as("n_id"), col("cell"), col("m_emb"))
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    broadcast(probes).join(members, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(cosine(col("q_emb"), col("m_emb"))).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
 
   /** The probe tail against a PREPARED index: assign each batch vector a
     * cell via the broadcast centroids, band it, equi-join the guarded

@@ -186,7 +186,7 @@ class DedupAnnSpec extends SparkSpec {
   test("materialized semantic index: two batches probe one bucketed table with no index-side exchange") {
     import org.apache.spark.sql.functions._
     val table = "sem_index_test"
-    for (t <- Seq(table, s"${table}_centroids")) {
+    for (t <- Seq(table, s"${table}_centroids", s"${table}_members")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
@@ -276,7 +276,7 @@ class DedupAnnSpec extends SparkSpec {
   test("appendSemanticIndex: appended vectors are probe-visible without corpus re-assignment") {
     import org.apache.spark.sql.functions._
     val table = "sem_append_test"
-    for (t <- Seq(table, s"${table}_centroids")) {
+    for (t <- Seq(table, s"${table}_centroids", s"${table}_members")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
@@ -303,6 +303,45 @@ class DedupAnnSpec extends SparkSpec {
         r.getAs[java.lang.Long]("match_vec_id") ==
           r.getAs[Long]("vec_id") - 90000, r.toString)
     }
+  }
+
+  test("searchSemanticIndex serves top-k neighbors from the members view") {
+    import org.apache.spark.sql.functions._
+    val table = "sem_search_test"
+    for (t <- Seq(table, s"${table}_centroids", s"${table}_members")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Ann.refreshSemanticIndex(e, table, numBuckets = 8)
+
+    // re-encoded corpus vectors as queries: the source must come back
+    // as the rank-1 neighbor at cosine 1
+    val queries = e.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 70000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .select("vec_id", "emb")
+    val out = Ann.searchSemanticIndex(spark, table, queries, k = 5).collect()
+    assert(out.length == 15, s"3 queries × k=5, got ${out.length}")
+    for (q <- 0L until 3L) {
+      val rows = out.filter(_.getAs[Long]("q_id") == q + 70000)
+      assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+      assert(rows.head.getAs[Long]("n_id") == q &&
+        rows.head.getAs[Double]("cosine") == 1.0,
+        s"query $q rank-1 must be its source: ${rows.head}")
+      val cos = rows.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse, s"cosines must be non-increasing: $cos")
+    }
+    // serving plan: the member side never shuffles — the only exchanges
+    // are the query broadcast and the per-query top-k window
+    val p = planString(Ann.searchSemanticIndex(spark, table, queries, k = 5))
+    assert(!p.contains("Exchange hashpartitioning(cell"),
+      s"member side must not shuffle on cell:\n${p.take(800)}")
   }
 
   test("q93 spans cover exactly the shared substring, not the whole document") {
