@@ -1091,6 +1091,11 @@ object Ann {
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
         .write.mode("append").format("parquet").partitionBy("cell")
         .saveAsTable(s"${table}_members")
+      // refresh through the PROBING session `s` (see Dedup.appendIndex):
+      // the append frames' own session may be a different one when the
+      // batch plan's left side came from outside a foreachBatch clone
+      s.catalog.refreshTable(table)
+      s.catalog.refreshTable(s"${table}_members")
     } finally assigned.unpersist()
   }
 

@@ -445,10 +445,17 @@ object Dedup {
     * match the refresh.
     */
   def appendIndex(s: SparkSession, table: String, batch: DataFrame,
-                  hashMode: String = "md5", maxBucket: Int = MaxBucket): Unit =
+                  hashMode: String = "md5", maxBucket: Int = MaxBucket): Unit = {
     graft.sources.Ingest.appendBucketed(
       guardedIndex(minhashBands(batch, hashMode), maxBucket),
       table, "band_idx", Seq("band_hash"))
+    // refresh through the PROBING session `s`, not just the writing
+    // frame's session: the two differ whenever the batch plan's left
+    // side came from another session (a foreachBatch clone probing a
+    // table an outer-session frame appended to would otherwise keep
+    // serving its stale pre-append listing)
+    s.catalog.refreshTable(table)
+  }
 
   /** Probe a batch against a [[refreshIndex]]-materialized index table —
     * [[incrementalProbe]] over the bucketed scan. `hashMode` must match

@@ -232,6 +232,11 @@ object Ingest {
     df.write.mode("append").format("parquet")
       .bucketBy(numBuckets, bucketCol, moreBucketCols: _*)
       .saveAsTable(table)
+    // drop any cached file listing for the table NOW: a foreachBatch
+    // clone session can otherwise keep serving the pre-append listing to
+    // the next micro-batch's probe (observed: a batch-0 admission
+    // invisible to batch 1's screen until refresh)
+    df.sparkSession.catalog.refreshTable(table)
   }
 
   // --- Ingest admission control ------------------------------------------

@@ -319,6 +319,44 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ingest ADMISSION — [[graft.Admit.admitBatch]] per
+    * micro-batch: unlike [[nearDupQuery]]/[[semAdmissionQuery]] (which
+    * only FLAG against a fixed index), each micro-batch here is screened
+    * against the standing indexes and then GROWS them, so a duplicate
+    * arriving two micro-batches after its original is rejected. State
+    * lives entirely in the index tables — the stream itself is
+    * stateless. Delivery caveat, stated rather than hidden: a batch
+    * REPLAYED after its index append but before the checkpoint commit
+    * re-screens against state that already contains its own admissions,
+    * self-flags, and overwrites its partition with an empty one — the
+    * standard at-least-once limit of any external-state foreachBatch
+    * sink. Exactly-once admission needs the index append and the
+    * landing in one transaction (a transactional table format for both
+    * sides); until then, treat a crash inside this window as requiring
+    * an index refresh before restart.
+    *
+    * Micro-batch cadence amplifies the append small-file trade: every
+    * batch adds per-bucket files to both indexes. The standing
+    * [[graft.operators.Dedup.refreshIndex]]/
+    * [[graft.operators.Ann.refreshSemanticIndex]] is the compaction —
+    * schedule it by file count, exactly like any delta table.
+    */
+  def admissionQuery(docs: DataFrame, bandTable: String, outDir: String,
+                     checkpoint: String,
+                     embeddings: Option[DataFrame] = None,
+                     semTable: Option[String] = None,
+                     eps: Double = 0.99)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.Admit.admitBatch(batch.sparkSession, batch, bandTable,
+          outDir, batchId, embeddings, semTable, eps)
+        ()
+      }
+      .start()
+
   /** Production binding: parquet-directory stream → hourly rollup →
     * partitioned parquet sink with checkpointing. Returns the writer so
     * callers control start/stop.

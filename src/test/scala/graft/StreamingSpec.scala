@@ -227,6 +227,64 @@ class StreamingSpec extends SparkSpec {
       s"inversion must be admitted: ${back(1)}")
   }
 
+  test("admissionQuery grows the standing state: a later micro-batch's copy of an earlier admission is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Ann, Dedup}
+    val band = "stream_admit_band"
+    val sem = "stream_admit_sem"
+    for (t <- Seq(band, sem, s"${sem}_centroids", s"${sem}_members")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    Ann.refreshSemanticIndex(e, sem, numBuckets = 8)
+
+    val textA = "entirely fresh streaming prose about quantum marble " +
+      "butterflies gliding past copper lighthouses while astronomers argue"
+    def novelVec(seed: Int): Seq[Double] =
+      (0 until 64).map(j => math.sin(seed * 64.0 + j))
+    // the embedding side-channel covers every possible streamed doc id
+    val sideVecs = Seq(
+      (800001L, novelVec(911)),
+      (800002L, novelVec(911).map(_ * 0.99)),
+      (800003L, novelVec(912))).toDF("vec_id", "emb")
+
+    val out = java.nio.file.Files.createTempDirectory("admitq-out").toString + "/landed"
+    val ckpt = java.nio.file.Files.createTempDirectory("admitq-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.admissionQuery(
+      input.toDF.toDF("doc_id", "text"), band, out, ckpt,
+      Some(sideVecs), Some(sem))
+    // micro-batch 0: doc A is novel on both screens — admitted
+    input.addData((800001L, textA))
+    q.processAllAvailable()
+    // micro-batch 1: an exact copy of doc A (surface reject vs batch 0's
+    // append), a re-encode of doc A's vector under new text (semantic
+    // reject vs batch 0's append), and a genuinely new doc (admitted)
+    input.addData(
+      (800004L, textA),
+      (800002L, "wholly different streamed surface form reciting dune " +
+        "mathematics to an audience of patient carpenter bees"),
+      (800003L, "another new passage about velvet glaciers and the " +
+        "arithmetic of forgotten tram schedules at midnight"))
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(out)
+      .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
+    assert(landed == Set((0, 800001L), (1, 800003L)),
+      s"batch 1's copy and re-encode of batch 0's admission must be rejected: $landed")
+  }
+
   test("attributeStream joins purchases to in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
