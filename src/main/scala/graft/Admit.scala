@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Ann, Dedup}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,10 +10,17 @@ import org.apache.spark.sql.functions._
   * touching the corpus, and what survives becomes part of the standing
   * state the NEXT batch is screened against.
   *
-  * One [[admitBatch]] cycle:
-  *   1. near-dup screen: the batch probes the materialized band index
-  *      ([[Dedup.probeIndex]]) — surface-form duplicates of anything
-  *      already admitted are rejected;
+  * One [[admitBatch]] cycle (under the single-writer lock — see below):
+  *   0. intra-batch screen: the batch is self-deduplicated first —
+  *      exact copies (content hash), surface near-dups (the batch's own
+  *      minhash band self-join), and semantic twins (in-cell sign-band
+  *      self-join against the STANDING centroids) keep their
+  *      lowest-id/earliest representative. Without this, two copies of
+  *      one NOVEL document arriving in the same batch both pass the
+  *      standing probes and are both admitted (ADVICE r8);
+  *   1. near-dup screen: the survivors probe the materialized band
+  *      index ([[Dedup.probeIndex]]) — surface-form duplicates of
+  *      anything already admitted are rejected;
   *   2. semantic screen (when an embedding side-channel and a semantic
   *      index exist): survivors' vectors probe the semantic index
   *      ([[Ann.probeSemanticIndex]]) — paraphrase/re-encode twins that
@@ -21,31 +29,187 @@ import org.apache.spark.sql.functions._
   *      ([[Dedup.appendIndex]] / [[Ann.appendSemanticIndex]]) and landed
   *      as its own `batch_id=` partition — so a replayed batch
   *      overwrites itself (the [[graft.streaming.EventStreams]] sink
-  *      idempotence contract) and duplicates WITHIN a later batch of the
-  *      same content are caught by the index the earlier cycle grew.
+  *      idempotence contract), with the cycle's accounting persisted
+  *      beside it under `_admit_reports/` (the q87/q69 discipline:
+  *      every pipeline publishes its own accounting).
   *
-  * Cost shape per cycle: everything is batch-sized — two probe joins
-  * that co-locate on the indexes' bucket keys (no index-side exchange),
-  * two batch-sized guard+append shuffles, one partitioned write. The
-  * corpus is never re-read; at 100 TB this is the difference between an
-  * ingest that costs O(batch) and one that costs O(corpus) per day.
+  * Concurrency (VERDICT r8 #1): the whole cycle runs under
+  * [[Locks.awaitClaim]] on `outDir/.admit-running` — the fenced
+  * single-writer claim [[Pipeline]] uses, in its WAITING form, so two
+  * concurrent cycles (two ingest jobs, or a batch job racing the
+  * streaming admission) SERIALIZE: the loser's screens run only after
+  * the winner's appends land, and twin documents split across racing
+  * batches can no longer both pass a pre-append screen.
+  *
+  * Crash recovery (VERDICT r8 #3): the one at-least-once hole was a
+  * batch replayed AFTER its index appends but BEFORE its landing /
+  * checkpoint commit — the replay re-screens against state containing
+  * its own admissions, self-flags, and lands empty (novel docs lost).
+  * The cycle now writes a WAL marker (`outDir/_admit_wal` = batchId)
+  * immediately BEFORE its appends; a cycle that starts and finds the
+  * WAL already holding ITS OWN batch id knows the previous attempt
+  * died inside that window, rebuilds both indexes from seed ∪ landed
+  * partitions (excluding its own uncommitted batch) via
+  * [[recover]], and then screens against clean state — neither
+  * duplicates admitted nor novel docs lost. Callers that cannot supply
+  * the rebuild source get a LOUD failure naming the repair, never a
+  * silent empty landing.
+  *
+  * Cost shape per cycle: everything is batch-sized — the intra screens
+  * are batch self-joins, two probe joins co-locate on the indexes'
+  * bucket keys (no index-side exchange), two batch-sized guard+append
+  * shuffles, one partitioned write. The corpus is never re-read; at
+  * 100 TB this is the difference between an ingest that costs O(batch)
+  * and one that costs O(corpus) per day. Nothing pinned survives the
+  * cycle: the two eager localCheckpoints are freed on exit and the
+  * probe/intra kernels run cache-free (ADVICE r8) — an unbounded
+  * streaming run holds no per-batch state.
   */
 object Admit {
 
-  case class Report(batchId: Long, input: Long, nearDupRejected: Long,
-                    semanticRejected: Long, admitted: Long)
+  case class Report(batchId: Long, input: Long, intraRejected: Long,
+                    nearDupRejected: Long, semanticRejected: Long,
+                    admitted: Long)
+
+  /** The rebuild source for crash [[recover]]y: the seed corpus the
+    * indexes were first refreshed from (vectors for LANDED docs come
+    * from the cycle's `embeddings` side-channel, which must cover them).
+    */
+  case class Standing(seedDocs: DataFrame,
+                      seedVecs: Option[DataFrame] = None)
+
+  /** Locks older than this are crash debris ([[Pipeline]]'s bound). */
+  val DefaultStaleAfterMs: Long = 6 * 60 * 60 * 1000L
+
+  private def walPath(outDir: String) = new Path(s"$outDir/_admit_wal")
+
+  private def readWal(spark: SparkSession, outDir: String): Option[Long] = {
+    val p = walPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        scala.util.Try(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong).toOption
+      } finally in.close()
+    }
+  }
+
+  private def writeWal(spark: SparkSession, outDir: String, batchId: Long): Unit = {
+    val p = walPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  /** Landed admissions under `outDir` (partition discovery over the
+    * `batch_id=` dirs; underscore/dot side-files are ignored by the
+    * reader), None before the first landing.
+    */
+  private def landed(spark: SparkSession, outDir: String): Option[DataFrame] =
+    try Some(spark.read.parquet(outDir))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Rebuild both standing indexes from seed ∪ landed admissions,
+    * excluding `excludeBatchId`'s (uncommitted) partition — the WAL
+    * repair. The band index is a full [[Dedup.refreshIndex]] under the
+    * table's own catalog bucket spec (this also re-tightens the
+    * hot-bucket guard); the semantic index rebuilds its guarded + member
+    * tables against the EXISTING centroids ([[Ann.rebuildSemanticIndex]]
+    * — cells must not move under a repair).
+    */
+  def recover(spark: SparkSession, bandTable: String, outDir: String,
+              standing: Standing, excludeBatchId: Long,
+              embeddings: Option[DataFrame] = None,
+              semTable: Option[String] = None): Unit = {
+    val landedDocs = landed(spark, outDir)
+      .map(_.filter(col("batch_id") =!= excludeBatchId))
+    val docs = landedDocs.map(ld =>
+        standing.seedDocs.select("doc_id", "text")
+          .unionByName(ld.select("doc_id", "text")))
+      .getOrElse(standing.seedDocs.select("doc_id", "text"))
+    val numBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bandTable))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    Dedup.refreshIndex(docs, bandTable, numBuckets = numBuckets)
+    for ((vecs, st) <- embeddings.zip(semTable)) {
+      val landedVecs = landedDocs.map(ld =>
+        vecs.join(ld.select(col("doc_id").as("vec_id")), "vec_id")
+          .select("vec_id", "emb"))
+      val allVecs = (standing.seedVecs.map(_.select("vec_id", "emb")), landedVecs) match {
+        case (Some(sv), Some(lv)) => sv.unionByName(lv)
+        case (Some(sv), None) => sv
+        case (None, Some(lv)) => lv
+        case (None, None) => vecs.select("vec_id", "emb").limit(0)
+      }
+      Ann.rebuildSemanticIndex(spark, st, allVecs)
+    }
+  }
+
+  /** Free an eager localCheckpoint's pinned blocks: walk the RDD
+    * lineage under the frame to its persisted checkpoint RDD and
+    * unpersist it. The cycle pins two frames for correctness (screens
+    * must not re-evaluate after the appends mutate the tables they
+    * read); without this an unbounded streaming run accumulates two
+    * checkpointed frames per micro-batch forever (ADVICE r8).
+    */
+  private def freePinned(df: DataFrame): Unit = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+        r.unpersist(blocking = false); ()
+      } else r.dependencies.foreach(d => walk(d.rdd))
+    walk(df.rdd)
+  }
 
   /** Screen `docs` (doc_id, text, …) against the standing state and land
     * the survivors. `embeddings` (vec_id aligned with doc_id) and
-    * `semTable` enable the semantic screen; without them only the
-    * surface-form screen runs. Returns the per-batch accounting a
-    * pipeline publishes beside its landing.
+    * `semTable` enable the semantic screens; without them only the
+    * surface-form screens run. `recovery` supplies the WAL repair's
+    * rebuild source — REQUIRED for streaming use, where a replay after a
+    * crashed append window must self-heal (without it the cycle fails
+    * loudly naming the manual repair). Returns the per-batch accounting
+    * a pipeline publishes beside its landing (also persisted under
+    * `outDir/_admit_reports/batch_id=<id>`).
     */
   def admitBatch(spark: SparkSession, docs: DataFrame, bandTable: String,
                  outDir: String, batchId: Long,
                  embeddings: Option[DataFrame] = None,
                  semTable: Option[String] = None,
-                 eps: Double = 0.99): Report = {
+                 eps: Double = 0.99,
+                 recovery: Option[Standing] = None,
+                 staleAfterMs: Long = DefaultStaleAfterMs,
+                 lockWaitMs: Long = 10 * 60 * 1000L): Report =
+    Locks.withLock(spark, s"$outDir/.admit-running", staleAfterMs,
+      maxWaitMs = lockWaitMs) {
+      admitBatchLocked(spark, docs, bandTable, outDir, batchId,
+        embeddings, semTable, eps, recovery)
+    }
+
+  private def admitBatchLocked(spark: SparkSession, docs: DataFrame,
+                               bandTable: String, outDir: String, batchId: Long,
+                               embeddings: Option[DataFrame],
+                               semTable: Option[String], eps: Double,
+                               recovery: Option[Standing]): Report = {
+    // WAL repair check: the previous attempt at THIS batch died between
+    // its index appends and its landing — rebuild the standing state
+    // before screening, or the whole batch self-flags and lands empty
+    if (readWal(spark, outDir).contains(batchId)) {
+      recovery match {
+        case Some(st) =>
+          recover(spark, bandTable, outDir, st, batchId, embeddings, semTable)
+        case None => throw new IllegalStateException(
+          s"admission WAL $outDir/_admit_wal shows batch $batchId already " +
+            s"appended to $bandTable but never landed — a replay would " +
+            "self-flag and land empty. Rebuild the indexes from seed ∪ " +
+            "landed (Admit.recover / Dedup.refreshIndex + " +
+            "Ann.rebuildSemanticIndex) or pass recovery=Some(Standing(...)) " +
+            "to automate the repair.")
+      }
+    }
     val input = docs.count()
 
     // Each screen is PINNED (eager local checkpoint) the moment it is
@@ -57,48 +221,102 @@ object Admit {
     // ~5 downstream actions (counts, two appends, the landing write);
     // unpinned, each would re-run the probe joins — measured 14.4 s →
     // 8.6 s for a 1 000-doc batch against a 50 000-doc standing state.
+    // Both pins are FREED on exit (freePinned) so an unbounded streaming
+    // run holds no per-batch blocks.
 
-    // 1. surface-form screen against the standing band index
-    val nearDup = Dedup.probeIndex(spark, bandTable, docs)
-      .filter(col("is_near_dup") === 1)
-      .select(col("batch_doc_id").as("doc_id"))
-    val afterNear = docs.join(nearDup, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
-    val nAfterNear = afterNear.count()
-    val nNear = input - nAfterNear
-
-    // 2. semantic screen for the survivors that have vectors — a doc
-    // without an embedding passes (absence is not evidence; the Curate
-    // convention)
-    val admittedLazy = (embeddings, semTable) match {
+    // 0. intra-batch screen: exact copies keep their lowest id; surface
+    // near-dups (the batch's own band self-join, ≥4 shared bands — the
+    // probe threshold) and semantic twins (standing-centroid cells, in-
+    // cell sign-band self-join) keep their lowest-id representative.
+    // All three kernels run cache-free: this is per-micro-batch code.
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+    val exactUnique = docs.withColumn("_rk", row_number().over(wExact))
+      .filter(col("_rk") === 1).drop("_rk")
+    val nearSelfDropped = Dedup.minhashPairs(exactUnique, cache = false)
+      .filter(col("n_shared_bands") >= 4)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val surfaceUnique = exactUnique.join(nearSelfDropped, Seq("doc_id"), "left_anti")
+    val intraUniqueLazy = (embeddings, semTable) match {
       case (Some(vecs), Some(st)) =>
-        val survivorVecs = vecs
-          .join(afterNear.select(col("doc_id").as("vec_id")), "vec_id")
-        val semDup = Ann.probeSemanticIndex(spark, st,
-            survivorVecs.select("vec_id", "emb"), eps, verify = "float")
-          .filter(col("is_dup") === 1)
-          .select(col("vec_id").as("doc_id"))
-        afterNear.join(semDup, Seq("doc_id"), "left_anti")
-      case _ => afterNear
+        val batchVecs = vecs
+          .join(surfaceUnique.select(col("doc_id").as("vec_id")), "vec_id")
+          .select("vec_id", "emb")
+        val semSelfDropped = Ann.semIntraDups(
+            spark.table(s"${st}_centroids"), batchVecs, eps)
+          .withColumnRenamed("vec_id", "doc_id")
+        surfaceUnique.join(semSelfDropped, Seq("doc_id"), "left_anti")
+      case _ => surfaceUnique
     }
-    val admittedDocs = admittedLazy.localCheckpoint(true)
-    val nAdmitted = admittedDocs.count()
-    val nSem = nAfterNear - nAdmitted
+    val intraUnique = intraUniqueLazy.localCheckpoint(true)
+    try {
+      val nIntraUnique = intraUnique.count()
+      val nIntra = input - nIntraUnique
 
-    // 3. grow the standing state with what was admitted, then land it —
-    // index first: if the write crashes in between, a replay re-appends
-    // the same guarded bands (same content, same keys) and overwrites
-    // the same partition, so the state converges rather than forks
-    if (nAdmitted > 0) {
-      Dedup.appendIndex(spark, bandTable, admittedDocs.select("doc_id", "text"))
-      for ((vecs, st) <- embeddings.zip(semTable)) {
-        val admittedVecs = vecs
-          .join(admittedDocs.select(col("doc_id").as("vec_id")), "vec_id")
-        if (!admittedVecs.isEmpty)
-          Ann.appendSemanticIndex(spark, st, admittedVecs.select("vec_id", "emb"))
-      }
-    }
-    admittedDocs.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    Report(batchId, input, nNear, nSem, nAdmitted)
+      // 1. surface-form screen against the standing band index
+      val nearDup = Dedup.probeIndex(spark, bandTable, intraUnique)
+        .filter(col("is_near_dup") === 1)
+        .select(col("batch_doc_id").as("doc_id"))
+      val afterNear = intraUnique.join(nearDup, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      try {
+        val nAfterNear = afterNear.count()
+        val nNear = nIntraUnique - nAfterNear
+
+        // 2. semantic screen for the survivors that have vectors — a doc
+        // without an embedding passes (absence is not evidence; the
+        // Curate convention). cache=false: the per-batch cell-assignment
+        // persist would accumulate forever on a stream (ADVICE r8); the
+        // assignment recomputes once more inside one bounded plan.
+        val admittedLazy = (embeddings, semTable) match {
+          case (Some(vecs), Some(st)) =>
+            val survivorVecs = vecs
+              .join(afterNear.select(col("doc_id").as("vec_id")), "vec_id")
+            val semDup = Ann.probeSemanticIndex(spark, st,
+                survivorVecs.select("vec_id", "emb"), eps, verify = "float",
+                cache = false)
+              .filter(col("is_dup") === 1)
+              .select(col("vec_id").as("doc_id"))
+            afterNear.join(semDup, Seq("doc_id"), "left_anti")
+          case _ => afterNear
+        }
+        val admittedDocs = admittedLazy.localCheckpoint(true)
+        try {
+          val nAdmitted = admittedDocs.count()
+          val nSem = nAfterNear - nAdmitted
+
+          // 3. grow the standing state with what was admitted, then land
+          // it — WAL first, then indexes, then the landing: a crash
+          // anywhere inside leaves the WAL naming this batch, and the
+          // replay's repair rebuilds from landed state (the appends are
+          // NOT idempotent against a partial window — the repair is)
+          if (nAdmitted > 0) {
+            writeWal(spark, outDir, batchId)
+            Dedup.appendIndex(spark, bandTable,
+              admittedDocs.select("doc_id", "text"))
+            for ((vecs, st) <- embeddings.zip(semTable)) {
+              val admittedVecs = vecs
+                .join(admittedDocs.select(col("doc_id").as("vec_id")), "vec_id")
+              if (!admittedVecs.isEmpty)
+                Ann.appendSemanticIndex(spark, st,
+                  admittedVecs.select("vec_id", "emb"))
+            }
+          }
+          admittedDocs.write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+          val report = Report(batchId, input, nIntra, nNear, nSem, nAdmitted)
+          // the cycle's own accounting, landed beside the batch (replay
+          // overwrites — same idempotence contract as the landing)
+          import spark.implicits._
+          Seq((report.input, report.intraRejected, report.nearDupRejected,
+              report.semanticRejected, report.admitted))
+            .toDF("input", "intra_rejected", "near_dup_rejected",
+              "semantic_rejected", "admitted")
+            .write.mode("overwrite")
+            .parquet(s"$outDir/_admit_reports/batch_id=$batchId")
+          report
+        } finally freePinned(admittedDocs)
+      } finally freePinned(afterNear)
+    } finally freePinned(intraUnique)
   }
 }

@@ -83,7 +83,7 @@ object Bench {
       val timed = Seq(once(), once(), once())
       name -> (if (timed.exists(_ < 0)) -1.0 else timed.min)
     }
-    // Isolated minimums for the 10 slowest oracle-gated queries: one
+    // Isolated minimums for the 12 slowest oracle-gated queries: one
     // forked FRESH JVM PER QUERY (no suite JIT/code-cache history — the
     // known in-suite drift source) runs graft.OneQ, warmups + min-of-3.
     // Cross-round regression reads needed SURVEY prose for these numbers
@@ -96,8 +96,12 @@ object Bench {
     // JVM the real classpath and javaOptions to propagate. Bounded and
     // fail-soft: a hung or crashed child costs only its own entry (and
     // the 600 s section budget skips stragglers), never the bench line.
+    // 12, not 10 (VERDICT r8 #4): the r8 top-10 cut left q96/q98 — both
+    // top-10 in-suite entries that round — without an isolated baseline;
+    // two extra forks cost ~1 min and make every cross-round regression
+    // read mechanical
     val slow = results.filter { case (n, v) => n.startsWith("q") && v > 0 }
-      .sortBy(-_._2).take(10).map(_._1)
+      .sortBy(-_._2).take(12).map(_._1)
     // the in-suite session is done — release its heap and executor pools
     // BEFORE forking, so the children measure on an uncontended host
     spark.stop()
@@ -112,14 +116,20 @@ object Bench {
           Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ")
         val run = """(\S+) run\d+: ([0-9.]+) s""".r
         slow.flatMap { q =>
-          if (System.nanoTime() - isoStart > 600L * 1000 * 1000 * 1000) None
+          // each child's deadline is capped by what REMAINS of the 600 s
+          // section budget, so the section can never overrun to
+          // 600 s + a final child's full 150 s (ADVICE r8)
+          val remainingNs = 600L * 1000 * 1000 * 1000 -
+            (System.nanoTime() - isoStart)
+          if (remainingNs <= 0) None
           else try {
             val sb = new java.lang.StringBuffer // appended from the pump thread
             val proc = scala.sys.process.Process(base :+ q, None,
                 "SPARK_GRAFT_SF_DIR" -> sfDir)
               .run(scala.sys.process.ProcessLogger(
                 l => { sb.append(l).append('\n'); () }, _ => ()))
-            val deadline = System.nanoTime() + 150L * 1000 * 1000 * 1000
+            val deadline = System.nanoTime() +
+              math.min(150L * 1000 * 1000 * 1000, remainingNs)
             while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(500)
             if (proc.isAlive()) { proc.destroy(); None }
             else {
@@ -139,7 +149,7 @@ object Bench {
     // precision the line alone exceeds the window and the leading
     // `{"metric"` gets cut off, so: (a) per-query keys are the unique
     // `qNN` prefix, (b) values are rounded to milliseconds (line ≈ 1.3 KB
-    // at 69 queries + the 10-entry isolated section), and (c) the line
+    // at 69 queries + the 12-entry isolated section), and (c) the line
     // prints AFTER spark.stop() so nothing but sbt's one [success] line
     // can land between it and EOF.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"

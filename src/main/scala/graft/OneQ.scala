@@ -2,8 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 object OneQ {
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SHUFFLE overrides the shuffle width for scale
+    // rehearsals (the PLANS.md sf3 probe of when 32 partitions stops
+    // being enough); the bench itself always runs the default 32
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(graft.functions.GraftFunctions.register)

@@ -49,60 +49,16 @@ object Pipeline {
 
   def run(spark: SparkSession, dataDir: String, outDir: String,
           staleAfterMs: Long = DefaultStaleAfterMs): Summary = {
-    val lock = new org.apache.hadoop.fs.Path(s"$outDir/.pipeline-running")
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(lock.getParent)
-    // Fencing token (ADVICE r7): a run that legitimately outlives the TTL is
-    // indistinguishable from a crash, so a reclaimer may take over while the
-    // slow holder is still running — and the slow holder's finally must NOT
-    // then delete the NEW holder's lock (which would admit a third run). The
-    // claim writes a unique token into the lock file; the finally deletes
-    // the lock only if the token on disk is still ours.
-    val token = java.util.UUID.randomUUID().toString
-    def stampToken(): Unit = {
-      val os = fs.create(lock, true) // we own the path — overwrite our empty claim
-      try os.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
-    }
-    def tokenOnDiskIsMine: Boolean =
-      try {
-        val in = fs.open(lock)
-        try {
-          val buf = new Array[Byte](128)
-          val n = in.read(buf)
-          n > 0 && new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8) == token
-        } finally in.close()
-      } catch { case _: Exception => false }
-    if (!fs.createNewFile(lock)) {
-      // held — unless the holder crashed: the file's mtime is the claim
-      // time (set atomically by the create), so age > TTL means no live
-      // run can own it. A vanished file means the holder just released;
-      // either way contend for a fresh claim and lose gracefully.
-      val stale =
-        try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > staleAfterMs
-        catch { case _: java.io.FileNotFoundException => true }
-      // Reclaim by RENAMING the debris aside, never by deleting the lock
-      // path: a delete could remove a lock another reclaimer just
-      // re-created (delete+create is two steps), whereas rename moves
-      // only the ORIGINAL stale file — at most one contender's rename
-      // succeeds, and everyone then contends on the same atomic
-      // createNewFile, which admits exactly one winner.
-      val reclaimed = stale && {
-        val debris = new org.apache.hadoop.fs.Path(
-          s"$outDir/.pipeline-stale-${System.nanoTime()}")
-        val renamed = try fs.rename(lock, debris) catch { case _: Exception => false }
-        if (renamed) fs.delete(debris, false)
-        fs.createNewFile(lock)
-      }
-      if (!reclaimed) {
+    // The claim/reclaim/fencing protocol lives in [[Locks]] (round 9 —
+    // extracted verbatim so the admission cycle shares it); this caller
+    // keeps the reference's SKIP-when-contended semantics.
+    val claim = Locks.tryClaim(spark, s"$outDir/.pipeline-running", staleAfterMs)
+      .getOrElse {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"pipeline: skipping — $lock is held by a live run " +
+          s"pipeline: skipping — $outDir/.pipeline-running is held by a live run " +
             s"(stale after ${staleAfterMs / 1000} s; delete to force)")
         return Summary(0, 0, 0, Seq.empty, skipped = true)
       }
-    }
-    stampToken()
     try {
       // gold rollup: fused single-scan plan, partitioned for pruned reads.
       // The unsorted core — a global sort before a partitioned write only
@@ -131,7 +87,7 @@ object Pipeline {
         trainingLoadRows = spark.read.parquet(s"$outDir/training_load").count(),
         briefingRows = spark.read.parquet(s"$outDir/morning_briefing").count(),
         views = views)
-    } finally if (tokenOnDiskIsMine) fs.delete(lock, false)
+    } finally claim.release()
   }
 
   /** CLI: `runMain graft.Pipeline <dataDir> <outDir>` */

@@ -1020,16 +1020,25 @@ object Ann {
     *     multiply probe candidates.
     */
   def semanticIndexFrames(index: DataFrame): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val centroids = centroidTable(index)
+    (centroids, guardedFromAssigned(assignCells(index, centroids)))
+  }
+
+  /** The guarded member index over an [[assignCells]] output — the one
+    * construction [[semanticIndexFrames]], [[appendSemanticIndex]] and
+    * [[rebuildSemanticIndex]] all share: band every assigned vector and
+    * apply [[Dedup.guardedIndex]]'s asymmetric hot-group guard per
+    * (cell, band) key.
+    */
+  private def guardedFromAssigned(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wG = Window.partitionBy("cell", "band_idx", "band_val")
-    val guarded = bandedCells(assignCells(index, centroids))
+    bandedCells(assigned)
       .withColumn("grp_n", count(lit(1)).over(wG))
       .withColumn("canon", min(col("vec_id")).over(wG))
       .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
       .select(col("vec_id").as("match_vec_id"), col("cell"),
         col("band_idx"), col("band_val"), col("emb").as("i_emb"))
-    (centroids, guarded)
   }
 
   /** Semantic-index refresh: materialize [[semanticIndexFrames]] as
@@ -1075,17 +1084,9 @@ object Ann {
     */
   def appendSemanticIndex(s: SparkSession, table: String,
                           batch: DataFrame): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    val wG = Window.partitionBy("cell", "band_idx", "band_val")
     val assigned = assignCells(batch, s.table(s"${table}_centroids")).persist()
     try {
-      val guarded = bandedCells(assigned)
-        .withColumn("grp_n", count(lit(1)).over(wG))
-        .withColumn("canon", min(col("vec_id")).over(wG))
-        .filter(col("grp_n") <= Dedup.MaxBucket || col("vec_id") === col("canon"))
-        .select(col("vec_id").as("match_vec_id"), col("cell"),
-          col("band_idx"), col("band_val"), col("emb").as("i_emb"))
-      graft.sources.Ingest.appendBucketed(guarded, table, "cell",
+      graft.sources.Ingest.appendBucketed(guardedFromAssigned(assigned), table, "cell",
         Seq("band_idx", "band_val"))
       assigned
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
@@ -1097,6 +1098,61 @@ object Ann {
       s.catalog.refreshTable(table)
       s.catalog.refreshTable(s"${table}_members")
     } finally assigned.unpersist()
+  }
+
+  /** Rebuild the guarded index + members serving view of a standing
+    * [[refreshSemanticIndex]] table from `vecs` alone, KEEPING the
+    * existing centroid table — the crash-recovery write
+    * ([[graft.Admit]]'s WAL repair): cells are defined at refresh time
+    * and must not move under a repair, and the rebuild source (seed ∪
+    * landed admissions) carries no label column to re-seed a quantizer
+    * from. Orphan appends — index rows whose batch's landing never
+    * committed — vanish because both writes are overwrites derived from
+    * `vecs` alone; the bucket spec is read from the catalog so the
+    * rebuilt table keeps its probe co-location contract.
+    */
+  def rebuildSemanticIndex(s: SparkSession, table: String, vecs: DataFrame): Unit = {
+    val numBuckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    val assigned = assignCells(vecs, s.table(s"${table}_centroids")).persist()
+    try {
+      graft.sources.Ingest.writeBucketed(guardedFromAssigned(assigned), table,
+        "cell", numBuckets, sortCol = None,
+        moreBucketCols = Seq("band_idx", "band_val"))
+      assigned
+        .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
+        .write.mode("overwrite").format("parquet").partitionBy("cell")
+        .saveAsTable(s"${table}_members")
+      s.catalog.refreshTable(table)
+      s.catalog.refreshTable(s"${table}_members")
+    } finally assigned.unpersist()
+  }
+
+  /** Intra-batch semantic twins: batch vectors matching an EARLIER
+    * (lower-id) vector of the SAME batch at cosine ≥ eps — the screen
+    * [[graft.Admit]] runs BEFORE the standing-index probes, so two
+    * re-encodes of one novel document arriving together are not both
+    * admitted (ADVICE r8). Cells come from the STANDING broadcast
+    * centroids (an admission batch has no label column to seed its own
+    * quantizer, and sharing the standing cells makes the intra screen
+    * consistent with the standing probe); candidates are the in-cell
+    * sign-band self-join through [[Dedup.guardedPairs]] (cache=false —
+    * this runs per micro-batch on an unbounded stream), so a viral
+    * repeated vector emits O(k) star edges, never O(k²) pairs. Returns
+    * distinct dropped (vec_id) rows.
+    */
+  def semIntraDups(centroids: DataFrame, batch: DataFrame, eps: Double = 0.99,
+                   verify: String = "float"): DataFrame = {
+    val banded = bandedCells(assignCells(batch, centroids))
+    val cos =
+      if (verify == "float") Num.roundD(cosine(col("a_emb"), col("b_emb")))
+      else cosineDec("a_emb", "b_emb")
+    Dedup.guardedPairs(banded, "vec_id", Seq("cell", "band_idx", "band_val"),
+        payloadCols = Seq("emb"), cache = false)
+      .dropDuplicates("id_a", "id_b")
+      .filter(cos >= eps)
+      .select(col("id_b").as("vec_id")).distinct()
   }
 
   /** Probe a batch against a [[refreshSemanticIndex]]-materialized index
@@ -1125,10 +1181,27 @@ object Ann {
     * with no exchange, and the broadcast join's cell keys prune the
     * partitioned scan (DPP): probing 3 of nlist cells reads 3 cells'
     * files, not the corpus.
+    *
+    * Load-shape guard (VERDICT r8 #7): the broadcast is the plan's
+    * premise, so a corpus-sized query frame must fail LOUDLY here — a
+    * silent attempt would OOM the driver mid-broadcast. Over
+    * `maxQueryRows` the call aborts naming the bulk paths
+    * ([[probeSemanticIndex]]/[[semProbeAgainst]], whose bucketed
+    * equi-join shuffles only the batch and never broadcasts vectors);
+    * the count itself is one cheap aggregation over the query frame.
     */
   def searchSemanticIndex(s: SparkSession, table: String, queries: DataFrame,
-                          k: Int = 10, nprobe: Int = 3): DataFrame = {
+                          k: Int = 10, nprobe: Int = 3,
+                          maxQueryRows: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nQ = queries.count()
+    require(nQ <= maxQueryRows,
+      s"searchSemanticIndex broadcasts its query set, and $nQ query rows " +
+        s"exceed maxQueryRows=$maxQueryRows — this is a serving path for " +
+        "small probe batches. For corpus-sized probes use the bucketed " +
+        "dedup probe (Ann.probeSemanticIndex / Ann.semProbeAgainst), " +
+        "which shuffles only the batch side, or raise maxQueryRows " +
+        "deliberately.")
     val centroids = s.table(s"${table}_centroids")
     val probeW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val qe = queries

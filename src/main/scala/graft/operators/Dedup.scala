@@ -187,7 +187,8 @@ object Dedup {
     */
   def guardedPairs(buckets: DataFrame, idCol: String, keyCols: Seq[String],
                    payloadCols: Seq[String] = Nil,
-                   maxBucket: Int = MaxBucket): DataFrame = {
+                   maxBucket: Int = MaxBucket,
+                   cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // bucket size + canonical member via ONE window pass over the bucket
     // key (a groupBy + join-back costs two exchanges and a probe; the
@@ -197,12 +198,16 @@ object Dedup {
     // persisted: referenced by both sides of the pair self-join AND the
     // hot-bucket path — Spark re-derives unpersisted subtrees per
     // self-join side, which would re-run the window pipeline twice
-    // (measured 2.3x on the minhash bench before this persist)
-    val annotated = buckets
+    // (measured 2.3x on the minhash bench before this persist).
+    // `cache = false` is the unbounded-run setting (a per-micro-batch
+    // persist inside a streaming admission cycle would accumulate cached
+    // partitions forever — ADVICE r8); the window then recomputes once
+    // per referencing side, bounded because the input is batch-sized.
+    val annotated0 = buckets
       .withColumn("bucket_n", count(lit(1)).over(wB))
       .withColumn("canon",
         min(struct((idCol +: payloadCols).map(col): _*)).over(wB))
-      .persist()
+    val annotated = if (cache) annotated0.persist() else annotated0
     val small = annotated.filter(col("bucket_n") <= maxBucket)
       .select((idCol +: (keyCols ++ payloadCols)).map(col): _*)
     val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
@@ -312,14 +317,20 @@ object Dedup {
     * the q21 body, parameterized so the hot-bucket guard is testable on an
     * injected duplicate cluster (DedupAnnSpec).
     */
-  def minhashPairs(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
+  def minhashPairs(docs: DataFrame, hashMode: String = "md5",
+                   cache: Boolean = true): DataFrame = {
     // persisted in addition to guardedPairs' annotated cache: the union
     // branches there can schedule concurrently, and concurrent stages
     // racing on a cold cache each recompute its parent — with the
     // signature pass cached here, a race duplicates only the cheap
-    // window, never the 32-hash signature pipeline (measured 2.7x)
-    val banded = minhashBands(docs, hashMode).persist()
-    guardedPairs(banded, "doc_id", Seq("band_idx", "band_hash"))
+    // window, never the 32-hash signature pipeline (measured 2.7x).
+    // `cache = false` for unbounded callers (the admission cycle's
+    // intra-batch screen runs this per micro-batch — a leak-free
+    // recompute of a batch-sized signature pass beats a persist that
+    // never dies)
+    val banded0 = minhashBands(docs, hashMode)
+    val banded = if (cache) banded0.persist() else banded0
+    guardedPairs(banded, "doc_id", Seq("band_idx", "band_hash"), cache = cache)
       .groupBy(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
@@ -669,13 +680,19 @@ object Dedup {
   def cutCorpusText(docs: DataFrame, k: Int = 8,
                     hashMode: String = "md5"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = baseHash60Expr(s"array_join(slice(w, i, $k), ' ')", hashMode)
+    // Tokens keep their ORIGINAL case and bytes — the rebuild must not
+    // normalize documents (the reference recipe, Lee et al. 2021,
+    // removes only the duplicated spans from the original text — ADVICE
+    // r8); only the GRAM KEYS are lowercased, so span matching stays
+    // case-insensitive and agrees exactly with [[repeatedSubstrings]]'
+    // gram stream (lowercasing commutes with the space split).
+    val h = baseHash60Expr(s"lower(array_join(slice(w, i, $k), ' '))", hashMode)
     val toks = docs
-      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .withColumn("w", split(trim(col("text")), " "))
       .select(col("doc_id"), col("w"),
         posexplode(col("w")).as(Seq("pos", "tok")))
     val grams = docs
-      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .withColumn("w", split(trim(col("text")), " "))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
         posexplode(expr(
@@ -702,17 +719,24 @@ object Dedup {
           "struct(pos, tok))), x -> x.tok)")).as("ktext"))
     // fully-cut documents (every token covered) have no kept rows: the
     // doc-list left join restores them as zero-token / empty-text rows
-    // without re-running the span pipeline
-    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left")
+    // without re-running the span pipeline. Documents that lost NO
+    // tokens pass through VERBATIM (original bytes, original whitespace
+    // runs) — only actually-cut documents get the single-space rebuild
+    // (ADVICE r8: the cut must not rewrite the whole corpus).
+    docs
+      .select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), " ")).cast("bigint").as("n_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept"), lit(0L)).as("n_kept_tokens"),
-        coalesce(col("ktext"), lit("")).as("kept_text"))
+        when(coalesce(col("kept"), lit(0L)) === col("n_total"), col("text"))
+          .otherwise(coalesce(col("ktext"), lit(""))).as("kept_text"))
   }
 
   val q94Sql: String =
     s"""WITH corpus AS ($corpusSql),
        |tk0 AS (
-       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM corpus),
+       |  SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus),
        |toks AS (
        |  SELECT doc_id, unnest(generate_series(1, len(w))) - 1 AS pos, w
        |  FROM tk0),
@@ -722,7 +746,7 @@ object Dedup {
        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
        |grams AS (
        |  SELECT doc_id, i - 1 AS pos,
-       |    ${sqlMd5Long60("array_to_string(w[i:i+7], ' ')")} AS gh
+       |    ${sqlMd5Long60("lower(array_to_string(w[i:i+7], ' '))")} AS gh
        |  FROM e),
        |dup AS (
        |  SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -755,7 +779,9 @@ object Dedup {
        |  FROM kept GROUP BY doc_id)
        |SELECT c.doc_id,
        |  CAST(COALESCE(r.kept, 0) AS BIGINT) AS n_kept_tokens,
-       |  COALESCE(r.kmd5, md5('')) AS kept_md5
+       |  CASE WHEN COALESCE(r.kept, 0) = len(string_split(trim(c.text), ' '))
+       |       THEN md5(c.text)
+       |       ELSE COALESCE(r.kmd5, md5('')) END AS kept_md5
        |FROM corpus c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin
 

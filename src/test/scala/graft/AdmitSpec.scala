@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions._
 /** The admission composition end-to-end: each cycle screens against the
   * standing state and GROWS it, so a later batch is screened against an
   * earlier batch's admissions — the property the index appends exist for.
+  * Round 9 adds the single-writer lock (racing cycles serialize), the
+  * intra-batch self-screen, the persisted per-cycle report, and the WAL
+  * crash repair.
   */
 class AdmitSpec extends SparkSpec {
 
-  test("admission screens each batch against a standing state the previous cycle grew") {
-    import spark.implicits._
-    val band = "admit_band_test"
-    val sem = "admit_sem_test"
+  private def dropIndexTables(band: String, sem: String): Unit =
     for (t <- Seq(band, sem, s"${sem}_centroids", s"${sem}_members")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
@@ -20,6 +20,15 @@ class AdmitSpec extends SparkSpec {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+
+  private def novelVec(seed: Int): Seq[Double] =
+    (0 until 64).map(j => math.sin(seed * 64.0 + j))
+
+  test("admission screens each batch against a standing state the previous cycle grew") {
+    import spark.implicits._
+    val band = "admit_band_test"
+    val sem = "admit_sem_test"
+    dropIndexTables(band, sem)
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
@@ -32,12 +41,12 @@ class AdmitSpec extends SparkSpec {
       .select("text").as[String].collect().head
     val vec5 = e.filter(col("vec_id") === 5L)
       .select("emb").as[Seq[Double]].collect().head
-    def novelVec(seed: Int): Seq[Double] =
-      (0 until 64).map(j => math.sin(seed * 64.0 + j))
     val textA = "entirely fresh prose about quantum marble butterflies " +
       "gliding past copper lighthouses while seventeen astronomers argue"
     val textE = "another genuinely new passage concerning velvet glaciers " +
       "and the arithmetic of forgotten tram schedules at midnight"
+
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
 
     // batch 1: a copy of corpus doc 10 (surface reject), doc A (novel
     // text + novel vector: admit), doc B (novel text but a re-encode of
@@ -52,7 +61,7 @@ class AdmitSpec extends SparkSpec {
       (600002L, novelVec(901)),
       (600003L, vec5.map(_ * 0.99))).toDF("vec_id", "emb")
     val r1 = Admit.admitBatch(spark, b1, band, out, 1L, Some(b1v), Some(sem))
-    assert(r1 == Admit.Report(1L, 3, 1, 1, 1), r1.toString)
+    assert(r1 == Admit.Report(1L, 3, 0, 1, 1, 1), r1.toString)
 
     // batch 2: a copy of doc A (caught ONLY because cycle 1 appended its
     // bands), a re-encode of doc A's vector under new text (caught ONLY
@@ -66,11 +75,194 @@ class AdmitSpec extends SparkSpec {
       (700002L, novelVec(901).map(_ * 0.99)),
       (700003L, novelVec(902))).toDF("vec_id", "emb")
     val r2 = Admit.admitBatch(spark, b2, band, out, 2L, Some(b2v), Some(sem))
-    assert(r2 == Admit.Report(2L, 3, 1, 1, 1), r2.toString)
+    assert(r2 == Admit.Report(2L, 3, 0, 1, 1, 1), r2.toString)
 
     // the landing holds exactly the admitted docs, partitioned per batch
     val landed = spark.read.parquet(out)
       .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
     assert(landed == Set((1, 600002L), (2, 700003L)), landed.toString)
+
+    // observability (VERDICT r8 #8): each cycle's report is persisted
+    // beside its landing and matches the returned accounting
+    val reports = spark.read.parquet(s"$out/_admit_reports")
+      .select("batch_id", "input", "intra_rejected", "near_dup_rejected",
+        "semantic_rejected", "admitted")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
+    assert(reports == Set((1, 3L, 0L, 1L, 1L, 1L), (2, 3L, 0L, 1L, 1L, 1L)),
+      reports.toString)
+    // and the cycles leave no pinned per-batch state behind (ADVICE r8:
+    // the localCheckpoints are freed, the probe kernels run cache-free)
+    // — an unbounded streaming run must not accumulate blocks
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore
+    assert(leaked.isEmpty, s"cycle leaked pinned RDDs: $leaked")
+  }
+
+  test("intra-batch twins are screened before the standing probes: one representative survives") {
+    import spark.implicits._
+    val band = "admit_band_intra"
+    val sem = "admit_sem_intra"
+    dropIndexTables(band, sem)
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    Ann.refreshSemanticIndex(e, sem, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("admit-intra").toString
+
+    // long enough that a 3-token suffix barely moves the shingle set —
+    // the near-dup must clear the ≥4-shared-bands probe threshold
+    val textN = "completely novel report describing origami suspension " +
+      "bridges assembled by meticulous crows above a porcelain harbor " +
+      "where patient archivists catalogue every rivet and the tide " +
+      "rehearses its slow arithmetic against the pier while lanterns " +
+      "negotiate with fog over the correct spelling of morning"
+    // one batch carrying: two EXACT copies of novel doc N, a NEAR-dup of
+    // N (same text + suffix), and two semantic re-encodes of one novel
+    // vector under distinct surface forms — plus one independent doc
+    val b = Seq(
+      (900001L, textN),
+      (900002L, textN),
+      (900003L, textN + " appended marginal note"),
+      (900004L, "first distinct surface form praising subterranean " +
+        "lighthouse choirs and their patient bronze conductors tonight"),
+      (900005L, "second distinct surface form cataloguing the library " +
+        "of unsent letters kept by retired weather balloons"),
+      (900006L, "an unrelated bulletin on the migration habits of " +
+        "clockwork herons across the meridian of quiet sundials"))
+      .toDF("doc_id", "text")
+    val bv = Seq(
+      (900004L, novelVec(921)),
+      (900005L, novelVec(921).map(_ * 0.995)),
+      (900006L, novelVec(922))).toDF("vec_id", "emb")
+    val r = Admit.admitBatch(spark, b, band, out, 1L, Some(bv), Some(sem))
+    // dropped intra-batch: 900002 (exact copy), 900003 (near-dup),
+    // 900005 (semantic re-encode) — the lowest-id representative of each
+    // group survives; nothing matches the standing corpus
+    assert(r == Admit.Report(1L, 6, 3, 0, 0, 3), r.toString)
+    val landed = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet
+    assert(landed == Set(900001L, 900004L, 900006L), landed.toString)
+  }
+
+  test("two racing cycles serialize under the admission lock: a twin split across them is admitted once") {
+    import spark.implicits._
+    val band = "admit_band_race"
+    val sem = "admit_sem_race"
+    dropIndexTables(band, sem)
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("admit-race").toString
+
+    val twin = "one twin document split across two concurrently racing " +
+      "ingest batches that must be admitted exactly once overall"
+    val bA = Seq(
+      (910001L, twin),
+      (910002L, "batch A's own novel story of amber turbines humming " +
+        "beneath a cathedral of patient migratory kites")).toDF("doc_id", "text")
+    val bB = Seq(
+      (920001L, twin),
+      (920002L, "batch B's own novel account of chalk rivers annotating " +
+        "the margins of an unhurried limestone valley")).toDF("doc_id", "text")
+
+    // two threads race the same standing state; without the lock both
+    // screens run against pre-append state and BOTH twins pass
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fA = Future(Admit.admitBatch(spark, bA, band, out, 1L))
+    val fB = Future(Admit.admitBatch(spark, bB, band, out, 2L))
+    val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
+
+    // whichever cycle won the lock admitted its twin; the loser's screen
+    // then saw it in the standing index and rejected its own copy
+    assert(rA.admitted + rB.admitted == 3,
+      s"exactly one twin + two singles must land: $rA $rB")
+    assert(Seq(rA, rB).map(_.nearDupRejected).sorted == Seq(0L, 1L),
+      s"exactly one cycle must reject its twin: $rA $rB")
+    val landedTwins = spark.read.parquet(out).select("doc_id")
+      .as[Long].collect().toSet.intersect(Set(910001L, 920001L))
+    assert(landedTwins.size == 1, s"twin landed ${landedTwins.size} times")
+  }
+
+  test("WAL repair: a batch replayed after its appends but before its landing loses nothing and admits no duplicates") {
+    import spark.implicits._
+    val band = "admit_band_wal"
+    val sem = "admit_sem_wal"
+    dropIndexTables(band, sem)
+    val seedDocs = Tables.load(spark, Sf, "documents")
+      .select("doc_id", "text").filter(col("doc_id") < 200)
+    val seedVecs = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label").filter(col("vec_id") < 200)
+    Dedup.refreshIndex(seedDocs, band, numBuckets = 8)
+    Ann.refreshSemanticIndex(seedVecs, sem, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("admit-wal").toString
+    val standing = Admit.Standing(seedDocs, Some(seedVecs))
+
+    val textB1 = "wholly fresh chronicle of tidal observatories curated " +
+      "by methodical owls along the basalt esplanade at dawn"
+    val textB2 = "a second untouched dispatch about pendulum orchards " +
+      "and the cartography of borrowed thunderstorms"
+    val sideVecs = Seq(
+      (930001L, novelVec(931)),
+      (940001L, novelVec(941))).toDF("vec_id", "emb")
+
+    // batch 1 lands normally (with recovery wired, exercising the
+    // no-repair fast path)
+    val b1 = Seq((930001L, textB1)).toDF("doc_id", "text")
+    val r1 = Admit.admitBatch(spark, b1, band, out, 1L, Some(sideVecs),
+      Some(sem), recovery = Some(standing))
+    assert(r1.admitted == 1, r1.toString)
+
+    // simulate the crash window for batch 2: the cycle wrote its WAL and
+    // its index appends, then died BEFORE the landing — exactly the
+    // state admitBatch leaves when killed between steps 3a and 3b
+    val b2 = Seq((940001L, textB2)).toDF("doc_id", "text")
+    val wal = new org.apache.hadoop.fs.Path(s"$out/_admit_wal")
+    val fs = wal.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(wal, true)
+    os.write("2".getBytes(java.nio.charset.StandardCharsets.UTF_8)); os.close()
+    Dedup.appendIndex(spark, band, b2)
+    Ann.appendSemanticIndex(spark, sem,
+      sideVecs.filter(col("vec_id") === 940001L).select("vec_id", "emb"))
+
+    // WITHOUT the orphan-append repair this replay self-flags: prove the
+    // hazard is real, then prove the repair closes it
+    val hazard = Dedup.probeIndex(spark, band, b2)
+      .filter(col("is_near_dup") === 1).count()
+    assert(hazard == 1, "the replayed batch must self-flag pre-repair")
+
+    // the replay: admitBatch finds WAL == its own batch id, rebuilds the
+    // standing state from seed ∪ landed (batch 1 only), re-screens, and
+    // lands batch 2's novel doc — nothing lost, nothing duplicated
+    val r2 = Admit.admitBatch(spark, b2, band, out, 2L, Some(sideVecs),
+      Some(sem), recovery = Some(standing))
+    assert(r2 == Admit.Report(2L, 1, 0, 0, 0, 1), r2.toString)
+    val landed = spark.read.parquet(out)
+      .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
+    assert(landed == Set((1, 930001L), (2, 940001L)), landed.toString)
+
+    // the repaired standing state still screens: a batch-3 copy of the
+    // replayed doc is rejected, a batch-1 semantic re-encode is rejected
+    val b3 = Seq(
+      (950001L, textB2),
+      (950002L, "new surface form over a recycled vector of batch one's " +
+        "tidal observatories chronicle for the semantic screen"))
+      .toDF("doc_id", "text")
+    val b3v = Seq((950002L, novelVec(931).map(_ * 0.99))).toDF("vec_id", "emb")
+    val r3 = Admit.admitBatch(spark, b3, band, out, 3L, Some(b3v),
+      Some(sem), recovery = Some(standing))
+    assert(r3 == Admit.Report(3L, 2, 0, 1, 1, 0), r3.toString)
+
+    // without a recovery source the same WAL state fails LOUDLY instead
+    // of landing empty
+    val os2 = fs.create(wal, true)
+    os2.write("4".getBytes(java.nio.charset.StandardCharsets.UTF_8)); os2.close()
+    val b4 = Seq((960001L, "any batch four payload")).toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Admit.admitBatch(spark, b4, band, out, 4L)
+    }
+    assert(ex.getMessage.contains("Admit.recover"), ex.getMessage)
   }
 }

@@ -40,8 +40,9 @@ class CurateSpec extends SparkSpec {
 
   test("substring cut removes boilerplate byte-verifiably and SemDeDup drops the semantic twin") {
     import spark.implicits._
-    // 10-token cross-doc boilerplate (mixed case: the cut normalizes to
-    // the lowercase gram stream, so the byte check pins that too)
+    // 10-token cross-doc boilerplate (mixed case: gram KEYS are
+    // lowercased so the span still matches, while kept text keeps its
+    // original bytes — the byte check pins that too)
     val boiler = "Subscribe To Our Newsletter For Updates Every Single Week Thanks"
     val docs = Seq(
       (1L, s"$boiler alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"),
@@ -70,7 +71,7 @@ class CurateSpec extends SparkSpec {
     val corpus = spark.read.parquet(s"$out/corpus")
 
     // the boilerplate is cut from shard TEXT, byte-verifiably: doc 1
-    // keeps exactly its lowercased unique tail, and no shard text
+    // keeps exactly its unique tail (original bytes), and no shard text
     // anywhere still carries the boilerplate
     val t1 = corpus.filter(col("doc_id") === 1L)
       .select("text").as[String].collect()
@@ -79,6 +80,14 @@ class CurateSpec extends SparkSpec {
     assert(corpus.filter(lower(col("text"))
       .contains("subscribe to our newsletter")).count() == 0,
       "boilerplate must not reach any shard")
+
+    // an UNCUT doc ships its original text verbatim — the cut stage must
+    // not rewrite documents that lost no spans (ADVICE r8)
+    val t5 = corpus.filter(col("doc_id") === 5L)
+      .select("text").as[String].collect()
+    assert(t5.toSeq == Seq(
+      "granite basalt schist gneiss marble slate quartzite obsidian pumice tuff shale chert"),
+      t5.toSeq)
 
     // the dropped semantic twin never reaches a shard; its source does
     val ids = corpus.select("doc_id").as[Long].collect().toSet
@@ -89,6 +98,24 @@ class CurateSpec extends SparkSpec {
     assert(s.afterCut == s.afterQuality, "no doc is ALL boilerplate here")
     assert(s.afterSemantic == s.afterDedup - 1, "exactly the twin drops")
     assert(s.packed == s.afterDecontam)
+  }
+
+  test("pack fan-out is a parameter: non-default packShards keeps pack semantics per shard") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("curate-shards").toString
+    val s = Curate.run(spark, Sf, out, packShards = 4)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val shards = corpus.select("shard").as[Int].collect().toSet
+    assert(shards.nonEmpty && shards.forall(sh => sh >= 0 && sh < 4), shards.toString)
+    // same survivors as the default fan-out — the knob moves parallelism,
+    // never membership — and pack ids stay contiguous-from-zero per
+    // (split, lang, shard) packing stream
+    val default = Curate.run(spark, Sf,
+      java.nio.file.Files.createTempDirectory("curate-shards-d").toString)
+    assert(s == default, s"$s vs $default")
+    val perShard = corpus.groupBy("split", "lang", "shard")
+      .agg(min("pack_id").as("mn")).select("mn").as[Long].collect()
+    assert(perShard.forall(_ == 0L), "every packing stream starts at pack 0")
   }
 
   test("curate rerun is deterministic") {

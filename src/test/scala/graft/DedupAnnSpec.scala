@@ -342,6 +342,70 @@ class DedupAnnSpec extends SparkSpec {
     val p = planString(Ann.searchSemanticIndex(spark, table, queries, k = 5))
     assert(!p.contains("Exchange hashpartitioning(cell"),
       s"member side must not shuffle on cell:\n${p.take(800)}")
+
+    // load-shape guard (VERDICT r8 #7): a corpus-sized query frame fails
+    // LOUDLY, naming the bulk probe path — never an OOM mid-broadcast
+    val ex = intercept[IllegalArgumentException] {
+      Ann.searchSemanticIndex(spark, table,
+        e.select("vec_id", "emb"), k = 5, maxQueryRows = 2)
+    }
+    assert(ex.getMessage.contains("semProbeAgainst"), ex.getMessage)
+  }
+
+  test("compaction trigger: appends grow per-bucket files, the refresh restores one file per bucket and re-tightens the guard") {
+    import spark.implicits._
+    import graft.sources.Ingest
+    val table = "neardup_compact_test"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+
+    // a band bucket that crosses MaxBucket only ACROSS appends: the
+    // refresh half holds exactly MaxBucket copies (guard keeps all),
+    // each append alone is under the cap (per-append guard keeps all) —
+    // the over-cap state exists only table-wide, which is exactly the
+    // case the append docstring concedes and the refresh must re-tighten
+    val hot = "identical viral boilerplate sentence repeated across the " +
+      "whole corpus by an aggressive template engine every day"
+    val m = Dedup.MaxBucket
+    val refreshHalf = ((1 to m).map(i => (i.toLong, hot)) ++
+      (1000 to 1040).map(i =>
+        (i.toLong, s"unique filler document number $i carrying assorted " +
+          s"vocabulary item$i and nothing shared"))).toDF("doc_id", "text")
+    Dedup.refreshIndex(refreshHalf, table, numBuckets = 8)
+    assert(Ingest.bucketFileCounts(spark, table).values.max == 1,
+      "a refresh lands ONE file per bucket")
+    assert(!Ingest.needsCompaction(spark, table, 1))
+
+    // three appends of hot copies: at most one new file per touched
+    // bucket per append — files-per-bucket counts appends, not tasks
+    val appends = (m + 1 to 2 * m).map(i => (i.toLong, hot)).grouped(22).toSeq
+    appends.foreach(b => Dedup.appendIndex(spark, table, b.toDF("doc_id", "text")))
+    val counts = Ingest.bucketFileCounts(spark, table)
+    assert(counts.values.max > 1 && counts.values.max <= 1 + appends.size,
+      counts.toString)
+    assert(Ingest.needsCompaction(spark, table, appends.size),
+      s"the trigger must trip at ${counts.values.max} files/bucket")
+
+    // the hot bucket is over-cap across appends: 2m members per band key
+    val hotRowsBefore = spark.table(table)
+      .filter(col("match_doc_id") <= 2 * m).count()
+    assert(hotRowsBefore == 2L * m * 8,
+      s"per-append guards each kept their under-cap half: $hotRowsBefore")
+
+    // the refresh IS the compaction: one file per bucket again, and the
+    // now-over-cap bucket collapses to its canonical star
+    val full = refreshHalf.unionByName(
+      (m + 1 to 2 * m).map(i => (i.toLong, hot)).toDF("doc_id", "text"))
+    Dedup.refreshIndex(full, table, numBuckets = 8)
+    assert(Ingest.bucketFileCounts(spark, table).values.max == 1)
+    assert(!Ingest.needsCompaction(spark, table, 1))
+    val hotRowsAfter = spark.table(table)
+      .filter(col("match_doc_id") <= 2 * m).count()
+    assert(hotRowsAfter == 8L,
+      s"guard re-tightened to one canonical per band: $hotRowsAfter")
   }
 
   test("q93 spans cover exactly the shared substring, not the whole document") {
@@ -371,10 +435,15 @@ class DedupAnnSpec extends SparkSpec {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val tail1 = "unique tail first with words 11 13 17 19 23 29"
     val tail3 = "completely unrelated text with enough tokens to form grams today"
+    val tail4 = "Mixed Case Tail Preserved With Seven More Original Tokens"
     val docs = Seq(
       (1L, s"$shared $tail1"),
       (2L, s"$shared another closing entirely distinct 31 37 41 43 47 53"),
-      (3L, tail3)
+      (3L, tail3),
+      // the shared prefix is matched CASE-INSENSITIVELY (gram keys are
+      // lowercased) but the kept tail must keep its ORIGINAL case — the
+      // cut removes spans, it does not normalize the corpus (ADVICE r8)
+      (4L, s"${shared.toUpperCase} $tail4")
     ).toDF("doc_id", "text")
     val out = Dedup.cutRepeatedSubstrings(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -387,6 +456,10 @@ class DedupAnnSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_kept_tokens") == 10L)
     assert(out(3L).getAs[String]("kept_md5") == md5Of(tail3),
       "an unaffected doc must survive the cut byte-for-byte")
+    assert(out(4L).getAs[Long]("n_kept_tokens") == 9L)
+    assert(out(4L).getAs[String]("kept_md5") == md5Of(tail4),
+      "an upper-case span must be matched and cut, and the kept tail " +
+        "must keep its original case")
   }
 
   test("hot-bucket guard preserves small-bucket pairwise semantics below the threshold") {

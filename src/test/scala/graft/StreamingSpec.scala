@@ -261,9 +261,15 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("admitq-out").toString + "/landed"
     val ckpt = java.nio.file.Files.createTempDirectory("admitq-ckpt").toString
     val input = MemoryStream[(Long, String)]
+    // recovery + compaction wired (round 9): every admitting micro-batch
+    // appends per-bucket files, so maxFilesPerBucket=1 trips after each
+    // append and the seed ∪ landed refresh compacts both indexes back —
+    // and the REFRESHED state must keep screening later batches
     val q = EventStreams.admissionQuery(
       input.toDF.toDF("doc_id", "text"), band, out, ckpt,
-      Some(sideVecs), Some(sem))
+      Some(sideVecs), Some(sem),
+      recovery = Some(graft.Admit.Standing(d, Some(e))),
+      maxFilesPerBucket = 1)
     // micro-batch 0: doc A is novel on both screens — admitted
     input.addData((800001L, textA))
     q.processAllAvailable()
@@ -283,6 +289,11 @@ class StreamingSpec extends SparkSpec {
       .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
     assert(landed == Set((0, 800001L), (1, 800003L)),
       s"batch 1's copy and re-encode of batch 0's admission must be rejected: $landed")
+    // the compaction ran: both index tables are back to one file per
+    // bucket even though two admitting micro-batches appended to them
+    for (t <- Seq(band, sem))
+      assert(graft.sources.Ingest.bucketFileCounts(spark, t).values.max == 1,
+        s"$t not compacted: ${graft.sources.Ingest.bucketFileCounts(spark, t)}")
   }
 
   test("attributeStream joins purchases to in-window views only") {
