@@ -179,9 +179,18 @@ object Curate {
       .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = run(spark, dataDir, outDir,
-      substringCut = flags.contains("--cut"),
-      semanticDedup = flags.contains("--semantic"))
+    // input-proportional shuffle width (the sf3 rehearsal rule): the
+    // ladder's gram/LSH stages are the posting-list shuffles Tuning
+    // calibrates for, and Curate's input is open-ended — unlike the
+    // fixed-width bench harnesses, the production pipeline sizes its
+    // shuffles from the corpus it is actually given
+    val width = Tuning.shufflePartitionsFor(
+      spark, dataDir, Seq("documents", "embeddings"))
+    val s = Tuning.withShuffleWidth(spark, width) {
+      run(spark, dataDir, outDir,
+        substringCut = flags.contains("--cut"),
+        semanticDedup = flags.contains("--semantic"))
+    }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
       s"cut=${s.afterCut} dedup=${s.afterDedup} semantic=${s.afterSemantic} " +
       s"decontam=${s.afterDecontam} packed=${s.packed}")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -356,4 +356,145 @@ object Curation {
        |FROM q
        |WHERE dup_rk = 1 AND quality_score >= 0.5 AND bucket < 80
        |ORDER BY doc_id""".stripMargin
+
+  /** Bloom-filter geometry for [[q99BloomDecontaminate]]: m = 2²⁰ bits
+    * (16 K longs — a 128 KB broadcast regardless of benchmark size),
+    * k = 3 hash functions carved as disjoint 20-bit slices of the one
+    * 60-bit md5-derived value both engines already share
+    * ([[Dedup.sqlMd5Long60]]'s hex-prefix parse). Pinned — the oracle
+    * replays the exact bit arithmetic, false positives included.
+    */
+  private val BloomBits = 1L << 20
+
+  /** q99: Bloom-screened benchmark decontamination — q51's semantics at
+    * the scale where the benchmark gram set itself stops broadcasting.
+    *
+    * q51 broadcasts the distinct benchmark 8-gram hashes, which is
+    * right while the eval suite is thousands of documents; a serious
+    * decontamination pass at 100 TB screens against EVERY benchmark in
+    * sight — ~10⁹ distinct grams, tens of GB, not a broadcast. The
+    * published answer (GPT-3 appendix C / FineWeb's decontamination) is
+    * a Bloom filter: m bits capture the benchmark set with a bounded
+    * false-positive rate, the corpus stream is screened row-locally
+    * against the broadcast bits, and only screen SURVIVORS — true
+    * matches plus the ~(1−e^{−kn/m})^k sliver of false positives —
+    * reach the exact verification join, whose left side the screen has
+    * cut by orders of magnitude. False negatives are impossible by
+    * construction, so after the exact join the result is IDENTICAL to
+    * q51's — the bloom is pure plan-shape, which is why this query can
+    * hold a full value oracle: the output carries the screen accounting
+    * (`n_screen_hits`, `n_false_pos`) and DuckDB replays the same bit
+    * arithmetic, so the filter itself is value-checked, not just the
+    * final answer.
+    *
+    * Plan shape: bloom build = benchmark grams → 3 bit positions each →
+    * 16 K-row `bit_or` aggregate → ONE map row, broadcast. Screen =
+    * row-local bit tests (shiftright/AND on the map words) over the
+    * gram stream; the one corpus-sized shuffle is the same per-doc
+    * aggregate q51 pays. Verification joins the screened sliver against
+    * the benchmark grams WITHOUT a broadcast hint — `shuffle_hash`, the
+    * join that still works when the benchmark side is tens of GB; at
+    * bench scale AQE may still pick broadcast, which is exactly the
+    * scale-appropriate choice either way.
+    */
+  def q99BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramHashes(docs(s, dir)).persist()
+    grams.count() // eager: three consumers below race a cold cache otherwise
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("gh").distinct()
+
+    // one 60-bit value per gram (both engines parse the same 15 hex
+    // chars), three disjoint 20-bit indexes
+    def hv(c: Column): Column = conv(substring(c, 1, 15), 16, 10).cast("long")
+    def idx(h: Column, slice: Int): Column =
+      shiftright(h, 20 * slice).bitwiseAND(lit(BloomBits - 1))
+
+    // the filter itself: positions → (word, bit) → bit_or per word →
+    // ONE map<int,long> row. 2²⁰ bits = at most 16 384 entries, bounded
+    // by m alone — the benchmark set can grow without the broadcast
+    // growing.
+    val bloom = benchGrams
+      .select(explode(array(idx(hv(col("gh")), 0), idx(hv(col("gh")), 1),
+        idx(hv(col("gh")), 2))).as("idx"))
+      .distinct()
+      .select(shiftright(col("idx"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L),
+          col("idx").bitwiseAND(lit(63L)).cast("int")).as("bit"))
+      .groupBy("w")
+      .agg(call_function("bit_or", col("bit")).as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("bloom"))
+
+    def bitSet(m: Column, i: Column): Column =
+      call_function("shiftright",
+        coalesce(element_at(m, shiftright(i, 6).cast("int")), lit(0L)),
+        i.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+
+    val flagged = grams.crossJoin(broadcast(bloom))
+      .withColumn("hv", hv(col("gh")))
+      .withColumn("scr",
+        (bitSet(col("bloom"), idx(col("hv"), 0)) &&
+          bitSet(col("bloom"), idx(col("hv"), 1)) &&
+          bitSet(col("bloom"), idx(col("hv"), 2))).cast("int"))
+      .select("doc_id", "gh", "scr")
+
+    val totals = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("scr")).as("n_screen_hits"))
+      .filter(col("n_screen_hits") > 0)
+    val matched = flagged.filter(col("scr") === 1)
+      .join(benchGrams.hint("shuffle_hash"), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+
+    totals.join(matched, Seq("doc_id"), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("is_benchmark", (col("doc_id") % 97 === 0).cast("int"))
+      .withColumn("n_false_pos", col("n_screen_hits") - col("n_matched"))
+      .withColumn("contamination",
+        Num.roundD(col("n_matched").cast("double") / col("n_grams")))
+      .select("doc_id", "is_benchmark", "n_grams", "n_screen_hits",
+        "n_matched", "n_false_pos", "contamination")
+      .orderBy("doc_id")
+  }
+
+  val q99Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |e AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+       |g AS (
+       |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh FROM e),
+       |hx AS (
+       |  SELECT doc_id, gh,
+       |    (('0x' || substr(gh, 1, 15))::BIGINT) & 1048575 AS i1,
+       |    ((('0x' || substr(gh, 1, 15))::BIGINT) >> 20) & 1048575 AS i2,
+       |    ((('0x' || substr(gh, 1, 15))::BIGINT) >> 40) & 1048575 AS i3
+       |  FROM g),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |bidx AS (
+       |  SELECT DISTINCT unnest([i1, i2, i3]) AS idx
+       |  FROM hx JOIN bench USING (gh)),
+       |scr AS (
+       |  SELECT doc_id, gh,
+       |    CASE WHEN i1 IN (SELECT idx FROM bidx)
+       |          AND i2 IN (SELECT idx FROM bidx)
+       |          AND i3 IN (SELECT idx FROM bidx) THEN 1 ELSE 0 END AS s
+       |  FROM hx),
+       |tot AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(s) AS BIGINT) AS n_screen_hits
+       |  FROM scr GROUP BY doc_id),
+       |m AS (
+       |  SELECT scr.doc_id, COUNT(*) AS n_matched
+       |  FROM scr JOIN bench USING (gh) WHERE s = 1 GROUP BY scr.doc_id)
+       |SELECT tot.doc_id, CAST(tot.doc_id % 97 = 0 AS INT) AS is_benchmark,
+       |  n_grams, n_screen_hits,
+       |  COALESCE(n_matched, 0) AS n_matched,
+       |  n_screen_hits - COALESCE(n_matched, 0) AS n_false_pos,
+       |  ${Num.sqlRoundD("CAST(COALESCE(n_matched, 0) AS DOUBLE) / n_grams")} AS contamination
+       |FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+       |WHERE n_screen_hits > 0
+       |ORDER BY tot.doc_id""".stripMargin
 }

@@ -103,6 +103,45 @@ class SamplingCurationSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q99 bloom screen verifies back to exactly q51's answer") {
+    // false negatives are impossible by construction, and the exact
+    // verify join removes the false positives — so on q51's columns,
+    // for docs with a real match, the two queries must agree VALUE for
+    // VALUE, not just approximately
+    val q51 = Curation.q51Decontaminate(spark, Sf)
+      .select("doc_id", "is_benchmark", "n_grams", "n_matched", "contamination")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val q99 = Curation.q99BloomDecontaminate(spark, Sf).collect()
+    assert(q99.nonEmpty)
+    val withMatch = q99.filter(_.getAs[Long]("n_matched") > 0)
+    assert(withMatch.map(_.getAs[Long]("doc_id")).toSet == q51.keySet,
+      "verified-match doc set differs from q51's")
+    withMatch.foreach { r =>
+      val e = q51(r.getAs[Long]("doc_id"))
+      Seq("is_benchmark", "n_grams", "n_matched", "contamination").foreach { c =>
+        assert(r.getAs[Any](c) == e.getAs[Any](c),
+          s"doc ${r.getAs[Long]("doc_id")} col $c: ${r.getAs[Any](c)} vs ${e.getAs[Any](c)}")
+      }
+    }
+    // screen accounting is internally consistent: hits cover matches,
+    // false positives are the (non-negative) difference
+    q99.foreach { r =>
+      val (hits, matched, fp) = (r.getAs[Long]("n_screen_hits"),
+        r.getAs[Long]("n_matched"), r.getAs[Long]("n_false_pos"))
+      assert(hits >= matched && fp == hits - matched && hits >= 1)
+    }
+  }
+
+  test("q99's verify join is not a broadcast of the benchmark side") {
+    // the whole point at 100 TB: the benchmark gram set does NOT
+    // broadcast — the bloom (one 16 K-entry map row) is the only
+    // benchmark-derived broadcast; verification is a shuffled join on
+    // the screened sliver
+    val p = planString(Curation.q99BloomDecontaminate(spark, Sf))
+    assert(p.contains("ShuffledHashJoin"), "verify join should be shuffle_hash")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("PII patterns detect and redact injected emails, phones, and ids") {
     val d = Seq(
       (1L, "contact me at alice.smith+work@example.co.uk for details"),
