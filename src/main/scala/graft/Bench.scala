@@ -95,7 +95,12 @@ object Bench {
     // construction. Fork works because `run / fork := true` gives this
     // JVM the real classpath and javaOptions to propagate. Bounded and
     // fail-soft: a hung or crashed child costs only its own entry (and
-    // the 600 s section budget skips stragglers), never the bench line.
+    // the 900 s section budget skips stragglers), never the bench line.
+    // 900 s, not 600 (r9): at sf0.1 a fork costs ~100 s wall (JVM +
+    // session init + 5 executions), so the r8 budget fit only 6 of the
+    // 12 requested forks and the very queries the widened cut was FOR
+    // (q95/q96/q98) were the ones skipped; 900 s fits all 12 with the
+    // same per-child cap and the same fail-soft skip.
     // 12, not 10 (VERDICT r8 #4): the r8 top-10 cut left q96/q98 — both
     // top-10 in-suite entries that round — without an isolated baseline;
     // two extra forks cost ~1 min and make every cross-round regression
@@ -116,10 +121,10 @@ object Bench {
           Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ")
         val run = """(\S+) run\d+: ([0-9.]+) s""".r
         slow.flatMap { q =>
-          // each child's deadline is capped by what REMAINS of the 600 s
+          // each child's deadline is capped by what REMAINS of the 900 s
           // section budget, so the section can never overrun to
-          // 600 s + a final child's full 150 s (ADVICE r8)
-          val remainingNs = 600L * 1000 * 1000 * 1000 -
+          // 900 s + a final child's full 150 s (ADVICE r8)
+          val remainingNs = 900L * 1000 * 1000 * 1000 -
             (System.nanoTime() - isoStart)
           if (remainingNs <= 0) None
           else try {

@@ -1032,4 +1032,101 @@ object Dedup {
        |FROM pairs
        |WHERE levenshtein(name_a, name_b) <= 1
        |ORDER BY key_a, key_b""".stripMargin
+
+  /** q101: cross-split leakage audit — the QA gate a training pipeline
+    * runs before shipping a train/validation/test split. The q47 split
+    * is assigned per DOCUMENT (salted hash of the id), so duplicate
+    * CONTENT under different ids can straddle splits — the evaluation
+    * contamination Lee et al. 2021 (§6.2) measure: near-duplicates of
+    * eval examples in the training set inflate measured performance.
+    * This operator reports every duplicate pair whose members landed in
+    * different splits, with the duplicate grade attached.
+    *
+    * Two legs, both linear-guarded shapes this file already pays for:
+    * exact twins come from ONE window over the normalized content hash
+    * (star edges from the canonical doc — never quadratic in a viral
+    * copy-group), near-duplicates from q23's df-capped verified-Jaccard
+    * pipeline. The legs union into one pair set (a pair found by both
+    * keeps jaccard 1.0 via MAX), and the per-doc metadata joins key the
+    * TINY pair set against the corpus — at 100 TB the pair side is the
+    * broadcast candidate, and the split filter cuts before output.
+    * leak_type grades each surviving pair by comparing content hashes,
+    * so non-star members of an exact copy-group (surfaced by the near
+    * leg at jaccard 1.0) still read `exact`.
+    */
+  def q101SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    splitLeakagePairs(corpus(s, dir))
+
+  /** q101 body over an arbitrary (doc_id, text) corpus. */
+  def splitLeakagePairs(docs: DataFrame): DataFrame = {
+    val meta = docs.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("ch"),
+      when(Sampling.bucket100("split", col("doc_id")) < 80, lit("train"))
+        .when(Sampling.bucket100("split", col("doc_id")) < 90, lit("validation"))
+        .otherwise(lit("test")).as("split"))
+    val near = ngramJaccardPairs(docs).select("doc_a", "doc_b", "jaccard")
+    val exact = meta
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("ch")))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    val pairs = near.unionByName(exact)
+      .groupBy("doc_a", "doc_b").agg(max(col("jaccard")).as("jaccard"))
+    pairs
+      .join(meta.select(col("doc_id").as("doc_a"), col("ch").as("ch_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("ch").as("ch_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .withColumn("leak_type",
+        when(col("ch_a") === col("ch_b"), lit("exact")).otherwise(lit("near")))
+      .select("doc_a", "doc_b", "split_a", "split_b", "leak_type", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q101Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |${sqlShingleCte("corpus")},
+       |sh AS (SELECT DISTINCT doc_id, x FROM shx),
+       |hot AS (SELECT x FROM sh GROUP BY x HAVING COUNT(*) > 50),
+       |shc AS (SELECT doc_id, x FROM sh WHERE x NOT IN (SELECT x FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM shc a JOIN shc b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    ${graft.Num.sqlRoundD("CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)")} AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id),
+       |near AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5),
+       |mh AS (
+       |  SELECT doc_id, md5(lower(trim(text))) AS ch,
+       |    ${Sampling.sqlSaltedMd5("split", "doc_id")} AS h
+       |  FROM corpus),
+       |meta AS (
+       |  SELECT doc_id, ch,
+       |    CASE WHEN ${Sampling.sqlBucket100} < 80 THEN 'train'
+       |         WHEN ${Sampling.sqlBucket100} < 90 THEN 'validation'
+       |         ELSE 'test' END AS split
+       |  FROM mh),
+       |ex AS (
+       |  SELECT ch, MIN(doc_id) AS rep FROM mh GROUP BY ch HAVING COUNT(*) > 1),
+       |exact AS (
+       |  SELECT e.rep AS doc_a, m.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM ex e JOIN mh m ON m.ch = e.ch AND m.doc_id <> e.rep),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, MAX(jaccard) AS jaccard FROM
+       |    (SELECT * FROM near UNION ALL SELECT * FROM exact) GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, ma.split AS split_a, mb.split AS split_b,
+       |  CASE WHEN ma.ch = mb.ch THEN 'exact' ELSE 'near' END AS leak_type,
+       |  p.jaccard
+       |FROM pairs p
+       |JOIN meta ma ON p.doc_a = ma.doc_id
+       |JOIN meta mb ON p.doc_b = mb.doc_id
+       |WHERE ma.split <> mb.split
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 }

@@ -219,4 +219,116 @@ object Sampling {
       |  CAST((tok_end - 1) // 512 > (tok_end - n_tok) // 512 AS INT) AS straddles
       |FROM c
       |ORDER BY doc_id""".stripMargin
+
+  /** q100: UniMax epoch-capped language allocation — the data-mixing
+    * complement to q49: there the per-source rates are GIVEN; here the
+    * per-language budget is COMPUTED from the corpus by the published
+    * recipe (Chung et al., ICLR 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread the token budget as uniformly as possible
+    * across languages, but never draw more than `epochCap` epochs of
+    * any one language — the fix for temperature sampling's pathology
+    * where low-resource languages get repeated tens of epochs.
+    *
+    * UniMax's greedy per-language loop is sequential; its fixpoint is
+    * the classic water-filling allocation, which has a closed form
+    * under a sort — so the operator computes the SAME allocation with
+    * window functions instead of a driver loop. With per-language caps
+    * c₁ ≤ … ≤ cₙ (cap = epochCap × available tokens) and prefix sums
+    * Pₖ, language k is budget-capped iff its cap fits even when every
+    * later language gets at least as much: cₖ·(n−k+1) + Pₖ₋₁ ≤ B (an
+    * all-integer test — cross-engine exact). Capped languages take
+    * their cap; the rest split the remainder evenly at the water level
+    * λ = (B − P_capped)/(n − K). B < Σcaps guarantees an uncapped
+    * language exists, so the level's divisor is never zero.
+    *
+    * The synthetic corpus's languages are near-BALANCED (a 2.5× spread,
+    * nothing like the 10⁴× of a real multilingual crawl), so a
+    * multi-epoch cap never binds at any budget below supply; the query
+    * pins the regime where the waterfall has something to decide —
+    * B = 4/5 of the total token supply against a 1-epoch cap — which
+    * at every sf yields the mixed outcome worth testing: low-resource
+    * languages capped at their full single epoch, the rest drawn down
+    * to a common water level below their caps.
+    *
+    * Plan shape at 100 TB: ONE partial-aggregated groupBy(lang) is the
+    * only corpus-sized shuffle; the waterfall windows run over the
+    * languages frame — hundreds of rows at worst, a deliberate
+    * single-partition window (same pattern as every per-lang rollup
+    * here). Output is the allocation table a sampler consumes: tokens,
+    * epochs, and the normalized mixture weight per language.
+    */
+  def q100UnimaxMixture(s: SparkSession, dir: String, epochCap: Int = 1): DataFrame = {
+    val avail = docs(s, dir)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("avail_tokens"))
+    val tot = avail.agg(sum(col("avail_tokens")).as("total_avail"),
+      count(lit(1)).as("n_langs"))
+    val byCap = Window.orderBy(col("cap_tokens"), col("lang"))
+    val full = byCap.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    avail.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(total_avail * 4) div 5"))
+      .withColumn("cap_tokens", col("avail_tokens") * epochCap)
+      .withColumn("rk", row_number().over(byCap))
+      .withColumn("p_before", coalesce(
+        sum(col("cap_tokens")).over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("is_capped",
+        (col("cap_tokens") * (col("n_langs") - col("rk") + 1) + col("p_before")
+          <= col("budget")).cast("int"))
+      .withColumn("k_capped", sum(col("is_capped")).over(full))
+      .withColumn("p_capped", coalesce(
+        sum(when(col("is_capped") === 1, col("cap_tokens"))).over(full), lit(0L)))
+      .withColumn("level",
+        (col("budget") - col("p_capped")).cast("double") /
+          (col("n_langs") - col("k_capped")))
+      .withColumn("alloc_tokens", Num.roundD(
+        when(col("is_capped") === 1, col("cap_tokens").cast("double"))
+          .otherwise(col("level"))))
+      .withColumn("epochs_used",
+        Num.roundD(col("alloc_tokens") / col("avail_tokens")))
+      .withColumn("weight", Num.roundD(col("alloc_tokens") / col("budget")))
+      .select("lang", "avail_tokens", "cap_tokens", "is_capped",
+        "alloc_tokens", "epochs_used", "weight")
+      .orderBy("lang")
+  }
+
+  val q100Sql: String =
+    s"""WITH a AS (
+       |  SELECT lang,
+       |    CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents GROUP BY lang),
+       |t AS (
+       |  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_avail,
+       |    COUNT(*) AS n_langs FROM a),
+       |c AS (
+       |  SELECT lang, avail_tokens, (total_avail * 4) // 5 AS budget, n_langs,
+       |    avail_tokens * 1 AS cap_tokens
+       |  FROM a, t),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS rk,
+       |    COALESCE(SUM(cap_tokens) OVER (ORDER BY cap_tokens, lang
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
+       |  FROM c),
+       |f AS (
+       |  SELECT *, CAST(cap_tokens * (n_langs - rk + 1) + p_before <= budget
+       |    AS INT) AS is_capped FROM r),
+       |g AS (
+       |  SELECT *,
+       |    CAST(SUM(is_capped) OVER () AS BIGINT) AS k_capped,
+       |    CAST(COALESCE(SUM(CASE WHEN is_capped = 1 THEN cap_tokens END)
+       |      OVER (), 0) AS BIGINT) AS p_capped
+       |  FROM f),
+       |o AS (
+       |  SELECT lang, avail_tokens, cap_tokens, is_capped,
+       |    ${Num.sqlRoundD("CASE WHEN is_capped = 1 THEN CAST(cap_tokens AS DOUBLE) ELSE CAST(budget - p_capped AS DOUBLE) / (n_langs - k_capped) END")} AS alloc_tokens,
+       |    budget
+       |  FROM g)
+       |SELECT lang, avail_tokens, cap_tokens, is_capped, alloc_tokens,
+       |  ${Num.sqlRoundD("alloc_tokens / avail_tokens")} AS epochs_used,
+       |  ${Num.sqlRoundD("alloc_tokens / budget")} AS weight
+       |FROM o
+       |ORDER BY lang""".stripMargin
 }

@@ -22,6 +22,39 @@ class DedupAnnSpec extends SparkSpec {
     assert(full == out.count() && full > 0)
   }
 
+  test("q101 split-leakage audit finds exactly the cross-split twins") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // controlled corpus: 40 twin pairs (id, id+1000) with identical
+    // text, plus unique filler — every twin is an exact dup, and which
+    // pairs leak is decided ONLY by the q47 hash-split of the two ids
+    val docs = ((1L to 40L).flatMap { i =>
+      Seq((i, s"twin document $i body " * 12), (i + 1000L, s"twin document $i body " * 12))
+    } ++ (101L to 140L).map(i => (i, s"unique filler $i text " * 12)))
+      .toDF("doc_id", "text")
+    val out = Dedup.splitLeakagePairs(docs).collect()
+    // expected: recompute the split assignment with the same public
+    // helper and keep the twin pairs whose splits differ
+    val splits = docs.select(col("doc_id"),
+        Sampling.bucket100("split", col("doc_id")).as("b")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.getAs[Int]("b") < 80) "train"
+         else if (r.getAs[Int]("b") < 90) "validation" else "test")).toMap
+    val expected = (1L to 40L)
+      .filter(i => splits(i) != splits(i + 1000L)).map(i => (i, i + 1000L)).toSet
+    assert(expected.nonEmpty, "test corpus produced no cross-split twins")
+    val exactPairs = out.filter(_.getAs[String]("leak_type") == "exact")
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exactPairs == expected,
+      s"exact leaks ${exactPairs.size} vs expected ${expected.size}")
+    out.foreach { r =>
+      assert(r.getAs[String]("split_a") != r.getAs[String]("split_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      if (r.getAs[String]("leak_type") == "exact") assert(j == 1.0)
+    }
+  }
+
   test("q22 simhash gives injected dupes hamming distance 0") {
     val out = Dedup.q22DedupSimhash(spark, Sf)
       .filter(col("doc_b") === col("doc_a") + 10000 && col("hamming") === 0)

@@ -142,6 +142,37 @@ class SamplingCurationSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q100 UniMax waterfall: caps respected, budget exhausted, one level") {
+    val rows = Sampling.q100UnimaxMixture(spark, Sf).collect()
+    val capped = rows.filter(_.getAs[Int]("is_capped") == 1)
+    val uncapped = rows.filter(_.getAs[Int]("is_capped") == 0)
+    // the pinned regime is MIXED — the waterfall has something to decide
+    assert(capped.nonEmpty && uncapped.nonEmpty)
+    // nobody exceeds their epoch cap; capped languages take exactly
+    // their one full epoch
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alloc_tokens") <=
+        r.getAs[Long]("cap_tokens").toDouble + 1e-6)
+    }
+    capped.foreach { r =>
+      assert(r.getAs[Double]("alloc_tokens") ==
+        r.getAs[Long]("cap_tokens").toDouble)
+      assert(r.getAs[Double]("epochs_used") == 1.0)
+    }
+    // every uncapped language sits at ONE common water level, and the
+    // level clears every capped language's cap (otherwise that cap
+    // would not have bound)
+    val levels = uncapped.map(_.getAs[Double]("alloc_tokens")).distinct
+    assert(levels.length == 1, s"uncapped levels differ: ${levels.toSeq}")
+    assert(levels.head >= capped.map(_.getAs[Long]("cap_tokens")).max.toDouble)
+    // the budget is exhausted exactly (4dp rounding aside) and the
+    // published weights normalize
+    val budget = rows.map(_.getAs[Long]("avail_tokens")).sum * 4 / 5
+    assert(math.abs(rows.map(_.getAs[Double]("alloc_tokens")).sum - budget) < 0.01,
+      s"allocations do not sum to the budget $budget")
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-3)
+  }
+
   test("PII patterns detect and redact injected emails, phones, and ids") {
     val d = Seq(
       (1L, "contact me at alice.smith+work@example.co.uk for details"),
