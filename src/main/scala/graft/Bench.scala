@@ -59,7 +59,10 @@ object Bench {
             graft.operators.Curation.q89DsirWeights(s, d, "xxhash64")),
         "x95_semdedup_float" ->
           ((s: SparkSession, d: String) =>
-            graft.operators.Ann.q95SemDedup(s, d, verify = "float")))
+            graft.operators.Ann.q95SemDedup(s, d, verify = "float")),
+        "x99_bloom_xxhash64" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Curation.q99BloomDecontaminate(s, d, "xxhash64")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

@@ -186,6 +186,7 @@ object Curate {
     // shuffles from the corpus it is actually given
     val width = Tuning.shufflePartitionsFor(
       spark, dataDir, Seq("documents", "embeddings"))
+    println(s"curate: shuffle width $width (input-proportional)")
     val s = Tuning.withShuffleWidth(spark, width) {
       run(spark, dataDir, outDir,
         substringCut = flags.contains("--cut"),

@@ -15,19 +15,29 @@ object Curation {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Word 8-gram md5 hashes per document (distinct), for documents with
+  /** Word 8-gram hashes per document (distinct), for documents with
     * at least 8 tokens. Linear explode — one row per token position —
     * hashed to a fixed-width key immediately, so the wide gram string
-    * never crosses a shuffle.
+    * never crosses a shuffle. `hashMode` follows [[Dedup.baseHash60]]'s
+    * convention: md5 (hex string — the cross-engine mode every oracle
+    * pins) or xxhash64 (codegen'd 60-bit long — the production digest;
+    * bench-only, no DuckDB twin).
     */
-  private def gramHashes(d: DataFrame): DataFrame =
-    d.withColumn("w", split(lower(trim(col("text"))), " "))
+  private def gramHashes(d: DataFrame, hashMode: String = "md5"): DataFrame = {
+    val grammed = d.withColumn("w", split(lower(trim(col("text"))), " "))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= 8)
       .withColumn("i", explode(sequence(lit(1), col("n") - 7)))
-      .select(col("doc_id"),
-        md5(array_join(slice(col("w"), col("i"), lit(8)), " ")).as("gh"))
-      .distinct()
+      .withColumn("g", array_join(slice(col("w"), col("i"), lit(8)), " "))
+    val keyed = hashMode match {
+      case "md5" => grammed.select(col("doc_id"), md5(col("g")).as("gh"))
+      case "xxhash64" => grammed.select(col("doc_id"),
+        xxhash64(col("g")).bitwiseAND(lit((1L << 60) - 1)).as("gh"))
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be md5 or xxhash64, got $other")
+    }
+    keyed.distinct()
+  }
 
   /** q51: benchmark decontamination — flag corpus documents sharing any
     * word 8-gram with the benchmark set (here the doc_id % 97 == 0
@@ -397,15 +407,20 @@ object Curation {
     * bench scale AQE may still pick broadcast, which is exactly the
     * scale-appropriate choice either way.
     */
-  def q99BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val grams = gramHashes(docs(s, dir)).persist()
+  def q99BloomDecontaminate(s: SparkSession, dir: String,
+                            hashMode: String = "md5"): DataFrame = {
+    val grams = gramHashes(docs(s, dir), hashMode).persist()
     grams.count() // eager: three consumers below race a cold cache otherwise
     val benchGrams = grams.filter(col("doc_id") % 97 === 0)
       .select("gh").distinct()
 
-    // one 60-bit value per gram (both engines parse the same 15 hex
-    // chars), three disjoint 20-bit indexes
-    def hv(c: Column): Column = conv(substring(c, 1, 15), 16, 10).cast("long")
+    // one 60-bit value per gram — md5 mode parses the same 15 hex chars
+    // in both engines; xxhash64 mode's key IS the 60-bit value — three
+    // disjoint 20-bit indexes either way
+    def hv(c: Column): Column = hashMode match {
+      case "md5" => conv(substring(c, 1, 15), 16, 10).cast("long")
+      case _ => c
+    }
     def idx(h: Column, slice: Int): Column =
       shiftright(h, 20 * slice).bitwiseAND(lit(BloomBits - 1))
 

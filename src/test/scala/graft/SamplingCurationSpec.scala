@@ -132,6 +132,21 @@ class SamplingCurationSpec extends SparkSpec {
     }
   }
 
+  test("q99 xxhash64 mode verifies to the same matched answer as md5 mode") {
+    // the production digest changes the bloom's false-positive PATTERN
+    // but never the verified result: screen hits may differ, matched
+    // grams cannot
+    def keyed(mode: String) =
+      Curation.q99BloomDecontaminate(spark, Sf, mode).collect()
+        .filter(_.getAs[Long]("n_matched") > 0)
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_matched"),
+            r.getAs[Double]("contamination"))).toMap
+    val md = keyed("md5")
+    val xx = keyed("xxhash64")
+    assert(md.nonEmpty && md == xx)
+  }
+
   test("q99's verify join is not a broadcast of the benchmark side") {
     // the whole point at 100 TB: the benchmark gram set does NOT
     // broadcast — the bloom (one 16 K-entry map row) is the only
