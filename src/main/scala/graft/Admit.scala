@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   *      lowest-id/earliest representative. Without this, two copies of
   *      one NOVEL document arriving in the same batch both pass the
   *      standing probes and are both admitted (ADVICE r8);
+  *   0.5 decontamination screen (optional, `benchmarkGrams`): survivors
+  *      sharing any word 8-gram with the standing benchmark set are
+  *      rejected — admission-time eval hygiene, so contaminated
+  *      documents never enter the corpus instead of being cut at
+  *      curate time. The bloom-screen + exact-verify shape of q99
+  *      ([[operators.Curation]]), O(batch) row-local against one
+  *      broadcast filter row;
   *   1. near-dup screen: the survivors probe the materialized band
   *      index ([[Dedup.probeIndex]]) — surface-form duplicates of
   *      anything already admitted are rejected;
@@ -68,8 +75,8 @@ import org.apache.spark.sql.functions._
 object Admit {
 
   case class Report(batchId: Long, input: Long, intraRejected: Long,
-                    nearDupRejected: Long, semanticRejected: Long,
-                    admitted: Long)
+                    contaminatedRejected: Long, nearDupRejected: Long,
+                    semanticRejected: Long, admitted: Long)
 
   /** The rebuild source for crash [[recover]]y: the seed corpus the
     * indexes were first refreshed from (vectors for LANDED docs come
@@ -181,19 +188,23 @@ object Admit {
                  semTable: Option[String] = None,
                  eps: Double = 0.99,
                  recovery: Option[Standing] = None,
+                 benchmarkGrams: Option[DataFrame] = None,
+                 bloomMBits: Int = 20,
                  staleAfterMs: Long = DefaultStaleAfterMs,
                  lockWaitMs: Long = 10 * 60 * 1000L): Report =
     Locks.withLock(spark, s"$outDir/.admit-running", staleAfterMs,
       maxWaitMs = lockWaitMs) {
       admitBatchLocked(spark, docs, bandTable, outDir, batchId,
-        embeddings, semTable, eps, recovery)
+        embeddings, semTable, eps, recovery, benchmarkGrams, bloomMBits)
     }
 
   private def admitBatchLocked(spark: SparkSession, docs: DataFrame,
                                bandTable: String, outDir: String, batchId: Long,
                                embeddings: Option[DataFrame],
                                semTable: Option[String], eps: Double,
-                               recovery: Option[Standing]): Report = {
+                               recovery: Option[Standing],
+                               benchmarkGrams: Option[DataFrame],
+                               bloomMBits: Int): Report = {
     // WAL repair check: the previous attempt at THIS batch died between
     // its index appends and its landing — rebuild the standing state
     // before screening, or the whole batch self-flags and lands empty
@@ -253,15 +264,41 @@ object Admit {
       val nIntraUnique = intraUnique.count()
       val nIntra = input - nIntraUnique
 
+      // 0.5 admission-time decontamination (optional): intra-survivors
+      // sharing any word 8-gram with the standing benchmark set are
+      // rejected before they reach the index probes — q99's kernels:
+      // row-local bloom screen over the batch's grams, exact verify on
+      // the screened sliver only. False negatives are impossible, so a
+      // clean document can never be lost to filter noise; deterministic,
+      // so the WAL replay semantics are unchanged. O(batch) like every
+      // screen: the bloom is one broadcast row, the verify join's left
+      // side is the screened sliver (a caller on an unbounded stream
+      // passes a PERSISTED benchmarkGrams frame so the one-row bloom
+      // build — O(benchmark) — is at worst a cached-scan per cycle).
+      val (preNear, nContam) = benchmarkGrams match {
+        case Some(bg) =>
+          val grams = operators.Curation.gramHashes(intraUnique)
+          val contaminated = operators.Curation.bloomScreened(grams,
+              operators.Curation.bloomBuild(bg, "md5", bloomMBits),
+              "md5", bloomMBits)
+            .filter(col("scr") === 1)
+            .join(bg, Seq("gh")).select("doc_id").distinct()
+          val p = intraUnique.join(contaminated, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          (p, nIntraUnique - p.count())
+        case None => (intraUnique, 0L)
+      }
+      try {
+
       // 1. surface-form screen against the standing band index
-      val nearDup = Dedup.probeIndex(spark, bandTable, intraUnique)
+      val nearDup = Dedup.probeIndex(spark, bandTable, preNear)
         .filter(col("is_near_dup") === 1)
         .select(col("batch_doc_id").as("doc_id"))
-      val afterNear = intraUnique.join(nearDup, Seq("doc_id"), "left_anti")
+      val afterNear = preNear.join(nearDup, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       try {
         val nAfterNear = afterNear.count()
-        val nNear = nIntraUnique - nAfterNear
+        val nNear = nIntraUnique - nContam - nAfterNear
 
         // 2. semantic screen for the survivors that have vectors — a doc
         // without an embedding passes (absence is not evidence; the
@@ -304,19 +341,21 @@ object Admit {
           }
           admittedDocs.write.mode("overwrite")
             .parquet(s"$outDir/batch_id=$batchId")
-          val report = Report(batchId, input, nIntra, nNear, nSem, nAdmitted)
+          val report =
+            Report(batchId, input, nIntra, nContam, nNear, nSem, nAdmitted)
           // the cycle's own accounting, landed beside the batch (replay
           // overwrites — same idempotence contract as the landing)
           import spark.implicits._
-          Seq((report.input, report.intraRejected, report.nearDupRejected,
-              report.semanticRejected, report.admitted))
-            .toDF("input", "intra_rejected", "near_dup_rejected",
-              "semantic_rejected", "admitted")
+          Seq((report.input, report.intraRejected, report.contaminatedRejected,
+              report.nearDupRejected, report.semanticRejected, report.admitted))
+            .toDF("input", "intra_rejected", "contaminated_rejected",
+              "near_dup_rejected", "semantic_rejected", "admitted")
             .write.mode("overwrite")
             .parquet(s"$outDir/_admit_reports/batch_id=$batchId")
           report
         } finally freePinned(admittedDocs)
       } finally freePinned(afterNear)
+      } finally { if (preNear ne intraUnique) freePinned(preNear) }
     } finally freePinned(intraUnique)
   }
 }

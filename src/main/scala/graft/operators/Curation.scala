@@ -23,7 +23,7 @@ object Curation {
     * pins) or xxhash64 (codegen'd 60-bit long — the production digest;
     * bench-only, no DuckDB twin).
     */
-  private def gramHashes(d: DataFrame, hashMode: String = "md5"): DataFrame = {
+  private[graft] def gramHashes(d: DataFrame, hashMode: String = "md5"): DataFrame = {
     val grammed = d.withColumn("w", split(lower(trim(col("text"))), " "))
       .withColumn("n", size(col("w")))
       .filter(col("n") >= 8)
@@ -367,14 +367,22 @@ object Curation {
        |WHERE dup_rk = 1 AND quality_score >= 0.5 AND bucket < 80
        |ORDER BY doc_id""".stripMargin
 
-  /** Bloom-filter geometry for [[q99BloomDecontaminate]]: m = 2²⁰ bits
-    * (16 K longs — a 128 KB broadcast regardless of benchmark size),
-    * k = 3 hash functions carved as disjoint 20-bit slices of the one
-    * 60-bit md5-derived value both engines already share
-    * ([[Dedup.sqlMd5Long60]]'s hex-prefix parse). Pinned — the oracle
-    * replays the exact bit arithmetic, false positives included.
+  /** Default Bloom-filter geometry for [[q99BloomDecontaminate]]:
+    * m = 2²⁰ bits (16 K longs — a 128 KB broadcast), k = 3 hash
+    * functions carved as disjoint 20-bit slices of the one 60-bit
+    * md5-derived value both engines already share
+    * ([[Dedup.sqlMd5Long60]]'s hex-prefix parse). The DEFAULT is what
+    * the oracle pins (it replays the exact bit arithmetic, false
+    * positives included); the operator takes `mBits` because m must
+    * scale with the benchmark set: FPR ≈ (1−e^{−kn/m})^k saturates
+    * toward 1 once n ≫ m — a 2²⁰-bit filter over 10⁹ grams screens
+    * nothing. m ≈ 16·n bits holds FPR under ~0.5%; at the 10⁹-gram
+    * extreme that is a 2 GB filter, past broadcast comfort, so the
+    * caller either relaxes the target (m = 8·n ⇒ ~3%, 1 GB) or
+    * partitions the screen — either way the knob is theirs. k stays 3;
+    * the three 20-bit slices simply mask down to mBits ≤ 20.
     */
-  private val BloomBits = 1L << 20
+  private val DefaultBloomMBits = 20
 
   /** q99: Bloom-screened benchmark decontamination — q51's semantics at
     * the scale where the benchmark gram set itself stops broadcasting.
@@ -407,30 +415,37 @@ object Curation {
     * bench scale AQE may still pick broadcast, which is exactly the
     * scale-appropriate choice either way.
     */
-  def q99BloomDecontaminate(s: SparkSession, dir: String,
-                            hashMode: String = "md5"): DataFrame = {
-    val grams = gramHashes(docs(s, dir), hashMode).persist()
-    grams.count() // eager: three consumers below race a cold cache otherwise
-    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
-      .select("gh").distinct()
+  // one 60-bit value per gram — md5 mode parses the same 15 hex chars
+  // in both engines; xxhash64 mode's key IS the 60-bit value — three
+  // disjoint 20-bit index slices either way
+  private def bloomHv(c: Column, hashMode: String): Column = hashMode match {
+    case "md5" => conv(substring(c, 1, 15), 16, 10).cast("long")
+    case _ => c
+  }
 
-    // one 60-bit value per gram — md5 mode parses the same 15 hex chars
-    // in both engines; xxhash64 mode's key IS the 60-bit value — three
-    // disjoint 20-bit indexes either way
-    def hv(c: Column): Column = hashMode match {
-      case "md5" => conv(substring(c, 1, 15), 16, 10).cast("long")
-      case _ => c
-    }
-    def idx(h: Column, slice: Int): Column =
-      shiftright(h, 20 * slice).bitwiseAND(lit(BloomBits - 1))
+  private def bloomIdx(h: Column, slice: Int, bloomBits: Long): Column =
+    shiftright(h, 20 * slice).bitwiseAND(lit(bloomBits - 1))
 
-    // the filter itself: positions → (word, bit) → bit_or per word →
-    // ONE map<int,long> row. 2²⁰ bits = at most 16 384 entries, bounded
-    // by m alone — the benchmark set can grow without the broadcast
-    // growing.
-    val bloom = benchGrams
-      .select(explode(array(idx(hv(col("gh")), 0), idx(hv(col("gh")), 1),
-        idx(hv(col("gh")), 2))).as("idx"))
+  private def requireMBits(mBits: Int): Long = {
+    require(mBits >= 6 && mBits <= 20,
+      s"mBits must be in [6, 20] (20-bit index slices), got $mBits")
+    1L << mBits
+  }
+
+  /** The filter itself, from a distinct benchmark gram-hash frame:
+    * positions → (word, bit) → `bit_or` per word → ONE map<int,long>
+    * row. At most 2^mBits / 64 entries, bounded by m alone — the
+    * benchmark set can grow without the broadcast growing. Shared by
+    * [[q99BloomDecontaminate]] and the admission-time screen
+    * ([[graft.Admit]]); callers on an unbounded path persist the one
+    * row themselves if they reuse it across cycles.
+    */
+  private[graft] def bloomBuild(benchGrams: DataFrame, hashMode: String,
+                                mBits: Int): DataFrame = {
+    val bloomBits = requireMBits(mBits)
+    def idx(slice: Int) = bloomIdx(bloomHv(col("gh"), hashMode), slice, bloomBits)
+    benchGrams
+      .select(explode(array(idx(0), idx(1), idx(2))).as("idx"))
       .distinct()
       .select(shiftright(col("idx"), 6).cast("int").as("w"),
         call_function("shiftleft", lit(1L),
@@ -439,20 +454,40 @@ object Curation {
       .agg(call_function("bit_or", col("bit")).as("bits"))
       .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
         .as("bloom"))
+  }
 
+  /** Row-local bloom screen over a (doc_id, gh) gram frame: broadcast
+    * the one-row filter, test the three bit positions, add `scr` (1 =
+    * all bits set — a true match or a false positive; 0 = provably not
+    * in the benchmark set).
+    */
+  private[graft] def bloomScreened(grams: DataFrame, bloom: DataFrame,
+                                   hashMode: String, mBits: Int): DataFrame = {
+    val bloomBits = requireMBits(mBits)
     def bitSet(m: Column, i: Column): Column =
       call_function("shiftright",
         coalesce(element_at(m, shiftright(i, 6).cast("int")), lit(0L)),
         i.bitwiseAND(lit(63L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
-
-    val flagged = grams.crossJoin(broadcast(bloom))
-      .withColumn("hv", hv(col("gh")))
+    def idx(slice: Int) = bloomIdx(col("hv"), slice, bloomBits)
+    grams.crossJoin(broadcast(bloom))
+      .withColumn("hv", bloomHv(col("gh"), hashMode))
       .withColumn("scr",
-        (bitSet(col("bloom"), idx(col("hv"), 0)) &&
-          bitSet(col("bloom"), idx(col("hv"), 1)) &&
-          bitSet(col("bloom"), idx(col("hv"), 2))).cast("int"))
+        (bitSet(col("bloom"), idx(0)) && bitSet(col("bloom"), idx(1)) &&
+          bitSet(col("bloom"), idx(2))).cast("int"))
       .select("doc_id", "gh", "scr")
+  }
+
+  def q99BloomDecontaminate(s: SparkSession, dir: String,
+                            hashMode: String = "md5",
+                            mBits: Int = DefaultBloomMBits): DataFrame = {
+    requireMBits(mBits)
+    val grams = gramHashes(docs(s, dir), hashMode).persist()
+    grams.count() // eager: three consumers below race a cold cache otherwise
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select("gh").distinct()
+    val flagged = bloomScreened(grams,
+      bloomBuild(benchGrams, hashMode, mBits), hashMode, mBits)
 
     val totals = flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum(col("scr")).as("n_screen_hits"))

@@ -61,7 +61,7 @@ class AdmitSpec extends SparkSpec {
       (600002L, novelVec(901)),
       (600003L, vec5.map(_ * 0.99))).toDF("vec_id", "emb")
     val r1 = Admit.admitBatch(spark, b1, band, out, 1L, Some(b1v), Some(sem))
-    assert(r1 == Admit.Report(1L, 3, 0, 1, 1, 1), r1.toString)
+    assert(r1 == Admit.Report(1L, 3, 0, 0, 1, 1, 1), r1.toString)
 
     // batch 2: a copy of doc A (caught ONLY because cycle 1 appended its
     // bands), a re-encode of doc A's vector under new text (caught ONLY
@@ -75,7 +75,7 @@ class AdmitSpec extends SparkSpec {
       (700002L, novelVec(901).map(_ * 0.99)),
       (700003L, novelVec(902))).toDF("vec_id", "emb")
     val r2 = Admit.admitBatch(spark, b2, band, out, 2L, Some(b2v), Some(sem))
-    assert(r2 == Admit.Report(2L, 3, 0, 1, 1, 1), r2.toString)
+    assert(r2 == Admit.Report(2L, 3, 0, 0, 1, 1, 1), r2.toString)
 
     // the landing holds exactly the admitted docs, partitioned per batch
     val landed = spark.read.parquet(out)
@@ -85,10 +85,10 @@ class AdmitSpec extends SparkSpec {
     // observability (VERDICT r8 #8): each cycle's report is persisted
     // beside its landing and matches the returned accounting
     val reports = spark.read.parquet(s"$out/_admit_reports")
-      .select("batch_id", "input", "intra_rejected", "near_dup_rejected",
-        "semantic_rejected", "admitted")
-      .as[(Int, Long, Long, Long, Long, Long)].collect().toSet
-    assert(reports == Set((1, 3L, 0L, 1L, 1L, 1L), (2, 3L, 0L, 1L, 1L, 1L)),
+      .select("batch_id", "input", "intra_rejected", "contaminated_rejected",
+        "near_dup_rejected", "semantic_rejected", "admitted")
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(reports == Set((1, 3L, 0L, 0L, 1L, 1L, 1L), (2, 3L, 0L, 0L, 1L, 1L, 1L)),
       reports.toString)
     // and the cycles leave no pinned per-batch state behind (ADVICE r8:
     // the localCheckpoints are freed, the probe kernels run cache-free)
@@ -139,7 +139,7 @@ class AdmitSpec extends SparkSpec {
     // dropped intra-batch: 900002 (exact copy), 900003 (near-dup),
     // 900005 (semantic re-encode) — the lowest-id representative of each
     // group survives; nothing matches the standing corpus
-    assert(r == Admit.Report(1L, 6, 3, 0, 0, 3), r.toString)
+    assert(r == Admit.Report(1L, 6, 3, 0, 0, 0, 3), r.toString)
     val landed = spark.read.parquet(out).select("doc_id")
       .as[Long].collect().toSet
     assert(landed == Set(900001L, 900004L, 900006L), landed.toString)
@@ -238,7 +238,7 @@ class AdmitSpec extends SparkSpec {
     // lands batch 2's novel doc — nothing lost, nothing duplicated
     val r2 = Admit.admitBatch(spark, b2, band, out, 2L, Some(sideVecs),
       Some(sem), recovery = Some(standing))
-    assert(r2 == Admit.Report(2L, 1, 0, 0, 0, 1), r2.toString)
+    assert(r2 == Admit.Report(2L, 1, 0, 0, 0, 0, 1), r2.toString)
     val landed = spark.read.parquet(out)
       .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
     assert(landed == Set((1, 930001L), (2, 940001L)), landed.toString)
@@ -253,7 +253,7 @@ class AdmitSpec extends SparkSpec {
     val b3v = Seq((950002L, novelVec(931).map(_ * 0.99))).toDF("vec_id", "emb")
     val r3 = Admit.admitBatch(spark, b3, band, out, 3L, Some(b3v),
       Some(sem), recovery = Some(standing))
-    assert(r3 == Admit.Report(3L, 2, 0, 1, 1, 0), r3.toString)
+    assert(r3 == Admit.Report(3L, 2, 0, 0, 1, 1, 0), r3.toString)
 
     // without a recovery source the same WAL state fails LOUDLY instead
     // of landing empty
@@ -264,5 +264,48 @@ class AdmitSpec extends SparkSpec {
       Admit.admitBatch(spark, b4, band, out, 4L)
     }
     assert(ex.getMessage.contains("Admit.recover"), ex.getMessage)
+  }
+
+  test("admission-time decontamination rejects benchmark-overlapping docs") {
+    import spark.implicits._
+    val band = "admit_decon_band"
+    dropIndexTables(band, "admit_decon_sem")
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val benchText = "the canary benchmark asks about copper lighthouses and " +
+      "seventeen astronomers measuring quiet eclipses during winter storms"
+    val benchGrams = graft.operators.Curation
+      .gramHashes(Seq((9999L, benchText)).toDF("doc_id", "text"))
+      .select("gh").distinct()
+    // shares the 8-gram "seventeen astronomers … winter storms" with the
+    // benchmark; otherwise novel surface form
+    val contaminated = "students memorized that seventeen astronomers " +
+      "measuring quiet eclipses during winter storms was the answer key"
+    val clean = "wholly original musing on terracotta submarines navigating " +
+      "library corridors beneath a cautious algebra of rain"
+    val batch = Seq((800001L, contaminated), (800002L, clean))
+      .toDF("doc_id", "text")
+
+    // without the screen both docs are novel and both are admitted —
+    // the contamination is invisible to every dup screen
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    val outOff = java.nio.file.Files.createTempDirectory("admitdecoff").toString
+    val rOff = Admit.admitBatch(spark, batch, band, outOff, 1L)
+    assert(rOff == Admit.Report(1L, 2, 0, 0, 0, 0, 2), rOff.toString)
+
+    // with the screen: the contaminated doc is rejected BEFORE the
+    // probes, the clean doc still lands, and the accounting says why
+    dropIndexTables(band, "admit_decon_sem")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("admitdecon").toString
+    val r = Admit.admitBatch(spark, batch, band, out, 1L,
+      benchmarkGrams = Some(benchGrams))
+    assert(r == Admit.Report(1L, 2, 0, 1, 0, 0, 1), r.toString)
+    val landedIds = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landedIds == Set(800002L), landedIds.toString)
+    val rep = spark.read.parquet(s"$out/_admit_reports")
+      .select("contaminated_rejected", "admitted")
+      .as[(Long, Long)].collect().toSet
+    assert(rep == Set((1L, 1L)), rep.toString)
   }
 }

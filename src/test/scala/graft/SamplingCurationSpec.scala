@@ -132,6 +132,27 @@ class SamplingCurationSpec extends SparkSpec {
     }
   }
 
+  test("q99 with a smaller bloom admits more false positives, same verified answer") {
+    // shrinking m raises the screen's false-positive rate but can never
+    // change the verified result — the exact join removes whatever the
+    // looser filter lets through
+    def run(mBits: Int) = Curation.q99BloomDecontaminate(spark, Sf, "md5", mBits)
+      .collect()
+    val wide = run(20)
+    val tight = run(8) // 256-bit filter over ~thousands of grams: FPR near 1
+    def verified(rows: Array[org.apache.spark.sql.Row]) =
+      rows.filter(_.getAs[Long]("n_matched") > 0)
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_matched")).toMap
+    assert(verified(wide) == verified(tight))
+    val fp = (rows: Array[org.apache.spark.sql.Row]) =>
+      rows.map(_.getAs[Long]("n_false_pos")).sum
+    assert(fp(tight) > fp(wide),
+      s"256-bit filter should leak more FPs (${fp(tight)} vs ${fp(wide)})")
+    intercept[IllegalArgumentException] {
+      Curation.q99BloomDecontaminate(spark, Sf, "md5", 25)
+    }
+  }
+
   test("q99 xxhash64 mode verifies to the same matched answer as md5 mode") {
     // the production digest changes the bloom's false-positive PATTERN
     // but never the verified result: screen hits may differ, matched
