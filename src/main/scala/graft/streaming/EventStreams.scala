@@ -350,15 +350,21 @@ object EventStreams {
                      semTable: Option[String] = None,
                      eps: Double = 0.99,
                      recovery: Option[graft.Admit.Standing] = None,
-                     maxFilesPerBucket: Int = 0)
+                     maxFilesPerBucket: Int = 0,
+                     benchmarkGrams: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        // benchmarkGrams (when supplied) should arrive persisted: the
+        // screen's bloom build is a pass over it EVERY micro-batch —
+        // cached it is a scan of one small frame, uncached it recomputes
+        // whatever lineage produced the gram set
         graft.Admit.admitBatch(s, batch, bandTable,
-          outDir, batchId, embeddings, semTable, eps, recovery)
+          outDir, batchId, embeddings, semTable, eps, recovery,
+          benchmarkGrams = benchmarkGrams)
         for (st <- recovery) {
           val trip = maxFilesPerBucket > 0 &&
             (graft.sources.Ingest.needsCompaction(s, bandTable, maxFilesPerBucket) ||

@@ -296,6 +296,54 @@ class StreamingSpec extends SparkSpec {
         s"$t not compacted: ${graft.sources.Ingest.bucketFileCounts(spark, t)}")
   }
 
+  test("streaming admission rejects benchmark-contaminated docs per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    val band = "stream_decon_band"
+    spark.sql(s"DROP TABLE IF EXISTS $band")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$band")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+
+    val benchText = "the held out benchmark wonders whether copper " +
+      "lighthouses guide seventeen astronomers through quiet winter eclipses"
+    // persisted, per the admissionQuery contract: the bloom build scans
+    // this frame every micro-batch
+    val benchGrams = graft.operators.Curation
+      .gramHashes(Seq((1L, benchText)).toDF("doc_id", "text"))
+      .select("gh").distinct().persist()
+    benchGrams.count()
+
+    val out = java.nio.file.Files.createTempDirectory("deconq-out").toString + "/landed"
+    val ckpt = java.nio.file.Files.createTempDirectory("deconq-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.admissionQuery(
+      input.toDF.toDF("doc_id", "text"), band, out, ckpt,
+      recovery = Some(graft.Admit.Standing(d)),
+      benchmarkGrams = Some(benchGrams))
+    try {
+      // micro-batch 0: a clean novel doc (admitted) and a doc quoting an
+      // 8-gram of the benchmark (rejected at the door)
+      input.addData(
+        (810001L, "wholly original streamed musing on terracotta " +
+          "submarines navigating library corridors beneath cautious rain"),
+        (810002L, "every study guide repeats that copper lighthouses guide " +
+          "seventeen astronomers through quiet winter eclipses verbatim"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+        .select("doc_id").as[Long].collect().toSet
+      assert(landed == Set(810001L), landed.toString)
+      val rep = spark.read.parquet(s"${out}/_admit_reports")
+        .select("contaminated_rejected", "admitted")
+        .as[(Long, Long)].collect().toSet
+      assert(rep == Set((1L, 1L)), rep.toString)
+    } finally { q.stop(); benchGrams.unpersist(); () }
+  }
+
   test("attributeStream joins purchases to in-window views only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
