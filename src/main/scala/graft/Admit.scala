@@ -157,20 +157,13 @@ object Admit {
     }
   }
 
-  /** Free an eager localCheckpoint's pinned blocks: walk the RDD
-    * lineage under the frame to its persisted checkpoint RDD and
-    * unpersist it. The cycle pins two frames for correctness (screens
-    * must not re-evaluate after the appends mutate the tables they
-    * read); without this an unbounded streaming run accumulates two
-    * checkpointed frames per micro-batch forever (ADVICE r8).
+  /** The cycle pins two frames for correctness (screens must not
+    * re-evaluate after the appends mutate the tables they read); without
+    * freeing them an unbounded streaming run accumulates two
+    * checkpointed frames per micro-batch forever (ADVICE r8). Shared
+    * with the CC loop as [[Frames.freePinned]].
     */
-  private def freePinned(df: DataFrame): Unit = {
-    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
-      if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
-        r.unpersist(blocking = false); ()
-      } else r.dependencies.foreach(d => walk(d.rdd))
-    walk(df.rdd)
-  }
+  private def freePinned(df: DataFrame): Unit = Frames.freePinned(df)
 
   /** Screen `docs` (doc_id, text, …) against the standing state and land
     * the survivors. `embeddings` (vec_id aligned with doc_id) and

@@ -67,6 +67,13 @@ object Clusters {
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true))
+    // e is folded into bidir's materialized blocks — release it now, and
+    // release each round's labels the moment the next round supersedes
+    // them. Without this the loop pins O(rounds) snapshots for its whole
+    // lifetime, which is exactly the pinned-block × full-GC interaction
+    // the sf3 (30×) rehearsal measured as 6.6–71 s run-to-run spread on
+    // q46; bounded at ≤2 live snapshots the eviction pressure is gone.
+    graft.Frames.freePinned(e)
     val active = bidir.select(col("src").as("id")).distinct()
     var labels = timed("labels0")(active.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true))
@@ -90,11 +97,14 @@ object Clusters {
       val changed = checkpointed.filter(col("cluster_id") =!= col("prev")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"[cc] iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      graft.Frames.freePinned(labels) // superseded round: nothing reads it again
       labels = checkpointed
       converged = changed == 0
       iter += 1
     }
     lastIters = iter
+    // the loop is done with the edge list; only `labels` leaves pinned
+    graft.Frames.freePinned(bidir)
     // singletons anti-join against the final labels (= exactly the
     // edge-touched ids), then union — both sides are checkpointed, so
     // the caller's plan stays flat no matter how many rounds ran

@@ -408,4 +408,76 @@ object CorpusOps {
        |FROM u
        |ORDER BY stage""".stripMargin
   }
+
+  // --------------------------------------------------------------- q102
+
+  /** q102: BPE merge-pair statistics — the counting step of byte-pair
+    * encoding tokenizer training (Sennrich et al., ACL 2016: the
+    * procedure GPT-2/RoBERTa-family vocabularies are built with).
+    * Pre-tokenize into words, represent each word as its characters
+    * followed by an end-of-word marker `</w>`, and count adjacent symbol
+    * pairs weighted by word frequency. The top-ranked pair IS the first
+    * merge a BPE trainer would take; the ranked table is what a
+    * tokenizer team reads to sanity-check a corpus before committing a
+    * vocabulary run (and re-reads after every merge — this operator is
+    * one iteration of that loop, the part that touches the corpus).
+    *
+    * Scale shape: the ONLY corpus-sized operation is the word-frequency
+    * groupBy (partial-aggregated — the same one shuffle as q67's vocab
+    * pass). The pair expansion and the pair aggregate run over the
+    * DISTINCT-WORD frame: the vocabulary, millions of rows at 100 TB
+    * where the corpus is trillions — per-word work is O(word length),
+    * independent of how often the word occurs, which is exactly why BPE
+    * trainers operate on (word, freq) tables and not raw text. The final
+    * rank window is unpartitioned by design: its input is the pair
+    * aggregate, bounded by |symbol alphabet|² + |alphabet| rows, and the
+    * rank filter compiles to WindowGroupLimit besides.
+    */
+  def q102BpePairs(s: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .withColumn("i", explode(expr("sequence(1, length(word))")))
+      .select(
+        expr("substr(word, i, 1)").as("sym_left"),
+        when(col("i") === length(col("word")), lit("</w>"))
+          .otherwise(expr("substr(word, i + 1, 1)")).as("sym_right"),
+        col("word"), col("freq"))
+    val counts = pairs.groupBy("sym_left", "sym_right")
+      .agg(sum(col("freq")).as("pair_count"),
+        countDistinct(col("word")).as("n_word_types"))
+    val w = Window.orderBy(col("pair_count").desc, col("sym_left"), col("sym_right"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("rank", "sym_left", "sym_right", "pair_count", "n_word_types")
+      .orderBy("rank")
+  }
+
+  val q102Sql: String =
+    """WITH w AS (
+      |  SELECT word, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+      |    FROM documents) u
+      |  WHERE len(word) > 0 GROUP BY word),
+      |p AS (
+      |  SELECT word, freq, unnest(generate_series(1, len(word))) AS i FROM w),
+      |q AS (
+      |  SELECT substr(word, i, 1) AS sym_left,
+      |    CASE WHEN i = len(word) THEN '</w>'
+      |         ELSE substr(word, i + 1, 1) END AS sym_right,
+      |    word, freq
+      |  FROM p),
+      |c AS (
+      |  SELECT sym_left, sym_right, CAST(SUM(freq) AS BIGINT) AS pair_count,
+      |    COUNT(DISTINCT word) AS n_word_types
+      |  FROM q GROUP BY sym_left, sym_right),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    ORDER BY pair_count DESC, sym_left, sym_right) AS rank
+      |  FROM c)
+      |SELECT rank, sym_left, sym_right, pair_count, n_word_types
+      |FROM r WHERE rank <= 50
+      |ORDER BY rank""".stripMargin
 }

@@ -56,6 +56,28 @@ object Sampling {
     s"((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 100)"
   }
 
+  /** Deterministic 24-bit hash in [0, 2²⁴): the first 6 hex chars of
+    * md5(salt:key) as an integer — the fine-grained threshold
+    * counterpart of [[bucket100]] (a token-budget draw needs better
+    * than 1% rate granularity). Same portability contract: the oracle
+    * rebuilds the identical value from DuckDB's md5.
+    */
+  def hex24(salt: String, key: Column): Column = {
+    val h = md5(concat(lit(salt + ":"), key.cast("string")))
+    (0 until 6).map(i => hexVal(substring(h, i + 1, 1)) * (1 << (4 * (5 - i))))
+      .reduce(_ + _).cast("long")
+  }
+
+  /** Oracle-SQL fragment mirroring [[hex24]]; reads the salted md5 a
+    * prior CTE must expose as `h`. */
+  def sqlHex24: String = {
+    def hx(i: Int) = {
+      val c = s"ascii(substr(h, $i, 1))"
+      s"(CASE WHEN $c >= 97 THEN $c - 87 ELSE $c - 48 END)"
+    }
+    (1 to 6).map(i => s"${hx(i)} * ${1L << (4 * (6 - i))}").mkString("(", " + ", ")")
+  }
+
   /** SQL for the salted md5 the bucket fragments read (`h`). */
   def sqlSaltedMd5(salt: String, keyExpr: String): String =
     s"md5('$salt:' || CAST($keyExpr AS VARCHAR))"
@@ -258,7 +280,21 @@ object Sampling {
     * here). Output is the allocation table a sampler consumes: tokens,
     * epochs, and the normalized mixture weight per language.
     */
-  def q100UnimaxMixture(s: SparkSession, dir: String, epochCap: Int = 1): DataFrame = {
+  def q100UnimaxMixture(s: SparkSession, dir: String, epochCap: Int = 1): DataFrame =
+    unimaxAlloc(s, dir, epochCap)
+      .withColumn("epochs_used",
+        Num.roundD(col("alloc_tokens") / col("avail_tokens")))
+      .withColumn("weight", Num.roundD(col("alloc_tokens") / col("budget")))
+      .select("lang", "avail_tokens", "cap_tokens", "is_capped",
+        "alloc_tokens", "epochs_used", "weight")
+      .orderBy("lang")
+
+  /** The UniMax waterfall shared by q100 (the allocation report) and
+    * q103 (the per-document draw): per-language avail/cap/is_capped/
+    * alloc_tokens plus the budget — see [[q100UnimaxMixture]] for the
+    * recipe and the closed form.
+    */
+  private[graft] def unimaxAlloc(s: SparkSession, dir: String, epochCap: Int): DataFrame = {
     val avail = docs(s, dir)
       .withColumn("n_tok",
         size(split(lower(trim(col("text"))), " ")).cast("long"))
@@ -286,16 +322,16 @@ object Sampling {
       .withColumn("alloc_tokens", Num.roundD(
         when(col("is_capped") === 1, col("cap_tokens").cast("double"))
           .otherwise(col("level"))))
-      .withColumn("epochs_used",
-        Num.roundD(col("alloc_tokens") / col("avail_tokens")))
-      .withColumn("weight", Num.roundD(col("alloc_tokens") / col("budget")))
       .select("lang", "avail_tokens", "cap_tokens", "is_capped",
-        "alloc_tokens", "epochs_used", "weight")
-      .orderBy("lang")
+        "alloc_tokens", "budget")
   }
 
-  val q100Sql: String =
-    s"""WITH a AS (
+  /** Shared oracle CTE chain for the UniMax waterfall; ends at `o`
+    * (lang, avail_tokens, cap_tokens, is_capped, alloc_tokens, budget) —
+    * the SQL mirror of [[unimaxAlloc]].
+    */
+  private def sqlUnimaxCtes(epochCap: Int): String =
+    s"""a AS (
        |  SELECT lang,
        |    CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
        |      AS avail_tokens
@@ -305,7 +341,7 @@ object Sampling {
        |    COUNT(*) AS n_langs FROM a),
        |c AS (
        |  SELECT lang, avail_tokens, (total_avail * 4) // 5 AS budget, n_langs,
-       |    avail_tokens * 1 AS cap_tokens
+       |    avail_tokens * $epochCap AS cap_tokens
        |  FROM a, t),
        |r AS (
        |  SELECT *, ROW_NUMBER() OVER (ORDER BY cap_tokens, lang) AS rk,
@@ -325,10 +361,144 @@ object Sampling {
        |  SELECT lang, avail_tokens, cap_tokens, is_capped,
        |    ${Num.sqlRoundD("CASE WHEN is_capped = 1 THEN CAST(cap_tokens AS DOUBLE) ELSE CAST(budget - p_capped AS DOUBLE) / (n_langs - k_capped) END")} AS alloc_tokens,
        |    budget
-       |  FROM g)
+       |  FROM g)""".stripMargin
+
+  val q100Sql: String =
+    s"""WITH ${sqlUnimaxCtes(1)}
        |SELECT lang, avail_tokens, cap_tokens, is_capped, alloc_tokens,
        |  ${Num.sqlRoundD("alloc_tokens / avail_tokens")} AS epochs_used,
        |  ${Num.sqlRoundD("alloc_tokens / budget")} AS weight
        |FROM o
        |ORDER BY lang""".stripMargin
+
+  /** Per-document mixture draw shared by q103 (the report) and q104
+    * (the order manifest): q100's allocation joined back onto the
+    * corpus, epochs split into guaranteed full copies plus one
+    * hash-thresholded fractional draw.
+    */
+  private def mixtureCore(s: SparkSession, dir: String, epochCap: Int): DataFrame = {
+    val alloc = unimaxAlloc(s, dir, epochCap)
+      .select("lang", "avail_tokens", "alloc_tokens")
+    docs(s, dir)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .join(broadcast(alloc), Seq("lang"))
+      .withColumn("epochs", col("alloc_tokens") / col("avail_tokens"))
+      .withColumn("full_copies", floor(col("epochs")).cast("int"))
+      .withColumn("frac_thresh",
+        floor((col("epochs") - col("full_copies")) * lit(16777216.0)).cast("long"))
+      .withColumn("hv", hex24("mmix", col("doc_id")))
+      .withColumn("frac_kept", (col("hv") < col("frac_thresh")).cast("int"))
+      .withColumn("n_copies", col("full_copies") + col("frac_kept"))
+  }
+
+  /** Shared oracle CTE chain for the mixture draw; extends
+    * [[sqlUnimaxCtes]] and ends at `k` (doc_id, lang, n_tok,
+    * full_copies, frac_kept, n_copies) — the SQL mirror of
+    * [[mixtureCore]].
+    */
+  private def sqlMixtureCtes(epochCap: Int): String =
+    s"""${sqlUnimaxCtes(epochCap)},
+       |d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok,
+       |    ${sqlSaltedMd5("mmix", "doc_id")} AS h
+       |  FROM documents),
+       |j AS (
+       |  SELECT d.doc_id, d.lang, d.n_tok, d.h,
+       |    o.alloc_tokens / o.avail_tokens AS epochs
+       |  FROM d JOIN o USING (lang)),
+       |e AS (
+       |  SELECT doc_id, lang, n_tok, h,
+       |    CAST(FLOOR(epochs) AS INT) AS full_copies,
+       |    CAST(FLOOR((epochs - FLOOR(epochs)) * 16777216.0) AS BIGINT)
+       |      AS frac_thresh
+       |  FROM j),
+       |k AS (
+       |  SELECT doc_id, lang, n_tok, full_copies,
+       |    CAST($sqlHex24 < frac_thresh AS INT) AS frac_kept,
+       |    full_copies + CAST($sqlHex24 < frac_thresh AS INT) AS n_copies
+       |  FROM e)""".stripMargin
+
+  /** q103: mixture materialization — the draw that turns q100's UniMax
+    * allocation into per-document sampling decisions a data loader can
+    * execute. A language allocated e epochs contributes floor(e) full
+    * copies of every document plus one fractional pass that keeps each
+    * document with probability e − floor(e) — decided by a salted
+    * 24-bit hash against a fixed threshold, never `rand()`, so the
+    * drawn corpus is reproducible from doc_id alone and stable under
+    * re-runs and task retries (this family's standing contract). Run at
+    * epochCap = 2: on this near-balanced corpus no 2-epoch cap binds,
+    * every language draws at the common water level, and the
+    * lowest-supply languages land above one epoch — exercising the
+    * full-copies ≥ 1 path the capped q100 default never reaches.
+    *
+    * Scale shape: the allocation is a languages-frame broadcast; the
+    * draw itself is per-row hash arithmetic at scan speed — the only
+    * corpus-sized shuffle is q100's per-lang token count (plus the
+    * harness ORDER BY).
+    */
+  def q103MixtureDraw(s: SparkSession, dir: String, epochCap: Int = 2): DataFrame =
+    mixtureCore(s, dir, epochCap)
+      .select("doc_id", "lang", "n_tok", "full_copies", "frac_kept", "n_copies")
+      .orderBy("doc_id")
+
+  val q103Sql: String =
+    s"""WITH ${sqlMixtureCtes(2)}
+       |SELECT doc_id, lang, n_tok, full_copies, frac_kept, n_copies
+       |FROM k
+       |ORDER BY doc_id""".stripMargin
+
+  /** q104: sharded training-order manifest — the artifact a distributed
+    * data loader actually consumes: every materialized copy from the
+    * q103 draw is assigned a shard by salted hash and a position within
+    * its shard by a second independent hash order. Within-shard order
+    * is a uniform deterministic shuffle (the md5 order is independent
+    * of doc_id order, source, and language, so consecutive samples are
+    * decorrelated — the property epoch-level training needs), and the
+    * global order is the standard shard-interleave. No global window:
+    * position is per-shard (numShards scales with the cluster), so the
+    * manifest writes at full parallelism at any corpus size — the
+    * single-partition global permutation a naive ORDER BY md5 would
+    * plan is exactly what this operator exists to avoid.
+    */
+  def q104TrainOrder(s: SparkSession, dir: String, numShards: Int = 16,
+      epochCap: Int = 2): DataFrame = {
+    val key = concat_ws(":",
+      col("doc_id").cast("string"), col("copy_idx").cast("string"))
+    val c = mixtureCore(s, dir, epochCap)
+      .filter(col("n_copies") >= 1)
+      .withColumn("copy_idx", explode(expr("sequence(0, n_copies - 1)")))
+      .withColumn("okey", md5(concat(lit("ord:"), key)))
+      .withColumn("shard", (hex24("shard", key) % numShards).cast("int"))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("okey"), col("doc_id"), col("copy_idx"))
+    c.withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id", "copy_idx", "lang")
+      .orderBy("shard", "pos")
+  }
+
+  val q104Sql: String =
+    s"""WITH ${sqlMixtureCtes(2)},
+       |m AS (
+       |  SELECT doc_id, lang, n_copies FROM k WHERE n_copies >= 1),
+       |x AS (
+       |  SELECT doc_id, lang, unnest(range(n_copies)) AS copy_idx FROM m),
+       |kk AS (
+       |  SELECT doc_id, lang, copy_idx,
+       |    md5('ord:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |      CAST(copy_idx AS VARCHAR)) AS okey,
+       |    ${sqlSaltedMd5("shard",
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR)")} AS h
+       |  FROM x),
+       |ss AS (
+       |  SELECT doc_id, lang, copy_idx, okey,
+       |    CAST($sqlHex24 % 16 AS INT) AS shard
+       |  FROM kk)
+       |SELECT shard,
+       |  ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY okey, doc_id, copy_idx) AS pos,
+       |  doc_id, copy_idx, lang
+       |FROM ss
+       |ORDER BY shard, pos""".stripMargin
 }

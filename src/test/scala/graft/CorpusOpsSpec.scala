@@ -84,4 +84,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(passes.zip(passes.tail).forall { case (a, b) => a >= b })
     assert(out.head.getAs[Double]("pass_rate") == 1.0)
   }
+
+  test("q102 BPE pair counts equal a direct recomputation, ranked correctly") {
+    val k = 20
+    val out = CorpusOps.q102BpePairs(spark, Sf, topK = k).collect()
+    // independent recomputation: word freqs, then weighted symbol pairs
+    // over chars + the end-of-word marker (Sennrich et al. 2016)
+    val texts = Tables.load(spark, Sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach(_.trim.toLowerCase.split(" ").filter(_.nonEmpty)
+      .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L))
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    val wt = scala.collection.mutable
+      .Map.empty[(String, String), scala.collection.mutable.Set[String]]
+    freq.foreach { case (w, f) =>
+      val syms = w.map(_.toString) :+ "</w>"
+      syms.sliding(2).foreach { p =>
+        val key = (p(0), p(1))
+        pc(key) = pc.getOrElse(key, 0L) + f
+        wt.getOrElseUpdate(key,
+          scala.collection.mutable.Set.empty[String]) += w
+      }
+    }
+    val expected = pc.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(k)
+    assert(out.length == k)
+    out.zip(expected).zipWithIndex.foreach {
+      case ((row, ((a, b), c)), i) =>
+        assert(row.getAs[Int]("rank") == i + 1)
+        assert(row.getAs[String]("sym_left") == a, s"rank ${i + 1} left")
+        assert(row.getAs[String]("sym_right") == b, s"rank ${i + 1} right")
+        assert(row.getAs[Long]("pair_count") == c, s"rank ${i + 1} count")
+        assert(row.getAs[Long]("n_word_types") == wt((a, b)).size.toLong,
+          s"rank ${i + 1} word types")
+    }
+    // the top merge must involve the end-of-word marker or a real char
+    // pair with weight >= every later rank (ordering sanity)
+    val counts = out.map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+  }
 }

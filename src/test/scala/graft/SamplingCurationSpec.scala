@@ -313,4 +313,65 @@ class SamplingCurationSpec extends SparkSpec {
       .filter(col("count") > 1)
     assert(dups.count() == 0, "curated corpus kept duplicate content")
   }
+
+  /** JVM-side mirror of [[Sampling.hex24]] for independent recomputation. */
+  private def jvmHex24(salt: String, key: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"$salt:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 6), 16)
+  }
+
+  test("q103 per-document draw equals an exact independent recomputation") {
+    val epochCap = 2
+    val out = Sampling.q103MixtureDraw(spark, Sf, epochCap).collect()
+    // per-lang epochs from the shared waterfall
+    val alloc = Sampling.unimaxAlloc(spark, Sf, epochCap)
+      .select("lang", "avail_tokens", "alloc_tokens").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("alloc_tokens") / r.getAs[Long]("avail_tokens"))).toMap
+    assert(out.nonEmpty)
+    var sawFull = false
+    out.foreach { r =>
+      val epochs = alloc(r.getAs[String]("lang"))
+      val full = math.floor(epochs).toInt
+      val thresh = math.floor((epochs - full) * 16777216.0).toLong
+      val hv = jvmHex24("mmix", r.getAs[Long]("doc_id").toString)
+      val kept = if (hv < thresh) 1 else 0
+      assert(r.getAs[Int]("full_copies") == full, s"doc ${r.get(0)} full")
+      assert(r.getAs[Int]("frac_kept") == kept, s"doc ${r.get(0)} frac")
+      assert(r.getAs[Int]("n_copies") == full + kept, s"doc ${r.get(0)} copies")
+      if (full >= 1) sawFull = true
+    }
+    // epochCap=2 on this corpus: no cap binds, the common water level
+    // puts the lowest-supply languages above one epoch — the guaranteed
+    // full-copy path must actually be exercised
+    assert(sawFull, "no language drew a guaranteed full copy at epochCap=2")
+  }
+
+  test("q104 manifest: copies complete, shards bounded, positions contiguous") {
+    val shards = 8
+    val out = Sampling.q104TrainOrder(spark, Sf, numShards = shards).cache()
+    val rows = out.collect()
+    // every materialized copy appears exactly once
+    val copies = Sampling.q103MixtureDraw(spark, Sf)
+      .agg(sum(col("n_copies"))).head().getLong(0)
+    assert(rows.length.toLong == copies, "manifest row count != drawn copies")
+    assert(rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("copy_idx")))
+      .distinct.length == rows.length, "duplicate (doc, copy) in manifest")
+    // shard bounds honor the non-default parameter
+    assert(rows.forall { r =>
+      val s = r.getAs[Int]("shard"); s >= 0 && s < shards
+    })
+    // positions are 1..n contiguous per shard
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (sh, g) =>
+      val pos = g.map(_.getAs[Int]("pos")).sorted
+      assert(pos.head == 1 && pos.last == pos.length,
+        s"shard $sh positions not contiguous")
+    }
+    // deterministic: a second run produces the identical manifest
+    val again = Sampling.q104TrainOrder(spark, Sf, numShards = shards)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    out.unpersist()
+  }
 }
