@@ -27,7 +27,8 @@ object Curate {
 
   case class Summary(input: Long, afterQuality: Long, afterDedup: Long,
                      afterDecontam: Long, packed: Long,
-                     afterCut: Long = -1L, afterSemantic: Long = -1L)
+                     afterCut: Long = -1L, afterSemantic: Long = -1L,
+                     manifestPacks: Long = -1L)
 
   /** `packShards` is the packing-parallelism knob (VERDICT r8 #5): the
     * pack window partitions by (split, lang, shard) with `shard = doc_id
@@ -40,7 +41,9 @@ object Curate {
           substringCut: Boolean = false,
           semanticDedup: Boolean = false,
           semanticEps: Double = 0.99,
-          packShards: Int = 32): Summary = {
+          packShards: Int = 32,
+          trainManifest: Boolean = false,
+          manifestShards: Int = 16): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
@@ -161,12 +164,39 @@ object Curate {
       packed.write.mode("overwrite").partitionBy("split", "lang")
         .parquet(s"$outDir/corpus")
       val out = spark.read.parquet(s"$outDir/corpus")
+
+      // 5. optional training-order manifest (q104's operator applied at
+      // the PACK grain — the trainer's unit of work; documents already
+      // carry their in-pack order by construction): every train-split
+      // pack gets a manifest shard by salted hash and a position within
+      // it by an independent md5 order. Deterministic, uniform, and
+      // windowed per manifest shard only — never a global permutation.
+      val manifestPacks =
+        if (!trainManifest) -1L
+        else {
+          val packs = out.filter(col("split") === "train")
+            .select("lang", "shard", "pack_id").distinct()
+          val key = concat_ws(":", col("lang"),
+            col("shard").cast("string"), col("pack_id").cast("string"))
+          val keyed = packs
+            .withColumn("okey", md5(concat(lit("ord:"), key)))
+            .withColumn("mshard",
+              (Sampling.hex24("shard", key) % manifestShards).cast("int"))
+          val mw = org.apache.spark.sql.expressions.Window
+            .partitionBy("mshard")
+            .orderBy(col("okey"), col("lang"), col("shard"), col("pack_id"))
+          keyed.withColumn("pos", row_number().over(mw))
+            .select("mshard", "pos", "lang", "shard", "pack_id")
+            .write.mode("overwrite").parquet(s"$outDir/manifest")
+          spark.read.parquet(s"$outDir/manifest").count()
+        }
       Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
-        afterCut, afterSemantic)
+        afterCut, afterSemantic, manifestPacks)
     } finally labels.unpersist()
   }
 
-  /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]` */
+  /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
+    * [--manifest]` */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val Array(dataDir, outDir) = pos
@@ -190,11 +220,13 @@ object Curate {
     val s = Tuning.withShuffleWidth(spark, width) {
       run(spark, dataDir, outDir,
         substringCut = flags.contains("--cut"),
-        semanticDedup = flags.contains("--semantic"))
+        semanticDedup = flags.contains("--semantic"),
+        trainManifest = flags.contains("--manifest"))
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
       s"cut=${s.afterCut} dedup=${s.afterDedup} semantic=${s.afterSemantic} " +
-      s"decontam=${s.afterDecontam} packed=${s.packed}")
+      s"decontam=${s.afterDecontam} packed=${s.packed} " +
+      s"manifest=${s.manifestPacks}")
     spark.stop()
   }
 }

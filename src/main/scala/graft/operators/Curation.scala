@@ -325,6 +325,76 @@ object Curation {
        |FROM t
        |ORDER BY doc_id""".stripMargin
 
+  /** Candidate pattern for [[q105LuhnRedact]] — a contiguous 16-digit
+    * run (the dominant PAN shape), RE2-and-Java compatible like the q52
+    * patterns. */
+  private val CardPat = """\b\d{16}\b"""
+
+  /** q105: checksum-verified secret redaction — the detector class the
+    * q52 regexes cannot express: a 16-digit run is only redacted when it
+    * PASSES the Luhn check (ISO/IEC 7812's mod-10 — the public algorithm
+    * every card-number scrubber verifies with; detect-secrets and
+    * similar scanners document the same false-positive discipline: a
+    * random digit run fails mod-10 nine times out of ten, and redacting
+    * unverified runs would mangle ids, timestamps, and hashes). The
+    * first candidate per document is verified — 16 fixed substring
+    * terms, doubling odd positions from the left (even-length PAN), all
+    * plain integer arithmetic both engines fold identically — and every
+    * occurrence of that exact digit string is replaced on pass. The
+    * redacted text's md5 is the oracle contract (q52's discipline), so
+    * the byte-exact replacement — and the REFUSAL to replace a
+    * Luhn-failing run — is value-checked, not just counted.
+    *
+    * Scale shape: scan-speed row-local regex + fixed arithmetic, no
+    * shuffle but the harness ORDER BY — the same contract as q52/q90.
+    */
+  def q105LuhnRedact(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("t", lower(trim(col("text"))))
+      .withColumn("cand", regexp_extract(col("t"), CardPat, 0))
+      .withColumn("n_candidates",
+        size(regexp_extract_all(col("t"), lit(CardPat), lit(0))).cast("long"))
+    // try_cast: the no-candidate row carries cand = '' and ANSI mode
+    // (Spark 4's default) makes a plain cast of '' throw; the null sum
+    // then falls out of the guarded comparison exactly as intended
+    val luhnSum = (1 to 16).map { i =>
+      val dg = expr(s"try_cast(substr(cand, $i, 1) as int)")
+      if (i % 2 == 1) when(dg * 2 < 10, dg * 2).otherwise(dg * 2 - 9) else dg
+    }.reduce(_ + _)
+    base
+      .withColumn("luhn_valid",
+        (col("cand") =!= "" && luhnSum % 10 === 0).cast("int"))
+      .withColumn("redacted_md5",
+        md5(when(col("luhn_valid") === 1,
+          expr("replace(t, cand, '[CARD]')")).otherwise(col("t"))))
+      .select("doc_id", "n_candidates", "luhn_valid", "redacted_md5")
+      .orderBy("doc_id")
+  }
+
+  val q105Sql: String = {
+    val terms = (1 to 16).map { i =>
+      val d = s"TRY_CAST(substr(cand, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(CASE WHEN $d * 2 < 10 THEN $d * 2 ELSE $d * 2 - 9 END)"
+      else d
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       |c AS (
+       |  SELECT doc_id, t,
+       |    COALESCE(regexp_extract(t, '$CardPat'), '') AS cand,
+       |    CAST(len(regexp_extract_all(t, '$CardPat')) AS BIGINT)
+       |      AS n_candidates
+       |  FROM t),
+       |l AS (
+       |  SELECT doc_id, t, cand, n_candidates, ($terms) AS luhn_sum FROM c)
+       |SELECT doc_id, n_candidates,
+       |  CAST(cand <> '' AND luhn_sum % 10 = 0 AS INT) AS luhn_valid,
+       |  md5(CASE WHEN cand <> '' AND luhn_sum % 10 = 0
+       |      THEN replace(t, cand, '[CARD]') ELSE t END) AS redacted_md5
+       |FROM l
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q53: curated training corpus — the end-to-end composition a
     * pipeline actually materializes: exact-dedup keepers (first doc_id
     * per content hash) that clear the quality floor and land in the

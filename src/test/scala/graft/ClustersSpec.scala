@@ -28,6 +28,23 @@ class ClustersSpec extends SparkSpec {
     assert(labels(30L) == 30L, "singleton keeps its own id")
   }
 
+  test("the CC loop leaves only the final labels pinned (O(1) snapshots)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a 12-node path graph forces ~12 propagation rounds (one hop per
+    // round, plus the convergence check — inside the default maxIter) —
+    // the shape where an O(rounds) pinned-snapshot leak would be widest
+    val edges = (0L until 11L).map(i => (i, i + 1))
+    val labels = Clusters.connectedComponents(
+      edges.toDF("src", "dst"), (0L until 12L).toDF("id"))
+    assert(labels.select("cluster_id").distinct().count() == 1)
+    assert(Clusters.lastIters > 2, "path graph should take several rounds")
+    // every superseded round and the edge frames were released; at most
+    // the FINAL labels snapshot may remain pinned
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"CC loop leaked ${leaked.size} pinned RDDs: $leaked")
+  }
+
   test("edge direction is irrelevant") {
     val a = cc(Seq((5L, 1L), (3L, 5L)), Seq(1L, 3L, 5L))
     assert(a == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))

@@ -118,6 +118,37 @@ class CurateSpec extends SparkSpec {
     assert(perShard.forall(_ == 0L), "every packing stream starts at pack 0")
   }
 
+  test("train manifest covers every train pack once, sharded and deterministic") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("curate-man").toString
+    val s = Curate.run(spark, Sf, out, trainManifest = true, manifestShards = 4)
+    val corpus = spark.read.parquet(s"$out/corpus")
+    val manifest = spark.read.parquet(s"$out/manifest").cache()
+    // one manifest row per distinct train pack, none from val/test
+    val trainPacks = corpus.filter(col("split") === "train")
+      .select("lang", "shard", "pack_id").distinct()
+    assert(s.manifestPacks == trainPacks.count())
+    assert(manifest.count() == s.manifestPacks)
+    assert(manifest.select("lang", "shard", "pack_id")
+      .except(trainPacks).count() == 0, "manifest lists a non-train pack")
+    // shard bounds honor the parameter; positions contiguous per mshard
+    val rows = manifest.collect()
+    assert(rows.forall { r =>
+      val m = r.getAs[Int]("mshard"); m >= 0 && m < 4
+    })
+    rows.groupBy(_.getAs[Int]("mshard")).foreach { case (m, g) =>
+      val pos = g.map(_.getAs[Int]("pos")).sorted
+      assert(pos.head == 1 && pos.last == pos.length,
+        s"mshard $m positions not contiguous")
+    }
+    // deterministic across reruns
+    val out2 = java.nio.file.Files.createTempDirectory("curate-man2").toString
+    Curate.run(spark, Sf, out2, trainManifest = true, manifestShards = 4)
+    val m2 = spark.read.parquet(s"$out2/manifest")
+    assert(manifest.except(m2).count() == 0 && m2.except(manifest).count() == 0)
+    manifest.unpersist()
+  }
+
   test("curate rerun is deterministic") {
     val (a, b) = (java.nio.file.Files.createTempDirectory("ca").toString,
       java.nio.file.Files.createTempDirectory("cb").toString)

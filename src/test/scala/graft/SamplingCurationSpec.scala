@@ -235,6 +235,36 @@ class SamplingCurationSpec extends SparkSpec {
         .head().getString(0))
   }
 
+  test("q105 redacts Luhn-valid card runs and refuses Luhn-failing ones") {
+    val d = Seq(
+      (1L, "pay with 4111111111111111 today"), // classic Luhn-valid PAN
+      (2L, "ref 1234567890123456 code"),       // 16 digits, fails mod-10
+      (3L, "clean text with no numbers at all"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("luhn").toString
+    d.withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q105LuhnRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def m(s: String) =
+      spark.sql(s"SELECT md5('$s')").head().getString(0)
+    // valid PAN: detected, verified, and byte-exactly replaced
+    assert(out(1L).getAs[Long]("n_candidates") == 1)
+    assert(out(1L).getAs[Int]("luhn_valid") == 1)
+    assert(out(1L).getAs[String]("redacted_md5") == m("pay with [CARD] today"))
+    // 16-digit run failing mod-10: candidate seen, NOT redacted — the
+    // false-positive discipline the checksum exists for
+    assert(out(2L).getAs[Long]("n_candidates") == 1)
+    assert(out(2L).getAs[Int]("luhn_valid") == 0)
+    assert(out(2L).getAs[String]("redacted_md5") == m("ref 1234567890123456 code"))
+    // no candidates: untouched
+    assert(out(3L).getAs[Long]("n_candidates") == 0)
+    assert(out(3L).getAs[Int]("luhn_valid") == 0)
+    assert(out(3L).getAs[String]("redacted_md5") ==
+      m("clean text with no numbers at all"))
+  }
+
   test("q89 DSIR weights rank the target-domain language above the rest") {
     // the whole point of the importance weight: documents from the
     // target distribution (lang = 'en') must score higher under the
