@@ -1,0 +1,100 @@
+package graft.ml
+
+import graft.operators.{Sampling, TextOps}
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality filtering — the fastText-shaped
+  * classifier the public corpus pipelines train beside their rule
+  * batteries (CCNet's linear LM filter, LLaMA's Wikipedia-reference
+  * classifier, FineWeb-Edu's quality scorer all follow this recipe):
+  * hashed bag-of-words features (the hashing trick — no vocabulary fit,
+  * so the feature step is a stateless row-local transform at any corpus
+  * size) into a regularized logistic regression, trained on WEAK labels
+  * from an existing heuristic (here the q27 composite quality score's
+  * 0.5 floor — q53's curation threshold), then applied where the
+  * heuristic itself is too coarse or too slow.
+  *
+  * The complement to [[Predictor]] (the reference's regression path):
+  * same assemble→fit→save/load→score lifecycle, classification head.
+  *
+  * Scale shape: HashingTF is per-row arithmetic (no fitted vocabulary,
+  * nothing to broadcast); LogisticRegression fits via MLlib's
+  * tree-aggregated L-BFGS (one pass per iteration, no corpus shuffle);
+  * scoring is a stateless transform. Training-set assembly reuses the
+  * q47 deterministic hash split so train/heldout membership is
+  * reproducible from doc_id alone.
+  */
+object QualityClassifier {
+
+  /** Tokens + weak label per document. The label is CORPUS-RELATIVE:
+    * above/below the corpus mean of the q27 composite score — the
+    * relative-threshold discipline the public scorers use when an
+    * absolute floor doesn't transfer across corpora (on this synthetic
+    * corpus the q53 0.5 floor never bites — every document clears it —
+    * so an absolute label would be degenerate). The mean is one exact
+    * decimal aggregate broadcast back as a 1-row frame.
+    */
+  def labeled(docs: DataFrame): DataFrame = {
+    val st = TextOps.stats(docs)
+    val mean = st.agg(graft.Num.avgD(col("quality_score")).as("q_mean"))
+    st.crossJoin(broadcast(mean)).select(
+      col("doc_id"),
+      split(lower(trim(col("text"))), " ").as("tokens"),
+      (col("quality_score") >= col("q_mean")).cast("double").as("label"))
+  }
+
+  /** Deterministic train/heldout split on the q47 hash (80/20 on the
+    * same salted bucket, so membership never moves under corpus
+    * growth). Returns (train, heldout).
+    */
+  def trainHeldoutSplit(labeledFrame: DataFrame): (DataFrame, DataFrame) = {
+    val b = Sampling.bucket100("split", col("doc_id"))
+    (labeledFrame.filter(b < 80), labeledFrame.filter(b >= 80))
+  }
+
+  /** Hashing trick → regularized logistic regression. 1024 hashed
+    * features is plenty for a token vocabulary this size; at web scale
+    * the public recipes use 2²⁰ buckets — the knob changes nothing
+    * structurally (the transform stays stateless).
+    */
+  def pipeline(numFeatures: Int = 1024): Pipeline = {
+    val tf = new HashingTF()
+      .setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(numFeatures)
+    val lr = new LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setPredictionCol("prediction").setProbabilityCol("probability")
+      .setRegParam(0.01).setElasticNetParam(0.0).setMaxIter(100)
+    new Pipeline().setStages(Array(tf, lr))
+  }
+
+  def fit(train: DataFrame, numFeatures: Int = 1024): PipelineModel =
+    pipeline(numFeatures).fit(train)
+
+  def save(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def load(path: String): PipelineModel = PipelineModel.load(path)
+
+  /** Score a labeled frame: per-doc quality probability + hard call. */
+  def score(model: PipelineModel, frame: DataFrame): DataFrame =
+    model.transform(frame)
+      .select(col("doc_id"), col("label"),
+        vector_to_array(col("probability")).getItem(1).as("p_quality"),
+        col("prediction"))
+
+  /** Area under the ROC curve of a scored frame — MLlib's distributed
+    * evaluator (rank statistics via sortByKey, no driver collect).
+    */
+  def auc(scored: DataFrame): Double =
+    new BinaryClassificationEvaluator()
+      .setLabelCol("label").setRawPredictionCol("p_quality")
+      .setMetricName("areaUnderROC")
+      .evaluate(scored.withColumn("p_quality", col("p_quality").cast("double")))
+}

@@ -242,4 +242,33 @@ class PlanSpec extends SparkSpec {
         s"$name: a nested loop beyond the centroid broadcast: ${p.take(400)}")
     }
   }
+
+  test("q102 BPE pairs: bounded top-k selection, no join anywhere") {
+    val p = planString(CorpusOps.q102BpePairs(spark, Sf))
+    // the unpartitioned rank + filter compiles to a global top-k
+    // (TakeOrderedAndProject — per-partition heaps of k, no full sort)
+    // or, depending on the rewrite, a WindowGroupLimit; either keeps
+    // per-partition state bounded at k before any exchange
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      "top-k must keep per-partition state bounded before the rank exchange")
+    assert(!p.contains("Join"), "pair counting needs no join")
+  }
+
+  test("q103 mixture draw broadcasts the languages-frame allocation") {
+    val p = planString(Sampling.q103MixtureDraw(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), "allocation join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the languages-frame join")
+  }
+
+  test("q104 manifest position window is shard-partitioned") {
+    val p = planString(Sampling.q104TrainOrder(spark, Sf))
+    // the position row_number must partition by shard — a degenerate
+    // global permutation would hash the window input to one partition.
+    // (The UniMax waterfall's languages-frame windows upstream ARE
+    // deliberate single-partition windows over ≤ hundreds of rows —
+    // they are allowed; the corpus-sized manifest window is not.)
+    assert(p.contains("hashpartitioning(shard"),
+      "manifest position window must repartition on shard")
+  }
 }
