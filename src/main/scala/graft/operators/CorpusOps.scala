@@ -480,4 +480,90 @@ object CorpusOps {
       |SELECT rank, sym_left, sym_right, pair_count, n_word_types
       |FROM r WHERE rank <= 50
       |ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------- q107
+
+  /** q107: embedding-space health report — the QA pass a pipeline runs
+    * BEFORE trusting vectors for ANN/SemDeDup/decontamination (q24–q26,
+    * q95–q98 all assume sane embeddings): per label, vector count,
+    * non-finite contamination, zero-vector count, mean norm, and a
+    * COLLAPSE ratio — ||label centroid|| / mean ||x|| — the standard
+    * anisotropy proxy (Ethayarajh, EMNLP 2019 measures contextual
+    * embedding anisotropy exactly this way: random directions average
+    * out, so a ratio near 1 means the label's vectors point the same
+    * way — an encoder collapse or a re-encode bug — while a healthy
+    * spread sits well below it).
+    *
+    * Scale shape: one posexplode → per-vector norm (groupBy vec_id,
+    * partial-aggregated) and per-(label, dim) centroid (640 groups,
+    * q68's shuffle) → label rollups over both. Norms quantize at 6dp
+    * pre-average (q85's libm discipline: sqrt is IEEE on both engines,
+    * the decimal average is exact after quantization).
+    */
+  def q107EmbeddingHealth(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val perVec = e.groupBy("vec_id", "label")
+      .agg(Num.exactSum(col("v") * col("v")).cast("double").as("norm2"),
+        sum(when(col("v").isNaN || col("v") === Double.PositiveInfinity ||
+          col("v") === Double.NegativeInfinity, 1L).otherwise(0L))
+          .as("n_nonfinite"))
+    val centroid = e.groupBy("label", "dim")
+      .agg(Num.avgD(col("v"), 6).as("c"))
+    val centroidNorm = centroid.groupBy("label")
+      .agg(sqrt(Num.exactSum(col("c") * col("c")).cast("double")).as("centroid_norm"))
+    perVec
+      .withColumn("norm", Num.roundD(sqrt(col("norm2")), 6))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("n_nonfinite") > 0).cast("long")).as("n_nonfinite_vecs"),
+        sum((col("norm2") === 0.0).cast("long")).as("n_zero_vecs"),
+        Num.avgD(col("norm")).as("mean_norm"))
+      .join(broadcast(centroidNorm), Seq("label"))
+      .withColumn("collapse_ratio",
+        Num.roundD(col("centroid_norm") / col("mean_norm")))
+      .withColumn("centroid_norm", Num.roundD(col("centroid_norm")))
+      .select("label", "n_vecs", "n_nonfinite_vecs", "n_zero_vecs",
+        "mean_norm", "centroid_norm", "collapse_ratio")
+      .orderBy("label")
+  }
+
+  val q107Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, unnest(range(len(embedding))) AS dim, embedding
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT vec_id, label, dim,
+       |    CAST(embedding[dim + 1] AS DOUBLE) AS v
+       |  FROM e),
+       |pv AS (
+       |  SELECT vec_id, label,
+       |    CAST(SUM(CAST(v * v AS DECIMAL(25,6))) AS DOUBLE) AS norm2,
+       |    CAST(SUM(CASE WHEN isnan(v) OR v = 'infinity'::DOUBLE
+       |      OR v = '-infinity'::DOUBLE THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_nonfinite
+       |  FROM x GROUP BY vec_id, label),
+       |cd AS (
+       |  SELECT label, dim, ${Num.sqlAvg("v", 6)} AS c
+       |  FROM x GROUP BY label, dim),
+       |cn AS (
+       |  SELECT label,
+       |    SQRT(CAST(SUM(CAST(c * c AS DECIMAL(25,6))) AS DOUBLE))
+       |      AS centroid_norm
+       |  FROM cd GROUP BY label),
+       |lv AS (
+       |  SELECT label, COUNT(*) AS n_vecs,
+       |    CAST(SUM(CASE WHEN n_nonfinite > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_nonfinite_vecs,
+       |    CAST(SUM(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero_vecs,
+       |    ${Num.sqlAvg(Num.sqlRoundD("SQRT(norm2)", 6))} AS mean_norm
+       |  FROM pv GROUP BY label)
+       |SELECT lv.label, n_vecs, n_nonfinite_vecs, n_zero_vecs, mean_norm,
+       |  ${Num.sqlRoundD("centroid_norm")} AS centroid_norm,
+       |  ${Num.sqlRoundD("centroid_norm / mean_norm")} AS collapse_ratio
+       |FROM lv JOIN cn ON lv.label = cn.label
+       |ORDER BY lv.label""".stripMargin
 }

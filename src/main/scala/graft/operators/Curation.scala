@@ -325,6 +325,72 @@ object Curation {
        |FROM t
        |ORDER BY doc_id""".stripMargin
 
+  /** q106: decontamination BY SUITE — q51's overlap rule generalized to
+    * the deployment reality: a pipeline screens against MANY eval
+    * suites at once and reports contamination PER SUITE (the per-source
+    * accounting GPT-3's appendix and every corpus card since publish).
+    * The benchmark slice (doc_id % 97 == 0) is partitioned into three
+    * stand-in suites by `(doc_id div 97) % 3`; each suite's distinct
+    * gram set probes the corpus gram stream through ONE shared broadcast
+    * (the union of suite gram tables, suite column carried), so adding
+    * suites adds broadcast rows, never passes — the corpus is exploded
+    * and probed exactly once regardless of suite count. Suites with zero
+    * hits still report (left join from the suite-size table), because a
+    * zero is the result the screen exists to prove.
+    */
+  def q106DecontamBySuite(s: SparkSession, dir: String): DataFrame = {
+    val grams = gramHashes(docs(s, dir)).persist()
+    grams.count() // eager: both consumers below race a cold cache otherwise
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .withColumn("suite",
+        concat(lit("suite_"), (expr("doc_id div 97") % 3).cast("int").cast("string")))
+      .select("suite", "gh").distinct()
+    val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+    val corpusDocs = corpus.agg(
+      countDistinct(col("doc_id")).as("n_corpus_docs"))
+    val hits = corpus.join(broadcast(bench), Seq("gh"))
+      .groupBy("suite")
+      .agg(countDistinct(col("doc_id")).as("n_contaminated_docs"),
+        count(lit(1)).as("n_gram_hits"))
+    bench.groupBy("suite").agg(count(lit(1)).as("n_suite_grams"))
+      .join(hits, Seq("suite"), "left")
+      .crossJoin(broadcast(corpusDocs))
+      .select(col("suite"), col("n_suite_grams"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        Num.roundD(coalesce(col("n_contaminated_docs"), lit(0L)).cast("double")
+          / col("n_corpus_docs")).as("contaminated_frac"))
+      .orderBy("suite")
+  }
+
+  val q106Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |e AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+       |g AS (
+       |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh FROM e),
+       |bench AS (
+       |  SELECT DISTINCT 'suite_' || CAST((doc_id // 97) % 3 AS INT) AS suite, gh
+       |  FROM g WHERE doc_id % 97 = 0),
+       |corpus AS (
+       |  SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+       |nc AS (
+       |  SELECT COUNT(DISTINCT doc_id) AS n_corpus_docs FROM corpus),
+       |hits AS (
+       |  SELECT suite, COUNT(DISTINCT doc_id) AS n_contaminated_docs,
+       |    COUNT(*) AS n_gram_hits
+       |  FROM corpus JOIN bench USING (gh) GROUP BY suite),
+       |sizes AS (
+       |  SELECT suite, COUNT(*) AS n_suite_grams FROM bench GROUP BY suite)
+       |SELECT sizes.suite, n_suite_grams,
+       |  CAST(COALESCE(n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+       |  CAST(COALESCE(n_contaminated_docs, 0) AS BIGINT) AS n_contaminated_docs,
+       |  ${Num.sqlRoundD("CAST(COALESCE(n_contaminated_docs, 0) AS DOUBLE) / n_corpus_docs")} AS contaminated_frac
+       |FROM sizes LEFT JOIN hits ON sizes.suite = hits.suite, nc
+       |ORDER BY sizes.suite""".stripMargin
+
   /** Candidate pattern for [[q105LuhnRedact]] — a contiguous 16-digit
     * run (the dominant PAN shape), RE2-and-Java compatible like the q52
     * patterns. */

@@ -85,6 +85,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.head.getAs[Double]("pass_rate") == 1.0)
   }
 
+  test("q107 embedding health: clean corpus reads clean, pathologies are counted") {
+    import spark.implicits._
+    // real corpus: no non-finite, no zero vectors, collapse strictly < 1
+    val real = CorpusOps.q107EmbeddingHealth(spark, Sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getAs[Long]("n_nonfinite_vecs") == 0)
+      assert(r.getAs[Long]("n_zero_vecs") == 0)
+      assert(r.getAs[Double]("mean_norm") > 0.0)
+      val c = r.getAs[Double]("collapse_ratio")
+      assert(c >= 0.0 && c <= 1.01, s"label ${r.get(0)} collapse $c")
+    }
+    // injected pathologies: label 0 = one repeated direction (collapse
+    // ≈ 1), label 1 = antipodal pair (centroid 0 → collapse 0), label 2
+    // carries a zero vector and a NaN vector, both counted
+    val unit = Array.fill(4)(0.5f)
+    val dir = java.nio.file.Files.createTempDirectory("emb-health").toString
+    Seq(
+      (1L, unit, 0), (2L, unit, 0), (3L, unit, 0),
+      (4L, unit, 1), (5L, unit.map(-_), 1),
+      (6L, Array.fill(4)(0.0f), 2), (7L, Array(Float.NaN, 1f, 1f, 1f), 2),
+      (8L, unit, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = CorpusOps.q107EmbeddingHealth(spark, dir).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(out(0).getAs[Double]("collapse_ratio") == 1.0)
+    assert(out(1).getAs[Double]("collapse_ratio") == 0.0)
+    assert(out(2).getAs[Long]("n_zero_vecs") == 1)
+    assert(out(2).getAs[Long]("n_nonfinite_vecs") == 1)
+  }
+
   test("q102 BPE pair counts equal a direct recomputation, ranked correctly") {
     val k = 20
     val out = CorpusOps.q102BpePairs(spark, Sf, topK = k).collect()

@@ -265,6 +265,26 @@ class SamplingCurationSpec extends SparkSpec {
       m("clean text with no numbers at all"))
   }
 
+  test("q106 per-suite contamination unions back to exactly q51's non-benchmark flags") {
+    val bySuite = Curation.q106DecontamBySuite(spark, Sf).collect()
+    assert(bySuite.length == 3, "three stand-in suites must always report")
+    bySuite.foreach { r =>
+      assert(r.getAs[Long]("n_suite_grams") > 0)
+      assert(r.getAs[Long]("n_contaminated_docs") <= r.getAs[Long]("n_gram_hits"))
+      val f = r.getAs[Double]("contaminated_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // the suites partition the benchmark slice, so q51's flagged
+    // NON-benchmark count is exactly the union of the per-suite sets: a
+    // doc may be counted by several suites (sum ≥ union) but no single
+    // suite can flag a doc q51 didn't (max ≤ union)
+    val union = Curation.q51Decontaminate(spark, Sf)
+      .filter(col("is_benchmark") === 0).count()
+    val perSuite = bySuite.map(_.getAs[Long]("n_contaminated_docs"))
+    assert(perSuite.sum >= union, "per-suite counts cannot sum below the union")
+    assert(perSuite.max <= union, "no suite can flag more docs than the union")
+  }
+
   test("q89 DSIR weights rank the target-domain language above the rest") {
     // the whole point of the importance weight: documents from the
     // target distribution (lang = 'en') must score higher under the
