@@ -28,11 +28,32 @@ import org.apache.spark.sql.SparkSession
   *     the lock only if the token ON DISK is still its own, so it can
   *     never free the new holder's claim.
   *
-  * Object-store caveat (unchanged): createNewFile is atomic on HDFS and
-  * local filesystems but check-then-create on S3A — front this with a
-  * real coordination service there.
+  * Atomicity of the claim, per scheme: on HDFS the namenode arbitrates
+  * `createNewFile` server-side. On LOCAL filesystems Hadoop's
+  * `FileSystem.createNewFile` is check-then-act (`exists()` then
+  * `create(f, false)`, and RawLocalFileSystem opens without O_EXCL), so
+  * two same-instant claimers could BOTH win — AdmitSpec's racing-cycles
+  * test caught exactly this window live (both cycles entered the
+  * critical section and their index appends collided in the table's
+  * shared `_temporary` staging dir). [[atomicCreate]] therefore routes
+  * `file:` paths through `java.io.File.createNewFile`, which the JDK
+  * implements with O_CREAT|O_EXCL — a kernel-atomic claim. Object-store
+  * caveat (unchanged): S3A has no atomic create at all — front this
+  * with a real coordination service there.
   */
 object Locks {
+
+  /** Kernel-atomic claim attempt: exactly one of N same-instant callers
+    * returns true. Local paths use the JDK's O_EXCL create (Hadoop's
+    * local createNewFile is check-then-act — see object doc); every
+    * other scheme keeps `FileSystem.createNewFile` (atomic on HDFS).
+    */
+  private def atomicCreate(fs: FileSystem, lock: Path): Boolean =
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      try f.createNewFile()
+      catch { case _: java.io.IOException => false }
+    } else fs.createNewFile(lock)
 
   /** A held claim; [[release]] is fenced by the token. */
   final case class Claim(fs: FileSystem, lock: Path, token: String) {
@@ -58,7 +79,7 @@ object Locks {
     val lock = new Path(lockPath)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
-    val claimed = fs.createNewFile(lock) || {
+    val claimed = atomicCreate(fs, lock) || {
       // held — unless the holder crashed: the file's mtime is the claim
       // time (set atomically by the create), so age > TTL means no live
       // run can own it. A vanished file means the holder just released;
@@ -72,7 +93,7 @@ object Locks {
           s"${lock.getParent}/.${lock.getName}-stale-${System.nanoTime()}")
         val renamed = try fs.rename(lock, debris) catch { case _: Exception => false }
         if (renamed) fs.delete(debris, false)
-        fs.createNewFile(lock)
+        atomicCreate(fs, lock)
       }
     }
     if (!claimed) None

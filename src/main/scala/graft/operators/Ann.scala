@@ -1505,4 +1505,352 @@ object Ann {
        |FROM (SELECT vec_id, cell FROM asg WHERE vec_id >= 40000) b
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) t ON t.id_a = b.vec_id
        |ORDER BY b.vec_id""".stripMargin
+
+  // ── q109: product-quantization ANN (ADC scan) ────────────────────────
+
+  private val PqM = 8        // subspaces (PqM × PqSubDim = Dim)
+  private val PqSubDim = 8   // dims per subspace
+  private val PqSignBits = 4 // code bits per subspace → 16 codewords each
+
+  /** q109: product-quantization ANN with asymmetric distance computation
+    * (ADC) — the MEMORY-scale path of the ANN family (Jégou, Douze &
+    * Schmid 2011, "Product quantization for nearest neighbor search").
+    * Where q26/q81 bound CANDIDATES, PQ bounds BYTES: each 64-dim float
+    * vector compresses to 8 × 4-bit codes (4 bytes vs 256 — 64×), so at
+    * 100 TB of embeddings the scannable index is ~1.6 TB and the scoring
+    * pass never touches a float vector — per query, a 128-entry integer
+    * lookup table (one dot per (subspace, codeword)) replaces every
+    * per-pair dot product, and candidate scores are 8 table-adds each.
+    *
+    * The codebook is DETERMINISTIC in this family's oracle discipline
+    * (q81's move, applied per subspace): codewords are decimal-exact
+    * component means of the sign-bucketed subvectors — each 8-dim
+    * subvector lands in 1 of 16 groups by the sign pattern of its first
+    * 4 components (a structured one-step quantizer: Lloyd's iteration
+    * from a sign-hyperplane init, stopped where the arithmetic is still
+    * engine-portable), then quantized to floor(x·10⁷) longs so every
+    * downstream dot is exact integer math. Swap k-means codebooks in at
+    * deployment and give up the value oracle for the q91-style recall
+    * gate. Scores rank by the ADC cosine approximation dot(q, recon(x))
+    * / (‖q‖·‖recon(x)‖), where ‖recon(x)‖² = Σ_sub ‖codeword‖² exactly
+    * (subspaces are disjoint coordinates).
+    *
+    * Plan shape: codebook = one corpus pass (partial-aggregated groupBy
+    * to 8×16×8 = 1 024 rows); encode = row-local sign arithmetic; LUT =
+    * queries×128 broadcast; the scan joins each corpus code row to the
+    * broadcast LUT and aggregates 8 rows per (query, vector) — one
+    * shuffle whose width is queries × corpus GROUPS, the inherent cost
+    * of a full ADC scan. At 100 TB compose with q81's coarse cells
+    * (IVF-ADC: probe nprobe cells, ADC-score only in-cell codes) —
+    * both stages are already bucketed on the same key family.
+    */
+  /** Row-local PQ encode: the corpus with its 8 × 4-bit sign codes. */
+  private def pqCoded(e: DataFrame): DataFrame = {
+    val codesCol = array((0 until PqM).map { m =>
+      (0 until PqSignBits).map { b =>
+        when(col("emb")(m * PqSubDim + b) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    e.select(col("vec_id"), col("emb"), codesCol.as("codes"))
+  }
+
+  /** Per-component explode with subspace/offset/code columns — the
+    * shared input of the codebook build and the query-LUT build.
+    */
+  private def pqComps(coded: DataFrame): DataFrame =
+    coded.select(col("vec_id"), col("codes"), posexplode(col("emb")).as(Seq("j", "v")))
+      .withColumn("sub", expr(s"j div $PqSubDim"))
+      .withColumn("jj", expr(s"j % $PqSubDim"))
+      .withColumn("code", element_at(col("codes"), (col("sub") + 1).cast("int")))
+
+  /** Codebook: per-(sub, code, component) decimal-exact mean, quantized
+    * to a long — 8 × 16 × 8 = 1 024 rows from one partial-aggregated
+    * corpus pass.
+    */
+  private def pqCodebook(comps: DataFrame): DataFrame =
+    comps.groupBy("sub", "code", "jj")
+      .agg(floor((Num.exactSum(col("v")).cast("double") / count(lit(1)))
+        .cast("double") * lit(10000000.0)).cast("long").as("cw"))
+
+  def q109AnnPq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+    val coded = pqCoded(e)
+    val comps = pqComps(coded)
+    val cb = pqCodebook(comps)
+    val cbn = cb.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
+
+    // the compressed corpus: one (vec_id, sub, code) row per subspace
+    val corpusCodes = coded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+
+    // per-query LUT: exact integer dot of every query subvector with
+    // every codeword — queries × 8 × 16 rows, broadcast
+    val qsub = comps.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("sub"), col("jj"),
+        floor(col("v") * lit(10000000.0)).cast("long").as("qv"))
+    val lut = qsub.join(cb, Seq("sub", "jj"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum(col("qv") * col("cw")).as("d"))
+    val qn = qsub.groupBy("q_id").agg(sum(col("qv") * col("qv")).as("qnorm2"))
+
+    // ADC scan: 8 LUT adds per (query, vector); recon norm rides the
+    // same 8 rows (Σ_sub codeword-norm² — exact, disjoint coordinates)
+    val rankW = Window.partitionBy("q_id")
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    corpusCodes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(cbn), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"))
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("adc_cosine", Num.roundD(col("dot").cast("double")
+        / sqrt(col("qnorm2").cast("double") * col("recon2").cast("double"))))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("adc_cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q109Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM e),
+       |sv AS (
+       |  SELECT vec_id, j // $PqSubDim AS sub, j % $PqSubDim AS jj, v FROM expl),
+       |codes AS (
+       |  SELECT vec_id, sub,
+       |    CAST(SUM(CASE WHEN jj < $PqSignBits AND v >= 0 THEN 1 << jj ELSE 0 END) AS INT) AS code
+       |  FROM sv GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT s.sub, c.code, s.jj,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(s.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000000.0) AS BIGINT) AS cw
+       |  FROM sv s JOIN codes c ON c.vec_id = s.vec_id AND c.sub = s.sub
+       |  GROUP BY 1, 2, 3),
+       |cbn AS (SELECT sub, code, SUM(cw * cw) AS n2 FROM cb GROUP BY 1, 2),
+       |q AS (
+       |  SELECT vec_id AS q_id, sub, jj, CAST(FLOOR(v * 10000000.0) AS BIGINT) AS qv
+       |  FROM sv WHERE vec_id < 50),
+       |qn AS (SELECT q_id, SUM(qv * qv) AS qnorm2 FROM q GROUP BY 1),
+       |lut AS (
+       |  SELECT q.q_id, cb.sub, cb.code, SUM(q.qv * cb.cw) AS d
+       |  FROM q JOIN cb ON cb.sub = q.sub AND cb.jj = q.jj
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT l.q_id, c.vec_id AS n_id, SUM(l.d) AS dot, SUM(n.n2) AS recon2
+       |  FROM codes c
+       |  JOIN lut l ON l.sub = c.sub AND l.code = c.code
+       |  JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+       |  WHERE c.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT a.q_id, a.n_id,
+       |    ${Num.sqlRoundD("CAST(a.dot AS DOUBLE) / SQRT(CAST(qn.qnorm2 AS DOUBLE) * CAST(a.recon2 AS DOUBLE))")} AS adc_cosine
+       |  FROM adc a JOIN qn USING (q_id))
+       |SELECT q_id, rank, n_id, adc_cosine FROM (
+       |  SELECT q_id, n_id, adc_cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_cosine DESC, n_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
+
+  /** q110: the full production ANN stack — IVF coarse cells bound the
+    * CANDIDATES (q81's deterministic per-label centroids, nprobe of
+    * nlist), PQ-ADC bounds the BYTES scored per candidate (q109's 4-byte
+    * codes and integer LUTs), and an exact-cosine RERANK of the ADC
+    * top-C restores accuracy for the survivors only — the
+    * IVFADC-with-reranking architecture of Jégou et al. 2011 §VI that
+    * FAISS ships as `IVFx,PQy` + refine. The returned `cosine` is the
+    * TRUE decimal-exact cosine (identical to what q25 reports for the
+    * same pair), because the final ranking consumed float vectors for
+    * at most C = 32 candidates per query.
+    *
+    * Why this composition is THE 100 TB shape: the coarse stage turns a
+    * full-corpus scan into nprobe/nlist of it; the ADC stage means the
+    * scanned fraction is read as 4-byte codes (64× less memory
+    * bandwidth than floats) with 8 integer adds per candidate; the
+    * rerank stage touches real vectors for only C rows per query — so
+    * float I/O is O(queries × C), independent of corpus size. Every
+    * stage is the oracle-pinnable twin of its production form (swap
+    * k-means centroids/codebooks in at deployment, keep the plan).
+    */
+  def q110IvfPq(s: SparkSession, dir: String, nprobe: Int = 3,
+                adcTopC: Int = 32, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, dir)
+
+    // coarse quantizer: q81's per-label decimal-exact centroids
+    val centroids = e.groupBy(col("label").as("cell")).agg(
+      array((0 until Dim).map { j =>
+        (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
+      }: _*).as("centroid"))
+      .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
+      .withColumn("cnorm2",
+        expr("aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+    def qdot(a: String): Column = expr(
+      s"CAST(aggregate(zip_with($a, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+    val simOf: Column => Column = qv => qv / sqrt(col("cnorm2").cast("double"))
+    val withQ = e.withColumn("qemb",
+      expr(s"transform(emb, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
+    val simW = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    val assigned = withQ.crossJoin(broadcast(centroids))
+      .withColumn("sim", simOf(qdot("qemb")))
+      .withColumn("rn", row_number().over(simW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cell"))
+    val probes = withQ.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("qemb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", simOf(qdot("qemb")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select("q_id", "cell")
+    // candidates bounded by the probed cells — the one corpus-sized join
+    val cands = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+
+    // PQ stage: ADC-score ONLY the in-cell candidates
+    val coded = pqCoded(e)
+    val comps = pqComps(coded)
+    val cb = pqCodebook(comps)
+    val cbn = cb.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
+    val corpusCodes = coded.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val qsub = comps.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("sub"), col("jj"),
+        floor(col("v") * lit(10000000.0)).cast("long").as("qv"))
+    val lut = qsub.join(cb, Seq("sub", "jj"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum(col("qv") * col("cw")).as("d"))
+    val qn = qsub.groupBy("q_id").agg(sum(col("qv") * col("qv")).as("qnorm2"))
+    val adcW = Window.partitionBy("q_id")
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    val shortlist = cands.join(corpusCodes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .join(broadcast(cbn), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"))
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("adc_cosine", Num.roundD(col("dot").cast("double")
+        / sqrt(col("qnorm2").cast("double") * col("recon2").cast("double"))))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= adcTopC)
+      .select("q_id", "vec_id")
+
+    // rerank stage: exact decimal cosines for ≤ C survivors per query
+    val vecs = e.select(col("vec_id"), col("emb"))
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(shortlist
+        .join(broadcast(vecs.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))), Seq("q_id")))
+      .join(vecs, Seq("vec_id"))
+      .withColumn("cosine", cosineDec("q_emb", "emb"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q110Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, label, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM e),
+       |-- coarse stage (q81's CTEs): deterministic per-label centroids,
+       |-- integer-quantized; argmax cell per vector; nprobe cells per query
+       |cent AS (
+       |  SELECT label AS cell, j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq
+       |  FROM expl GROUP BY 1, 2),
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell,
+       |    SUM(CAST(FLOOR(x.v * $QScale) AS BIGINT) * ct.cq) AS dvc
+       |  FROM expl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
+       |sims AS (
+       |  SELECT d.vec_id, d.cell,
+       |    CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE)) AS sim
+       |  FROM vdots d JOIN cnorm c ON c.cell = d.cell),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+       |    FROM sims WHERE vec_id < 50) t
+       |  WHERE rn <= 3),
+       |cands AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |-- PQ stage (q109's CTEs): sign codes, decimal-exact codebook,
+       |-- per-query integer LUT, ADC over the candidates only
+       |sv AS (
+       |  SELECT vec_id, j // $PqSubDim AS sub, j % $PqSubDim AS jj, v FROM expl),
+       |codes AS (
+       |  SELECT vec_id, sub,
+       |    CAST(SUM(CASE WHEN jj < $PqSignBits AND v >= 0 THEN 1 << jj ELSE 0 END) AS INT) AS code
+       |  FROM sv GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT s.sub, c.code, s.jj,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(s.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000000.0) AS BIGINT) AS cw
+       |  FROM sv s JOIN codes c ON c.vec_id = s.vec_id AND c.sub = s.sub
+       |  GROUP BY 1, 2, 3),
+       |cbn AS (SELECT sub, code, SUM(cw * cw) AS n2 FROM cb GROUP BY 1, 2),
+       |q AS (
+       |  SELECT vec_id AS q_id, sub, jj, CAST(FLOOR(v * 10000000.0) AS BIGINT) AS qv
+       |  FROM sv WHERE vec_id < 50),
+       |qn AS (SELECT q_id, SUM(qv * qv) AS qnorm2 FROM q GROUP BY 1),
+       |lut AS (
+       |  SELECT q.q_id, cb.sub, cb.code, SUM(q.qv * cb.cw) AS d
+       |  FROM q JOIN cb ON cb.sub = q.sub AND cb.jj = q.jj
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT c.q_id, c.vec_id, SUM(l.d) AS dot, SUM(n.n2) AS recon2
+       |  FROM cands c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub AND l.code = k.code
+       |  JOIN cbn n ON n.sub = k.sub AND n.code = k.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.q_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY
+       |        ${Num.sqlRoundD("CAST(a.dot AS DOUBLE) / SQRT(CAST(qn.qnorm2 AS DOUBLE) * CAST(a.recon2 AS DOUBLE))")} DESC,
+       |        a.vec_id) AS rn
+       |    FROM adc a JOIN qn USING (q_id)) t
+       |  WHERE rn <= 32),
+       |-- rerank stage: exact decimal cosines for the ADC survivors only
+       |pdots AS (
+       |  SELECT s.q_id, s.vec_id, SUM(CAST(qa.v * qb.v AS DECIMAL(25,12))) AS dotp
+       |  FROM short s
+       |  JOIN expl qa ON qa.vec_id = s.q_id
+       |  JOIN expl qb ON qb.vec_id = s.vec_id AND qb.j = qa.j
+       |  GROUP BY 1, 2),
+       |vn AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2 FROM expl GROUP BY 1),
+       |scored AS (
+       |  SELECT d.q_id, d.vec_id AS n_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))")} AS cosine
+       |  FROM pdots d
+       |  JOIN vn na ON na.vec_id = d.q_id
+       |  JOIN vn nb ON nb.vec_id = d.vec_id)
+       |SELECT q_id, rank, n_id, cosine FROM (
+       |  SELECT q_id, n_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 }

@@ -246,4 +246,69 @@ object TextOps {
        |       WHEN avg_surprisal < sx / n - SQRT(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) THEN 'common'
        |       ELSE 'typical' END AS info_tier
        |FROM perdoc CROSS JOIN st ORDER BY doc_id""".stripMargin
+
+  /** Chunk window / stride (tokens). Overlap = Win − Stride = 16 tokens,
+    * the usual "carry context across the cut" margin of retrieval
+    * pipelines.
+    */
+  private val ChunkWin = 48
+  private val ChunkStride = 32
+
+  /** q108: overlapping token-window chunking — the document→passage
+    * step every retrieval/embedding pipeline runs before it can embed:
+    * long documents become fixed-width token windows (48 tokens, stride
+    * 32) with STABLE ids (doc_id, chunk_idx), so a re-run or an
+    * incremental corpus update re-embeds only the chunks whose text
+    * changed. Tokens come from the ORIGINAL text (split on ' ', no
+    * lowercasing — q94's byte-preservation discipline: a chunk ships to
+    * an embedder, so mangling case would change what gets embedded) and
+    * the chunk-text md5 is the oracle contract, value-checking the
+    * byte-exact window rebuild. Every document yields ≥ 1 chunk (a
+    * short doc is its own chunk); every token lands in ≥ 1 window and
+    * consecutive windows share Win − Stride tokens by construction.
+    *
+    * Scale shape: pure row-local scan-speed work — tokenize, compute
+    * n_chunks arithmetically, explode a `sequence`, `slice` per chunk.
+    * No shuffle, no state, output ~n_tok/stride rows per doc; at 100 TB
+    * this runs as one pass at read bandwidth and the (doc_id,
+    * chunk_idx) key partitions downstream embedding work evenly.
+    */
+  def q108ChunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val (w, st) = (ChunkWin, ChunkStride)
+    docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= w, lit(1)).otherwise(
+          expr(s"CAST(CEIL((n_tok - $w) / $st.0) AS INT) + 1"))) // exact: small-int / power-of-two
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * st)
+      .withColumn("chunk_toks", slice(col("toks"), col("start_tok") + 1, lit(w)))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val q108Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+       |    len(string_split(trim(text), ' ')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CASE WHEN n_tok <= $ChunkWin THEN 1
+       |         ELSE CAST(CEIL((n_tok - $ChunkWin) / $ChunkStride.0) AS INT) + 1 END AS n_chunks
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+       |  FROM c)
+       |SELECT doc_id, chunk_idx,
+       |  chunk_idx * $ChunkStride AS start_tok,
+       |  LEAST($ChunkWin, n_tok - chunk_idx * $ChunkStride) AS n_chunk_tokens,
+       |  md5(array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkWin], ' ')) AS chunk_md5
+       |FROM x
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

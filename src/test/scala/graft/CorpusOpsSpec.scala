@@ -156,4 +156,34 @@ class CorpusOpsSpec extends SparkSpec {
     val counts = out.map(_.getAs[Long]("pair_count"))
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
   }
+
+  test("q108 chunking: full coverage, fixed stride, 16-token overlap, byte-exact windows") {
+    import graft.operators.TextOps
+    val out = TextOps.q108ChunkWindows(spark, Sf).cache()
+    val docs = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).as("n_tok"),
+        md5(trim(col("text"))).as("full_md5"))
+    val byDoc = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"), max(col("chunk_idx")).as("max_idx"),
+      max(col("start_tok") + col("n_chunk_tokens")).as("covered"))
+      .join(docs, "doc_id")
+    assert(byDoc.count() == docs.count(), "every document chunks")
+    // contiguous ids, every token covered, chunk count matches the formula
+    assert(byDoc.filter(col("max_idx") =!= col("n_chunks") - 1).count() == 0)
+    assert(byDoc.filter(col("covered") =!= col("n_tok")).count() == 0,
+      "the last window must end exactly at the last token")
+    assert(byDoc.filter(col("n_tok") <= 48 && col("n_chunks") =!= 1).count() == 0)
+    assert(byDoc.filter(col("n_tok") > 48 &&
+      col("n_chunks") =!= ceil((col("n_tok") - 48) / lit(32.0)).cast("int") + 1).count() == 0)
+    // fixed stride: start = idx * 32; widths in (0, 48]
+    assert(out.filter(col("start_tok") =!= col("chunk_idx") * 32).count() == 0)
+    assert(out.filter(col("n_chunk_tokens") < 1 || col("n_chunk_tokens") > 48).count() == 0)
+    // byte contract, checked independently of the operator's rebuild: a
+    // single-chunk document's window IS its trimmed text
+    val single = out.join(byDoc.filter(col("n_chunks") === 1), "doc_id")
+    assert(single.count() > 0)
+    assert(single.filter(col("chunk_md5") =!= col("full_md5")).count() == 0,
+      "single-chunk docs must hash to their own trimmed text")
+    out.unpersist()
+  }
 }

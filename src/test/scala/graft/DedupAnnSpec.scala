@@ -608,6 +608,74 @@ class DedupAnnSpec extends SparkSpec {
     assert(mean >= 0.35, f"IVF recall@10 $mean%.2f below floor (nprobe 3/10 cells)")
   }
 
+  test("q109 PQ ADC: valid per-query top-k, true-cosine scores, and a recall floor vs exact") {
+    val pq = Ann.q109AnnPq(spark, Sf).collect()
+    val byQ = pq.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+        s"query $q: ranks not contiguous")
+      val cosines = sorted.map(_.getAs[Double]("adc_cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"query $q: ADC cosines not descending")
+      // ADC scores ARE cosines (of the query vs a reconstruction), so
+      // they cannot leave [-1, 1] beyond the 4dp rounding step
+      assert(cosines.forall(c => c >= -1.0001 && c <= 1.0001), s"query $q: $cosines")
+      assert(rs.map(_.getAs[Long]("n_id")).distinct.length == rs.length)
+      assert(!rs.exists(_.getAs[Long]("n_id") == q), s"query $q returned itself")
+    }
+    // recall@10 of the 4-byte code (64× compression, no reranking)
+    // against the exact float baseline — deterministic codebook and
+    // data, so the floor is stable (measured 0.40 mean / 0.30 min)
+    val exact = Ann.q25AnnBruteforce(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+    val recalls = exact.map { case (q, want) =>
+      val got = byQ.get(q).map(_.map(_.getAs[Long]("n_id")).toSet).getOrElse(Set.empty)
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.30, f"PQ ADC recall@10 $mean%.2f below floor (4-bit sign codes)")
+  }
+
+  test("q110 IVF-PQ rerank: reranked cosines are the TRUE cosines, and the stack's recall tracks plain IVF") {
+    val out = Ann.q110IvfPq(spark, Sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getAs[Long]("n_id") == q))
+    }
+    // the rerank contract: a returned (q, n) pair's cosine equals the
+    // EXACT brute-force value for that pair — ADC approximated only the
+    // cut, never the published score
+    val exactRows = Ann.q25AnnBruteforce(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    val overlapping = out.flatMap { r =>
+      exactRows.get((r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .map(ex => (r.getAs[Double]("cosine"), ex))
+    }
+    assert(overlapping.nonEmpty, "stack and exact baseline share no pairs")
+    overlapping.foreach { case (got, want) =>
+      assert(got == want, s"reranked cosine $got != exact $want")
+    }
+    // recall@10 vs exact: the stack cannot beat its coarse stage (same
+    // cells as q81) and the C=32 ADC cut should cost little below it
+    val exact = Ann.q25AnnBruteforce(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+    val recalls = exact.map { case (q, want) =>
+      val got = byQ.get(q).map(_.map(_.getAs[Long]("n_id")).toSet).getOrElse(Set.empty)
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.30, f"IVF-PQ-rerank recall@10 $mean%.2f below floor")
+  }
+
   test("q26 LSH ANN recalls every genuinely-near neighbor at rank 1") {
     // queries with an injected near-dup (vec_id % 5 == 0 → +10000 at
     // cosine ≈ 1) must surface it as their top hit — LSH's recall contract

@@ -60,4 +60,37 @@ class PipelineSpec extends SparkSpec {
     assert(skipped.skipped, "a live lock inside the TTL must be honored")
     assert(fs.exists(lock))
   }
+
+  test("barrier-started tryClaim contenders admit exactly one winner, every round") {
+    // Hadoop's local createNewFile is check-then-act (exists() then a
+    // non-O_EXCL create), so same-instant claimers could both "win" —
+    // the window AdmitSpec's race test hit live (both cycles inside the
+    // critical section, colliding in the table's _temporary staging
+    // dir). Locks.atomicCreate now routes file: paths through the JDK's
+    // O_CREAT|O_EXCL create; this hammer releases 16 contenders through
+    // a barrier 40 times and demands exactly one claim per round — a
+    // deterministic reproducer-class test for the old window, which a
+    // microsecond-wide race would hit with high probability across 640
+    // barrier-aligned attempts.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock-hammer").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      (0 until 40).foreach { round =>
+        val lockPath = s"$dir/.claim-$round"
+        val barrier = new java.util.concurrent.CyclicBarrier(16)
+        val claims = (0 until 16).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Option[Locks.Claim]] {
+            def call(): Option[Locks.Claim] = {
+              barrier.await()
+              Locks.tryClaim(spark, lockPath, staleAfterMs = 60000L)
+            }
+          })
+        }.map(_.get())
+        val winners = claims.flatten
+        assert(winners.size == 1,
+          s"round $round: ${winners.size} claimers won the same lock")
+        winners.foreach(_.release())
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -271,4 +271,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"),
       "manifest position window must repartition on shard")
   }
+
+  test("q108 chunking is scan-speed: no exchange before the harness sort, no join") {
+    val p = planString(TextOps.q108ChunkWindows(spark, Sf))
+    // tokenize → arithmetic chunk count → explode → slice is row-local;
+    // the ONLY exchange allowed is the final presentation ORDER BY's
+    // range partitioning — a shuffle or join before it means the
+    // operator stopped being a single pass at read bandwidth
+    assert(!p.contains("Join"), "chunking needs no join")
+    assert(!p.contains("hashpartitioning"),
+      "chunking must not hash-shuffle — row-local explode only")
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(500))
+  }
+
+  test("q109 PQ ADC: LUT and codebook ride broadcasts; no sort-merge join, no cartesian") {
+    val p = planString(Ann.q109AnnPq(spark, Sf))
+    // the scan side (corpus codes) joins the per-query LUT and the
+    // codeword-norm table as broadcasts — the corpus never shuffles for
+    // a join; the only corpus-keyed exchanges are the codebook build's
+    // partial-aggregated groupBy and the (query, vector) ADC aggregate
+    assert(p.contains("BroadcastHashJoin"), "LUT join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("q110 IVF-PQ rerank: centroid/LUT/shortlist sides all broadcast; no corpus-sized join shuffle") {
+    val p = planString(Ann.q110IvfPq(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), "stack joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(500))
+  }
 }
