@@ -273,10 +273,12 @@ object TextOps {
     * this runs as one pass at read bandwidth and the (doc_id,
     * chunk_idx) key partitions downstream embedding work evenly.
     */
-  def q108ChunkWindows(s: SparkSession, dir: String): DataFrame = {
+  /** The chunk stream both q108 and q111 consume: one row per (doc,
+    * window) with the byte-exact window md5. Row-local throughout.
+    */
+  private def chunkFrame(d: DataFrame): DataFrame = {
     val (w, st) = (ChunkWin, ChunkStride)
-    docs(s, dir)
-      .select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
+    d.select(col("doc_id"), split(trim(col("text")), " ").as("toks"))
       .withColumn("n_tok", size(col("toks")))
       .withColumn("n_chunks",
         when(col("n_tok") <= w, lit(1)).otherwise(
@@ -288,8 +290,10 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("chunk_toks")).as("n_chunk_tokens"),
         md5(array_join(col("chunk_toks"), " ")).as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
   }
+
+  def q108ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(docs(s, dir)).orderBy("doc_id", "chunk_idx")
 
   val q108Sql: String =
     s"""WITH t AS (
@@ -311,4 +315,62 @@ object TextOps {
        |  md5(array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkWin], ' ')) AS chunk_md5
        |FROM x
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q111: duplicate-PASSAGE accounting at the chunk grain — the
+    * boilerplate detector q108's windows make cheap: a chunk whose
+    * 48-token window recurs in ≥ 2 distinct documents is a duplicated
+    * passage (fixed windows, vs q93's maximal spans — coarser but one
+    * shuffle instead of a positional gram join), and each document
+    * reports how much of it is made of such passages. The per-doc
+    * duplicated fraction is the passage-grain twin of q66's Gopher
+    * repetition rules: high-fraction docs are templated/boilerplate
+    * candidates for the Curate quality gates.
+    *
+    * Scale shape: the chunk stream is row-local (q108); one posting-list
+    * shuffle on chunk_md5 (partial-aggregated distinct-doc count), the
+    * df table joins back on the SAME key (the aggregation's partitioning
+    * is reused — no broadcast needed, so the duplicated set may grow
+    * with the corpus), then one per-doc aggregate. The q21/q85 posting
+    * discipline at the passage grain.
+    */
+  def q111DupPassages(s: SparkSession, dir: String): DataFrame = {
+    val chunks = chunkFrame(docs(s, dir)).select("doc_id", "chunk_md5")
+    val df = chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    chunks.join(df, Seq("chunk_md5"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_fraction", Num.roundD(
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double")))
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_fraction")
+      .orderBy("doc_id")
+  }
+
+  val q111Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(trim(text), ' ') AS toks,
+       |    len(string_split(trim(text), ' ')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n_tok,
+       |    CASE WHEN n_tok <= $ChunkWin THEN 1
+       |         ELSE CAST(CEIL((n_tok - $ChunkWin) / $ChunkStride.0) AS INT) + 1 END AS n_chunks
+       |  FROM t),
+       |x AS (
+       |  SELECT doc_id, toks,
+       |    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+       |  FROM c),
+       |chunks AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(toks[chunk_idx * $ChunkStride + 1 : chunk_idx * $ChunkStride + $ChunkWin], ' ')) AS chunk_md5
+       |  FROM x),
+       |df AS (
+       |  SELECT chunk_md5, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1)
+       |SELECT k.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  ${Num.sqlRoundD("CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS dup_fraction
+       |FROM chunks k JOIN df f USING (chunk_md5)
+       |GROUP BY k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
 }

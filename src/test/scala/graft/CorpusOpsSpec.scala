@@ -186,4 +186,32 @@ class CorpusOpsSpec extends SparkSpec {
       "single-chunk docs must hash to their own trimmed text")
     out.unpersist()
   }
+
+  test("q111 dup passages: twin docs read fraction 1.0, a unique doc 0.0, a half-shared doc in between") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // injected corpus: two byte-identical 80-token docs (every window
+    // duplicated), one disjoint doc (no window duplicated), and one doc
+    // sharing its first 48 tokens with the twins (its first window — and
+    // only that one — recurs elsewhere)
+    val a = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 80).map(i => s"other$i").mkString(" ")
+    val c = (1 to 48).map(i => s"tok$i").mkString(" ") + " " +
+      (1 to 47).map(i => s"tail$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q111").toString
+    Seq((1L, a), (2L, a), (3L, b), (4L, c))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.q111DupPassages(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Double]("dup_fraction"))).toMap
+    // 80 tokens → chunks at 0/32 → 2 windows each
+    assert(out(1L) == ((2L, 2L, 1.0)), out(1L).toString)
+    assert(out(2L) == ((2L, 2L, 1.0)), out(2L).toString)
+    assert(out(3L) == ((2L, 0L, 0.0)), out(3L).toString)
+    // doc 4 (95 tokens → 3 windows): window 0 equals the twins' window 0;
+    // windows 1-2 mix tok/tail tokens and exist nowhere else
+    assert(out(4L) == ((3L, 1L, 0.3333)), out(4L).toString)
+  }
 }

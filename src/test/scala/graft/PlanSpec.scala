@@ -301,4 +301,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       p.take(500))
   }
+
+  test("q111 dup passages: the posting join shuffles on the chunk key, nothing broadcasts the df table") {
+    val p = planString(TextOps.q111DupPassages(spark, Sf))
+    // the duplicated-passage set grows with the corpus, so the df
+    // join-back must NOT rely on a broadcast (q85 broadcasts because its
+    // head vocab is floored; here the posting-list co-partitioning is
+    // the contract) — both sides hash on chunk_md5 and nothing plans a
+    // cartesian
+    assert(p.contains("hashpartitioning(chunk_md5"), p.take(500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(500))
+  }
 }
