@@ -60,6 +60,9 @@ object Bench {
         "x95_semdedup_float" ->
           ((s: SparkSession, d: String) =>
             graft.operators.Ann.q95SemDedup(s, d, verify = "float")),
+        "x110_ivfpq_float" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Ann.q110IvfPq(s, d, verify = "float")),
         "x99_bloom_xxhash64" ->
           ((s: SparkSession, d: String) =>
             graft.operators.Curation.q99BloomDecontaminate(s, d, "xxhash64")))

@@ -1678,7 +1678,8 @@ object Ann {
     * k-means centroids/codebooks in at deployment, keep the plan).
     */
   def q110IvfPq(s: SparkSession, dir: String, nprobe: Int = 3,
-                adcTopC: Int = 32, k: Int = 10): DataFrame = {
+                adcTopC: Int = 32, k: Int = 10,
+                verify: String = "decimal"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, dir)
 
@@ -1742,14 +1743,22 @@ object Ann {
       .filter(col("adc_rank") <= adcTopC)
       .select("q_id", "vec_id")
 
-    // rerank stage: exact decimal cosines for ≤ C survivors per query
+    // rerank stage: exact cosines for ≤ C survivors per query —
+    // verify="decimal" is the oracle contract; "float" is the fused
+    // native kernel (x110's bench twin, the x81/x95 discipline)
+    val rerank: Column = verify match {
+      case "decimal" => cosineDec("q_emb", "emb")
+      case "float" => Num.roundD(cosine(col("q_emb"), col("emb")))
+      case other => throw new IllegalArgumentException(
+        s"verify must be decimal or float, got $other")
+    }
     val vecs = e.select(col("vec_id"), col("emb"))
     val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
     broadcast(shortlist
         .join(broadcast(vecs.filter(col("vec_id") < 50)
           .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))), Seq("q_id")))
       .join(vecs, Seq("vec_id"))
-      .withColumn("cosine", cosineDec("q_emb", "emb"))
+      .withColumn("cosine", rerank)
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), col("cosine"))
