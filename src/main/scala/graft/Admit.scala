@@ -165,6 +165,34 @@ object Admit {
     */
   private def freePinned(df: DataFrame): Unit = Frames.freePinned(df)
 
+  /** The persisted per-cycle accounting as a consumable history: one row
+    * per landed batch (partition discovery over `_admit_reports/
+    * batch_id=`), ordered, with the running totals an operator actually
+    * watches — cumulative input/admitted and the admission rate per
+    * batch and to date. A drifting cumulative rate is the standing-state
+    * signal (a corpus saturating on its sources admits less and less);
+    * a single-batch collapse is an ingest signal (a replayed or
+    * near-duplicate feed). Window over batch_id: the history is one row
+    * per batch, so the unpartitioned running sum is bounded by design —
+    * the q100 languages-frame exception, not a corpus-sized window.
+    */
+  def reportHistory(spark: SparkSession, outDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("batch_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spark.read.parquet(s"$outDir/_admit_reports")
+      .withColumn("admit_rate",
+        round(col("admitted").cast("double") / col("input"), 4))
+      .withColumn("cum_input", sum("input").over(w))
+      .withColumn("cum_admitted", sum("admitted").over(w))
+      .withColumn("cum_admit_rate",
+        round(col("cum_admitted").cast("double") / col("cum_input"), 4))
+      .select("batch_id", "input", "intra_rejected", "contaminated_rejected",
+        "near_dup_rejected", "semantic_rejected", "admitted", "admit_rate",
+        "cum_input", "cum_admitted", "cum_admit_rate")
+      .orderBy("batch_id")
+  }
+
   /** Screen `docs` (doc_id, text, …) against the standing state and land
     * the survivors. `embeddings` (vec_id aligned with doc_id) and
     * `semTable` enable the semantic screens; without them only the

@@ -90,6 +90,14 @@ class AdmitSpec extends SparkSpec {
       .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(reports == Set((1, 3L, 0L, 0L, 1L, 1L, 1L), (2, 3L, 0L, 0L, 1L, 1L, 1L)),
       reports.toString)
+    // the consumable history: per-batch and cumulative admission rates
+    // derived from the same partitions, in batch order
+    val hist = Admit.reportHistory(spark, out).collect()
+    assert(hist.map(_.getAs[Int]("batch_id")).toSeq == Seq(1, 2))
+    assert(hist.forall(_.getAs[Double]("admit_rate") == 0.3333), hist.mkString)
+    assert(hist.last.getAs[Long]("cum_input") == 6L &&
+      hist.last.getAs[Long]("cum_admitted") == 2L &&
+      hist.last.getAs[Double]("cum_admit_rate") == 0.3333, hist.last.toString)
     // and the cycles leave no pinned per-batch state behind (ADVICE r8:
     // the localCheckpoints are freed, the probe kernels run cache-free)
     // — an unbounded streaming run must not accumulate blocks
