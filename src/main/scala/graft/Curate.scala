@@ -28,7 +28,7 @@ object Curate {
   case class Summary(input: Long, afterQuality: Long, afterDedup: Long,
                      afterDecontam: Long, packed: Long,
                      afterCut: Long = -1L, afterSemantic: Long = -1L,
-                     manifestPacks: Long = -1L)
+                     manifestPacks: Long = -1L, afterClassifier: Long = -1L)
 
   /** `packShards` is the packing-parallelism knob (VERDICT r8 #5): the
     * pack window partitions by (split, lang, shard) with `shard = doc_id
@@ -43,15 +43,40 @@ object Curate {
           semanticEps: Double = 0.99,
           packShards: Int = 32,
           trainManifest: Boolean = false,
-          manifestShards: Int = 16): Summary = {
+          manifestShards: Int = 16,
+          classifierFloor: Double = -1.0): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
     // 1. scan-speed quality + PII gates (no shuffle)
     val stats = TextOps.stats(docs)
-    val quality0 = stats.filter(col("quality_score") >= qualityFloor)
+    val quality1 = stats.filter(col("quality_score") >= qualityFloor)
       .select(docs.columns.map(col) :+ col("n_tokens") :+ col("quality_score"): _*)
-    val afterQuality = quality0.count()
+    val afterQuality = quality1.count()
+
+    // 1a. optional MODEL quality gate (classifierFloor ≥ 0): the
+    // distilled classifier — hashing-trick features + logistic head
+    // trained on the corpus-relative weak labels (the CCNet /
+    // LLaMA-filter / FineWeb recipe ml.QualityClassifier implements) —
+    // scores every heuristic survivor, and documents the MODEL scores
+    // below the floor drop even though they cleared the rule battery
+    // (the model generalizes past the rules' blind spots; that is its
+    // job). The fitted artifact ships beside the corpus
+    // (`outDir/quality_model`) so the gate is reproducible and
+    // downstream re-scoring uses the exact model that curated the data.
+    val (quality0, afterClassifier) =
+      if (classifierFloor < 0) (quality1, -1L)
+      else {
+        val lab = ml.QualityClassifier.labeled(docs)
+        val (tr, _) = ml.QualityClassifier.trainHeldoutSplit(lab)
+        val model = ml.QualityClassifier.fit(tr)
+        ml.QualityClassifier.save(model, s"$outDir/quality_model")
+        val passing = ml.QualityClassifier.score(model, lab)
+          .filter(col("p_quality") >= classifierFloor)
+          .select("doc_id")
+        val g = quality1.join(passing, "doc_id")
+        (g, g.count())
+      }
 
     // 1b. optional ExactSubstr cut (Lee et al. 2021): remove every
     // cross-doc duplicated span. A document that lost NO spans keeps its
@@ -191,12 +216,12 @@ object Curate {
           spark.read.parquet(s"$outDir/manifest").count()
         }
       Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
-        afterCut, afterSemantic, manifestPacks)
+        afterCut, afterSemantic, manifestPacks, afterClassifier)
     } finally labels.unpersist()
   }
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
-    * [--manifest]` */
+    * [--manifest] [--classifier]` */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val Array(dataDir, outDir) = pos
@@ -221,9 +246,11 @@ object Curate {
       run(spark, dataDir, outDir,
         substringCut = flags.contains("--cut"),
         semanticDedup = flags.contains("--semantic"),
-        trainManifest = flags.contains("--manifest"))
+        trainManifest = flags.contains("--manifest"),
+        classifierFloor = if (flags.contains("--classifier")) 0.5 else -1.0)
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
+      s"classifier=${s.afterClassifier} " +
       s"cut=${s.afterCut} dedup=${s.afterDedup} semantic=${s.afterSemantic} " +
       s"decontam=${s.afterDecontam} packed=${s.packed} " +
       s"manifest=${s.manifestPacks}")

@@ -149,6 +149,35 @@ class CurateSpec extends SparkSpec {
     manifest.unpersist()
   }
 
+  test("classifier gate drops model-flagged docs, ships its model, and stays inside the heuristic survivors") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("curate-clf").toString
+    // floor 0.5 = the model's own decision boundary on the corpus-
+    // relative weak label: roughly the below-mean half of the corpus
+    // drops, so the gate provably BITES (strictly fewer docs than the
+    // heuristic gate alone, which this corpus always fully clears)
+    val s = Curate.run(spark, Sf, out, classifierFloor = 0.5)
+    assert(s.afterClassifier >= 0 && s.afterClassifier <= s.afterQuality)
+    assert(s.afterClassifier < s.afterQuality,
+      "a mean-split weak label must reject some heuristic survivors")
+    assert(s.afterDedup <= s.afterClassifier)
+    assert(s.packed > 0, "the gate must not empty the corpus")
+    // the fitted artifact ships beside the corpus and re-scores
+    val model = graft.ml.QualityClassifier.load(s"$out/quality_model")
+    val docs = Tables.load(spark, Sf, "documents")
+    val rescored = graft.ml.QualityClassifier.score(model,
+      graft.ml.QualityClassifier.labeled(docs))
+    val passing = rescored.filter(col("p_quality") >= 0.5)
+      .select("doc_id")
+    val shipped = spark.read.parquet(s"$out/corpus").select("doc_id")
+    assert(shipped.join(passing, Seq("doc_id"), "left_anti").count() == 0,
+      "every shipped doc must re-score above the floor under the shipped model")
+    // default run is unchanged: the stage is off and reports -1
+    assert(Curate.run(spark, Sf,
+      java.nio.file.Files.createTempDirectory("curate-noclf").toString)
+      .afterClassifier == -1L)
+  }
+
   test("curate rerun is deterministic") {
     val (a, b) = (java.nio.file.Files.createTempDirectory("ca").toString,
       java.nio.file.Files.createTempDirectory("cb").toString)
