@@ -34,7 +34,7 @@ object Bpe {
     * the standard BPE apply order (for "aaa" under merge (a,a):
     * [aa, a]). Row-local fold; no UDF.
     */
-  private def applyMerge(syms: Column, a: String, b: String): Column =
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
     aggregate(syms, typedLit(Array.empty[String]), (acc, x) =>
       when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))

@@ -91,4 +91,25 @@ class BpeSpec extends SparkSpec {
     val newest = seg.find(_.getAs[String]("word") == "newest").get
     assert(newest.getAs[Int]("n_tokens") < 4, newest.toString)
   }
+
+  test("the distributed merge fold equals the reference greedy apply on random arrays") {
+    import spark.implicits._
+    // a 3-letter alphabet makes overlapping runs (aaa, abab) common —
+    // exactly the cases where a wrong fold diverges from left-to-right
+    // greedy semantics
+    val rng = new scala.util.Random(7)
+    def sym(): String = ('a' + rng.nextInt(3)).toChar.toString
+    val cases = (1 to 60).map { i =>
+      (i.toLong, List.fill(2 + rng.nextInt(10))(sym()), sym(), sym())
+    }
+    val frames = cases.map { case (id, seg, a, b) =>
+      val got = Seq((id, seg)).toDF("id", "syms")
+        .select(Bpe.applyMerge(col("syms"), a, b).as("merged"))
+        .collect().head.getSeq[String](0).toList
+      (got, applyGreedy(seg, a, b), seg, a, b)
+    }
+    frames.foreach { case (got, want, seg, a, b) =>
+      assert(got == want, s"fold $got vs greedy $want on $seg merge ($a,$b)")
+    }
+  }
 }
