@@ -85,6 +85,48 @@ object Admit {
   case class Standing(seedDocs: DataFrame,
                       seedVecs: Option[DataFrame] = None)
 
+  /** The cycle's vector-index seam (round 10): the semantic screen can
+    * run against either standing embedding-index family — the banded
+    * semantic index (r8) or the IVF-PQ index (this round) — through one
+    * probe/append/rebuild contract. Both expose the same `_centroids`
+    * side table (the intra-batch screen's cell source), both probe to
+    * (vec_id, …, is_dup) rows, both append batch-sized, both rebuild
+    * members-only under the WAL repair (cells — and for PQ, codewords —
+    * never move).
+    */
+  private sealed trait VecIndex {
+    def table: String
+    def dupIds(spark: SparkSession, vecs: DataFrame, eps: Double): DataFrame
+    def append(spark: SparkSession, vecs: DataFrame): Unit
+    def rebuild(spark: SparkSession, vecs: DataFrame): Unit
+  }
+  private final case class SemIndex(table: String) extends VecIndex {
+    def dupIds(spark: SparkSession, vecs: DataFrame, eps: Double): DataFrame =
+      Ann.probeSemanticIndex(spark, table, vecs, eps, verify = "float",
+          cache = false)
+        .filter(col("is_dup") === 1).select("vec_id")
+    def append(spark: SparkSession, vecs: DataFrame): Unit =
+      Ann.appendSemanticIndex(spark, table, vecs)
+    def rebuild(spark: SparkSession, vecs: DataFrame): Unit =
+      Ann.rebuildSemanticIndex(spark, table, vecs)
+  }
+  private final case class PqIndex(table: String) extends VecIndex {
+    def dupIds(spark: SparkSession, vecs: DataFrame, eps: Double): DataFrame =
+      Ann.probePqIndex(spark, table, vecs, eps)
+        .filter(col("is_dup") === 1).select("vec_id")
+    def append(spark: SparkSession, vecs: DataFrame): Unit =
+      Ann.appendPqIndex(spark, table, vecs)
+    def rebuild(spark: SparkSession, vecs: DataFrame): Unit =
+      Ann.rebuildPqIndex(spark, table, vecs)
+  }
+  private def vecIndexOf(semTable: Option[String],
+                         pqTable: Option[String]): Option[VecIndex] = {
+    require(semTable.isEmpty || pqTable.isEmpty,
+      "pass semTable OR pqTable, not both — one standing vector index " +
+        "screens a cycle")
+    semTable.map(SemIndex.apply).orElse(pqTable.map(PqIndex.apply))
+  }
+
   /** Locks older than this are crash debris ([[Pipeline]]'s bound). */
   val DefaultStaleAfterMs: Long = 6 * 60 * 60 * 1000L
 
@@ -132,7 +174,16 @@ object Admit {
   def recover(spark: SparkSession, bandTable: String, outDir: String,
               standing: Standing, excludeBatchId: Long,
               embeddings: Option[DataFrame] = None,
-              semTable: Option[String] = None): Unit = {
+              semTable: Option[String] = None,
+              pqTable: Option[String] = None): Unit =
+    recoverWith(spark, bandTable, outDir, standing, excludeBatchId,
+      embeddings, vecIndexOf(semTable, pqTable))
+
+  private def recoverWith(spark: SparkSession, bandTable: String,
+                          outDir: String, standing: Standing,
+                          excludeBatchId: Long,
+                          embeddings: Option[DataFrame],
+                          vecIndex: Option[VecIndex]): Unit = {
     val landedDocs = landed(spark, outDir)
       .map(_.filter(col("batch_id") =!= excludeBatchId))
     val docs = landedDocs.map(ld =>
@@ -143,7 +194,7 @@ object Admit {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bandTable))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     Dedup.refreshIndex(docs, bandTable, numBuckets = numBuckets)
-    for ((vecs, st) <- embeddings.zip(semTable)) {
+    for ((vecs, idx) <- embeddings.zip(vecIndex)) {
       val landedVecs = landedDocs.map(ld =>
         vecs.join(ld.select(col("doc_id").as("vec_id")), "vec_id")
           .select("vec_id", "emb"))
@@ -153,7 +204,7 @@ object Admit {
         case (None, Some(lv)) => lv
         case (None, None) => vecs.select("vec_id", "emb").limit(0)
       }
-      Ann.rebuildSemanticIndex(spark, st, allVecs)
+      idx.rebuild(spark, allVecs)
     }
   }
 
@@ -180,13 +231,17 @@ object Admit {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("batch_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // rate divisions are guarded: a landed EMPTY batch (input = 0 — a
+    // replayed feed whose every doc was upstream-filtered) has no
+    // meaningful per-batch rate (null, not a 0/0 NaN), and the
+    // cumulative rate guards the degenerate all-empty prefix (ADVICE r9)
     spark.read.parquet(s"$outDir/_admit_reports")
-      .withColumn("admit_rate",
-        round(col("admitted").cast("double") / col("input"), 4))
+      .withColumn("admit_rate", when(col("input") > 0,
+        round(col("admitted").cast("double") / col("input"), 4)))
       .withColumn("cum_input", sum("input").over(w))
       .withColumn("cum_admitted", sum("admitted").over(w))
-      .withColumn("cum_admit_rate",
-        round(col("cum_admitted").cast("double") / col("cum_input"), 4))
+      .withColumn("cum_admit_rate", when(col("cum_input") > 0,
+        round(col("cum_admitted").cast("double") / col("cum_input"), 4)))
       .select("batch_id", "input", "intra_rejected", "contaminated_rejected",
         "near_dup_rejected", "semantic_rejected", "admitted", "admit_rate",
         "cum_input", "cum_admitted", "cum_admit_rate")
@@ -194,9 +249,11 @@ object Admit {
   }
 
   /** Screen `docs` (doc_id, text, …) against the standing state and land
-    * the survivors. `embeddings` (vec_id aligned with doc_id) and
-    * `semTable` enable the semantic screens; without them only the
-    * surface-form screens run. `recovery` supplies the WAL repair's
+    * the survivors. `embeddings` (vec_id aligned with doc_id) plus ONE
+    * of `semTable` (the banded semantic index) or `pqTable` (the
+    * standing IVF-PQ index — round 10's third standing-index option)
+    * enable the semantic screens; without them only the surface-form
+    * screens run. `recovery` supplies the WAL repair's
     * rebuild source — REQUIRED for streaming use, where a replay after a
     * crashed append window must self-heal (without it the cycle fails
     * loudly naming the manual repair). Returns the per-batch accounting
@@ -212,17 +269,28 @@ object Admit {
                  benchmarkGrams: Option[DataFrame] = None,
                  bloomMBits: Int = 20,
                  staleAfterMs: Long = DefaultStaleAfterMs,
-                 lockWaitMs: Long = 10 * 60 * 1000L): Report =
+                 lockWaitMs: Long = 10 * 60 * 1000L,
+                 pqTable: Option[String] = None): Report =
     Locks.withLock(spark, s"$outDir/.admit-running", staleAfterMs,
       maxWaitMs = lockWaitMs) {
-      admitBatchLocked(spark, docs, bandTable, outDir, batchId,
-        embeddings, semTable, eps, recovery, benchmarkGrams, bloomMBits)
+      // the width rule (graft.Tuning, VERDICT r9 #6): admission is
+      // open-ended-input production code — its screens explode the
+      // batch into grams/bands, so the shuffle width must scale with
+      // BATCH bytes, not stay pinned at core count. Safe under the
+      // lock: the cycle is single-flow by construction, and the conf
+      // is restored on every exit path.
+      Tuning.withShuffleWidth(spark,
+        Tuning.scaledShufflePartitionsForFrame(spark, docs)) {
+        admitBatchLocked(spark, docs, bandTable, outDir, batchId,
+          embeddings, vecIndexOf(semTable, pqTable), eps, recovery,
+          benchmarkGrams, bloomMBits)
+      }
     }
 
   private def admitBatchLocked(spark: SparkSession, docs: DataFrame,
                                bandTable: String, outDir: String, batchId: Long,
                                embeddings: Option[DataFrame],
-                               semTable: Option[String], eps: Double,
+                               vecIndex: Option[VecIndex], eps: Double,
                                recovery: Option[Standing],
                                benchmarkGrams: Option[DataFrame],
                                bloomMBits: Int): Report = {
@@ -232,7 +300,7 @@ object Admit {
     if (readWal(spark, outDir).contains(batchId)) {
       recovery match {
         case Some(st) =>
-          recover(spark, bandTable, outDir, st, batchId, embeddings, semTable)
+          recoverWith(spark, bandTable, outDir, st, batchId, embeddings, vecIndex)
         case None => throw new IllegalStateException(
           s"admission WAL $outDir/_admit_wal shows batch $batchId already " +
             s"appended to $bandTable but never landed — a replay would " +
@@ -269,13 +337,15 @@ object Admit {
       .filter(col("n_shared_bands") >= 4)
       .select(col("doc_b").as("doc_id")).distinct()
     val surfaceUnique = exactUnique.join(nearSelfDropped, Seq("doc_id"), "left_anti")
-    val intraUniqueLazy = (embeddings, semTable) match {
-      case (Some(vecs), Some(st)) =>
+    val intraUniqueLazy = (embeddings, vecIndex) match {
+      case (Some(vecs), Some(idx)) =>
         val batchVecs = vecs
           .join(surfaceUnique.select(col("doc_id").as("vec_id")), "vec_id")
           .select("vec_id", "emb")
+        // both index families expose the same `_centroids` side table —
+        // the intra screen shares the standing cells either way
         val semSelfDropped = Ann.semIntraDups(
-            spark.table(s"${st}_centroids"), batchVecs, eps)
+            spark.table(s"${idx.table}_centroids"), batchVecs, eps)
           .withColumnRenamed("vec_id", "doc_id")
         surfaceUnique.join(semSelfDropped, Seq("doc_id"), "left_anti")
       case _ => surfaceUnique
@@ -326,15 +396,13 @@ object Admit {
         // Curate convention). cache=false: the per-batch cell-assignment
         // persist would accumulate forever on a stream (ADVICE r8); the
         // assignment recomputes once more inside one bounded plan.
-        val admittedLazy = (embeddings, semTable) match {
-          case (Some(vecs), Some(st)) =>
+        val admittedLazy = (embeddings, vecIndex) match {
+          case (Some(vecs), Some(idx)) =>
             val survivorVecs = vecs
               .join(afterNear.select(col("doc_id").as("vec_id")), "vec_id")
-            val semDup = Ann.probeSemanticIndex(spark, st,
-                survivorVecs.select("vec_id", "emb"), eps, verify = "float",
-                cache = false)
-              .filter(col("is_dup") === 1)
-              .select(col("vec_id").as("doc_id"))
+            val semDup = idx
+              .dupIds(spark, survivorVecs.select("vec_id", "emb"), eps)
+              .withColumnRenamed("vec_id", "doc_id")
             afterNear.join(semDup, Seq("doc_id"), "left_anti")
           case _ => afterNear
         }
@@ -352,12 +420,11 @@ object Admit {
             writeWal(spark, outDir, batchId)
             Dedup.appendIndex(spark, bandTable,
               admittedDocs.select("doc_id", "text"))
-            for ((vecs, st) <- embeddings.zip(semTable)) {
+            for ((vecs, idx) <- embeddings.zip(vecIndex)) {
               val admittedVecs = vecs
                 .join(admittedDocs.select(col("doc_id").as("vec_id")), "vec_id")
               if (!admittedVecs.isEmpty)
-                Ann.appendSemanticIndex(spark, st,
-                  admittedVecs.select("vec_id", "emb"))
+                idx.append(spark, admittedVecs.select("vec_id", "emb"))
             }
           }
           admittedDocs.write.mode("overwrite")

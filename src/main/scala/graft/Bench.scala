@@ -101,18 +101,34 @@ object Bench {
     // construction. Fork works because `run / fork := true` gives this
     // JVM the real classpath and javaOptions to propagate. Bounded and
     // fail-soft: a hung or crashed child costs only its own entry (and
-    // the 900 s section budget skips stragglers), never the bench line.
-    // 900 s, not 600 (r9): at sf0.1 a fork costs ~100 s wall (JVM +
-    // session init + 5 executions), so the r8 budget fit only 6 of the
-    // 12 requested forks and the very queries the widened cut was FOR
-    // (q95/q96/q98) were the ones skipped; 900 s fits all 12 with the
-    // same per-child cap and the same fail-soft skip.
+    // the 1800 s section budget skips stragglers), never the bench line.
+    // 1800 s, not 900 (r10 — sticky set): at sf0.1 a fork costs ~100 s
+    // wall (JVM + session init + 5 executions); the sticky union is 14
+    // queries plus any new top-12 entrants, and the r9 900 s budget fit
+    // only 12 forks. Same per-child cap, same fail-soft skip.
     // 12, not 10 (VERDICT r8 #4): the r8 top-10 cut left q96/q98 — both
     // top-10 in-suite entries that round — without an isolated baseline;
     // two extra forks cost ~1 min and make every cross-round regression
-    // read mechanical
-    val slow = results.filter { case (n, v) => n.startsWith("q") && v > 0 }
-      .sortBy(-_._2).take(12).map(_._1)
+    // read mechanical.
+    // STICKY set (VERDICT r9 #4): a pure top-N cut loses exactly the
+    // baselines you want confirmed — q95 improved in-suite 1.90→1.39 s
+    // in r9, fell out of the cut, and its 5.30 s canonical baseline had
+    // nothing to compare against. Every query that EVER earned a
+    // canonical isolated number stays in the fork set for good (the
+    // list below is the union of the BENCH_r08/r09 isolated sections +
+    // q98's close-out-sweep baseline), and the current top-12 still
+    // joins so new heavy entries start their own baseline. Section
+    // budget 1800 s (was 900): the sticky union is 14 queries and a
+    // fork costs ~100 s at sf0.1; the per-child cap and the fail-soft
+    // skip are unchanged, and sticky entries fork FIRST so a budget
+    // squeeze drops a new entry's first number, never a baseline's
+    // continuation.
+    val sticky = Seq("q23", "q46", "q51", "q71", "q81", "q84", "q87",
+      "q95", "q96", "q97", "q98", "q99", "q101", "q110")
+    val byTime = results.filter { case (n, v) => n.startsWith("q") && v > 0 }
+      .sortBy(-_._2).map(_._1)
+    val stickyFirst = byTime.filter(n => sticky.exists(s => n.startsWith(s + "_")))
+    val slow = stickyFirst ++ byTime.take(12).filterNot(stickyFirst.contains)
     // the in-suite session is done — release its heap and executor pools
     // BEFORE forking, so the children measure on an uncontended host
     spark.stop()
@@ -127,10 +143,10 @@ object Bench {
           Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ")
         val run = """(\S+) run\d+: ([0-9.]+) s""".r
         slow.flatMap { q =>
-          // each child's deadline is capped by what REMAINS of the 900 s
-          // section budget, so the section can never overrun to
-          // 900 s + a final child's full 150 s (ADVICE r8)
-          val remainingNs = 900L * 1000 * 1000 * 1000 -
+          // each child's deadline is capped by what REMAINS of the
+          // 1800 s section budget, so the section can never overrun to
+          // budget + a final child's full 150 s (ADVICE r8)
+          val remainingNs = 1800L * 1000 * 1000 * 1000 -
             (System.nanoTime() - isoStart)
           if (remainingNs <= 0) None
           else try {

@@ -71,7 +71,16 @@ object Curate {
         val (tr, _) = ml.QualityClassifier.trainHeldoutSplit(lab)
         val model = ml.QualityClassifier.fit(tr)
         ml.QualityClassifier.save(model, s"$outDir/quality_model")
-        val passing = ml.QualityClassifier.score(model, lab)
+        val scoredAll = ml.QualityClassifier.score(model, lab)
+        // the gate's accounting ships beside the model (VERDICT r9 #7):
+        // the score-decile calibration table and the precision/recall
+        // trade at every candidate floor, so `classifierFloor` is an
+        // informed number — both derive from ONE scoring pass
+        ml.QualityClassifier.calibrationReport(scoredAll)
+          .write.mode("overwrite").parquet(s"$outDir/quality_model_calibration")
+        ml.QualityClassifier.floorSweep(scoredAll)
+          .write.mode("overwrite").parquet(s"$outDir/quality_model_floor_sweep")
+        val passing = scoredAll
           .filter(col("p_quality") >= classifierFloor)
           .select("doc_id")
         val g = quality1.join(passing, "doc_id")

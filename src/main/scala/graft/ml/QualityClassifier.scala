@@ -97,4 +97,64 @@ object QualityClassifier {
       .setLabelCol("label").setRawPredictionCol("p_quality")
       .setMetricName("areaUnderROC")
       .evaluate(scored.withColumn("p_quality", col("p_quality").cast("double")))
+
+  /** Calibration report (round 10 — VERDICT r9 #7): one row per score
+    * DECILE of a [[score]]d frame — (decile, n, mean_p, frac_label_pos)
+    * — the score-distribution × heuristic-agreement table the public
+    * recipes publish beside their classifiers (a calibrated model's
+    * frac_label_pos should track its mean_p decile by decile; a model
+    * that separates but mis-calibrates shows a flat middle). One
+    * aggregation pass over the scored corpus; ten rows out.
+    */
+  def calibrationReport(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("decile",
+        least(floor(col("p_quality") * 10), lit(9)).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p_quality")), 4).as("mean_p"),
+        round(avg(col("label")), 4).as("frac_label_pos"))
+      .orderBy("decile")
+
+  /** The precision/recall trade at candidate gate floors, derived from
+    * [[calibrationReport]]'s decile aggregate by suffix sums — so the
+    * whole sweep costs one corpus pass plus a 10-row window (the q100
+    * bounded-frame exception, not a corpus-sized window). One row per
+    * floor 0.0, 0.1, …, 0.9: keeping documents with p_quality ≥ floor
+    * gives (kept, kept_frac, precision, recall) against the weak
+    * heuristic label — the table that makes `classifierFloor` an
+    * informed number instead of a default 0.5.
+    */
+  def floorSweep(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // densified over ALL ten deciles (the q59 date-spine discipline):
+    // an empty decile still gets its floor row, so a consumer can read
+    // any floor's trade without checking existence
+    val spine = scored.sparkSession.range(0, 10)
+      .select(col("id").cast("int").as("decile"))
+    val dec = spine.join(
+        scored
+          .withColumn("decile",
+            least(floor(col("p_quality") * 10), lit(9)).cast("int"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos")),
+        Seq("decile"), "left")
+      .na.fill(0L, Seq("n", "n_pos"))
+    val wSuffix = Window.orderBy(col("decile").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = dec.agg(sum("n").as("total"), sum("n_pos").as("total_pos"))
+    dec
+      .withColumn("kept", sum("n").over(wSuffix))
+      .withColumn("kept_pos", sum("n_pos").over(wSuffix))
+      .crossJoin(broadcast(totals))
+      .select(
+        round(col("decile") / 10.0, 1).as("floor"),
+        col("kept"),
+        round(col("kept").cast("double") / col("total"), 4).as("kept_frac"),
+        when(col("kept") > 0,
+          round(col("kept_pos").cast("double") / col("kept"), 4)).as("precision"),
+        when(col("total_pos") > 0,
+          round(col("kept_pos").cast("double") / col("total_pos"), 4)).as("recall"))
+      .orderBy("floor")
+  }
 }

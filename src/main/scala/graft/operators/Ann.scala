@@ -288,10 +288,18 @@ object Ann {
     * rounding is engine-portable, and decimal addition is associative,
     * so the fold equals the oracle's unordered SUM bit-for-bit).
     */
-  def q25AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+  def q25AnnBruteforce(s: SparkSession, dir: String): DataFrame =
+    q25AnnBruteforce(s, dir, 5)
+
+  /** [[q25AnnBruteforce]] over the first `nQueries` query ids — the
+    * exact baseline the ANN specs verify against (ADVICE r9: the PQ
+    * paths serve 50-query sets, so their value checks need a baseline
+    * over the SAME set, not q25's oracle-pinned 5).
+    */
+  def q25AnnBruteforce(s: SparkSession, dir: String, nQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, dir)
-    val q = e.filter(col("vec_id") < 5)
+    val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
       .withColumn("qn", dotDec("qemb", "qemb"))
     val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
@@ -1544,15 +1552,18 @@ object Ann {
     * (IVF-ADC: probe nprobe cells, ADC-score only in-cell codes) —
     * both stages are already bucketed on the same key family.
     */
+  /** The 8 × 4-bit sign-code array of an `emb` column — row-local
+    * arithmetic, the encoder of the whole PQ family.
+    */
+  private def pqCodesCol: Column = array((0 until PqM).map { m =>
+    (0 until PqSignBits).map { b =>
+      when(col("emb")(m * PqSubDim + b) >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }: _*)
+
   /** Row-local PQ encode: the corpus with its 8 × 4-bit sign codes. */
-  private def pqCoded(e: DataFrame): DataFrame = {
-    val codesCol = array((0 until PqM).map { m =>
-      (0 until PqSignBits).map { b =>
-        when(col("emb")(m * PqSubDim + b) >= 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }: _*)
-    e.select(col("vec_id"), col("emb"), codesCol.as("codes"))
-  }
+  private def pqCoded(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("emb"), pqCodesCol.as("codes"))
 
   /** Per-component explode with subspace/offset/code columns — the
     * shared input of the codebook build and the query-LUT build.
@@ -1862,4 +1873,229 @@ object Ann {
        |  FROM scored) t
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  // ── Standing IVF-PQ index (round 10 — VERDICT r9 #1) ─────────────────
+  //
+  // q110 is the production ANN stack, but as a QUERY it rebuilds the
+  // codebook and re-encodes the corpus per run. This block gives the PQ
+  // family the same day-2 lifecycle the band index (Dedup.refreshIndex)
+  // and semantic index (refreshSemanticIndex) got in r7/r8:
+  // refresh / append / probe / serve over materialized tables, with the
+  // rebuildSemanticIndex discipline extended one level — under an append
+  // or a crash repair, neither the coarse CELLS nor the PQ CODEWORDS
+  // move (both are defined at refresh time; re-deriving either against
+  // grown data would silently re-encode the standing corpus and
+  // invalidate every stored code).
+
+  /** The standing IVF-PQ state as three tables:
+    *   - `<table>_centroids` (cell, qcent, cnorm2): the coarse
+    *     quantizer — nlist rows, broadcast by every consumer;
+    *   - `<table>_codebook` (sub, code, jj, cw): the PQ decode side —
+    *     8×16×8 = 1 024 rows, broadcast by every consumer. Frozen
+    *     between refreshes: stored codes are only meaningful against
+    *     the codebook that minted them;
+    *   - `<table>` (vec_id, codes, emb, cell), PARTITIONED BY cell:
+    *     one row per member with its 8 × 4-bit code array AND its float
+    *     vector. Parquet is columnar, so the ADC scan reads only
+    *     (vec_id, codes, cell) — the 4-byte-per-vector memory-bandwidth
+    *     contract — while the rerank's second scan reads (vec_id, emb,
+    *     cell) for the probed cells only; at 100 TB the codes column is
+    *     ~64× smaller than the vectors it ranks.
+    *
+    * Encoding in this family is the ORACLE-PORTABLE structured
+    * quantizer (q109's sign codes): row-local arithmetic on the vector
+    * itself, so a batch encodes without reading the codebook at all. A
+    * k-means deployment swaps [[pqCodebook]] for trained codewords and
+    * encodes by nearest-codeword against the broadcast `_codebook`
+    * table — the lifecycle (and the frozen-under-append rule) is
+    * unchanged.
+    */
+  def refreshPqIndex(index: DataFrame, table: String): Unit = {
+    val centroids = centroidTable(index)
+    centroids.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_centroids")
+    pqCodebook(pqComps(pqCoded(index.select(col("vec_id"), col("emb")))))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_codebook")
+    writePqMembers(assignCells(index, centroids), table, overwrite = true)
+  }
+
+  /** Members write shared by refresh/append/rebuild: codes are the
+    * row-local sign arithmetic of [[pqCoded]], landed partitioned by
+    * cell so serving probes prune to their nprobe cells' files.
+    */
+  private def writePqMembers(assigned: DataFrame, table: String,
+                             overwrite: Boolean): Unit =
+    assigned
+      .select(col("vec_id"), pqCodesCol.as("codes"), col("emb"), col("cell"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .format("parquet").partitionBy("cell").saveAsTable(table)
+
+  /** Incremental IVF-PQ maintenance: encode ONLY the batch and append
+    * it under the standing cells — the [[appendSemanticIndex]] contract
+    * plus the codebook rule: cells come from the STANDING broadcast
+    * centroids, codes from the refresh-time quantizer, and neither
+    * table is touched (codewords must not move under an append — every
+    * stored code is an index into the refresh-time codebook). One
+    * batch-sized pass; the corpus is never re-read.
+    */
+  def appendPqIndex(s: SparkSession, table: String, batch: DataFrame): Unit = {
+    writePqMembers(assignCells(batch, s.table(s"${table}_centroids")),
+      table, overwrite = false)
+    // refresh through the PROBING session (Dedup.appendIndex): a
+    // foreachBatch clone's cached listing must not hide this append
+    s.catalog.refreshTable(table)
+  }
+
+  /** Rebuild the members table of a standing [[refreshPqIndex]] index
+    * from `vecs` alone, KEEPING centroids and codebook — the crash-
+    * recovery write ([[graft.Admit]]'s WAL repair, the
+    * [[rebuildSemanticIndex]] discipline): cells and codewords are
+    * defined at refresh time and must not move under a repair; orphan
+    * member rows from an uncommitted append vanish because the write is
+    * an overwrite derived from `vecs` alone.
+    */
+  def rebuildPqIndex(s: SparkSession, table: String, vecs: DataFrame): Unit = {
+    writePqMembers(assignCells(vecs, s.table(s"${table}_centroids")),
+      table, overwrite = true)
+    s.catalog.refreshTable(table)
+  }
+
+  /** The IVF-PQ-rerank read path over a standing [[refreshPqIndex]]
+    * table — q110's three stages against materialized state: broadcast
+    * centroids assign each query its `nprobe` cells; the ADC stage
+    * scans ONLY those cells' code rows (partition pruning via the
+    * broadcast probe join), scoring 8 integer LUT adds per candidate;
+    * the exact rerank touches float vectors for the ADC top-`adcTopC`
+    * survivors per query only. Returns (q_id, rank, n_id, cosine, cell)
+    * rows, rank ≤ `k`, cosine the TRUE cosine of the survivors
+    * (`verify = "dec"` decimal-exact — bit-equal to q25's for the same
+    * pair; `"float"` the fused native kernel for serving).
+    *
+    * Query frames BROADCAST (their LUTs are |Q|×128 rows), so the same
+    * load-shape guard as [[searchSemanticIndex]] applies: corpus-sized
+    * query sets must fail loudly, not OOM the driver.
+    */
+  private def pqTopK(s: SparkSession, table: String, queries: DataFrame,
+                     k: Int, nprobe: Int, adcTopC: Int,
+                     verify: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = s.table(s"${table}_centroids")
+    val codebook = s.table(s"${table}_codebook")
+    val cbn = codebook.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
+
+    // coarse stage: nprobe cells per query, via the broadcast centroids
+    val probeW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val qe = queries
+      .withColumn("qemb", quantize(col("emb")))
+      .withColumn("qn2", expr(
+        "aggregate(zip_with(qemb, qemb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+    val qdot = expr(
+      "CAST(aggregate(zip_with(qemb, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+    val probes = qe.crossJoin(broadcast(centroids))
+      .withColumn("csim",
+        qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+
+    // per-query integer LUT against the STANDING codebook: |Q| × 8 × 16
+    // rows, broadcast — the only per-query state the ADC scan touches
+    val qcomps = pqComps(pqCoded(queries.select(col("vec_id"), col("emb"))))
+      .select(col("vec_id").as("q_id"), col("sub"), col("jj"),
+        floor(col("v") * lit(10000000.0)).cast("long").as("qv"))
+    val lut = qcomps.join(broadcast(codebook), Seq("sub", "jj"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum(col("qv") * col("cw")).as("d"))
+    val qn = qcomps.groupBy("q_id").agg(sum(col("qv") * col("qv")).as("qnorm2"))
+
+    // ADC stage: probed cells' code rows only (the broadcast cell join
+    // prunes the partitioned scan); 8 LUT adds per candidate
+    val adcW = Window.partitionBy("q_id")
+      .orderBy(col("adc_cosine").desc, col("vec_id"))
+    val shortlist = s.table(table)
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .join(broadcast(cbn), Seq("sub", "code"))
+      .groupBy("q_id", "vec_id", "cell")
+      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"))
+      .join(broadcast(qn), Seq("q_id"))
+      .withColumn("adc_cosine", Num.roundD(col("dot").cast("double")
+        / sqrt(col("qnorm2").cast("double") * col("recon2").cast("double"))))
+      .withColumn("adc_rank", row_number().over(adcW))
+      .filter(col("adc_rank") <= adcTopC)
+      .select("q_id", "vec_id", "cell")
+
+    // rerank stage: float vectors for ≤ adcTopC survivors per query —
+    // the (vec_id, cell) join key keeps the second scan cell-pruned
+    val rerank: Column = verify match {
+      case "dec" => cosineDec("q_emb", "emb")
+      case "float" => Num.roundD(cosine(col("q_emb"), col("emb")))
+      case other => throw new IllegalArgumentException(
+        s"verify must be dec or float, got $other")
+    }
+    val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    s.table(table).select(col("vec_id"), col("emb"), col("cell"))
+      .join(broadcast(shortlist
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          col("emb").as("q_emb"))), Seq("q_id"))), Seq("vec_id", "cell"))
+      .withColumn("cosine", rerank)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        col("cosine"), col("cell"))
+  }
+
+  /** Top-k ANN SEARCH against a standing [[refreshPqIndex]] table — the
+    * serving path ([[searchSemanticIndex]]'s role for the PQ family),
+    * with the same loud load-shape guard on the broadcast premise.
+    */
+  def searchPqIndex(s: SparkSession, table: String, queries: DataFrame,
+                    k: Int = 10, nprobe: Int = 3, adcTopC: Int = 32,
+                    verify: String = "float",
+                    maxQueryRows: Long = 100000L): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= maxQueryRows,
+      s"searchPqIndex broadcasts its query set (the per-query ADC LUTs), " +
+        s"and $nQ query rows exceed maxQueryRows=$maxQueryRows — this is a " +
+        "serving path for small probe batches. For corpus-sized probes " +
+        "use the bucketed dedup probe (Ann.probeSemanticIndex), or raise " +
+        "maxQueryRows deliberately.")
+    pqTopK(s, table, queries, k, nprobe, adcTopC, verify)
+      .select("q_id", "rank", "n_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Near-dup PROBE of a batch against a standing [[refreshPqIndex]]
+    * table — the admission-screen shape ([[probeSemanticIndex]]'s
+    * contract: one row per batch vector, null match for vectors
+    * matching nowhere, `is_dup` at `eps`), served by the IVF-PQ-rerank
+    * read path: the best SURVIVING candidate's exact cosine decides,
+    * so a paraphrase that ADC ranks highly is verified on real floats
+    * before it can reject a document. Same broadcast premise and guard
+    * as [[searchPqIndex]] — admission batches are small by definition.
+    */
+  def probePqIndex(s: SparkSession, table: String, batch: DataFrame,
+                   eps: Double = 0.99, nprobe: Int = 3, adcTopC: Int = 32,
+                   verify: String = "float",
+                   maxBatchRows: Long = 100000L): DataFrame = {
+    val nB = batch.count()
+    require(nB <= maxBatchRows,
+      s"probePqIndex broadcasts its batch's ADC LUTs, and $nB batch rows " +
+        s"exceed maxBatchRows=$maxBatchRows — for corpus-sized probes use " +
+        "the bucketed semantic probe (Ann.probeSemanticIndex), or raise " +
+        "maxBatchRows deliberately.")
+    val best = pqTopK(s, table, batch, k = 1, nprobe, adcTopC, verify)
+      .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
+    // every batch vector's own cell (rank-1 probe) for the report shape
+    val centroids = s.table(s"${table}_centroids")
+    val ownCell = assignCells(batch, centroids).select("vec_id", "cell")
+    batch.select("vec_id").join(ownCell, Seq("vec_id"), "left")
+      .join(best.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
+        coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
+      .orderBy("vec_id")
+  }
 }

@@ -35,10 +35,52 @@ object Bpe {
     * [aa, a]). Row-local fold; no UDF.
     */
   private[graft] def applyMerge(syms: Column, a: String, b: String): Column =
+    applyMerges(syms, Seq((a, b)))
+
+  /** One fold pass applying a SYMBOL-DISJOINT merge batch: `pairs` must
+    * satisfy the [[disjointBatch]] invariant — across pairs, all left
+    * symbols, right symbols, and merged tokens are mutually distinct.
+    * Under it, one left-to-right pass equals applying the pairs
+    * sequentially in any order (no pair's occurrences are created or
+    * destroyed by another: counts of symbol-disjoint pairs are invariant
+    * under a merge, and no merged token can seed another pair in the
+    * batch because merged tokens are excluded from every pair's
+    * symbols). The pair lookup is a map literal, so the expression depth
+    * is CONSTANT in the batch size — m merges per round cost one fold,
+    * not m nested folds.
+    */
+  private[graft] def applyMerges(syms: Column, pairs: Seq[(String, String)]): Column = {
+    val lookup = map(pairs.flatMap { case (a, b) => Seq(lit(a), lit(b)) }: _*)
     aggregate(syms, typedLit(Array.empty[String]), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+      when(size(acc) > 0 && element_at(lookup, element_at(acc, -1)) === x,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(element_at(acc, -1), x))))
         .otherwise(concat(acc, array(x))))
+  }
+
+  /** Greedy maximal symbol-disjoint prefix batching: walk `ranked` in
+    * order, accepting a pair iff its left symbol, right symbol, AND
+    * merged token are all unseen among previously accepted pairs'
+    * {left, right, merged} sets, stopping after `limit` acceptances.
+    * The invariant [[applyMerges]] needs — and the WHOLE batched-merge
+    * policy: the batch is exactly "the top-ranked pairs that cannot
+    * interact", so batched training applies each selected pair to the
+    * same segmentation state sequential training would have shown it.
+    */
+  private[graft] def disjointBatch(ranked: Seq[(String, String)],
+                                   limit: Int): Seq[(String, String)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val it = ranked.iterator
+    while (out.size < limit && it.hasNext) {
+      val (a, b) = it.next()
+      if (!used(a) && !used(b) && !used(a + b)) {
+        out += ((a, b))
+        used ++= Seq(a, b, a + b)
+      }
+    }
+    out.toSeq
+  }
 
   /** (word, freq) types of a document corpus — q102's word table. */
   def wordTable(docs: DataFrame): DataFrame =
@@ -52,9 +94,16 @@ object Bpe {
       expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))"),
       array(lit("</w>"))))
 
-  /** Adjacent-pair weights of the CURRENT segmentation. */
+  /** Adjacent-pair weights of the CURRENT segmentation. Words already
+    * merged to a SINGLE symbol are filtered first: they contribute no
+    * pairs, and Spark's `sequence(1, 0)` counts DOWN ([1, 0]) rather
+    * than yielding empty, which would index past the array (hit live
+    * by the astral-plane parity test — a short word fully merges in
+    * two rounds).
+    */
   private def pairCounts(syms: DataFrame): DataFrame =
-    syms.withColumn("i", explode(sequence(lit(1), size(col("syms")) - 1)))
+    syms.filter(size(col("syms")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("syms")) - 1)))
       .select(element_at(col("syms"), col("i")).as("a"),
         element_at(col("syms"), col("i") + 1).as("b"), col("freq"))
       .groupBy("a", "b").agg(sum(col("freq")).as("cnt"))
@@ -62,26 +111,53 @@ object Bpe {
   /** Learn `numMerges` merges over `docs`' text. Returns the ordered
     * merge list (shorter if the corpus runs out of pairs with weight ≥
     * `minCount`). `segment(words, merges)` replays the result.
+    *
+    * `batchMerges` (round 10 — VERDICT r9 #5) bounds how many merges
+    * ONE Spark round may apply: the round ranks the current pair counts
+    * once, greedily accepts the top-ranked pairs that interact with
+    * nothing already accepted ([[disjointBatch]]), and applies them in
+    * one fold pass ([[applyMerges]]). Disjoint pairs' counts are
+    * invariant under each other's merges, so every accepted pair is
+    * applied against exactly the segmentation a sequential trainer
+    * would have shown it; what CAN differ from `batchMerges = 1` is
+    * SELECTION after a round's first pair — a merge's newly created
+    * pairs (x, a·b) enter the ranking only next round, so a batch may
+    * take rank-2..m pairs a strict sequential trainer would defer.
+    * That is the standard batched-BPE trade; the policy is
+    * deterministic and spec-pinned, and `batchMerges = 1` reproduces
+    * strict sequential BPE exactly. The point is the 100 TB trainer's
+    * arithmetic: a production 32k-merge vocabulary at one merge per
+    * round is 32k Spark jobs + driver round-trips — days of scheduling
+    * overhead on ANY cluster size; at m=64 it is ~hundreds of rounds,
+    * each still one pass over the word types with a ≤ 4m-row pull.
     */
-  def train(docs: DataFrame, numMerges: Int, minCount: Long = 2L): Seq[(String, String)] = {
+  def train(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+            batchMerges: Int = 1): Seq[(String, String)] = {
+    require(batchMerges >= 1, s"batchMerges must be >= 1, got $batchMerges")
     var syms = initialSyms(wordTable(docs)).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       var exhausted = false
       while (merges.size < numMerges && !exhausted) {
+        val want = math.min(batchMerges, numMerges - merges.size)
+        // 4× headroom over the batch: candidates rejected for symbol
+        // collisions are re-ranked next round, so a thin window costs
+        // ROUNDS, never correctness; the pull stays bounded (≤ 4m rows
+        // — the round's decision, like CC's delta count)
         val top = pairCounts(syms)
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-          .collect() // one row — the round's decision, like CC's delta count
-        top.headOption.filter(_.getAs[Long]("cnt") >= minCount) match {
-          case Some(r) =>
-            val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
-            merges += ((a, b))
-            val next = syms
-              .withColumn("syms", applyMerge(col("syms"), a, b))
-              .localCheckpoint(true)
-            Frames.freePinned(syms) // superseded round — O(1) pinned state
-            syms = next
-          case None => exhausted = true
+          .filter(col("cnt") >= minCount)
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(4 * want)
+          .collect()
+          .toSeq.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+        val round = disjointBatch(top, want)
+        if (round.isEmpty) exhausted = true
+        else {
+          merges ++= round
+          val next = syms
+            .withColumn("syms", applyMerges(col("syms"), round))
+            .localCheckpoint(true)
+          Frames.freePinned(syms) // superseded round — O(1) pinned state
+          syms = next
         }
       }
       merges.toSeq
@@ -89,15 +165,31 @@ object Bpe {
   }
 
   /** Segment a (word, …) frame with an ordered merge list: replays the
-    * merges in training order over the char start state. Same
-    * round-by-round shape as training (checkpoint + free per merge) so
-    * a long merge list neither accretes plan depth nor pins O(k)
-    * snapshots.
+    * merges in training order over the char start state. Consecutive
+    * merges are re-grouped into maximal symbol-disjoint batches (the
+    * [[disjointBatch]] invariant, greedily over the list order: flush
+    * when the next merge touches a symbol or merged token already in
+    * the batch) — result-identical to one-at-a-time replay, because a
+    * disjoint batch applied in one fold equals its sequential
+    * application, and the grouping never reorders across an
+    * interaction. Checkpoint + free per BATCH keeps the O(1)-pinned /
+    * bounded-plan-depth contract while cutting a k-merge replay to the
+    * same ~k/m rounds training paid.
     */
   def segment(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    var syms = initialSyms(words).localCheckpoint(true)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, String)]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val used = scala.collection.mutable.Set.empty[String]
     for ((a, b) <- merges) {
-      val next = syms.withColumn("syms", applyMerge(col("syms"), a, b))
+      if (used(a) || used(b) || used(a + b)) {
+        batches += cur.toSeq; cur.clear(); used.clear()
+      }
+      cur += ((a, b)); used ++= Seq(a, b, a + b)
+    }
+    if (cur.nonEmpty) batches += cur.toSeq
+    var syms = initialSyms(words).localCheckpoint(true)
+    for (batch <- batches) {
+      val next = syms.withColumn("syms", applyMerges(col("syms"), batch))
         .localCheckpoint(true)
       Frames.freePinned(syms)
       syms = next

@@ -316,4 +316,84 @@ class AdmitSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(rep == Set((1L, 1L)), rep.toString)
   }
+
+  test("the IVF-PQ index is a drop-in third standing index: screens, grows per cycle, recovers") {
+    import spark.implicits._
+    val band = "admit_band_pq"
+    val pq = "admit_pq_idx"
+    dropIndexTables(band, pq)
+    spark.sql(s"DROP TABLE IF EXISTS ${pq}_codebook")
+    val cbLoc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${pq}_codebook")
+    val cbFs = cbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cbFs.exists(cbLoc)) cbFs.delete(cbLoc, true)
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    Ann.refreshPqIndex(e, pq)
+    val out = java.nio.file.Files.createTempDirectory("admit-pq").toString
+
+    val vec5 = e.filter(col("vec_id") === 5L)
+      .select("emb").as[Seq[Double]].collect().head
+    val textA = "entirely fresh prose about porcelain observatories and the " +
+      "slow arithmetic of migrating chandeliers over basalt piers"
+
+    // batch 1: doc A (novel text + novel vector: admit), doc B (novel
+    // text, re-encode of corpus vector 5: PQ-semantic reject)
+    val b1 = Seq(
+      (610001L, textA),
+      (610002L, "plainly unseen sentences describing gravel comets and the " +
+        "paperwork of auroral customs inspectors at noon"))
+      .toDF("doc_id", "text")
+    val b1v = Seq(
+      (610001L, novelVec(911)),
+      (610002L, vec5.map(_ * 0.99))).toDF("vec_id", "emb")
+    val r1 = Admit.admitBatch(spark, b1, band, out, 1L, Some(b1v),
+      pqTable = Some(pq))
+    assert(r1 == Admit.Report(1L, 2, 0, 0, 0, 1, 1), r1.toString)
+
+    // batch 2: a re-encode of doc A's vector under new text — caught
+    // ONLY because cycle 1 APPENDED doc A's codes to the PQ index
+    val b2 = Seq(
+      (710001L, "wholly different surface form reciting slate-colored " +
+        "geometry to an audience of patient lighthouse moths tonight"))
+      .toDF("doc_id", "text")
+    val b2v = Seq((710001L, novelVec(911).map(_ * 0.99))).toDF("vec_id", "emb")
+    val r2 = Admit.admitBatch(spark, b2, band, out, 2L, Some(b2v),
+      pqTable = Some(pq))
+    assert(r2 == Admit.Report(2L, 1, 0, 0, 0, 1, 0), r2.toString)
+
+    // passing BOTH index options is a loud error, not a silent pick
+    val exBoth = intercept[IllegalArgumentException] {
+      Admit.admitBatch(spark, b2, band, out, 3L, Some(b2v),
+        semTable = Some("whatever"), pqTable = Some(pq))
+    }
+    assert(exBoth.getMessage.contains("not both"), exBoth.getMessage)
+
+    // WAL repair through the PQ rebuild: simulate the crash window for a
+    // batch 3 (WAL + appends landed, no landing), then replay — the
+    // repair must rebuild the PQ members from seed ∪ landed, keeping
+    // centroids and codebook, and the novel doc still lands
+    val textC = "a third untouched dispatch on marzipan funiculars and the " +
+      "bookkeeping of borrowed meteor showers"
+    val b3 = Seq((810001L, textC)).toDF("doc_id", "text")
+    val b3v = Seq((810001L, novelVec(912))).toDF("vec_id", "emb")
+    val wal = new org.apache.hadoop.fs.Path(s"$out/_admit_wal")
+    val fs = wal.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(wal, true)
+    os.write("3".getBytes(java.nio.charset.StandardCharsets.UTF_8)); os.close()
+    Dedup.appendIndex(spark, band, b3)
+    Ann.appendPqIndex(spark, pq, b3v)
+    val allVecs = e.select("vec_id", "emb")
+      .unionByName(b1v).unionByName(b2v).unionByName(b3v)
+    val r3 = Admit.admitBatch(spark, b3, band, out, 3L, Some(allVecs),
+      pqTable = Some(pq),
+      recovery = Some(Admit.Standing(d, Some(e.select("vec_id", "emb")))))
+    assert(r3 == Admit.Report(3L, 1, 0, 0, 0, 0, 1), r3.toString)
+    val landed = spark.read.parquet(out)
+      .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
+    assert(landed == Set((1, 610001L), (3, 810001L)), landed.toString)
+  }
 }

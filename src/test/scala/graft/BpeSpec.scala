@@ -6,9 +6,31 @@ import org.apache.spark.sql.functions._
 /** The distributed BPE trainer against a naive in-memory reference:
   * same start state (chars + `</w>`), same greedy apply, same
   * (count DESC, left, right) tie-break — merge lists must match
-  * exactly, round for round.
+  * exactly, round for round. The reference splits words by CODE POINT
+  * and tie-breaks by UTF-8 byte order (ADVICE r9: Spark's substr is
+  * code-point based and its string sort is binary UTF-8, so a UTF-16
+  * code-unit reference with Java String ordering would make parity
+  * hold only on BMP corpora — the claim is now general, and the
+  * astral-plane test below exercises it).
   */
 class BpeSpec extends SparkSpec {
+
+  /** Unsigned UTF-8 byte order — what Spark's UTF8String comparison
+    * (and so the trainer's orderBy tie-break) actually sorts by.
+    */
+  private val utf8Ord: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var r = 0
+    while (r == 0 && i < a.length && i < b.length) {
+      r = (a(i) & 0xFF) - (b(i) & 0xFF); i += 1
+    }
+    if (r != 0) r else a.length - b.length
+  }
+
+  private def codePointSyms(w: String): List[String] =
+    w.codePoints().toArray.toList.map(cp => new String(Character.toChars(cp)))
 
   private def applyGreedy(seg: List[String], a: String, b: String): List[String] = {
     val buf = scala.collection.mutable.ListBuffer.empty[String]
@@ -20,21 +42,52 @@ class BpeSpec extends SparkSpec {
     buf.toList
   }
 
+  private def rankedPairs(segs: Seq[(List[String], Long)]): Seq[((String, String), Long)] = {
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((seg, f) <- segs; p <- seg.sliding(2) if p.size == 2)
+      counts(p.head -> p(1)) = counts.getOrElse(p.head -> p(1), 0L) + f
+    counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }(
+      Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
+  }
+
   private def naiveBpe(words: Map[String, Long], k: Int): Seq[(String, String)] = {
     var segs: Seq[(List[String], Long)] =
-      words.toSeq.map { case (w, f) => (w.map(_.toString).toList :+ "</w>") -> f }
+      words.toSeq.map { case (w, f) => (codePointSyms(w) :+ "</w>") -> f }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (out.size < k && !done) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((seg, f) <- segs; p <- seg.sliding(2) if p.size == 2)
-        counts(p.head -> p(1)) = counts.getOrElse(p.head -> p(1), 0L) + f
-      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
-      best match {
+      rankedPairs(segs).headOption match {
         case Some(((a, b), c)) if c >= 2 =>
           out += ((a, b))
           segs = segs.map { case (seg, f) => applyGreedy(seg, a, b) -> f }
         case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  /** The BATCHED policy's reference (VERDICT r9 #5), sequential-apply
+    * semantics: per round, rank once, accept the top-ranked
+    * symbol-disjoint pairs (the trainer's own [[Bpe.disjointBatch]]
+    * over the same 4×-headroom candidate window), then apply the
+    * accepted pairs ONE AT A TIME in acceptance order — the semantics
+    * the one-pass fold must be equivalent to.
+    */
+  private def naiveBpeBatched(words: Map[String, Long], k: Int,
+                              m: Int): Seq[(String, String)] = {
+    var segs: Seq[(List[String], Long)] =
+      words.toSeq.map { case (w, f) => (codePointSyms(w) :+ "</w>") -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < k && !done) {
+      val want = math.min(m, k - out.size)
+      val ranked = rankedPairs(segs).filter(_._2 >= 2).take(4 * want).map(_._1)
+      val round = Bpe.disjointBatch(ranked, want)
+      if (round.isEmpty) done = true
+      else {
+        out ++= round
+        for ((a, b) <- round)
+          segs = segs.map { case (seg, f) => applyGreedy(seg, a, b) -> f }
       }
     }
     out.toSeq
@@ -61,6 +114,59 @@ class BpeSpec extends SparkSpec {
     assert(got.nonEmpty && got.size == 8)
   }
 
+  test("batchMerges=1 reproduces strict sequential BPE exactly (the single-merge equivalence pin)") {
+    val docs = Tables.load(spark, toyDir, "documents")
+    val sequential = Bpe.train(docs, numMerges = 8)
+    val batchedM1 = Bpe.train(docs, numMerges = 8, batchMerges = 1)
+    assert(batchedM1 == sequential)
+    assert(sequential == naiveBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8))
+  }
+
+  test("batched training equals the batched reference policy, round for round, on the toy corpus") {
+    val docs = Tables.load(spark, toyDir, "documents")
+    val freqs = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    for (m <- Seq(2, 3, 8)) {
+      val got = Bpe.train(docs, numMerges = 8, batchMerges = m)
+      val want = naiveBpeBatched(freqs, 8, m)
+      assert(got == want, s"m=$m: distributed $got vs batched reference $want")
+      assert(got.nonEmpty)
+    }
+    // and the batched list still spells a working tokenizer: segments
+    // re-spell every word byte-for-byte (the fold-vs-sequential proof
+    // applied end to end)
+    val merges = Bpe.train(docs, numMerges = 8, batchMerges = 3)
+    val seg = Bpe.segment(Bpe.wordTable(docs), merges)
+      .withColumn("respelled", expr("replace(concat_ws('', syms), '</w>', '')"))
+      .collect()
+    seg.foreach { r =>
+      assert(r.getAs[String]("respelled") == r.getAs[String]("word"))
+      // batched segment must equal the one-at-a-time naive replay
+      val naiveSeg = merges.foldLeft(codePointSyms(r.getAs[String]("word")) :+ "</w>") {
+        case (s, (a, b)) => applyGreedy(s, a, b)
+      }
+      assert(r.getSeq[String](seg.head.fieldIndex("syms")).toList == naiveSeg,
+        s"batched segment diverged from sequential replay on ${r.getAs[String]("word")}")
+    }
+  }
+
+  test("parity holds beyond the BMP: astral-plane code points split and tie-break identically") {
+    import spark.implicits._
+    // U+1D54F (𝕏) is two UTF-16 code units; a code-unit splitter would
+    // break it into two lone surrogates and parity would silently fail
+    val dir = java.nio.file.Files.createTempDirectory("bpe-astral").toString
+    val x = new String(Character.toChars(0x1D54F))
+    val text = (List.fill(4)(s"a${x}b") ++ List.fill(3)(s"c$x") ++
+      List.fill(2)(s"${x}${x}d")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables.load(spark, dir, "documents")
+    val freqs = Map(s"a${x}b" -> 4L, s"c$x" -> 3L, s"${x}${x}d" -> 2L)
+    assert(Bpe.train(docs, numMerges = 4) == naiveBpe(freqs, 4))
+    assert(Bpe.train(docs, numMerges = 4, batchMerges = 2) ==
+      naiveBpeBatched(freqs, 4, 2))
+  }
+
   test("the first trained merge is q102's rank-1 pair (shared tie-break) on real data") {
     val docs = Tables.load(spark, Sf, "documents")
     val first = Bpe.train(docs, numMerges = 1).head
@@ -71,11 +177,16 @@ class BpeSpec extends SparkSpec {
   }
 
   test("segment re-spells every word, shrinks as merges accrue, and the trainer leaves no pinned state") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // set difference, not a count compare: earlier tests' freed blocks
+    // unpersist ASYNCHRONOUSLY, so a count can shrink mid-test — the
+    // contract here is "train leaked nothing NEW" (the AdmitSpec leak
+    // check's shape)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Tables.load(spark, toyDir, "documents")
     val merges = Bpe.train(docs, numMerges = 6)
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "train must free every checkpointed round (the CC-loop O(1)-pinned contract)")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"train must free every checkpointed round (leaked: $leaked)")
     val words = Bpe.wordTable(docs)
     val seg = Bpe.segment(words, merges)
       .withColumn("respelled",

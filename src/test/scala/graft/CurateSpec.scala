@@ -172,6 +172,29 @@ class CurateSpec extends SparkSpec {
     val shipped = spark.read.parquet(s"$out/corpus").select("doc_id")
     assert(shipped.join(passing, Seq("doc_id"), "left_anti").count() == 0,
       "every shipped doc must re-score above the floor under the shipped model")
+    // the gate's accounting ships too (VERDICT r9 #7): the calibration
+    // deciles cover the whole scored corpus and agree with a direct
+    // re-score, and the floor sweep's 0.5 row explains the gate — its
+    // kept count IS afterClassifier (same model, same label frame)
+    val calib = spark.read.parquet(s"$out/quality_model_calibration").collect()
+    assert(calib.map(_.getAs[Long]("n")).sum == docs.count(),
+      "calibration deciles must cover every scored document")
+    calib.foreach { r =>
+      val (p, f) = (r.getAs[Double]("mean_p"), r.getAs[Double]("frac_label_pos"))
+      assert(p >= 0.0 && p <= 1.0 && f >= 0.0 && f <= 1.0, r.toString)
+    }
+    val sweep = spark.read.parquet(s"$out/quality_model_floor_sweep").collect()
+    val row05 = sweep.find(_.getAs[Double]("floor") == 0.5).get
+    assert(row05.getAs[Long]("kept") == rescored.filter(col("p_quality") >= 0.5).count(),
+      "the 0.5 sweep row must equal a direct re-score count")
+    // kept shrinks and precision is defined as the floor rises through
+    // populated deciles; recall at floor 0.0 is total (1.0)
+    val byFloor = sweep.sortBy(_.getAs[Double]("floor"))
+    val kepts = byFloor.map(_.getAs[Long]("kept"))
+    assert(kepts.zip(kepts.tail).forall { case (a, b) => a >= b },
+      s"kept must be non-increasing: ${kepts.mkString(",")}")
+    assert(byFloor.head.getAs[Double]("recall") == 1.0,
+      s"floor 0.0 keeps everything: ${byFloor.head}")
     // default run is unchanged: the stage is off and reports -1
     assert(Curate.run(spark, Sf,
       java.nio.file.Files.createTempDirectory("curate-noclf").toString)

@@ -93,4 +93,37 @@ class PipelineSpec extends SparkSpec {
       }
     } finally pool.shutdown()
   }
+
+  test("a live holder that outlives the TTL is NOT reclaimed (heartbeat), and release still works") {
+    // VERDICT r9 #2: fencing protected only the release — a holder whose
+    // cycle legitimately outlived staleAfterMs could be reclaimed
+    // MID-CRITICAL-SECTION and two writers would run concurrently again.
+    // The Claim's daemon heartbeat (mtime touch every TTL/3) makes a
+    // live holder never-stale: TTL 1 s, body 3 s, and contenders probing
+    // throughout the body must all lose.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock-heart").toString
+    val lockPath = s"$dir/.slow-holder"
+    val ttlMs = 1000L
+    val claim = Locks.tryClaim(spark, lockPath, staleAfterMs = ttlMs)
+    assert(claim.isDefined, "first claimer must win an uncontended lock")
+    try {
+      // probe well past the TTL, several times: 1.5×, 2.2×, 3× TTL in
+      val deadline = System.currentTimeMillis() + 3000L
+      var probes = 0
+      while (System.currentTimeMillis() < deadline) {
+        Thread.sleep(700L)
+        val contender = Locks.tryClaim(spark, lockPath, staleAfterMs = ttlMs)
+        contender.foreach(_.release())
+        assert(contender.isEmpty,
+          s"contender reclaimed a LIVE holder's lock ${System.currentTimeMillis() -
+            (deadline - 3000L)} ms into a ${ttlMs} ms-TTL hold")
+        probes += 1
+      }
+      assert(probes >= 3, "the body must have been probed past the TTL")
+    } finally claim.get.release()
+    // the fenced release freed the path: a fresh claim wins immediately
+    val fresh = Locks.tryClaim(spark, lockPath, staleAfterMs = ttlMs)
+    assert(fresh.isDefined, "release must free the lock for the next claimer")
+    fresh.get.release()
+  }
 }
