@@ -1076,6 +1076,7 @@ object Ann {
     // prunes partitions at the scan (DPP) instead of reading the corpus
     assignCells(index, centroids)
       .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
+      .repartition(col("cell")) // one file per cell per write (compaction-trigger discipline)
       .write.mode("overwrite").format("parquet").partitionBy("cell")
       .saveAsTable(s"${table}_members")
   }
@@ -1098,6 +1099,7 @@ object Ann {
         Seq("band_idx", "band_val"))
       assigned
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
+        .repartition(col("cell")) // at most one new file per touched cell per append
         .write.mode("append").format("parquet").partitionBy("cell")
         .saveAsTable(s"${table}_members")
       // refresh through the PROBING session `s` (see Dedup.appendIndex):
@@ -1130,6 +1132,7 @@ object Ann {
         moreBucketCols = Seq("band_idx", "band_val"))
       assigned
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
+        .repartition(col("cell")) // one file per cell per write (compaction-trigger discipline)
         .write.mode("overwrite").format("parquet").partitionBy("cell")
         .saveAsTable(s"${table}_members")
       s.catalog.refreshTable(table)
@@ -1928,6 +1931,12 @@ object Ann {
                              overwrite: Boolean): Unit =
     assigned
       .select(col("vec_id"), pqCodesCol.as("codes"), col("emb"), col("cell"))
+      // one file per cell partition per write (writeBucketed's
+      // discipline at the partition grain): each cell hashes to one
+      // task, so files-per-partition = 1 + appends since the last
+      // rewrite — what makes [[graft.sources.Ingest.needsCompaction]]'s
+      // partition-grain dispatch a meaningful trigger
+      .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .format("parquet").partitionBy("cell").saveAsTable(table)
 

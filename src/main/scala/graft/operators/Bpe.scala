@@ -197,11 +197,13 @@ object Bpe {
     syms.withColumn("n_tokens", size(col("syms")))
   }
 
-  /** CLI: `runMain graft.operators.Bpe <dataDir> <numMerges>` — prints
-    * the learned merge list with per-merge weights.
+  /** CLI: `runMain graft.operators.Bpe <dataDir> <numMerges> [batchMerges]`
+    * — prints the learned merge list and the wall time (the
+    * batched-vs-sequential rehearsal knob).
     */
   def main(args: Array[String]): Unit = {
     val (dataDir, k) = (args(0), args(1).toInt)
+    val m = if (args.length > 2) args(2).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -209,10 +211,13 @@ object Bpe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val merges = train(Tables.load(spark, dataDir, "documents"), k)
+    val t0 = System.nanoTime()
+    val merges = train(Tables.load(spark, dataDir, "documents"), k, batchMerges = m)
+    val wall = (System.nanoTime() - t0) / 1e9
     merges.zipWithIndex.foreach { case ((a, b), i) =>
       println(s"merge ${i + 1}: '$a' + '$b'")
     }
+    println(f"bpe train: ${merges.size} merges, batchMerges=$m, $wall%.1f s")
     spark.stop()
   }
 }

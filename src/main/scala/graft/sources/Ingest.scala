@@ -273,6 +273,27 @@ object Ingest {
       .groupBy(identity).map { case (b, files) => b -> files.size }
   }
 
+  /** Files per PARTITION of a partitioned managed table (the
+    * `cell=…`-directory layout of the semantic `_members` and IVF-PQ
+    * member tables, whose appends add files per touched partition the
+    * way bucketed appends add files per bucket). Pure metadata: one
+    * two-level listing, no data read. Round 10 — the bucketed trigger
+    * left the PARTITIONED standing tables unwatched.
+    */
+  def partitionFileCounts(spark: SparkSession, table: String): Map[String, Int] = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(loc).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { dir =>
+        dir.getPath.getName -> fs.listStatus(dir.getPath).count(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+      }.toMap
+  }
+
   /** The compaction trigger the append docstrings promise (VERDICT r8
     * #2): true when any bucket of `table` has accumulated more than
     * `maxFilesPerBucket` files. Under the one-file-per-bucket write
@@ -284,10 +305,25 @@ object Ingest {
     * family's refresh ([[graft.operators.Dedup.refreshIndex]] /
     * [[graft.operators.Ann.rebuildSemanticIndex]]), which rewrites one
     * file per bucket AND re-tightens the per-append hot-bucket guard.
+    *
+    * Non-bucketed tables dispatch to the PARTITION grain
+    * ([[partitionFileCounts]] — round 10): the IVF-PQ member table and
+    * the semantic `_members` serving view are cell-partitioned, and
+    * their appends grow per-partition files on exactly the same
+    * schedule; their compaction answer is the family's members rewrite
+    * ([[graft.operators.Ann.rebuildPqIndex]] /
+    * [[graft.operators.Ann.rebuildSemanticIndex]]).
     */
   def needsCompaction(spark: SparkSession, table: String,
-                      maxFilesPerBucket: Int): Boolean =
-    bucketFileCounts(spark, table).values.exists(_ > maxFilesPerBucket)
+                      maxFilesPerBucket: Int): Boolean = {
+    val bucketed = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.isDefined
+    val counts =
+      if (bucketed) bucketFileCounts(spark, table).values
+      else partitionFileCounts(spark, table).values
+    counts.exists(_ > maxFilesPerBucket)
+  }
 
   // --- Ingest admission control ------------------------------------------
   // The ingestion trigger's validation layer (reference:

@@ -351,7 +351,8 @@ object EventStreams {
                      eps: Double = 0.99,
                      recovery: Option[graft.Admit.Standing] = None,
                      maxFilesPerBucket: Int = 0,
-                     benchmarkGrams: Option[DataFrame] = None)
+                     benchmarkGrams: Option[DataFrame] = None,
+                     pqTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -364,11 +365,15 @@ object EventStreams {
         // whatever lineage produced the gram set
         graft.Admit.admitBatch(s, batch, bandTable,
           outDir, batchId, embeddings, semTable, eps, recovery,
-          benchmarkGrams = benchmarkGrams)
+          benchmarkGrams = benchmarkGrams, pqTable = pqTable)
         for (st <- recovery) {
+          // the PQ member table is cell-PARTITIONED, not bucketed —
+          // needsCompaction dispatches to the partition grain for it
+          // (round 10), so micro-batch small-file growth is watched on
+          // every standing table the cycle appends to
           val trip = maxFilesPerBucket > 0 &&
             (graft.sources.Ingest.needsCompaction(s, bandTable, maxFilesPerBucket) ||
-              semTable.exists(t =>
+              (semTable.toSeq ++ pqTable.toSeq).exists(t =>
                 graft.sources.Ingest.needsCompaction(s, t, maxFilesPerBucket)))
           // the compaction IS the recovery rebuild with nothing excluded;
           // it runs under the same admission lock so it can never race a
@@ -376,7 +381,7 @@ object EventStreams {
           if (trip) graft.Locks.withLock(s, s"$outDir/.admit-running",
             graft.Admit.DefaultStaleAfterMs) {
             graft.Admit.recover(s, bandTable, outDir, st,
-              excludeBatchId = -1L, embeddings, semTable)
+              excludeBatchId = -1L, embeddings, semTable, pqTable)
           }
         }
         ()

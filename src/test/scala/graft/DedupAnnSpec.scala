@@ -943,12 +943,24 @@ class DedupAnnSpec extends SparkSpec {
     assert(cbRows == cbBefore, "append must not touch the codebook")
     assert(spark.table(s"${table}_centroids").count() == centBefore)
 
+    // the partition-grain compaction trigger (round 10): a refresh lands
+    // ONE file per cell, the append added at most one more per touched
+    // cell, so files-per-partition counts appends — and needsCompaction
+    // dispatches to the partition grain for this non-bucketed table
+    import graft.sources.Ingest
+    assert(Ingest.partitionFileCounts(spark, table).values.max == 2,
+      Ingest.partitionFileCounts(spark, table).toString)
+    assert(Ingest.needsCompaction(spark, table, maxFilesPerBucket = 1))
+
     // rebuild (the WAL-repair write) from the full vector set keeps
-    // both side tables and restores the members from `vecs` alone
+    // both side tables and restores the members from `vecs` alone —
+    // and is also the compaction answer: one file per cell again
     Ann.rebuildPqIndex(spark, table, e.select("vec_id", "emb"))
     assert(spark.table(table).count() == e.count())
     val out2 = Ann.probePqIndex(spark, table, probe).collect()
     assert(out2.nonEmpty && out2.forall(_.getAs[Int]("is_dup") == 1))
     assert(cbRows == cbBefore, "rebuild must not touch the codebook either")
+    assert(Ingest.partitionFileCounts(spark, table).values.max == 1)
+    assert(!Ingest.needsCompaction(spark, table, maxFilesPerBucket = 1))
   }
 }

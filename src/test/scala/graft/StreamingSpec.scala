@@ -296,6 +296,71 @@ class StreamingSpec extends SparkSpec {
         s"$t not compacted: ${graft.sources.Ingest.bucketFileCounts(spark, t)}")
   }
 
+  test("streaming admission over the IVF-PQ index: state grows per batch and partition-grain compaction trips") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.{Ann, Dedup}
+    val band = "stream_admit_pq_band"
+    val pq = "stream_admit_pq_idx"
+    for (t <- Seq(band, pq, s"${pq}_centroids", s"${pq}_codebook")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    Ann.refreshPqIndex(e, pq)
+
+    val textA = "entirely fresh streaming prose about porcelain " +
+      "observatories and the slow arithmetic of migrating chandeliers"
+    def novelVec(seed: Int): Seq[Double] =
+      (0 until 64).map(j => math.sin(seed * 64.0 + j))
+    val sideVecs = Seq(
+      (820001L, novelVec(921)),
+      (820002L, novelVec(921).map(_ * 0.99)),
+      (820003L, novelVec(922))).toDF("vec_id", "emb")
+
+    val out = java.nio.file.Files.createTempDirectory("admitpq-out").toString + "/landed"
+    val ckpt = java.nio.file.Files.createTempDirectory("admitpq-ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.admissionQuery(
+      input.toDF.toDF("doc_id", "text"), band, out, ckpt,
+      Some(sideVecs), semTable = None,
+      recovery = Some(graft.Admit.Standing(d, Some(e.select("vec_id", "emb")))),
+      maxFilesPerBucket = 1, pqTable = Some(pq))
+    try {
+      // micro-batch 0: doc A novel on both screens — admitted
+      input.addData((820001L, textA))
+      q.processAllAvailable()
+      // micro-batch 1: a re-encode of doc A's vector under new text must
+      // reject ONLY because batch 0's cycle appended A's codes to the PQ
+      // index; a genuinely new doc is admitted
+      input.addData(
+        (820002L, "wholly different streamed surface form reciting slate " +
+          "geometry to an audience of patient lighthouse moths"),
+        (820003L, "another new streamed passage on marzipan funiculars " +
+          "and the bookkeeping of borrowed meteor showers"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val landed = spark.read.parquet(out)
+      .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
+    assert(landed == Set((0, 820001L), (1, 820003L)),
+      s"batch 1's re-encode of batch 0's admission must be rejected: $landed")
+    // the partition-grain compaction ran: the cell-partitioned PQ member
+    // table is back to one file per cell even though two admitting
+    // micro-batches appended to it (needsCompaction's round-10 dispatch)
+    assert(graft.sources.Ingest.partitionFileCounts(spark, pq).values.max == 1,
+      s"$pq not compacted: ${graft.sources.Ingest.partitionFileCounts(spark, pq)}")
+    assert(graft.sources.Ingest.bucketFileCounts(spark, band).values.max == 1)
+  }
+
   test("streaming admission rejects benchmark-contaminated docs per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
