@@ -33,7 +33,12 @@ object AdmitRehearsal {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val batchSize = if (args.length > 1) args(1).toInt else 1000
+    val batchSize = args.drop(1).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(1000)
+    // --pq: screen through the standing IVF-PQ index instead of the
+    // banded semantic index (the Admit seam's third option), and also
+    // time the serving path (searchPqIndex, 100 queries) at this scale
+    val usePq = args.contains("--pq")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scratch = java.nio.file.Files.createTempDirectory("admit-rehearsal")
     val spark = SparkSession.builder()
@@ -54,7 +59,8 @@ object AdmitRehearsal {
     val band = "rehearsal_band"
     val sem = "rehearsal_sem"
     val (_, tBand) = timed(Dedup.refreshIndex(docs, band))
-    val (_, tSem) = timed(Ann.refreshSemanticIndex(e, sem))
+    val (_, tSem) = timed(
+      if (usePq) Ann.refreshPqIndex(e, sem) else Ann.refreshSemanticIndex(e, sem))
 
     // a novel batch: ScaleUp's replica transforms (token permutation /
     // component sign-flip) applied at replica key 777 — the rehearsal
@@ -81,12 +87,23 @@ object AdmitRehearsal {
     val out = s"$scratch/landing"
     val (report, tAdmit) = timed(
       Admit.admitBatch(spark, batch, band, out, 1L,
-        embeddings = Some(batchVecs), semTable = Some(sem),
+        embeddings = Some(batchVecs),
+        semTable = if (usePq) None else Some(sem),
+        pqTable = if (usePq) Some(sem) else None,
         recovery = Some(Admit.Standing(docs, Some(e.select("vec_id", "emb"))))))
 
-    println(s"""{"sf":"$sfDir","docs":$nDocs,"vecs":$nVecs,""" +
+    // the serving path at this scale: 100-query top-10 against the
+    // standing index (count() forces the full plan)
+    val queries = e.limit(100).select("vec_id", "emb")
+    val (_, tServe) = timed(
+      (if (usePq) Ann.searchPqIndex(spark, sem, queries)
+       else Ann.searchSemanticIndex(spark, sem, queries)).count())
+
+    println(s"""{"sf":"$sfDir","mode":"${if (usePq) "pq" else "sem"}",""" +
+      s""""docs":$nDocs,"vecs":$nVecs,""" +
       s""""batch":$batchSize,"refresh_band_s":${f"$tBand%.1f"},""" +
       s""""refresh_sem_s":${f"$tSem%.1f"},"admit_s":${f"$tAdmit%.1f"},""" +
+      s""""serve100_s":${f"$tServe%.1f"},""" +
       s""""admitted":${report.admitted},"near_rej":${report.nearDupRejected},""" +
       s""""sem_rej":${report.semanticRejected}}""")
     spark.stop()

@@ -1987,10 +1987,20 @@ object Ann {
     */
   private def pqTopK(s: SparkSession, table: String, queries: DataFrame,
                      k: Int, nprobe: Int, adcTopC: Int,
-                     verify: String): DataFrame = {
+                     verify: String): DataFrame =
+    pqTopKFrames(s.table(table), s.table(s"${table}_centroids"),
+      s.table(s"${table}_codebook"), queries, k, nprobe, adcTopC, verify)
+
+  /** The IVF-PQ-rerank read path over ARBITRARY state frames — the core
+    * [[pqTopK]] (table-backed serving) and [[q112PqProbe]] (the
+    * self-contained oracle twin) share. `members` is (vec_id, codes,
+    * emb, cell) — exactly what [[refreshPqIndex]] materializes.
+    */
+  private def pqTopKFrames(members: DataFrame, centroids: DataFrame,
+                           codebook: DataFrame, queries: DataFrame,
+                           k: Int, nprobe: Int, adcTopC: Int,
+                           verify: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = s.table(s"${table}_centroids")
-    val codebook = s.table(s"${table}_codebook")
     val cbn = codebook.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
 
     // coarse stage: nprobe cells per query, via the broadcast centroids
@@ -2022,7 +2032,7 @@ object Ann {
     // prunes the partitioned scan); 8 LUT adds per candidate
     val adcW = Window.partitionBy("q_id")
       .orderBy(col("adc_cosine").desc, col("vec_id"))
-    val shortlist = s.table(table)
+    val shortlist = members
       .select(col("vec_id"), col("cell"), posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -2046,7 +2056,7 @@ object Ann {
         s"verify must be dec or float, got $other")
     }
     val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
-    s.table(table).select(col("vec_id"), col("emb"), col("cell"))
+    members.select(col("vec_id"), col("emb"), col("cell"))
       .join(broadcast(shortlist
         .join(broadcast(queries.select(col("vec_id").as("q_id"),
           col("emb").as("q_emb"))), Seq("q_id"))), Seq("vec_id", "cell"))
@@ -2100,11 +2110,186 @@ object Ann {
       .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
     // every batch vector's own cell (rank-1 probe) for the report shape
     val centroids = s.table(s"${table}_centroids")
+    // both right sides are batch-bounded — broadcast them so the final
+    // assembly never sorts (a SortMergeJoin here would shuffle the batch
+    // twice for two ≤|batch|-row lookups)
     val ownCell = assignCells(batch, centroids).select("vec_id", "cell")
-    batch.select("vec_id").join(ownCell, Seq("vec_id"), "left")
-      .join(best.withColumnRenamed("q_id", "vec_id"), Seq("vec_id"), "left")
+    batch.select("vec_id").join(broadcast(ownCell), Seq("vec_id"), "left")
+      .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
         coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
       .orderBy("vec_id")
   }
+
+  /** q112: the IVF-PQ admission probe as a SELF-CONTAINED oracle query —
+    * q97's scenario (a batch of re-encodes that must flag and inversions
+    * that must pass) served by the q110 read path instead of the sign-
+    * band index: each batch vector probes its nprobe nearest cells, ADC
+    * ranks the in-cell candidates on 4-byte codes, the ADC top-C rerank
+    * verifies on exact decimal cosines, and the best survivor decides
+    * `is_dup` at eps. One row per batch vector (null match for a vector
+    * whose probed cells are empty). The production form is
+    * [[probePqIndex]] over a [[refreshPqIndex]] table — this query
+    * rebuilds the same state inline so DuckDB can replay every stage
+    * (centroids, codes, codebook, LUT, ADC ranking, exact rerank)
+    * bit-for-bit; it is the value oracle the PQ probe's module tests
+    * anchor to.
+    */
+  def q112PqProbe(s: SparkSession, dir: String, eps: Double = 0.99,
+                  nprobe: Int = 3, adcTopC: Int = 32): DataFrame = {
+    val e = embeddings(s, dir)
+    val centroids = centroidTable(e)
+    val assigned = assignCells(e, centroids)
+    val members = assigned
+      .select(col("vec_id"), pqCodesCol.as("codes"), col("emb"), col("cell"))
+    val codebook = pqCodebook(pqComps(pqCoded(e.select(col("vec_id"), col("emb")))))
+    // q97's batch: re-encodes (must flag at cosine 1) + inversions
+    // (must pass — their best exact cosine is far below eps)
+    val batch = e.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 40000).as("vec_id"),
+        expr("transform(emb, x -> x * 0.99)").as("emb"))
+      .unionByName(e.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 50000).as("vec_id"),
+          expr("transform(emb, x -> -x)").as("emb")))
+    val best = pqTopKFrames(members, centroids, codebook, batch,
+        k = 1, nprobe, adcTopC, verify = "dec")
+      .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
+    // both right sides are batch-bounded — broadcast them so the final
+    // assembly never sorts (a SortMergeJoin here would shuffle the batch
+    // twice for two ≤|batch|-row lookups)
+    val ownCell = assignCells(batch, centroids).select("vec_id", "cell")
+    batch.select("vec_id").join(broadcast(ownCell), Seq("vec_id"), "left")
+      .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
+        coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  val q112Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |be AS (
+       |  SELECT vec_id + 40000 AS vec_id,
+       |    list_transform(emb, x -> x * 0.99) AS emb
+       |  FROM e WHERE vec_id % 7 = 0
+       |  UNION ALL
+       |  SELECT vec_id + 50000, list_transform(emb, x -> -x)
+       |  FROM e WHERE vec_id % 11 = 0),
+       |expl AS (
+       |  SELECT vec_id, label, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM e),
+       |bexpl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM be),
+       |-- coarse stage (q110's CTEs): label-seeded decimal-exact centroids;
+       |-- corpus argmax cell; batch nprobe cells
+       |cent AS (
+       |  SELECT label AS cell, j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq
+       |  FROM expl GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell,
+       |    SUM(CAST(FLOOR(x.v * $QScale) AS BIGINT) * ct.cq) AS dvc
+       |  FROM expl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |vqn AS (
+       |  SELECT vec_id,
+       |    SUM(CAST(FLOOR(v * $QScale) AS BIGINT) * CAST(FLOOR(v * $QScale) AS BIGINT)) AS qn2
+       |  FROM expl GROUP BY 1),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+       |        CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, d.cell) AS rn
+       |    FROM vdots d JOIN cnorm c ON c.cell = d.cell
+       |    JOIN vqn q ON q.vec_id = d.vec_id) t
+       |  WHERE rn = 1),
+       |bdots AS (
+       |  SELECT x.vec_id, ct.cell,
+       |    SUM(CAST(FLOOR(x.v * $QScale) AS BIGINT) * ct.cq) AS dvc
+       |  FROM bexpl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |bqn AS (
+       |  SELECT vec_id,
+       |    SUM(CAST(FLOOR(v * $QScale) AS BIGINT) * CAST(FLOOR(v * $QScale) AS BIGINT)) AS qn2
+       |  FROM bexpl GROUP BY 1),
+       |branked AS (
+       |  SELECT d.vec_id, d.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+       |      CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, d.cell) AS rn
+       |  FROM bdots d JOIN cnorm c ON c.cell = d.cell
+       |  JOIN bqn q ON q.vec_id = d.vec_id),
+       |owncell AS (SELECT vec_id, cell FROM branked WHERE rn = 1),
+       |probes AS (SELECT vec_id AS q_id, cell FROM branked WHERE rn <= 3),
+       |-- PQ stage (q109's CTEs over the CORPUS): sign codes, decimal
+       |-- codebook; the batch side only builds its integer LUT
+       |sv AS (
+       |  SELECT vec_id, j // $PqSubDim AS sub, j % $PqSubDim AS jj, v FROM expl),
+       |codes AS (
+       |  SELECT vec_id, sub,
+       |    CAST(SUM(CASE WHEN jj < $PqSignBits AND v >= 0 THEN 1 << jj ELSE 0 END) AS INT) AS code
+       |  FROM sv GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT s.sub, c.code, s.jj,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(s.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000000.0) AS BIGINT) AS cw
+       |  FROM sv s JOIN codes c ON c.vec_id = s.vec_id AND c.sub = s.sub
+       |  GROUP BY 1, 2, 3),
+       |cbn AS (SELECT sub, code, SUM(cw * cw) AS n2 FROM cb GROUP BY 1, 2),
+       |bsv AS (
+       |  SELECT vec_id AS q_id, j // $PqSubDim AS sub, j % $PqSubDim AS jj,
+       |    CAST(FLOOR(v * 10000000.0) AS BIGINT) AS qv
+       |  FROM bexpl),
+       |lqn AS (SELECT q_id, SUM(qv * qv) AS qnorm2 FROM bsv GROUP BY 1),
+       |lut AS (
+       |  SELECT b.q_id, cb.sub, cb.code, SUM(b.qv * cb.cw) AS d
+       |  FROM bsv b JOIN cb ON cb.sub = b.sub AND cb.jj = b.jj
+       |  GROUP BY 1, 2, 3),
+       |cands AS (
+       |  SELECT p.q_id, a.vec_id, a.cell
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_id),
+       |adc AS (
+       |  SELECT c.q_id, c.vec_id, c.cell, SUM(l.d) AS dot, SUM(n.n2) AS recon2
+       |  FROM cands c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.q_id = c.q_id AND l.sub = k.sub AND l.code = k.code
+       |  JOIN cbn n ON n.sub = k.sub AND n.code = k.code
+       |  GROUP BY 1, 2, 3),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT a.q_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY
+       |        ${Num.sqlRoundD("CAST(a.dot AS DOUBLE) / SQRT(CAST(q.qnorm2 AS DOUBLE) * CAST(a.recon2 AS DOUBLE))")} DESC,
+       |        a.vec_id) AS rn
+       |    FROM adc a JOIN lqn q USING (q_id)) t
+       |  WHERE rn <= 32),
+       |-- exact decimal rerank of the survivors only (q97's pair cosine)
+       |pdots AS (
+       |  SELECT s.q_id, s.vec_id, SUM(CAST(qa.v * qb.v AS DECIMAL(25,12))) AS dotp
+       |  FROM short s
+       |  JOIN bexpl qa ON qa.vec_id = s.q_id
+       |  JOIN expl qb ON qb.vec_id = s.vec_id AND qb.j = qa.j
+       |  GROUP BY 1, 2),
+       |bn AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2 FROM bexpl GROUP BY 1),
+       |vn AS (SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2 FROM expl GROUP BY 1),
+       |best AS (
+       |  SELECT q_id, vec_id AS match_vec_id, cosine FROM (
+       |    SELECT d.q_id, d.vec_id,
+       |      ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))")} AS cosine,
+       |      ROW_NUMBER() OVER (PARTITION BY d.q_id ORDER BY
+       |        ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))")} DESC,
+       |        d.vec_id) AS rn
+       |    FROM pdots d
+       |    JOIN bn na ON na.vec_id = d.q_id
+       |    JOIN vn nb ON nb.vec_id = d.vec_id) t
+       |  WHERE rn = 1)
+       |SELECT b.vec_id, o.cell, t.match_vec_id, t.cosine,
+       |  CASE WHEN t.cosine >= 0.99 THEN 1 ELSE 0 END AS is_dup
+       |FROM (SELECT vec_id FROM be) b
+       |LEFT JOIN owncell o ON o.vec_id = b.vec_id
+       |LEFT JOIN best t ON t.q_id = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
 }

@@ -824,6 +824,29 @@ class DedupAnnSpec extends SparkSpec {
     rep.unpersist()
   }
 
+  test("q112 PQ probe flags every re-encoded batch vector at cosine 1 and passes every inverted one") {
+    val out = Ann.q112PqProbe(spark, Sf).collect()
+    assert(out.nonEmpty)
+    val reencodes = out.filter(r =>
+      r.getAs[Long]("vec_id") >= 40000 && r.getAs[Long]("vec_id") < 50000)
+    val inversions = out.filter(_.getAs[Long]("vec_id") >= 50000)
+    assert(reencodes.nonEmpty && inversions.nonEmpty)
+    reencodes.foreach { r =>
+      assert(r.getAs[Int]("is_dup") == 1 &&
+        r.getAs[java.lang.Long]("match_vec_id") ==
+          r.getAs[Long]("vec_id") - 40000 &&
+        r.getAs[Double]("cosine") == 1.0,
+        s"re-encode must flag against its source at cosine 1: $r")
+    }
+    inversions.foreach { r =>
+      assert(r.getAs[Int]("is_dup") == 0,
+        s"an inverted vector must not flag: $r")
+    }
+    // and the self-contained query equals the table-backed production
+    // path over the same state (the q97↔probeSemanticIndex relationship,
+    // PQ family edition) — exercised via the standing-index test above
+  }
+
   private def dropPqTables(table: String): Unit =
     for (t <- Seq(table, s"${table}_centroids", s"${table}_codebook")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -892,6 +915,15 @@ class DedupAnnSpec extends SparkSpec {
     assert(passed.nonEmpty)
     assert(passed.forall(_.getAs[Int]("is_dup") == 0),
       "inverted vectors must not flag")
+    // the table-backed probe equals the self-contained q112 oracle query
+    // over the same batch and the same (materialized vs inline) state —
+    // the q97↔probeSemanticIndex relationship, PQ family edition
+    val fromTable = Ann.probePqIndex(spark, table, b1.unionByName(b2),
+      verify = "dec")
+    val selfContained = Ann.q112PqProbe(spark, Sf)
+    assert(fromTable.exceptAll(selfContained).count() == 0 &&
+      selfContained.exceptAll(fromTable).count() == 0,
+      "table-backed PQ probe must equal the self-contained q112 path")
 
     // index-side plan shape: the two member scans feed broadcast joins
     // — no exchange keyed on the index's cell column alone (the only

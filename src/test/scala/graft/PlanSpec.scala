@@ -302,6 +302,16 @@ class PlanSpec extends SparkSpec {
       p.take(500))
   }
 
+  test("q112 PQ probe: probes/LUT/shortlist ride broadcasts; no sort-merge join, no cartesian") {
+    val p = planString(Ann.q112PqProbe(spark, Sf))
+    // the q110 read-path shape against inline state: the member side is
+    // only ever the stream side of broadcast joins (probes by cell, LUT
+    // by (q_id, sub, code), shortlist+queries for the rerank)
+    assert(p.contains("BroadcastHashJoin"), "probe-stack joins must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(500))
+  }
+
   test("q111 dup passages: the posting join shuffles on the chunk key, nothing broadcasts the df table") {
     val p = planString(TextOps.q111DupPassages(spark, Sf))
     // the duplicated-passage set grows with the corpus, so the df
