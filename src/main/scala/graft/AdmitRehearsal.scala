@@ -37,8 +37,12 @@ object AdmitRehearsal {
       .headOption.map(_.toInt).getOrElse(1000)
     // --pq: screen through the standing IVF-PQ index instead of the
     // banded semantic index (the Admit seam's third option), and also
-    // time the serving path (searchPqIndex, 100 queries) at this scale
+    // time the serving path (searchPqIndex, 100 queries) at this scale.
+    // --splits=N raises the PQ quantizer's nlist (labels × N cells) —
+    // the nlist ∝ √N rehearsal knob
     val usePq = args.contains("--pq")
+    val splits = args.find(_.startsWith("--splits="))
+      .map(_.stripPrefix("--splits=").toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scratch = java.nio.file.Files.createTempDirectory("admit-rehearsal")
     val spark = SparkSession.builder()
@@ -60,7 +64,8 @@ object AdmitRehearsal {
     val sem = "rehearsal_sem"
     val (_, tBand) = timed(Dedup.refreshIndex(docs, band))
     val (_, tSem) = timed(
-      if (usePq) Ann.refreshPqIndex(e, sem) else Ann.refreshSemanticIndex(e, sem))
+      if (usePq) Ann.refreshPqIndex(e, sem, splits)
+      else Ann.refreshSemanticIndex(e, sem))
 
     // a novel batch: ScaleUp's replica transforms (token permutation /
     // component sign-flip) applied at replica key 777 — the rehearsal
@@ -99,7 +104,7 @@ object AdmitRehearsal {
       (if (usePq) Ann.searchPqIndex(spark, sem, queries)
        else Ann.searchSemanticIndex(spark, sem, queries)).count())
 
-    println(s"""{"sf":"$sfDir","mode":"${if (usePq) "pq" else "sem"}",""" +
+    println(s"""{"sf":"$sfDir","mode":"${if (usePq) "pq" else "sem"}","splits":$splits,""" +
       s""""docs":$nDocs,"vecs":$nVecs,""" +
       s""""batch":$batchSize,"refresh_band_s":${f"$tBand%.1f"},""" +
       s""""refresh_sem_s":${f"$tSem%.1f"},"admit_s":${f"$tAdmit%.1f"},""" +

@@ -705,9 +705,30 @@ object Ann {
     * per-label decimal-exact component means (q81's coarse quantizer),
     * integer-quantized for exact dots. One aggregation pass; the result
     * is nlist rows — always broadcast by consumers.
+    *
+    * `splits` (round 10) is the nlist scale knob: the standard IVF
+    * discipline is nlist ∝ √N so probe candidate sets (nprobe/nlist of
+    * the corpus) stay bounded as the corpus grows, and the label-seeded
+    * quantizer freezes nlist at the label count. splits > 1 seeds
+    * nlist = labels × splits cells deterministically — each seed group
+    * is (label, xxhash64(vec_id) mod splits), its centroid the group's
+    * decimal-exact mean — so a [[refreshPqIndex]] at a grown corpus
+    * passes a larger `splits` and cells stay the same SIZE instead of
+    * the same COUNT. Assignment stays pure argmax over the centroid
+    * table (seeding never constrains membership), so every downstream
+    * consumer is unchanged. A production k-means quantizer replaces the
+    * seeding rule, not the lifecycle.
     */
   private def centroidTable(vecs: DataFrame): DataFrame =
-    vecs.groupBy(col("label").as("cell")).agg(
+    centroidTable(vecs, 1)
+
+  private[operators] def centroidTable(vecs: DataFrame, splits: Int): DataFrame = {
+    val seeded =
+      if (splits <= 1) vecs.withColumn("seed_cell", col("label"))
+      else vecs.withColumn("seed_cell", concat_ws("#",
+        col("label").cast("string"),
+        pmod(xxhash64(col("vec_id")), lit(splits)).cast("string")))
+    seeded.groupBy(col("seed_cell").as("cell")).agg(
       array((0 until Dim).map { j =>
         (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
       }: _*).as("centroid"))
@@ -715,6 +736,7 @@ object Ann {
       .withColumn("cnorm2", expr(
         "aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
       .select("cell", "qcent", "cnorm2")
+  }
 
   /** Argmax cell assignment of `vecs` against a broadcast centroid
     * table, one pass: returns (vec_id, cell, csim, emb, bucket) with the
@@ -723,11 +745,24 @@ object Ann {
     * cross-engine) — the vector norm doesn't move the argmax but IS
     * needed to order DIFFERENT vectors inside one cell.
     */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsWith(vecs, centroids, banded = true)
+
+  /** [[assignCells]] without the 16-plane sign fingerprint — the PQ
+    * family's assignment (round 10): PQ cells need no band column, and
+    * the fingerprint's 16 integer fold-dots per row are pure waste
+    * there. Returns (vec_id, cell, csim, emb).
+    */
+  private def assignCellsLean(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsWith(vecs, centroids, banded = false).drop("bucket")
+
+  private def assignCellsWith(vecs: DataFrame, centroids: DataFrame,
+                              banded: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs
       .withColumn("qemb", quantize(col("emb")))
-      .withColumn("bucket", planeBucket(col("qemb")))
+      .withColumn("bucket",
+        if (banded) planeBucket(col("qemb")) else lit(0))
       // exact long self-dot of the quantized vector: the vector-norm leg
       // of the centroid similarity (cnorm2's discipline from q81)
       .withColumn("qn2", expr(
@@ -1913,14 +1948,16 @@ object Ann {
     * table — the lifecycle (and the frozen-under-append rule) is
     * unchanged.
     */
-  def refreshPqIndex(index: DataFrame, table: String): Unit = {
-    val centroids = centroidTable(index)
+  def refreshPqIndex(index: DataFrame, table: String, splits: Int = 1): Unit = {
+    // splits: the nlist knob (centroidTable doc) — a refresh at a grown
+    // corpus raises it (∝ √N) so probe candidate sets keep their size
+    val centroids = centroidTable(index, splits)
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
     pqCodebook(pqComps(pqCoded(index.select(col("vec_id"), col("emb")))))
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_codebook")
-    writePqMembers(assignCells(index, centroids), table, overwrite = true)
+    writePqMembers(assignCellsLean(index, centroids), table, overwrite = true)
   }
 
   /** Members write shared by refresh/append/rebuild: codes are the
@@ -1949,7 +1986,7 @@ object Ann {
     * batch-sized pass; the corpus is never re-read.
     */
   def appendPqIndex(s: SparkSession, table: String, batch: DataFrame): Unit = {
-    writePqMembers(assignCells(batch, s.table(s"${table}_centroids")),
+    writePqMembers(assignCellsLean(batch, s.table(s"${table}_centroids")),
       table, overwrite = false)
     // refresh through the PROBING session (Dedup.appendIndex): a
     // foreachBatch clone's cached listing must not hide this append
@@ -1965,7 +2002,7 @@ object Ann {
     * an overwrite derived from `vecs` alone.
     */
   def rebuildPqIndex(s: SparkSession, table: String, vecs: DataFrame): Unit = {
-    writePqMembers(assignCells(vecs, s.table(s"${table}_centroids")),
+    writePqMembers(assignCellsLean(vecs, s.table(s"${table}_centroids")),
       table, overwrite = true)
     s.catalog.refreshTable(table)
   }
@@ -2113,7 +2150,7 @@ object Ann {
     // both right sides are batch-bounded — broadcast them so the final
     // assembly never sorts (a SortMergeJoin here would shuffle the batch
     // twice for two ≤|batch|-row lookups)
-    val ownCell = assignCells(batch, centroids).select("vec_id", "cell")
+    val ownCell = assignCellsLean(batch, centroids).select("vec_id", "cell")
     batch.select("vec_id").join(broadcast(ownCell), Seq("vec_id"), "left")
       .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
@@ -2138,11 +2175,21 @@ object Ann {
   def q112PqProbe(s: SparkSession, dir: String, eps: Double = 0.99,
                   nprobe: Int = 3, adcTopC: Int = 32): DataFrame = {
     val e = embeddings(s, dir)
-    val centroids = centroidTable(e)
-    val assigned = assignCells(e, centroids)
-    val members = assigned
+    // the inline standing state is consumed by several stages (ADC scan,
+    // rerank scan, probes, LUT, own-cell assignment) — persist it the
+    // way semDedupFrames persists its members, so consumers share one
+    // computation instead of re-running the centroid/codebook corpus
+    // passes (at sf0.1 the query is candidate-bound — its 467-vector
+    // batch is 9× q110's query load, the band-vs-PQ probe trade PLANS.md
+    // prices — but at larger corpora the saved passes compound). The
+    // table-backed path (probePqIndex) reads materialized state instead
+    // and needs no persist.
+    val centroids = centroidTable(e).persist()
+    val members = assignCellsLean(e, centroids)
       .select(col("vec_id"), pqCodesCol.as("codes"), col("emb"), col("cell"))
+      .persist()
     val codebook = pqCodebook(pqComps(pqCoded(e.select(col("vec_id"), col("emb")))))
+      .persist()
     // q97's batch: re-encodes (must flag at cosine 1) + inversions
     // (must pass — their best exact cosine is far below eps)
     val batch = e.filter(col("vec_id") % 7 === 0)
@@ -2157,7 +2204,7 @@ object Ann {
     // both right sides are batch-bounded — broadcast them so the final
     // assembly never sorts (a SortMergeJoin here would shuffle the batch
     // twice for two ≤|batch|-row lookups)
-    val ownCell = assignCells(batch, centroids).select("vec_id", "cell")
+    val ownCell = assignCellsLean(batch, centroids).select("vec_id", "cell")
     batch.select("vec_id").join(broadcast(ownCell), Seq("vec_id"), "left")
       .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),

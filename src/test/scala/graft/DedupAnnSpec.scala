@@ -941,6 +941,41 @@ class DedupAnnSpec extends SparkSpec {
     assert(ex.getMessage.contains("probeSemanticIndex"), ex.getMessage)
   }
 
+  test("the nlist knob: splits > 1 multiplies the cells and the probe contract still holds") {
+    import org.apache.spark.sql.functions._
+    val table = "pq_splits_test"
+    dropPqTables(table)
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    val nLabels = e.select("label").distinct().count()
+    Ann.refreshPqIndex(e, table, splits = 4)
+    // nlist = labels × splits cells, all non-empty seed groups
+    val nCells = spark.table(s"${table}_centroids").count()
+    assert(nCells == nLabels * 4,
+      s"expected ${nLabels * 4} cells, got $nCells")
+    // cells shrink accordingly: the largest cell is well under a
+    // whole-label share of the corpus
+    val maxCell = spark.table(table).groupBy("cell").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxCell < e.count() / nLabels,
+      s"largest split cell $maxCell not smaller than a label cell")
+    // the probe contract is split-invariant: re-encodes of corpus
+    // vectors still flag against their source at cosine 1 (assignment
+    // is argmax over the finer centroids for batch AND members alike)
+    val probe = e.filter(col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 90000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .select("vec_id", "emb")
+    val out = Ann.probePqIndex(spark, table, probe).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Int]("is_dup") == 1 &&
+        r.getAs[java.lang.Long]("match_vec_id") ==
+          r.getAs[Long]("vec_id") - 90000, r.toString)
+    }
+  }
+
   test("appendPqIndex: appended vectors serve and flag without re-encoding; codebook and centroids untouched") {
     import org.apache.spark.sql.functions._
     val table = "pq_append_test"
