@@ -197,6 +197,134 @@ object Bpe {
     syms.withColumn("n_tokens", size(col("syms")))
   }
 
+  // --------------------------------------------------------------- q113
+
+  /** q113: one batched BPE training round as an oracle-checked query —
+    * the [[train]] loop's first iteration under `batchMerges = m`,
+    * surfaced end to end: rank the initial adjacent-pair counts (q102's
+    * table), greedily accept the top `m` pairs that share no symbol and
+    * no merged token ([[disjointBatch]]), apply them in ONE fold pass
+    * ([[applyMerges]]), and report each frequent word's resulting
+    * segmentation. This is the query that promotes the trainer's two
+    * kernels — the batched selection policy and the single-pass fold —
+    * from module tests into the value-hash gate: the oracle replays the
+    * greedy walk (a linear recursive CTE over the ranked list) and the
+    * fold (per-merge left-to-right string replace over a
+    * sentinel-rendered token string — equal to the one-pass fold
+    * exactly because the batch is symbol-disjoint, the [[applyMerges]]
+    * invariant) bit for bit.
+    *
+    * Scale shape: identical to [[train]]'s per-round cost — the only
+    * corpus-sized operation is the word-frequency groupBy; ranking,
+    * selection (a ≤ 4m-row driver pull, the trainer's own bounded
+    * decision pull), and the fold all run on the distinct-word frame.
+    * The freq floor on the report keeps the output the head of the
+    * vocabulary; it filters AFTER segmentation, which costs nothing
+    * (the fold is row-local).
+    */
+  /** The trainer's first batched round over a corpus: the ranked pull
+    * + greedy disjoint selection exactly as one [[train]] iteration
+    * performs it. Shared by q113 and its spec.
+    */
+  private[graft] def firstBatch(docs: DataFrame, m: Int): Seq[(String, String)] = {
+    val top = pairCounts(initialSyms(wordTable(docs)))
+      .filter(col("cnt") >= 2)
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(4 * m)
+      .collect()
+      .toSeq.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    disjointBatch(top, m)
+  }
+
+  def q113BpeSegment(s: SparkSession, dir: String, m: Int = 8,
+                     minFreq: Long = 5L): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val syms0 = initialSyms(wordTable(d))
+    val round = firstBatch(d, m)
+    syms0
+      .withColumn("syms", applyMerges(col("syms"), round))
+      .filter(col("freq") >= minFreq)
+      .select(col("word"), col("freq"),
+        array_join(col("syms"), " ").as("tokens"),
+        size(col("syms")).as("n_tokens"))
+      .orderBy("word")
+  }
+
+  /** Oracle for [[q113BpeSegment]] (m = 8, minFreq = 5). Tokens are
+    * rendered as chr(1)‖token‖chr(2) so a merge (a, b) is one
+    * left-to-right `replace` of the adjacent rendered pair — for a
+    * symbol-disjoint batch, sequential per-merge replace equals the
+    * Spark side's single fold pass (no pair's occurrences are created
+    * or destroyed by another, and a replacement can never complete a
+    * later pattern: every pattern needs single-char symbols between
+    * sentinels, every replacement writes a 2+-char token). The greedy
+    * selection walks the ranked list one row per recursion step with
+    * the used-symbol set carried as a chr(1)-delimited string.
+    */
+  val q113Sql: String = {
+    val d1 = "chr(1)"; val d2 = "chr(2)"
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE len(word) > 0 GROUP BY word),
+       |p AS (
+       |  SELECT word, freq, unnest(generate_series(1, len(word))) AS i FROM w),
+       |c AS (
+       |  SELECT substr(word, i, 1) AS a,
+       |    CASE WHEN i = len(word) THEN '</w>'
+       |         ELSE substr(word, i + 1, 1) END AS b,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM p GROUP BY 1, 2),
+       |r AS (
+       |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
+       |  FROM c WHERE cnt >= 2
+       |  QUALIFY rk <= 32),
+       |sel AS (
+       |  SELECT 0 AS rk, CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+       |    0 AS n_sel, $d1 AS used, FALSE AS took
+       |  UNION ALL
+       |  SELECT r.rk, r.a, r.b,
+       |    sel.n_sel + CASE WHEN sel.n_sel < 8
+       |        AND NOT contains(sel.used, $d1 || r.a || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.b || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.a || r.b || $d1)
+       |      THEN 1 ELSE 0 END,
+       |    CASE WHEN sel.n_sel < 8
+       |        AND NOT contains(sel.used, $d1 || r.a || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.b || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.a || r.b || $d1)
+       |      THEN sel.used || r.a || $d1 || r.b || $d1 || r.a || r.b || $d1
+       |      ELSE sel.used END,
+       |    sel.n_sel < 8
+       |      AND NOT contains(sel.used, $d1 || r.a || $d1)
+       |      AND NOT contains(sel.used, $d1 || r.b || $d1)
+       |      AND NOT contains(sel.used, $d1 || r.a || r.b || $d1)
+       |  FROM sel JOIN r ON r.rk = sel.rk + 1),
+       |m AS (
+       |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY rk) AS mi
+       |  FROM sel WHERE took),
+       |nm AS (SELECT CAST(COUNT(*) AS INT) AS n_m FROM m),
+       |init AS (
+       |  SELECT word, freq,
+       |    list_aggregate(list_transform(generate_series(1, len(word)),
+       |      i -> $d1 || substr(word, i, 1) || $d2), 'string_agg', '')
+       |    || $d1 || '</w>' || $d2 AS st
+       |  FROM w WHERE freq >= 5),
+       |ap AS (
+       |  SELECT word, freq, st, 0 AS mi FROM init
+       |  UNION ALL
+       |  SELECT ap.word, ap.freq,
+       |    replace(ap.st, $d1 || m.a || $d2 || $d1 || m.b || $d2,
+       |      $d1 || m.a || m.b || $d2),
+       |    ap.mi + 1
+       |  FROM ap JOIN m ON m.mi = ap.mi + 1)
+       |SELECT word, freq,
+       |  replace(substr(st, 2, len(st) - 2), $d2 || $d1, ' ') AS tokens,
+       |  CAST((len(st) - len(replace(st, $d2, ''))) AS INT) AS n_tokens
+       |FROM ap, nm WHERE ap.mi = nm.n_m
+       |ORDER BY word""".stripMargin
+  }
+
   /** CLI: `runMain graft.operators.Bpe <dataDir> <numMerges> [batchMerges]`
     * — prints the learned merge list and the wall time (the
     * batched-vs-sequential rehearsal knob).

@@ -566,4 +566,157 @@ object CorpusOps {
        |  ${Num.sqlRoundD("centroid_norm / mean_norm")} AS collapse_ratio
        |FROM lv JOIN cn ON lv.label = cn.label
        |ORDER BY lv.label""".stripMargin
+
+  // --------------------------------------------------------------- q115
+
+  /** q115: Heaps-law type-growth curve — the companion corpus health
+    * fit to q92's Zipf check: distinct types V grow with token count N
+    * as V ≈ K·N^β (Heaps/Herdan). The types measured are word
+    * TRIGRAMS, not unigrams: the n-gram-type count is what sizes every
+    * shingle/fingerprint index this engine builds (q21's shingles,
+    * q51's 8-gram tables, q67's vocab), and on a closed-vocabulary
+    * corpus like the synthetic one the unigram curve saturates in the
+    * first decile and carries zero planning signal (measured: all 31
+    * word types appear in bucket 0) while trigram types keep minting —
+    * exactly the curve an index-growth projection extrapolates. β near
+    * 1 means the corpus keeps minting new contexts (or dedup is
+    * failing); β near 0 means a saturated/templated corpus — the
+    * `shape` column names the regime. The curve is measured over ten
+    * ingestion-order prefixes (doc_id range deciles) and fitted in
+    * log-log space by the q92 least-squares kernel; each decile row
+    * carries the cumulative points plus the shared fit.
+    *
+    * Scale shape: cumulative distinct without a cumulative distinct —
+    * each gram contributes once at its FIRST bucket (min bucket per
+    * gram: one corpus-sized shuffle, q67's), so cum_vocab is a running
+    * sum over a 10-row frame. The bucket spine is arithmetic on
+    * (min, max) doc_id — a 1-row broadcast, no global window anywhere.
+    * The degenerate-fit guard (zero y-variance ⇒ β = 0, R² = 1) keeps
+    * the report NaN-free on pathological corpora in both engines: the
+    * moments are exact decimal sums of identically-quantized doubles,
+    * so `deny` is bit-equal cross-engine and the guard fires in both
+    * or neither.
+    */
+  def q115HeapsGrowth(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bounds = d.agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val bucketed = d.crossJoin(broadcast(bounds))
+      // explicit floor: Spark's double→int cast truncates but DuckDB's
+      // ROUNDS — FLOOR on both sides is the only portable bucket
+      .withColumn("bucket",
+        floor((col("doc_id") - col("mn")) * 10 / (col("mx") - col("mn") + 1)).cast("int"))
+      .withColumn("words", split(lower(trim(col("text"))), " "))
+    val tokensPerBucket = bucketed
+      .groupBy("bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("words")).cast("long")).as("n_tokens"))
+    val firstSeen = bucketed
+      .filter(size(col("words")) >= 3)
+      .withColumn("i", explode(sequence(lit(1), size(col("words")) - 2)))
+      .select(col("bucket"),
+        array_join(slice(col("words"), col("i"), lit(3)), " ").as("gram"))
+      .groupBy("gram").agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("n_new_types"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    val pts = tokensPerBucket
+      .join(firstSeen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_vocab", sum(col("n_new_types")).over(w))
+      .withColumn("x", Num.roundD(log(col("cum_tokens").cast("double")), 6))
+      .withColumn("y", Num.roundD(log(col("cum_vocab").cast("double")), 6))
+    val g = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      Num.exactSum(col("x")).cast("double").as("sx"),
+      Num.exactSum(col("y")).cast("double").as("sy"),
+      Num.exactSum(col("x") * col("x")).cast("double").as("sxx"),
+      Num.exactSum(col("x") * col("y")).cast("double").as("sxy"),
+      Num.exactSum(col("y") * col("y")).cast("double").as("syy"))
+    val fit = g.select(
+      col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("deny"))
+      .withColumn("slope_raw",
+        when(col("deny") <= 0.0, lit(0.0)).otherwise(col("num") / col("den")))
+      .select(
+        Num.roundD(col("slope_raw")).as("heaps_beta"),
+        Num.roundD((col("sy") - col("slope_raw") * col("sx")) / col("n")).as("log_k"),
+        when(col("deny") <= 0.0, lit(1.0)).otherwise(
+          Num.roundD(col("num") * col("num") / (col("den") * col("deny"))))
+          .as("r_squared"))
+      .withColumn("shape",
+        when(col("heaps_beta") < 0.2, "saturated")
+          .when(col("heaps_beta") > 0.9, "open")
+          .otherwise("heaps"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_docs"), col("cum_tokens"), col("cum_vocab"),
+        col("x"), col("y"), col("heaps_beta"), col("log_k"), col("r_squared"),
+        col("shape"))
+      .orderBy("bucket")
+  }
+
+  val q115Sql: String =
+    s"""WITH bounds AS (
+       |  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR((doc_id - mn) * 10 / (mx - mn + 1)) AS INT) AS bucket,
+       |    string_split(lower(trim(text)), ' ') AS words
+       |  FROM documents, bounds),
+       |tb AS (
+       |  SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(words)) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY bucket),
+       |fs AS (
+       |  SELECT gram, MIN(bucket) AS fb FROM (
+       |    SELECT bucket, array_to_string(words[i:i+2], ' ') AS gram
+       |    FROM (SELECT bucket, words,
+       |            unnest(generate_series(1, len(words) - 2)) AS i
+       |          FROM b WHERE len(words) >= 3) z) u
+       |  GROUP BY gram),
+       |nv AS (
+       |  SELECT fb AS bucket, COUNT(*) AS n_new_types FROM fs GROUP BY fb),
+       |pts AS (
+       |  SELECT tb.bucket, n_docs,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(COALESCE(n_new_types, 0)) OVER (ORDER BY tb.bucket) AS BIGINT)
+       |      AS cum_vocab
+       |  FROM tb LEFT JOIN nv ON tb.bucket = nv.bucket),
+       |xy AS (
+       |  SELECT bucket, n_docs, cum_tokens, cum_vocab,
+       |    ${Num.sqlRoundD("LN(CAST(cum_tokens AS DOUBLE))", 6)} AS x,
+       |    ${Num.sqlRoundD("LN(CAST(cum_vocab AS DOUBLE))", 6)} AS y
+       |  FROM pts),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy
+       |  FROM xy),
+       |st AS (
+       |  SELECT n, sx, sy,
+       |    n * sxy - sx * sy AS num,
+       |    n * sxx - sx * sx AS den,
+       |    n * syy - sy * sy AS deny
+       |  FROM g),
+       |fit AS (
+       |  SELECT
+       |    ${Num.sqlRoundD("CASE WHEN deny <= 0.0 THEN 0.0 ELSE num / den END")} AS heaps_beta,
+       |    ${Num.sqlRoundD("(sy - (CASE WHEN deny <= 0.0 THEN 0.0 ELSE num / den END) * sx) / n")} AS log_k,
+       |    CASE WHEN deny <= 0.0 THEN 1.0
+       |      ELSE ${Num.sqlRoundD("num * num / (den * deny)")} END AS r_squared
+       |  FROM st),
+       |fs2 AS (
+       |  SELECT heaps_beta, log_k, r_squared,
+       |    CASE WHEN heaps_beta < 0.2 THEN 'saturated'
+       |         WHEN heaps_beta > 0.9 THEN 'open'
+       |         ELSE 'heaps' END AS shape
+       |  FROM fit)
+       |SELECT bucket, n_docs, cum_tokens, cum_vocab, x, y,
+       |  heaps_beta, log_k, r_squared, shape
+       |FROM xy, fs2
+       |ORDER BY bucket""".stripMargin
 }

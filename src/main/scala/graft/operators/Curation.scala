@@ -683,4 +683,105 @@ object Curation {
        |FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
        |WHERE n_screen_hits > 0
        |ORDER BY tot.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q116
+
+  /** q116: contamination-SPAN coverage — the refinement that decides
+    * what to DO about a q51 hit. q51/q99/q106 report whether a document
+    * shares any benchmark 8-gram; this operator reports how much of the
+    * document those matches actually cover: matched windows [i, i+7]
+    * are merged into maximal disjoint spans (overlapping windows chain
+    * into one span; a gap starts a new one — the gaps-and-islands
+    * pattern), and the covered-token fraction drives the
+    * remove-vs-redact decision a Dolma/FineWeb-style pipeline applies
+    * (≥ 20% covered: the document IS the benchmark, drop it; below:
+    * surgical span excision keeps the clean remainder).
+    *
+    * Scale shape: gram stream + broadcast benchmark probe are exactly
+    * q51's (no corpus-sized shuffle); the island windows run per doc
+    * over MATCHED windows only — the contaminated sliver, thousands of
+    * rows where the corpus is billions — so the window state is
+    * negligible at any corpus size.
+    */
+  def q116ContaminationSpan(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .filter(col("n_tokens") >= 8)
+    val g = t
+      .withColumn("i", explode(sequence(lit(1), (col("n_tokens") - 7).cast("int"))))
+      .select(col("doc_id"), col("n_tokens"), col("i"),
+        md5(array_join(slice(col("w"), col("i"), lit(8)), " ")).as("gh"))
+    val benchGrams = g.filter(col("doc_id") % 97 === 0)
+      .select("gh").distinct()
+    val matched = g.join(broadcast(benchGrams), Seq("gh"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("i") + 7)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = matched
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("i") > prevEnd, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islands.groupBy("doc_id", "n_tokens", "span_id")
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("i")).as("s"), max(col("i") + 7).as("e"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(sum(col("n_windows")).as("n_matched_windows"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("covered_tokens"))
+      .withColumn("is_benchmark", (col("doc_id") % 97 === 0).cast("int"))
+      .withColumn("coverage",
+        Num.roundD(col("covered_tokens").cast("double") / col("n_tokens")))
+      .withColumn("decision",
+        when(col("coverage") >= 0.2, "remove").otherwise("redact_spans"))
+      .select("doc_id", "is_benchmark", "n_tokens", "n_matched_windows",
+        "n_spans", "covered_tokens", "coverage", "decision")
+      .orderBy("doc_id")
+  }
+
+  val q116Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |e AS (
+       |  SELECT doc_id, len(w) AS n_tokens, w,
+       |    unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+       |g AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    md5(array_to_string(w[i:i+7], ' ')) AS gh FROM e),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |m AS (
+       |  SELECT g.doc_id, g.n_tokens, g.i FROM g JOIN bench USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    CASE WHEN MAX(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR i > MAX(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM m),
+       |si AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM isl),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, span_id, COUNT(*) AS n_windows,
+       |    MIN(i) AS s, MAX(i + 7) AS e
+       |  FROM si GROUP BY doc_id, n_tokens, span_id),
+       |agg AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_windows) AS BIGINT) AS n_matched_windows,
+       |    COUNT(*) AS n_spans,
+       |    CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+       |  FROM sp GROUP BY doc_id, n_tokens)
+       |SELECT doc_id, CAST(doc_id % 97 = 0 AS INT) AS is_benchmark,
+       |  n_tokens, n_matched_windows, n_spans, covered_tokens,
+       |  ${Num.sqlRoundD("CAST(covered_tokens AS DOUBLE) / n_tokens")} AS coverage,
+       |  CASE WHEN ${Num.sqlRoundD("CAST(covered_tokens AS DOUBLE) / n_tokens")} >= 0.2
+       |    THEN 'remove' ELSE 'redact_spans' END AS decision
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
 }

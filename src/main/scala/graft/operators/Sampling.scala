@@ -501,4 +501,90 @@ object Sampling {
        |  doc_id, copy_idx, lang
        |FROM ss
        |ORDER BY shard, pos""".stripMargin
+
+  // --------------------------------------------------------------- q114
+
+  /** q114: temperature-scaled mixture policy comparison — the OTHER
+    * standard multilingual/multi-source sampling family (mC4/mT5's
+    * p_i ∝ n_i^τ, Xue et al. 2021; XLM-R uses the same form at
+    * τ = 0.7), laid side by side with proportional (τ = 1) and uniform
+    * (τ = 0) so the q100 UniMax choice is an informed one: per
+    * language, the three policy weights, the epochs temperature
+    * sampling would spend at q100's token budget, and the
+    * low-resource boost factor p_temp / p_prop. The known failure mode
+    * the report surfaces is exactly why UniMax exists (Chung et al.
+    * 2023): temperature sampling sets epochs implicitly — a
+    * low-supply language can silently repeat far past memorization
+    * territory, which the `risk` column flags at the 4-epoch line.
+    *
+    * Numeric discipline: n_i^τ is computed as exp(τ · ln n_i) with the
+    * ln quantized at 6dp first (q92's libm rule; exp is bit-identical
+    * cross-engine per the Φ probe), the weight re-quantized at 6dp,
+    * and the normalizer an exact decimal sum — both engines divide the
+    * SAME doubles. Scale shape: q100's — one corpus-sized per-lang
+    * token groupBy; everything after runs on the languages frame.
+    */
+  def q114TemperatureMixture(s: SparkSession, dir: String,
+                             tau: Double = 0.7): DataFrame = {
+    val avail = docs(s, dir)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("avail_tokens"))
+    val full = Window.orderBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    avail
+      .withColumn("w_temp",
+        Num.roundD(exp(lit(tau) * Num.roundD(log(col("avail_tokens").cast("double")), 6)), 6))
+      .withColumn("total_avail", sum(col("avail_tokens")).over(full))
+      .withColumn("n_langs", count(lit(1)).over(full))
+      .withColumn("w_sum", Num.exactSum(col("w_temp")).over(full).cast("double"))
+      .withColumn("budget", expr("(total_avail * 4) div 5"))
+      .withColumn("p_prop", Num.roundD(
+        col("avail_tokens").cast("double") / col("total_avail"), 6))
+      .withColumn("p_temp", Num.roundD(col("w_temp") / col("w_sum"), 6))
+      .withColumn("p_unif", Num.roundD(lit(1.0) / col("n_langs"), 6))
+      .withColumn("epochs_temp", Num.roundD(
+        col("p_temp") * col("budget") / col("avail_tokens"), 6))
+      .withColumn("boost", Num.roundD(col("p_temp") / col("p_prop"), 6))
+      .withColumn("risk",
+        when(col("epochs_temp") > 4.0, "oversampled").otherwise("ok"))
+      .select("lang", "avail_tokens", "p_prop", "p_temp", "p_unif",
+        "epochs_temp", "boost", "risk")
+      .orderBy("lang")
+  }
+
+  val q114Sql: String = {
+    val wTemp = Num.sqlRoundD(
+      s"EXP(0.7 * ${Num.sqlRoundD("LN(CAST(avail_tokens AS DOUBLE))", 6)})", 6)
+    s"""WITH a AS (
+       |  SELECT lang,
+       |    CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+       |      AS avail_tokens
+       |  FROM documents GROUP BY lang),
+       |b AS (
+       |  SELECT lang, avail_tokens, $wTemp AS w_temp FROM a),
+       |t AS (
+       |  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_avail,
+       |    COUNT(*) AS n_langs,
+       |    CAST(SUM(CAST(w_temp AS DECIMAL(25,6))) AS DOUBLE) AS w_sum
+       |  FROM b),
+       |c AS (
+       |  SELECT lang, avail_tokens, w_temp, total_avail, n_langs, w_sum,
+       |    (total_avail * 4) // 5 AS budget
+       |  FROM b, t),
+       |d AS (
+       |  SELECT lang, avail_tokens,
+       |    ${Num.sqlRoundD("CAST(avail_tokens AS DOUBLE) / total_avail", 6)} AS p_prop,
+       |    ${Num.sqlRoundD("w_temp / w_sum", 6)} AS p_temp,
+       |    ${Num.sqlRoundD("1.0 / n_langs", 6)} AS p_unif,
+       |    budget
+       |  FROM c)
+       |SELECT lang, avail_tokens, p_prop, p_temp, p_unif,
+       |  ${Num.sqlRoundD("p_temp * budget / avail_tokens", 6)} AS epochs_temp,
+       |  ${Num.sqlRoundD("p_temp / p_prop", 6)} AS boost,
+       |  CASE WHEN ${Num.sqlRoundD("p_temp * budget / avail_tokens", 6)} > 4.0
+       |    THEN 'oversampled' ELSE 'ok' END AS risk
+       |FROM d
+       |ORDER BY lang""".stripMargin
+  }
 }

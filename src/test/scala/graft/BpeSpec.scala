@@ -223,4 +223,37 @@ class BpeSpec extends SparkSpec {
       assert(got == want, s"fold $got vs greedy $want on $seg merge ($a,$b)")
     }
   }
+
+  test("q113 equals the trainer's own first batched round replayed through segment") {
+    // q113 IS one train(batchMerges = 8) iteration surfaced as a query.
+    // Its merges are the trainer's own firstBatch; replaying them
+    // through segment — which re-groups the list through ITS OWN
+    // batching logic before folding — must reproduce q113's tokens
+    // column byte-for-byte on the freq floor. The batch must also be a
+    // filtered prefix of q102's published ranking (shared tie-break).
+    val docs = Tables.load(spark, Sf, "documents")
+    val merges = Bpe.firstBatch(docs, 8)
+    assert(merges.nonEmpty && merges.size <= 8, merges.toString)
+    // every selected pair appears in q102's ranking order, and the
+    // selection is symbol-disjoint (no shared lefts/rights/merged)
+    val ranked = graft.operators.CorpusOps.q102BpePairs(spark, Sf, topK = 200)
+      .collect().map(r => (r.getAs[String]("sym_left"), r.getAs[String]("sym_right"))).toSeq
+    assert(merges.forall(ranked.contains), s"$merges not all in q102 ranking")
+    val syms = merges.flatMap { case (a, b) => Seq(a, b, a + b) }
+    assert(syms.distinct.size == syms.size, s"batch not symbol-disjoint: $merges")
+    val viaSegment = Bpe.segment(Bpe.wordTable(docs), merges)
+      .filter(col("freq") >= 5)
+      .select(col("word"), concat_ws(" ", col("syms")).as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val q113 = Bpe.q113BpeSegment(spark, Sf).collect()
+    assert(q113.nonEmpty)
+    q113.foreach { r =>
+      val w = r.getAs[String]("word")
+      assert(viaSegment(w) == r.getAs[String]("tokens"),
+        s"$w: q113 '${r.getAs[String]("tokens")}' vs segment '${viaSegment(w)}'")
+      assert(r.getAs[Int]("n_tokens") ==
+        r.getAs[String]("tokens").split(" ").length)
+    }
+    assert(q113.length == viaSegment.size)
+  }
 }

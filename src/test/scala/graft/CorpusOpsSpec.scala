@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.CorpusOps
+import graft.Tables
 import org.apache.spark.sql.functions._
 
 /** Value-level checks for the round-4 corpus-ops family (q65–q69);
@@ -213,5 +214,34 @@ class CorpusOpsSpec extends SparkSpec {
     // doc 4 (95 tokens → 3 windows): window 0 equals the twins' window 0;
     // windows 1-2 mix tok/tail tokens and exist nowhere else
     assert(out(4L) == ((3L, 1L, 0.3333)), out(4L).toString)
+  }
+
+  test("q115 heaps growth: cumulative totals exact, curve monotone, fit sane") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val rows = CorpusOps.q115HeapsGrowth(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq == (0 until rows.length),
+      "buckets must be the dense 0..k-1 spine")
+    assert(rows.length == 10, s"expected 10 deciles, got ${rows.length}")
+    // docs partition across buckets completely
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // cumulative columns are non-decreasing and end at the exact totals
+    val toks = rows.map(_.getAs[Long]("cum_tokens"))
+    val vocab = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a <= b })
+    assert(toks.last == docs.select(
+      sum(size(split(lower(trim(col("text"))), " ")).cast("long"))).head.getLong(0))
+    // final cum_vocab equals an independent distinct-trigram count
+    val grams = docs.select(split(lower(trim(col("text"))), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("i", explode(sequence(lit(1), size(col("w")) - 2)))
+      .select(array_join(slice(col("w"), col("i"), lit(3)), " ").as("g"))
+    assert(vocab.last == grams.select(countDistinct(col("g"))).head.getLong(0))
+    // Heaps exponent: sublinear type growth, tight log-log fit
+    val beta = rows.head.getAs[Double]("heaps_beta")
+    val r2 = rows.head.getAs[Double]("r_squared")
+    assert(beta > 0.0 && beta < 1.0, s"heaps_beta $beta")
+    assert(r2 > 0.9 && r2 <= 1.0, s"r_squared $r2")
+    assert(rows.head.getAs[String]("shape") == "heaps", rows.head.toString)
   }
 }

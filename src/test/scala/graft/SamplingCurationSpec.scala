@@ -424,4 +424,61 @@ class SamplingCurationSpec extends SparkSpec {
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
     out.unpersist()
   }
+
+  test("q114 temperature mixture: distributions normalize, boost is monotone in supply") {
+    val rows = Sampling.q114TemperatureMixture(spark, Sf).collect()
+    assert(rows.length >= 2, "needs at least two languages to compare")
+    // each policy column is a distribution (sums to 1 within rounding slack)
+    for (c <- Seq("p_prop", "p_temp", "p_unif")) {
+      val s = rows.map(_.getAs[Double](c)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$c sums to $s")
+    }
+    // τ < 1 compresses toward uniform: the boost p_temp/p_prop is
+    // strictly decreasing in avail_tokens (n^(τ-1) is decreasing), >1
+    // for the smallest language and <1 for the largest
+    val bySupply = rows.sortBy(_.getAs[Long]("avail_tokens"))
+    val boosts = bySupply.map(_.getAs[Double]("boost"))
+    assert(boosts.zip(boosts.tail).forall { case (a, b) => a > b },
+      s"boost not strictly decreasing in supply: ${boosts.toSeq}")
+    assert(boosts.head > 1.0 && boosts.last < 1.0, boosts.toSeq.toString)
+    // p_temp sits strictly between proportional and uniform for the
+    // extreme languages (the policy's defining property)
+    val lo = bySupply.head; val hi = bySupply.last
+    assert(lo.getAs[Double]("p_prop") < lo.getAs[Double]("p_temp") &&
+      lo.getAs[Double]("p_temp") < lo.getAs[Double]("p_unif"), lo.toString)
+    assert(hi.getAs[Double]("p_unif") < hi.getAs[Double]("p_temp") &&
+      hi.getAs[Double]("p_temp") < hi.getAs[Double]("p_prop"), hi.toString)
+  }
+
+  test("q116 spans merge overlapping windows and split at gaps, by construction") {
+    import spark.implicits._
+    // benchmark doc (id 0, 97 | 0): tokens b1..b20. Three train docs:
+    //   id 1: exactly b1..b8            → 1 window, 1 span, 8/8 covered → remove
+    //   id 2: b1..b12 + 8 unique        → 5 overlapping windows chain into
+    //         ONE span of 12 over 20 tokens → 0.6 → remove
+    //   id 3: b1..b8, 9 unique, b13..b20 → two windows separated by a gap
+    //         → 2 spans, 16/25 covered → remove; and
+    //   id 4: b1..b8 + 72 unique        → 8/80 = 0.1 → redact_spans
+    val b = (1 to 20).map(i => s"b$i")
+    val mk = (ts: Seq[String]) => ts.mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("q116").toString
+    Seq(
+      (0L, mk(b)),
+      (1L, mk(b.take(8))),
+      (2L, mk(b.take(12) ++ (1 to 8).map(i => s"u$i"))),
+      (3L, mk(b.take(8) ++ (1 to 9).map(i => s"v$i") ++ b.slice(12, 20))),
+      (4L, mk(b.take(8) ++ (1 to 72).map(i => s"w$i"))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.q116ContaminationSpan(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_matched_windows"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("covered_tokens"), r.getAs[String]("decision"))).toMap
+    assert(out(1L) == ((1L, 1L, 8L, "remove")), out(1L).toString)
+    assert(out(2L) == ((5L, 1L, 12L, "remove")), out(2L).toString)
+    assert(out(3L) == ((2L, 2L, 16L, "remove")), out(3L).toString)
+    assert(out(4L) == ((1L, 1L, 8L, "redact_spans")), out(4L).toString)
+    // the benchmark doc itself matches everywhere: fully covered
+    assert(out(0L)._3 == 20L && out(0L)._4 == "remove", out(0L).toString)
+  }
 }
