@@ -703,11 +703,22 @@ object Curation {
     * rows where the corpus is billions — so the window state is
     * negligible at any corpus size.
     */
-  def q116ContaminationSpan(s: SparkSession, dir: String): DataFrame = {
-    val t = docs(s, dir)
+  /** Token frame shared by q116/q117: (doc_id, w tokens array, n_tokens
+    * as long), 8-token-able docs only.
+    */
+  private def spanTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
       .withColumn("n_tokens", size(col("w")).cast("long"))
       .filter(col("n_tokens") >= 8)
+
+  /** Merged contamination spans shared by q116 (the report) and q117
+    * (the excision): one row per maximal disjoint matched span —
+    * (doc_id, n_tokens, span_id, n_windows, s, e), token positions
+    * 1-based inclusive. See [[q116ContaminationSpan]] for the recipe
+    * and the scale argument.
+    */
+  private def contaminationSpans(t: DataFrame): DataFrame = {
     val g = t
       .withColumn("i", explode(sequence(lit(1), (col("n_tokens") - 7).cast("int"))))
       .select(col("doc_id"), col("n_tokens"), col("i"),
@@ -723,9 +734,13 @@ object Curation {
         when(prevEnd.isNull || col("i") > prevEnd, 1).otherwise(0))
       .withColumn("span_id", sum(col("new_span"))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-    val spans = islands.groupBy("doc_id", "n_tokens", "span_id")
+    islands.groupBy("doc_id", "n_tokens", "span_id")
       .agg(count(lit(1)).as("n_windows"),
         min(col("i")).as("s"), max(col("i") + 7).as("e"))
+  }
+
+  def q116ContaminationSpan(s: SparkSession, dir: String): DataFrame = {
+    val spans = contaminationSpans(spanTokens(s, dir))
     spans.groupBy("doc_id", "n_tokens")
       .agg(sum(col("n_windows")).as("n_matched_windows"),
         count(lit(1)).as("n_spans"),
@@ -784,4 +799,122 @@ object Curation {
        |    THEN 'remove' ELSE 'redact_spans' END AS decision
        |FROM agg
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q117
+
+  /** q117: contamination-span EXCISION — the act step behind q116's
+    * decision: `remove` documents drop entirely (empty text_out), and
+    * `redact_spans` documents get the covered token ranges surgically
+    * cut, keeping every uncovered token in original order. Detect
+    * (q51) → decide (q116) → excise (q117) completes the
+    * decontamination story the way production pipelines (Dolma's
+    * paragraph removal, FineWeb's line excision) actually apply it —
+    * the clean remainder of a lightly-contaminated document is kept,
+    * not collateral-dropped.
+    *
+    * Scale shape: the span computation is q116's (gram stream +
+    * broadcast benchmark probe, islands over the matched sliver).
+    * Token-level work — the explode to (pos, token) — runs ONLY for
+    * `redact_spans` documents (a broadcast semi-join of the flagged-doc
+    * sliver), and the coverage test is a broadcast range anti-join
+    * against the span list, so the corpus-sized path never shuffles on
+    * anything but the gram hash it already paid for. The ordered
+    * reassembly sorts each kept doc's (pos, token) structs INSIDE the
+    * aggregation row (array_sort is row-local) — no per-token window,
+    * no global sort.
+    */
+  def q117SpanExcise(s: SparkSession, dir: String): DataFrame = {
+    val t = spanTokens(s, dir)
+    val spans = contaminationSpans(t).persist()
+    val perDoc = spans.groupBy("doc_id", "n_tokens")
+      .agg(sum(col("e") - col("s") + 1).as("covered_tokens"))
+      .withColumn("coverage",
+        Num.roundD(col("covered_tokens").cast("double") / col("n_tokens")))
+      .withColumn("decision",
+        when(col("coverage") >= 0.2, "remove").otherwise("redact_spans"))
+    val exciseIds = perDoc.filter(col("decision") === "redact_spans")
+      .select("doc_id")
+    val toks = t.join(broadcast(exciseIds), Seq("doc_id"))
+      .withColumn("pos", explode(sequence(lit(1), size(col("w")))))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("w"), col("pos")).as("tok"))
+    val spanRanges = spans.select(col("doc_id").as("sd"), col("s"), col("e"))
+    val kept = toks.join(broadcast(spanRanges),
+      col("doc_id") === col("sd") &&
+        col("pos").between(col("s"), col("e")), "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_raw"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok))")
+          .as("text_raw"))
+    perDoc.join(reassembled, Seq("doc_id"), "left")
+      .withColumn("kept_tokens",
+        when(col("decision") === "remove", lit(0L))
+          .otherwise(coalesce(col("kept_raw"), lit(0L))))
+      .withColumn("text_out",
+        when(col("decision") === "remove", lit(""))
+          .otherwise(coalesce(col("text_raw"), lit(""))))
+      .select("doc_id", "decision", "n_tokens", "covered_tokens",
+        "kept_tokens", "text_out")
+      .orderBy("doc_id")
+  }
+
+  val q117Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |e AS (
+       |  SELECT doc_id, len(w) AS n_tokens, w,
+       |    unnest(generate_series(1, len(w) - 7)) AS i FROM t),
+       |g AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    md5(array_to_string(w[i:i+7], ' ')) AS gh FROM e),
+       |bench AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |m AS (
+       |  SELECT g.doc_id, g.n_tokens, g.i FROM g JOIN bench USING (gh)),
+       |isl AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    CASE WHEN MAX(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR i > MAX(i + 7) OVER (PARTITION BY doc_id ORDER BY i
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS new_span
+       |  FROM m),
+       |si AS (
+       |  SELECT doc_id, n_tokens, i,
+       |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |  FROM isl),
+       |sp AS (
+       |  SELECT doc_id, n_tokens, span_id, MIN(i) AS s, MAX(i + 7) AS e
+       |  FROM si GROUP BY doc_id, n_tokens, span_id),
+       |pd AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(e - s + 1) AS BIGINT) AS covered_tokens
+       |  FROM sp GROUP BY doc_id, n_tokens),
+       |dec AS (
+       |  SELECT doc_id, n_tokens, covered_tokens,
+       |    CASE WHEN ${Num.sqlRoundD("CAST(covered_tokens AS DOUBLE) / n_tokens")} >= 0.2
+       |      THEN 'remove' ELSE 'redact_spans' END AS decision
+       |  FROM pd),
+       |tok AS (
+       |  SELECT tt.doc_id, pos, w[pos] AS tok FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+       |    FROM t JOIN (SELECT doc_id FROM dec
+       |                 WHERE decision = 'redact_spans') dd USING (doc_id)) tt),
+       |kept AS (
+       |  SELECT doc_id, pos, tok FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp
+       |    WHERE sp.doc_id = tok.doc_id AND tok.pos BETWEEN sp.s AND sp.e)),
+       |ka AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_raw,
+       |    string_agg(tok, ' ' ORDER BY pos) AS text_raw
+       |  FROM kept GROUP BY doc_id)
+       |SELECT dec.doc_id, decision, n_tokens, covered_tokens,
+       |  CASE WHEN decision = 'remove' THEN 0
+       |    ELSE COALESCE(kept_raw, 0) END AS kept_tokens,
+       |  CASE WHEN decision = 'remove' THEN ''
+       |    ELSE COALESCE(text_raw, '') END AS text_out
+       |FROM dec LEFT JOIN ka ON dec.doc_id = ka.doc_id
+       |ORDER BY dec.doc_id""".stripMargin
 }

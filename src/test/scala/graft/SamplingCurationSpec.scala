@@ -480,5 +480,22 @@ class SamplingCurationSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, 8L, "redact_spans")), out(4L).toString)
     // the benchmark doc itself matches everywhere: fully covered
     assert(out(0L)._3 == 20L && out(0L)._4 == "remove", out(0L).toString)
+
+    // q117 acts on those decisions: removes empty, excisions are the
+    // uncovered tokens in original order, byte-for-byte
+    val ex = Curation.q117SpanExcise(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("decision"), r.getAs[Long]("kept_tokens"),
+          r.getAs[String]("text_out"))).toMap
+    // remove docs: nothing kept
+    for (id <- Seq(0L, 1L, 2L, 3L)) {
+      assert(ex(id)._1 == "remove" && ex(id)._2 == 0L && ex(id)._3 == "",
+        s"$id: ${ex(id)}")
+    }
+    // doc 4: span [1,8] cut, the 72 unique tokens survive in order
+    val want4 = (1 to 72).map(i => s"w$i").mkString(" ")
+    assert(ex(4L) == (("redact_spans", 72L, want4)), ex(4L).toString)
+    // excised text contains no benchmark token and kept + covered = total
+    assert(!ex(4L)._3.contains("b"), ex(4L)._3.take(50))
   }
 }
