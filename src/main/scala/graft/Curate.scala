@@ -28,7 +28,8 @@ object Curate {
   case class Summary(input: Long, afterQuality: Long, afterDedup: Long,
                      afterDecontam: Long, packed: Long,
                      afterCut: Long = -1L, afterSemantic: Long = -1L,
-                     manifestPacks: Long = -1L, afterClassifier: Long = -1L)
+                     manifestPacks: Long = -1L, afterClassifier: Long = -1L,
+                     bpeMergesLearned: Long = -1L)
 
   /** `packShards` is the packing-parallelism knob (VERDICT r8 #5): the
     * pack window partitions by (split, lang, shard) with `shard = doc_id
@@ -44,7 +45,8 @@ object Curate {
           packShards: Int = 32,
           trainManifest: Boolean = false,
           manifestShards: Int = 16,
-          classifierFloor: Double = -1.0): Summary = {
+          classifierFloor: Double = -1.0,
+          bpeMerges: Int = 0): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
@@ -224,13 +226,39 @@ object Curate {
             .write.mode("overwrite").parquet(s"$outDir/manifest")
           spark.read.parquet(s"$outDir/manifest").count()
         }
+      // 6. optional tokenizer stage (bpeMerges > 0): train a batched
+      // BPE merge list ON THE TRAIN SPLIT ONLY (the tokenizer must not
+      // see validation/test text — the same leakage rule the splits
+      // exist for), persist it beside the corpus (quality_model's
+      // discipline: the artifact an experiment trained is the artifact
+      // it ships), and publish the token vocabulary of the segmented
+      // train corpus. Training cost is the distinct-word frame times
+      // merges/batch rounds (Bpe's scale contract); the vocab is one
+      // more word-frame pass.
+      val bpeLearned =
+        if (bpeMerges <= 0) -1L
+        else {
+          val trainDocs = out.filter(col("split") === "train").select("text")
+          val merges = graft.operators.Bpe.train(
+            trainDocs, bpeMerges, batchMerges = 8)
+          graft.operators.Bpe.saveMerges(spark, s"$outDir/bpe_merges", merges)
+          graft.operators.Bpe.segment(
+              graft.operators.Bpe.wordTable(trainDocs), merges)
+            .select(explode(col("syms")).as("token"), col("freq"))
+            .groupBy("token")
+            .agg(sum(col("freq")).as("n_occurrences"),
+              count(lit(1)).as("n_word_types"))
+            .write.mode("overwrite").parquet(s"$outDir/bpe_vocab")
+          merges.size.toLong
+        }
+
       Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
-        afterCut, afterSemantic, manifestPacks, afterClassifier)
+        afterCut, afterSemantic, manifestPacks, afterClassifier, bpeLearned)
     } finally labels.unpersist()
   }
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
-    * [--manifest] [--classifier]` */
+    * [--manifest] [--classifier] [--bpe=k]` */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val Array(dataDir, outDir) = pos
@@ -256,13 +284,15 @@ object Curate {
         substringCut = flags.contains("--cut"),
         semanticDedup = flags.contains("--semantic"),
         trainManifest = flags.contains("--manifest"),
-        classifierFloor = if (flags.contains("--classifier")) 0.5 else -1.0)
+        classifierFloor = if (flags.contains("--classifier")) 0.5 else -1.0,
+        bpeMerges = flags.find(_.startsWith("--bpe="))
+          .map(_.stripPrefix("--bpe=").toInt).getOrElse(0))
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
       s"classifier=${s.afterClassifier} " +
       s"cut=${s.afterCut} dedup=${s.afterDedup} semantic=${s.afterSemantic} " +
       s"decontam=${s.afterDecontam} packed=${s.packed} " +
-      s"manifest=${s.manifestPacks}")
+      s"manifest=${s.manifestPacks} bpe=${s.bpeMergesLearned}")
     spark.stop()
   }
 }

@@ -197,6 +197,32 @@ object Bpe {
     syms.withColumn("n_tokens", size(col("syms")))
   }
 
+  /** Persist an ordered merge list beside the corpus it tokenizes
+    * (rank, left, right) — the quality_model discipline: the tokenizer
+    * an experiment trained is the tokenizer it ships. [[loadMerges]]
+    * restores training order exactly.
+    */
+  def saveMerges(s: SparkSession, path: String,
+                 merges: Seq[(String, String)]): Unit = {
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Ordered merge list back from [[saveMerges]]' table. The pull is
+    * bounded by the vocabulary size a trainer chose (tens of thousands
+    * of rows at most) — driver-side by design, like the merge list it
+    * reconstructs.
+    */
+  def loadMerges(s: SparkSession, path: String): Seq[(String, String)] =
+    s.read.parquet(path)
+      .orderBy("rank")
+      .collect()
+      .toSeq.map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+
   // --------------------------------------------------------------- q113
 
   /** q113: one batched BPE training round as an oracle-checked query —

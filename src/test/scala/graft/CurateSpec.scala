@@ -201,6 +201,37 @@ class CurateSpec extends SparkSpec {
       .afterClassifier == -1L)
   }
 
+  test("bpe stage trains on the train split only, ships reloadable merges, and the vocab re-spells the corpus") {
+    import graft.operators.Bpe
+    val out = java.nio.file.Files.createTempDirectory("cbpe").toString
+    val s = Curate.run(spark, Sf, out, bpeMerges = 12)
+    assert(s.bpeMergesLearned > 0 && s.bpeMergesLearned <= 12,
+      s.bpeMergesLearned.toString)
+    // the shipped merge list reloads in training order and equals a
+    // direct re-train on the shipped train split (determinism + the
+    // split-only contract: training on all splits would learn from
+    // validation/test text and generally diverge)
+    val merges = Bpe.loadMerges(spark, s"$out/bpe_merges")
+    assert(merges.size == s.bpeMergesLearned)
+    val trainDocs = spark.read.parquet(s"$out/corpus")
+      .filter(col("split") === "train").select("text")
+    assert(merges == Bpe.train(trainDocs, 12, batchMerges = 8))
+    // the vocabulary accounts for every train token exactly: total
+    // occurrences equal the segmented corpus token count, and every
+    // token re-spells into corpus characters (no token invents bytes)
+    val vocab = spark.read.parquet(s"$out/bpe_vocab")
+    val vocabTotal = vocab.agg(sum(col("n_occurrences"))).head.getLong(0)
+    val segTotal = Bpe.segment(Bpe.wordTable(trainDocs), merges)
+      .agg(sum(col("freq") * org.apache.spark.sql.functions.size(col("syms"))))
+      .head.getLong(0)
+    assert(vocabTotal == segTotal, s"$vocabTotal vs $segTotal")
+    // tokens never contain the word separator (the segmentation is
+    // within-word by construction) and never an orphan marker prefix
+    val badTok = vocab.filter(col("token").contains(" ") ||
+      (col("token").contains("</w>") && !col("token").endsWith("</w>"))).count()
+    assert(badTok == 0, s"$badTok malformed tokens")
+  }
+
   test("curate rerun is deterministic") {
     val (a, b) = (java.nio.file.Files.createTempDirectory("ca").toString,
       java.nio.file.Files.createTempDirectory("cb").toString)
