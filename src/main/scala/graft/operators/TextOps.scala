@@ -373,4 +373,125 @@ object TextOps {
        |FROM chunks k JOIN df f USING (chunk_md5)
        |GROUP BY k.doc_id
        |ORDER BY k.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q118
+
+  /** q118: smoothed bigram-LM scoring — q85's unigram surprisal
+    * upgraded to the shape CCNet/FineWeb actually filter with (a KenLM
+    * n-gram model): each document's cross-entropy under a bigram model
+    * of the corpus itself, per-bigram
+    * p(b|a) = c(a,b)/(c(a)+k) + (k/(c(a)+k))·c(b)/T with k = 5 —
+    * Jelinek-Mercer interpolation with the COUNT-CONDITIONED mixing
+    * weight λ(a) = c(a)/(c(a)+k) (Witten-Bell's shape with a constant
+    * in place of the successor count; the two summands above are that
+    * interpolation algebraically simplified). The count conditioning
+    * is load-bearing, not a nicety: a fixed-λ model scores a document
+    * of pure hapaxes as PERFECTLY predictable (c(a,b) = c(a) = 1 ⇒
+    * ML conditional 1 — the corpus-as-model overfit, hit live by the
+    * spec's gibberish fixture), where λ(a) = 1/(1+k) correctly says a
+    * once-seen context predicts nothing. Output: avg −ln p, perplexity,
+    * and the self-normalizing corpus-relative tier (gibberish reads
+    * implausible; over-templated text reads boilerplate — the two
+    * tails a perplexity filter cuts).
+    *
+    * Plan shape: bigrams are a row-local transform on the token array
+    * (no self-join, no window); the unigram and bigram models are the
+    * two corpus-wide model aggregations, both DF-FLOORED before the
+    * broadcast back onto the stream (q85's move: at minDf = 2 every
+    * missing count is exactly 1 — observed n-grams have count ≥ 1 by
+    * construction — so coalescing misses to 1 changes the plan, not
+    * the answer, and what ships to executors is the Zipf head, not the
+    * hapax mass). The per-doc aggregate is the only corpus-wide
+    * shuffle after the models. Every arithmetic step is written with
+    * identical association in both engines (IEEE ÷, ×, + on identical
+    * inputs), and the −ln is quantized at 6dp before the exact decimal
+    * average, q85's libm rule.
+    */
+  def q118BigramLm(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+    val toks = d.select(col("doc_id"), explode(col("w")).as("tok"))
+    val uniF = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
+    val tot = uniF.agg(sum("ucnt").as("total"))
+    val uniHead = uniF.filter(col("ucnt") >= minDf)
+    val bg = d.filter(size(col("w")) >= 2)
+      .withColumn("i", explode(sequence(lit(1), size(col("w")) - 1)))
+      .select(col("doc_id"),
+        element_at(col("w"), col("i")).as("a"),
+        element_at(col("w"), col("i") + 1).as("b"))
+    val bgHead = bg.groupBy("a", "b").agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") >= minDf)
+    val perDoc = bg
+      .join(broadcast(bgHead), Seq("a", "b"), "left")
+      .join(broadcast(uniHead.select(col("tok").as("a"), col("ucnt").as("acnt"))),
+        Seq("a"), "left")
+      .join(broadcast(uniHead.select(col("tok").as("b"), col("ucnt").as("bucnt"))),
+        Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        coalesce(col("bcnt"), lit(1L)).cast("double") /
+          (coalesce(col("acnt"), lit(1L)).cast("double") + lit(5.0)) +
+        (lit(5.0) / (coalesce(col("acnt"), lit(1L)).cast("double") + lit(5.0))) *
+          (coalesce(col("bucnt"), lit(1L)).cast("double") /
+            col("total").cast("double")))
+      .withColumn("nll", Num.roundD(-log(col("p")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.avgD(col("nll"), 6).as("avg_nll"))
+      .persist()
+    val st = perDoc.agg(
+      Num.exactSum(col("avg_nll")).cast("double").as("sx"),
+      Num.exactSum(col("avg_nll") * col("avg_nll")).cast("double").as("sxx"),
+      count(lit(1)).cast("double").as("n"))
+    val mu = col("sx") / col("n")
+    val sigma = sqrt(greatest(col("sxx") / col("n") - mu * mu, lit(0.0)))
+    perDoc.crossJoin(broadcast(st))
+      .withColumn("ppl", Num.roundD(exp(col("avg_nll")), 4))
+      .withColumn("lm_tier",
+        when(col("avg_nll") > mu + sigma, "implausible")
+          .when(col("avg_nll") < mu - sigma, "boilerplate")
+          .otherwise("typical"))
+      .select("doc_id", "n_bigrams", "avg_nll", "ppl", "lm_tier")
+      .orderBy("doc_id")
+  }
+
+  val q118Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+       |f AS (SELECT tok, COUNT(*) AS ucnt FROM t GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS total FROM f),
+       |bgs AS (
+       |  SELECT doc_id, w[i] AS a, w[i + 1] AS b FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |    FROM d WHERE len(w) >= 2) z),
+       |bf AS (SELECT a, b, COUNT(*) AS bcnt FROM bgs GROUP BY a, b),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ${Num.sqlRoundD(
+            "-LN(CAST(bcnt AS DOUBLE) / (CAST(fa.ucnt AS DOUBLE) + 5.0) + " +
+            "(5.0 / (CAST(fa.ucnt AS DOUBLE) + 5.0)) * " +
+            "(CAST(fb.ucnt AS DOUBLE) / CAST(total AS DOUBLE)))", 6)} AS nll
+       |  FROM bgs
+       |  JOIN bf USING (a, b)
+       |  JOIN f fa ON fa.tok = bgs.a
+       |  JOIN f fb ON fb.tok = bgs.b
+       |  CROSS JOIN tot),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    ${Num.sqlAvg("nll", 6)} AS avg_nll
+       |  FROM sc GROUP BY doc_id),
+       |st AS (
+       |  SELECT
+       |    CAST(SUM(CAST(avg_nll AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(avg_nll * avg_nll AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM perdoc)
+       |SELECT doc_id, n_bigrams, avg_nll,
+       |  ${Num.sqlRoundD("EXP(avg_nll)", 4)} AS ppl,
+       |  CASE WHEN avg_nll > sx / n + SQRT(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) THEN 'implausible'
+       |       WHEN avg_nll < sx / n - SQRT(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) THEN 'boilerplate'
+       |       ELSE 'typical' END AS lm_tier
+       |FROM perdoc CROSS JOIN st ORDER BY doc_id""".stripMargin
 }

@@ -216,6 +216,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == ((3L, 1L, 0.3333)), out(4L).toString)
   }
 
+  test("q118 bigram LM: gibberish reads implausible, repeated text reads predictable") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // nine copies of an ultra-predictable sentence vs one document of
+    // tokens that occur nowhere else: the LM must rank the outlier's
+    // cross-entropy far above the repeated docs', and the
+    // self-normalizing tier must flag exactly it
+    val boiler = (1 to 9).map(i =>
+      (i.toLong, Seq.fill(5)("the cat sat on the mat").mkString(" ")))
+    val odd = Seq((100L, (1 to 30).map(i => s"zq$i").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("q118").toString
+    (boiler ++ odd).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q118BigramLm(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("avg_nll"), r.getAs[Double]("ppl"),
+          r.getAs[String]("lm_tier"))).toMap
+    val (oddNll, oddPpl, oddTier) = rows(100L)
+    assert(oddTier == "implausible", rows(100L).toString)
+    for (i <- 1L to 9L) {
+      assert(rows(i)._1 < oddNll, s"$i: ${rows(i)}")
+      assert(rows(i)._3 == "typical", rows(i).toString)
+    }
+    // perplexity is the exponential of the cross-entropy, monotone with it
+    assert(oddPpl > rows(1L)._2 && oddPpl > 1.0)
+  }
+
   test("q115 heaps growth: cumulative totals exact, curve monotone, fit sane") {
     val docs = Tables.load(spark, Sf, "documents")
     val rows = CorpusOps.q115HeapsGrowth(spark, Sf).collect()

@@ -117,6 +117,15 @@ class PlanSpec extends SparkSpec {
       !p.contains("ShuffledHashJoin"), p.take(500))
   }
 
+  test("q118 bigram LM: both model tables broadcast back — the bigram stream never re-shuffles") {
+    val p = planString(TextOps.q118BigramLm(spark, Sf))
+    // total + corpus mean/σ ride single-row BNLJs (q85's bound shape)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p.take(500))
+    assert(p.contains("BroadcastHashJoin"), "model join-backs must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p.take(500))
+  }
+
   test("q86 embedding decontamination broadcasts the benchmark side — the corpus never shuffles") {
     val p = planString(Ann.q86EmbedDecontaminate(spark, Sf))
     assert(p.contains("BroadcastHashJoin"), "benchmark bucket table must broadcast")
