@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   * state the NEXT batch is screened against.
   *
   * One [[admitBatch]] cycle (under the single-writer lock — see below):
+  *   -1. quality screen (optional, `qualityFloor` ≥ 0): Curate's
+  *      scan-speed heuristic gate applied at admission — sub-floor
+  *      documents are rejected before any other screen spends work on
+  *      them, and garbage never enters the standing corpus;
   *   0. intra-batch screen: the batch is self-deduplicated first —
   *      exact copies (content hash), surface near-dups (the batch's own
   *      minhash band self-join), and semantic twins (in-cell sign-band
@@ -76,7 +80,8 @@ object Admit {
 
   case class Report(batchId: Long, input: Long, intraRejected: Long,
                     contaminatedRejected: Long, nearDupRejected: Long,
-                    semanticRejected: Long, admitted: Long)
+                    semanticRejected: Long, admitted: Long,
+                    qualityRejected: Long = 0L)
 
   /** The rebuild source for crash [[recover]]y: the seed corpus the
     * indexes were first refreshed from (vectors for LANDED docs come
@@ -235,16 +240,26 @@ object Admit {
     // replayed feed whose every doc was upstream-filtered) has no
     // meaningful per-batch rate (null, not a 0/0 NaN), and the
     // cumulative rate guards the degenerate all-empty prefix (ADVICE r9)
-    spark.read.parquet(s"$outDir/_admit_reports")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$outDir/_admit_reports")
+    val hist =
+      if (raw.columns.contains("quality_rejected")) raw
+      // histories persisted before the quality screen existed carry no
+      // column — read them as zero rejections, not a schema error
+      else raw.withColumn("quality_rejected", lit(0L))
+    hist
+      .withColumn("quality_rejected",
+        coalesce(col("quality_rejected"), lit(0L)))
       .withColumn("admit_rate", when(col("input") > 0,
         round(col("admitted").cast("double") / col("input"), 4)))
       .withColumn("cum_input", sum("input").over(w))
       .withColumn("cum_admitted", sum("admitted").over(w))
       .withColumn("cum_admit_rate", when(col("cum_input") > 0,
         round(col("cum_admitted").cast("double") / col("cum_input"), 4)))
-      .select("batch_id", "input", "intra_rejected", "contaminated_rejected",
-        "near_dup_rejected", "semantic_rejected", "admitted", "admit_rate",
-        "cum_input", "cum_admitted", "cum_admit_rate")
+      .select("batch_id", "input", "quality_rejected", "intra_rejected",
+        "contaminated_rejected", "near_dup_rejected", "semantic_rejected",
+        "admitted", "admit_rate", "cum_input", "cum_admitted",
+        "cum_admit_rate")
       .orderBy("batch_id")
   }
 
@@ -270,7 +285,8 @@ object Admit {
                  bloomMBits: Int = 20,
                  staleAfterMs: Long = DefaultStaleAfterMs,
                  lockWaitMs: Long = 10 * 60 * 1000L,
-                 pqTable: Option[String] = None): Report =
+                 pqTable: Option[String] = None,
+                 qualityFloor: Double = -1.0): Report =
     Locks.withLock(spark, s"$outDir/.admit-running", staleAfterMs,
       maxWaitMs = lockWaitMs) {
       // the width rule (graft.Tuning, VERDICT r9 #6): admission is
@@ -283,7 +299,7 @@ object Admit {
         Tuning.scaledShufflePartitionsForFrame(spark, docs)) {
         admitBatchLocked(spark, docs, bandTable, outDir, batchId,
           embeddings, vecIndexOf(semTable, pqTable), eps, recovery,
-          benchmarkGrams, bloomMBits)
+          benchmarkGrams, bloomMBits, qualityFloor)
       }
     }
 
@@ -293,7 +309,8 @@ object Admit {
                                vecIndex: Option[VecIndex], eps: Double,
                                recovery: Option[Standing],
                                benchmarkGrams: Option[DataFrame],
-                               bloomMBits: Int): Report = {
+                               bloomMBits: Int,
+                               qualityFloor: Double): Report = {
     // WAL repair check: the previous attempt at THIS batch died between
     // its index appends and its landing — rebuild the standing state
     // before screening, or the whole batch self-flags and lands empty
@@ -311,6 +328,23 @@ object Admit {
       }
     }
     val input = docs.count()
+
+    // -1. quality screen (optional, qualityFloor >= 0): Curate's
+    // scan-speed heuristic gate applied at ADMISSION — garbage never
+    // enters the standing corpus instead of being cut at curate time
+    // (the same promotion the decontamination screen got in r9). Pure
+    // row-local arithmetic over the batch, no index read, so it needs
+    // no pin: downstream re-evaluations re-run a cheap filter, never a
+    // mutated-table probe. Runs FIRST — Curate's cost order: the
+    // cheapest predicate cuts the work every later screen pays.
+    val (screened, nQuality) =
+      if (qualityFloor < 0) (docs, 0L)
+      else {
+        val q = operators.TextOps.stats(docs)
+          .filter(col("quality_score") >= qualityFloor)
+          .select(docs.columns.map(col): _*)
+        (q, input - q.count())
+      }
 
     // Each screen is PINNED (eager local checkpoint) the moment it is
     // decided, for two reasons. Correctness: the screens are lazy plans
@@ -331,7 +365,7 @@ object Admit {
     // All three kernels run cache-free: this is per-micro-batch code.
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
-    val exactUnique = docs.withColumn("_rk", row_number().over(wExact))
+    val exactUnique = screened.withColumn("_rk", row_number().over(wExact))
       .filter(col("_rk") === 1).drop("_rk")
     val nearSelfDropped = Dedup.minhashPairs(exactUnique, cache = false)
       .filter(col("n_shared_bands") >= 4)
@@ -353,7 +387,7 @@ object Admit {
     val intraUnique = intraUniqueLazy.localCheckpoint(true)
     try {
       val nIntraUnique = intraUnique.count()
-      val nIntra = input - nIntraUnique
+      val nIntra = input - nQuality - nIntraUnique
 
       // 0.5 admission-time decontamination (optional): intra-survivors
       // sharing any word 8-gram with the standing benchmark set are
@@ -430,14 +464,17 @@ object Admit {
           admittedDocs.write.mode("overwrite")
             .parquet(s"$outDir/batch_id=$batchId")
           val report =
-            Report(batchId, input, nIntra, nContam, nNear, nSem, nAdmitted)
+            Report(batchId, input, nIntra, nContam, nNear, nSem, nAdmitted,
+              nQuality)
           // the cycle's own accounting, landed beside the batch (replay
           // overwrites — same idempotence contract as the landing)
           import spark.implicits._
-          Seq((report.input, report.intraRejected, report.contaminatedRejected,
-              report.nearDupRejected, report.semanticRejected, report.admitted))
-            .toDF("input", "intra_rejected", "contaminated_rejected",
-              "near_dup_rejected", "semantic_rejected", "admitted")
+          Seq((report.input, report.qualityRejected, report.intraRejected,
+              report.contaminatedRejected, report.nearDupRejected,
+              report.semanticRejected, report.admitted))
+            .toDF("input", "quality_rejected", "intra_rejected",
+              "contaminated_rejected", "near_dup_rejected",
+              "semantic_rejected", "admitted")
             .write.mode("overwrite")
             .parquet(s"$outDir/_admit_reports/batch_id=$batchId")
           report

@@ -352,7 +352,8 @@ object EventStreams {
                      recovery: Option[graft.Admit.Standing] = None,
                      maxFilesPerBucket: Int = 0,
                      benchmarkGrams: Option[DataFrame] = None,
-                     pqTable: Option[String] = None)
+                     pqTable: Option[String] = None,
+                     qualityFloor: Double = -1.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -365,7 +366,8 @@ object EventStreams {
         // whatever lineage produced the gram set
         graft.Admit.admitBatch(s, batch, bandTable,
           outDir, batchId, embeddings, semTable, eps, recovery,
-          benchmarkGrams = benchmarkGrams, pqTable = pqTable)
+          benchmarkGrams = benchmarkGrams, pqTable = pqTable,
+          qualityFloor = qualityFloor)
         for (st <- recovery) {
           // the PQ member table is cell-PARTITIONED, not bucketed —
           // needsCompaction dispatches to the partition grain for it

@@ -317,6 +317,40 @@ class AdmitSpec extends SparkSpec {
     assert(rep == Set((1L, 1L)), rep.toString)
   }
 
+  test("admission-time quality screen rejects garbage before any probe") {
+    import spark.implicits._
+    val band = "admit_quality_band"
+    dropIndexTables(band, "admit_quality_sem")
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    // score 0.424 (< 0.5): 3 tokens (length term 0.024), no stopwords
+    // (0.3), one type over three tokens (0.1) — hand-computed against
+    // TextOps.stats' formula so the assertion pins the gate, not luck
+    val garbage = "zz zz zz"
+    val clean = "wholly original musing on terracotta submarines navigating " +
+      "library corridors beneath a cautious algebra of rain"
+    val batch = Seq((810001L, garbage), (810002L, clean))
+      .toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("admitquality").toString
+    val r = Admit.admitBatch(spark, batch, band, out, 1L, qualityFloor = 0.5)
+    assert(r == Admit.Report(1L, 2, 0, 0, 0, 0, 1, 1), r.toString)
+    val landedIds = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landedIds == Set(810002L), landedIds.toString)
+    // the history exposes the new column, guarded and cumulative
+    val hist = Admit.reportHistory(spark, out).collect()
+    assert(hist.length == 1 &&
+      hist.head.getAs[Long]("quality_rejected") == 1L &&
+      hist.head.getAs[Long]("admitted") == 1L, hist.mkString)
+    // a floorless cycle on the same layout reads the same history shape
+    // (the column defaults to zero for cycles that never screened)
+    val r2 = Admit.admitBatch(spark,
+      Seq((810003L, clean + " second wholly novel paragraph appended here"))
+        .toDF("doc_id", "text"), band, out, 2L)
+    assert(r2.qualityRejected == 0L, r2.toString)
+    assert(Admit.reportHistory(spark, out).count() == 2)
+  }
+
   test("the IVF-PQ index is a drop-in third standing index: screens, grows per cycle, recovers") {
     import spark.implicits._
     val band = "admit_band_pq"
