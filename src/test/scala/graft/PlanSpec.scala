@@ -332,4 +332,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(500))
   }
+
+  test("q113 batched BPE round: the word-frame fold plans no join at all") {
+    val p = planString(Bpe.q113BpeSegment(spark, Sf))
+    // the merges are a driver-side literal map inside the fold — the
+    // segmentation pass is scan + one word groupBy, never a join
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("hashpartitioning(word"), p.take(500))
+  }
+
+  test("q115 heaps growth: gram first-occurrence is the only corpus-sized exchange; bounds and fit broadcast") {
+    val p = planString(CorpusOps.q115HeapsGrowth(spark, Sf))
+    // the (min, max) bounds and the 1-row fit ride broadcasts; the gram
+    // min-bucket groupBy is the corpus shuffle
+    assert(p.contains("hashpartitioning(gram"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
+  test("q116/q117 spans: the benchmark gram set broadcasts — the corpus gram stream never sort-merges") {
+    val p116 = planString(Curation.q116ContaminationSpan(spark, Sf))
+    assert(p116.contains("BroadcastHashJoin"), p116.take(500))
+    assert(!p116.contains("CartesianProduct") && !p116.contains("SortMergeJoin"),
+      p116.take(800))
+    // q117 adds sliver-sized assembly joins AFTER the corpus-sized gram
+    // probe; those may legitimately hash- or sort-merge (both sides are
+    // the contaminated sliver) — the contract here is only that nothing
+    // corpus-sized plans a cartesian and the benchmark probe broadcasts
+    val p117 = planString(Curation.q117SpanExcise(spark, Sf))
+    assert(p117.contains("BroadcastHashJoin"), p117.take(500))
+    assert(!p117.contains("CartesianProduct"), p117.take(800))
+  }
 }
