@@ -719,4 +719,160 @@ object CorpusOps {
        |  heaps_beta, log_k, r_squared, shape
        |FROM xy, fs2
        |ORDER BY bucket""".stripMargin
+
+  // --------------------------------------------------------------- q119
+
+  /** q119: the corpus DATA CARD — the one-page release artifact
+    * (Gebru et al., "Datasheets for Datasets"; the model/data cards
+    * every public corpus now ships) as a single oracle-checked query:
+    * ten corpus-level metrics, each the headline number of an operator
+    * family this engine already runs — size (docs/tokens/vectors),
+    * composition (languages/sources), hygiene (exact-dup docs,
+    * contaminated train docs by the q51 8-gram rule), quality (mean
+    * q27 score), and statistical health (q92's Zipf slope, q115's
+    * Heaps exponent). One (metric, value) row each, so a release
+    * pipeline diffs cards across corpus versions with the q65 snapshot
+    * machinery.
+    *
+    * Scale shape: every metric is an aggregate the underlying family
+    * already pays — nothing here exceeds a corpus scan + the model
+    * groupBys (vocab, grams); the fits run on bounded frames. The card
+    * unions ten 1-row aggregates, so the assembled query is ten
+    * independent subtrees Spark schedules concurrently.
+    */
+  def q119DataCard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    def named(name: String, v: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
+      df.agg(v.cast("double").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val base = Seq(
+      named("corpus_docs", count(lit(1)), d),
+      named("corpus_tokens",
+        sum(size(split(lower(trim(col("text"))), " ")).cast("long")), d),
+      named("languages", countDistinct(col("lang")), d),
+      named("sources", countDistinct(col("source")), d),
+      named("exact_dup_docs",
+        count(lit(1)) - countDistinct(md5(lower(trim(col("text"))))), d),
+      named("embedding_vectors", count(lit(1)),
+        Tables.load(s, dir, "embeddings")),
+      named("mean_quality", Num.avgD(col("quality_score")),
+        TextOps.stats(d)))
+    val g = Curation.gramHashes(d)
+    val bench = g.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+    val contam = g.join(broadcast(bench), Seq("gh"))
+      .filter(col("doc_id") % 97 =!= 0)
+      .agg(countDistinct(col("doc_id")).cast("double").as("value"))
+      .select(lit("contaminated_train_docs").as("metric"), col("value"))
+    val zipf = q92ZipfFit(s, dir)
+      .select(lit("zipf_slope").as("metric"),
+        col("zipf_slope").cast("double").as("value"))
+    val heaps = q115HeapsGrowth(s, dir)
+      .agg(max(col("heaps_beta")).cast("double").as("value"))
+      .select(lit("heaps_beta").as("metric"), col("value"))
+    (base :+ contam :+ zipf :+ heaps).reduce(_ unionByName _)
+      .orderBy("metric")
+  }
+
+  val q119Sql: String =
+    s"""WITH base AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_docs,
+       |    CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS DOUBLE)
+       |      AS corpus_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS DOUBLE) AS languages,
+       |    CAST(COUNT(DISTINCT source) AS DOUBLE) AS sources,
+       |    CAST(COUNT(*) - COUNT(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+       |      AS exact_dup_docs
+       |  FROM documents),
+       |ev AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM embeddings),
+       |qs AS (
+       |  SELECT ${Num.sqlRoundD("CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w)")} AS stopword_ratio,
+       |    ${Num.sqlRoundD("CAST(len(list_distinct(w)) AS DOUBLE) / len(w)")} AS type_token_ratio,
+       |    CAST(len(w) AS BIGINT) AS n_tokens
+       |  FROM (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents) z),
+       |mq AS (
+       |  SELECT ${Num.sqlAvg(Num.sqlRoundD("GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) + 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))"))} AS v
+       |  FROM qs),
+       |ct AS (
+       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= 8),
+       |ce AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i FROM ct),
+       |cg AS (
+       |  SELECT DISTINCT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS gh FROM ce),
+       |cbench AS (SELECT DISTINCT gh FROM cg WHERE doc_id % 97 = 0),
+       |contam AS (
+       |  SELECT CAST(COUNT(DISTINCT cg.doc_id) AS DOUBLE) AS v
+       |  FROM cg JOIN cbench USING (gh) WHERE cg.doc_id % 97 <> 0),
+       |zuni AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |zranked AS (
+       |  SELECT term, COUNT(*) AS n_total,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rank
+       |  FROM zuni GROUP BY term),
+       |zpts AS (
+       |  SELECT ${Num.sqlRoundD("LN(CAST(rank AS DOUBLE))", 6)} AS x,
+       |    ${Num.sqlRoundD("LN(CAST(n_total AS DOUBLE))", 6)} AS y
+       |  FROM zranked WHERE rank <= 1000),
+       |zg AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+       |  FROM zpts),
+       |zfit AS (
+       |  SELECT ${Num.sqlRoundD("((n * sxy - sx * sy) / (n * sxx - sx * sx))")} AS v
+       |  FROM zg),
+       |hbounds AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents),
+       |hb AS (
+       |  SELECT doc_id,
+       |    CAST(FLOOR((doc_id - mn) * 10 / (mx - mn + 1)) AS INT) AS bucket,
+       |    string_split(lower(trim(text)), ' ') AS words
+       |  FROM documents, hbounds),
+       |htb AS (
+       |  SELECT bucket, CAST(SUM(len(words)) AS BIGINT) AS n_tokens
+       |  FROM hb GROUP BY bucket),
+       |hfs AS (
+       |  SELECT gram, MIN(bucket) AS fb FROM (
+       |    SELECT bucket, array_to_string(words[i:i+2], ' ') AS gram
+       |    FROM (SELECT bucket, words,
+       |            unnest(generate_series(1, len(words) - 2)) AS i
+       |          FROM hb WHERE len(words) >= 3) z) u
+       |  GROUP BY gram),
+       |hnv AS (SELECT fb AS bucket, COUNT(*) AS n_new FROM hfs GROUP BY fb),
+       |hpts AS (
+       |  SELECT htb.bucket,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY htb.bucket) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY htb.bucket) AS BIGINT)
+       |      AS cum_vocab
+       |  FROM htb LEFT JOIN hnv ON htb.bucket = hnv.bucket),
+       |hxy AS (
+       |  SELECT ${Num.sqlRoundD("LN(CAST(cum_tokens AS DOUBLE))", 6)} AS x,
+       |    ${Num.sqlRoundD("LN(CAST(cum_vocab AS DOUBLE))", 6)} AS y
+       |  FROM hpts),
+       |hg AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x * y AS DECIMAL(25,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(y * y AS DECIMAL(25,6))) AS DOUBLE) AS syy
+       |  FROM hxy),
+       |hfit AS (
+       |  SELECT CASE WHEN (n * syy - sy * sy) <= 0.0 THEN 0.0
+       |    ELSE ${Num.sqlRoundD("((n * sxy - sx * sy) / (n * sxx - sx * sx))")} END AS v
+       |  FROM hg)
+       |SELECT metric, value FROM (
+       |  SELECT 'corpus_docs' AS metric, corpus_docs AS value FROM base
+       |  UNION ALL SELECT 'corpus_tokens', corpus_tokens FROM base
+       |  UNION ALL SELECT 'languages', languages FROM base
+       |  UNION ALL SELECT 'sources', sources FROM base
+       |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM base
+       |  UNION ALL SELECT 'embedding_vectors', v FROM ev
+       |  UNION ALL SELECT 'mean_quality', v FROM mq
+       |  UNION ALL SELECT 'contaminated_train_docs', v FROM contam
+       |  UNION ALL SELECT 'zipf_slope', v FROM zfit
+       |  UNION ALL SELECT 'heaps_beta', v FROM hfit) u
+       |ORDER BY metric""".stripMargin
 }

@@ -216,6 +216,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == ((3L, 1L, 0.3333)), out(4L).toString)
   }
 
+  test("q119 data card: every metric equals its source family's own number") {
+    import graft.operators.{Curation, TextOps}
+    val docs = Tables.load(spark, Sf, "documents")
+    val card = CorpusOps.q119DataCard(spark, Sf).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(card.size == 10, card.keys.toSeq.sorted.mkString(","))
+    assert(card("corpus_docs") == docs.count().toDouble)
+    assert(card("languages") ==
+      docs.select(countDistinct(col("lang"))).head.getLong(0).toDouble)
+    assert(card("embedding_vectors") ==
+      Tables.load(spark, Sf, "embeddings").count().toDouble)
+    // cross-family agreement: the card's numbers ARE the operators'
+    assert(card("zipf_slope") ==
+      CorpusOps.q92ZipfFit(spark, Sf).head.getAs[Double]("zipf_slope"))
+    assert(card("heaps_beta") ==
+      CorpusOps.q115HeapsGrowth(spark, Sf).head.getAs[Double]("heaps_beta"))
+    assert(card("contaminated_train_docs") ==
+      Curation.q51Decontaminate(spark, Sf)
+        .filter(col("is_benchmark") === 0).count().toDouble)
+    val meanQ = TextOps.stats(docs)
+      .agg(graft.Num.avgD(col("quality_score"))).head.getDouble(0)
+    assert(card("mean_quality") == meanQ)
+    assert(card("exact_dup_docs") >= 0.0 &&
+      card("exact_dup_docs") < card("corpus_docs"))
+  }
+
   test("q118 bigram LM: gibberish reads implausible, repeated text reads predictable") {
     import spark.implicits._
     import graft.operators.TextOps
