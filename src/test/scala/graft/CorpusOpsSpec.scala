@@ -216,6 +216,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(4L) == ((3L, 1L, 0.3333)), out(4L).toString)
   }
 
+  test("q120 frame sampling covers every other frame with exact offsets, lengths, and fingerprints") {
+    import spark.implicits._
+    // 130-byte payload → frames [0,64) [64,128) [128,130); stride 2
+    // samples idx 0 and 2, the tail frame 2 bytes long. asset_id ≡ 2
+    // (mod 3) so the assets builder tags it video.
+    val text = "ab" * 65 // 130 ascii chars
+    val dir = java.nio.file.Files.createTempDirectory("q120").toString
+    Seq((2L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Multimodal.q120FrameSample(spark, dir).collect()
+    assert(rows.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 0, 64), (2, 128, 2)), rows.mkString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(sl: String) = md.digest(sl.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows(0).getString(4) == hex(text.substring(0, 64)))
+    assert(rows(1).getString(4) == hex(text.substring(128, 130)))
+    // luma of "ab" = (97 + 98) / 2 = 97.5
+    assert(rows(1).getDouble(5) == 97.5, rows(1).toString)
+  }
+
   test("q119 data card: every metric equals its source family's own number") {
     import graft.operators.{Curation, TextOps}
     val docs = Tables.load(spark, Sf, "documents")
