@@ -502,6 +502,69 @@ object Sampling {
        |FROM ss
        |ORDER BY shard, pos""".stripMargin
 
+  // --------------------------------------------------------------- q121
+
+  /** q121: pack-efficiency report — the accounting a trainer reads
+    * beside q50's packed stream: per (lang, shard) lane, document and
+    * token totals, the exact pack count the contiguous-concat regime
+    * produces (⌈total/budget⌉ — only the final pack is partial), the
+    * padding that last pack carries, the fill factor, how many
+    * documents straddle a pack boundary (the cross-document-attention
+    * exposure of the concat regime), and how many exceed the budget
+    * outright (must be split however the stream is cut). These are the
+    * numbers that decide budget and shard count before a training run:
+    * fill says what padding costs, straddle says what concat costs.
+    *
+    * Scale shape: one aggregate over q50's per-document frame — the
+    * pack window q50 already pays is the only corpus-sized work, and
+    * the report collapses to |langs| × |shards| rows.
+    */
+  def q121PackReport(s: SparkSession, dir: String, budget: Int = 512): DataFrame =
+    q50PackSequences(s, dir, budget)
+      .groupBy("lang", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(col("straddles").cast("long")).as("straddle_docs"),
+        sum(when(col("n_tok") > budget, 1L).otherwise(0L)).as("oversize_docs"))
+      .withColumn("n_packs",
+        expr(s"(total_tokens + ${budget - 1}) div $budget"))
+      .withColumn("pad_tokens", col("n_packs") * budget - col("total_tokens"))
+      .withColumn("fill", Num.roundD(
+        col("total_tokens").cast("double") / (col("n_packs") * budget).cast("double")))
+      .select("lang", "shard", "n_docs", "total_tokens", "n_packs",
+        "pad_tokens", "fill", "straddle_docs", "oversize_docs")
+      .orderBy("lang", "shard")
+
+  val q121Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, CAST(doc_id % 32 AS INT) AS shard,
+       |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS tok_end
+       |  FROM t),
+       |d AS (
+       |  SELECT lang, shard, n_tok,
+       |    CAST((tok_end - 1) // 512 > (tok_end - n_tok) // 512 AS INT) AS straddles
+       |  FROM c),
+       |g AS (
+       |  SELECT lang, shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(straddles) AS BIGINT) AS straddle_docs,
+       |    CAST(SUM(CASE WHEN n_tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS oversize_docs
+       |  FROM d GROUP BY lang, shard)
+       |SELECT lang, shard, n_docs, total_tokens,
+       |  CAST((total_tokens + 511) // 512 AS BIGINT) AS n_packs,
+       |  CAST((total_tokens + 511) // 512 * 512 - total_tokens AS BIGINT)
+       |    AS pad_tokens,
+       |  ${Num.sqlRoundD("CAST(total_tokens AS DOUBLE) / CAST((total_tokens + 511) // 512 * 512 AS DOUBLE)")} AS fill,
+       |  straddle_docs, oversize_docs
+       |FROM g
+       |ORDER BY lang, shard""".stripMargin
+
   // --------------------------------------------------------------- q114
 
   /** q114: temperature-scaled mixture policy comparison — the OTHER

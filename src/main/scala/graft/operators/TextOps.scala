@@ -402,7 +402,13 @@ object TextOps {
     * construction — so coalescing misses to 1 changes the plan, not
     * the answer, and what ships to executors is the Zipf head, not the
     * hapax mass). The per-doc aggregate is the only corpus-wide
-    * shuffle after the models. Every arithmetic step is written with
+    * shuffle after the models. 100 TB note on the BIGRAM head: its
+    * floored type count is far larger than the unigram head's, so at
+    * corpus scale `minDf` is the load-bearing knob — the floor cuts
+    * bigram types much faster than unigram types (the pair tail is
+    * heavier), and past the point where the head still won't broadcast,
+    * dropping the hint turns the same plan into a co-partitioned hash
+    * join with no semantic change. Every arithmetic step is written with
     * identical association in both engines (IEEE ÷, ×, + on identical
     * inputs), and the −ln is quantized at 6dp before the exact decimal
     * average, q85's libm rule.

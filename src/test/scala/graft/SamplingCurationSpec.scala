@@ -450,6 +450,31 @@ class SamplingCurationSpec extends SparkSpec {
       hi.getAs[Double]("p_temp") < hi.getAs[Double]("p_prop"), hi.toString)
   }
 
+  test("q121 pack report: exact pack arithmetic per lane, totals complete") {
+    val docs = graft.Tables.load(spark, Sf, "documents")
+    val packed = Sampling.q50PackSequences(spark, Sf).collect()
+    val rows = Sampling.q121PackReport(spark, Sf).collect()
+    // lanes partition the corpus completely
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val total = r.getAs[Long]("total_tokens")
+      val packs = r.getAs[Long]("n_packs")
+      assert(packs == (total + 511) / 512, r.toString)
+      assert(r.getAs[Long]("pad_tokens") == packs * 512 - total, r.toString)
+      val fill = r.getAs[Double]("fill")
+      assert(fill > 0.0 && fill <= 1.0, r.toString)
+      assert(r.getAs[Long]("straddle_docs") <= r.getAs[Long]("n_docs"))
+    }
+    // one lane cross-checked against the q50 frame it aggregates
+    val lane = rows.head
+    val inLane = packed.filter(p => p.getAs[String]("lang") == lane.getAs[String]("lang") &&
+      p.getAs[Int]("shard") == lane.getAs[Int]("shard"))
+    assert(lane.getAs[Long]("n_docs") == inLane.length)
+    assert(lane.getAs[Long]("total_tokens") == inLane.map(_.getAs[Long]("n_tok")).sum)
+    assert(lane.getAs[Long]("straddle_docs") ==
+      inLane.map(_.getAs[Int]("straddles").toLong).sum)
+  }
+
   test("q116 spans merge overlapping windows and split at gaps, by construction") {
     import spark.implicits._
     // benchmark doc (id 0, 97 | 0): tokens b1..b20. Three train docs:
