@@ -282,4 +282,67 @@ object Clusters {
        |  b.keeper_doc_id, CAST(j.doc_id = b.keeper_doc_id AS INT) AS is_keeper
        |FROM j JOIN best b USING (cluster_id)
        |ORDER BY j.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q122
+
+  /** q122: inter-source duplication matrix — MIRROR detection over the
+    * q46 near-dup clusters: for every ordered source pair, how many
+    * clusters span both sources and how many duplicated document pairs
+    * they contribute (diagonal = within-source redundancy via
+    * n·(n−1)/2, off-diagonal = na·nb cross-source pair mass). The
+    * matrix is how a crawl team finds that source B is a re-host of
+    * source A — a high off-diagonal cell says drop/merge a whole
+    * SOURCE, which no per-document dedup decision surfaces.
+    *
+    * Scale shape: the labels pipeline is q46's (the operator's cost);
+    * the per-(cluster, source) rollup and the pair expansion are
+    * cluster-LOCAL (clusters are guarded small, and the self-join
+    * co-partitions on cluster_id), and the matrix collapses to at most
+    * |sources|² rows.
+    */
+  def q122SourceMirrors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Dedup.corpus(s, dir)
+    val labels = dedupClusters(docs)
+    val src = docs.select("doc_id", "source")
+    val bySrc = labels.filter(col("cluster_size") >= 2)
+      .join(src, "doc_id")
+      .groupBy("cluster_id", "source").agg(count(lit(1)).as("n"))
+    val a = bySrc.select(col("cluster_id"),
+      col("source").as("source_a"), col("n").as("na"))
+    val b = bySrc.select(col("cluster_id"),
+      col("source").as("source_b"), col("n").as("nb"))
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("pair_mass",
+        when(col("source_a") === col("source_b"),
+          expr("na * (na - 1) div 2")).otherwise(col("na") * col("nb")))
+      .filter(col("pair_mass") > 0)
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("pair_mass")).as("dup_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q122Sql: String =
+    s"""WITH RECURSIVE $sqlClusterCte,
+       |ls AS (
+       |  SELECT l.id, l.cluster_id, d.source
+       |  FROM labels l
+       |  JOIN csizes s USING (cluster_id)
+       |  JOIN corpus d ON d.doc_id = l.id
+       |  WHERE s.cluster_size >= 2),
+       |bs AS (
+       |  SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ls GROUP BY 1, 2),
+       |p AS (
+       |  SELECT a.cluster_id, a.source AS source_a, b.source AS source_b,
+       |    CASE WHEN a.source = b.source THEN a.n * (a.n - 1) // 2
+       |         ELSE a.n * b.n END AS pair_mass
+       |  FROM bs a JOIN bs b
+       |    ON a.cluster_id = b.cluster_id AND a.source <= b.source)
+       |SELECT source_a, source_b, COUNT(*) AS n_clusters,
+       |  CAST(SUM(pair_mass) AS BIGINT) AS dup_pairs
+       |FROM p WHERE pair_mass > 0
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
 }

@@ -77,6 +77,37 @@ class ClustersSpec extends SparkSpec {
     assert(Clusters.lastIters <= 5, s"CC took ${Clusters.lastIters} rounds")
   }
 
+  test("q122 mirror matrix equals an independent recomputation from the q46 labels") {
+    val labels = Clusters.q46DedupClusters(spark, Sf)
+      .filter(col("cluster_size") >= 2)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcMap = graft.operators.Dedup.corpus(spark, Sf)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // naive recomputation: per cluster count docs per source, expand
+    // ordered pairs, sum the pair mass
+    val byCluster = labels.groupBy(_._2).values.map(_.map(d => srcMap(d._1)))
+    val expect = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for (cluster <- byCluster) {
+      val counts = cluster.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      for (a <- counts.keys; b <- counts.keys if a <= b) {
+        val mass = if (a == b) counts(a) * (counts(a) - 1) / 2
+                   else counts(a) * counts(b)
+        if (mass > 0) {
+          val (c0, m0) = expect.getOrElse((a, b), (0L, 0L))
+          expect((a, b)) = (c0 + 1, m0 + mass)
+        }
+      }
+    }
+    val got = Clusters.q122SourceMirrors(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("dup_pairs"))).toMap
+    assert(got == expect.toMap, s"got $got\nexpect $expect")
+    // the injected re-crawl keeps its source, so diagonals must exist
+    assert(got.keys.exists { case (a, b) => a == b }, got.keys.toString)
+  }
+
   test("q87 dedup report accounts for every document and every droppable copy") {
     val rep = Clusters.q87DedupReport(spark, Sf).cache()
     val docs = graft.operators.Dedup.corpus(spark, Sf).count()
