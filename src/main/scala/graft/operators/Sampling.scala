@@ -294,8 +294,14 @@ object Sampling {
     * alloc_tokens plus the budget — see [[q100UnimaxMixture]] for the
     * recipe and the closed form.
     */
-  private[graft] def unimaxAlloc(s: SparkSession, dir: String, epochCap: Int): DataFrame = {
-    val avail = docs(s, dir)
+  private[graft] def unimaxAlloc(s: SparkSession, dir: String, epochCap: Int): DataFrame =
+    unimaxAllocFrom(docs(s, dir), epochCap)
+
+  /** [[unimaxAlloc]] over an arbitrary (lang, text, …) frame — the
+    * dedup-aware mixture (q123) feeds it the keeper-only corpus.
+    */
+  private[graft] def unimaxAllocFrom(d: DataFrame, epochCap: Int): DataFrame = {
+    val avail = d
       .withColumn("n_tok",
         size(split(lower(trim(col("text"))), " ")).cast("long"))
       .groupBy("lang").agg(sum(col("n_tok")).as("avail_tokens"))
@@ -330,12 +336,12 @@ object Sampling {
     * (lang, avail_tokens, cap_tokens, is_capped, alloc_tokens, budget) —
     * the SQL mirror of [[unimaxAlloc]].
     */
-  private def sqlUnimaxCtes(epochCap: Int): String =
+  private def sqlUnimaxCtes(epochCap: Int, from: String = "documents"): String =
     s"""a AS (
        |  SELECT lang,
        |    CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
        |      AS avail_tokens
-       |  FROM documents GROUP BY lang),
+       |  FROM $from GROUP BY lang),
        |t AS (
        |  SELECT CAST(SUM(avail_tokens) AS BIGINT) AS total_avail,
        |    COUNT(*) AS n_langs FROM a),
@@ -501,6 +507,79 @@ object Sampling {
        |  doc_id, copy_idx, lang
        |FROM ss
        |ORDER BY shard, pos""".stripMargin
+
+  // --------------------------------------------------------------- q123
+
+  /** q123: DEDUP-AWARE mixture allocation — the composition subtlety
+    * q100 alone misses: UniMax budgets languages by available tokens,
+    * and a language whose supply is inflated by duplicate documents
+    * (a re-crawled mirror, a boilerplate farm) draws a budget it
+    * cannot honestly fill — the trainer then repeats the duplicates it
+    * should have dropped. This operator computes the allocation on the
+    * KEEPER-ONLY corpus (q46's near-dup clusters collapsed to their
+    * min-id canonicals) and reports, per language, the raw vs deduped
+    * supply, what dedup removed, and the allocation/weight the CLEAN
+    * supply earns. Composing dedup × mixture is exactly how a
+    * production run sequences them (Curate dedups before it packs and
+    * manifests); this query makes the budget shift oracle-visible.
+    *
+    * Scale shape: the labels pipeline is q46's (the operator's cost,
+    * self-contained by the suite contract — Curate shares ONE
+    * persisted label table in production); the raw and deduped
+    * per-lang token counts are two partial-aggregated groupBys; the
+    * water-filling runs on the languages frame.
+    */
+  def q123DedupAwareMixture(s: SparkSession, dir: String,
+                            epochCap: Int = 2): DataFrame = {
+    val corpus = Dedup.corpus(s, dir)
+    val raw = corpus
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .groupBy("lang").agg(sum(col("n_tok")).as("avail_raw_tokens"))
+    val keepers = Clusters.q46DedupClusters(s, dir)
+      .filter(col("is_canonical")).select("doc_id")
+    val alloc = unimaxAllocFrom(corpus.join(keepers, "doc_id"), epochCap)
+    raw.join(alloc, "lang")
+      .withColumn("removed_tokens",
+        col("avail_raw_tokens") - col("avail_tokens"))
+      .withColumn("removed_pct", Num.roundD(
+        col("removed_tokens").cast("double") / col("avail_raw_tokens")))
+      .withColumn("weight", Num.roundD(col("alloc_tokens") / col("budget")))
+      .select(col("lang"), col("avail_raw_tokens"),
+        col("avail_tokens").as("avail_dedup_tokens"),
+        col("removed_tokens"), col("removed_pct"),
+        col("is_capped"), col("alloc_tokens"), col("weight"))
+      .orderBy("lang")
+  }
+
+  val q123Sql: String =
+    s"""WITH RECURSIVE corpus AS (${Dedup.corpusSql}),
+       |${Dedup.sqlMinhashCte("corpus")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh WHERE n_shared_bands >= 4),
+       |bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |nodes AS (SELECT doc_id AS id FROM corpus),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
+       |labels AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+       |ded AS (
+       |  SELECT c.* FROM corpus c
+       |  JOIN labels l ON l.id = c.doc_id AND l.id = l.cluster_id),
+       |raw AS (
+       |  SELECT lang,
+       |    CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+       |      AS avail_raw_tokens
+       |  FROM corpus GROUP BY lang),
+       |${sqlUnimaxCtes(2, "ded")}
+       |SELECT raw.lang, avail_raw_tokens,
+       |  avail_tokens AS avail_dedup_tokens,
+       |  avail_raw_tokens - avail_tokens AS removed_tokens,
+       |  ${Num.sqlRoundD("CAST(avail_raw_tokens - avail_tokens AS DOUBLE) / avail_raw_tokens")} AS removed_pct,
+       |  is_capped, alloc_tokens,
+       |  ${Num.sqlRoundD("alloc_tokens / budget")} AS weight
+       |FROM raw JOIN o USING (lang)
+       |ORDER BY raw.lang""".stripMargin
 
   // --------------------------------------------------------------- q121
 

@@ -450,6 +450,30 @@ class SamplingCurationSpec extends SparkSpec {
       hi.getAs[Double]("p_temp") < hi.getAs[Double]("p_prop"), hi.toString)
   }
 
+  test("q123 dedup-aware mixture: clean supply verified independently, budget exhausted") {
+    import graft.operators.{Clusters, Dedup}
+    val rows = Sampling.q123DedupAwareMixture(spark, Sf).collect()
+    assert(rows.length >= 2)
+    // the deduped supply equals an independent recomputation from the
+    // q46 canonicals over the same injected-dup corpus
+    val keepers = Clusters.q46DedupClusters(spark, Sf)
+      .filter(col("is_canonical")).select("doc_id")
+    val dedupSupply = Dedup.corpus(spark, Sf).join(keepers, "doc_id")
+      .withColumn("n_tok", size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .groupBy("lang").agg(sum("n_tok").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("avail_dedup_tokens") == dedupSupply(r.getAs[String]("lang")), r.toString)
+      assert(r.getAs[Long]("removed_tokens") >= 0, r.toString)
+      assert(r.getAs[Long]("avail_raw_tokens") >
+        r.getAs[Long]("avail_dedup_tokens"), // every lang has injected re-crawl copies
+        r.toString)
+    }
+    // the water level exhausts the budget: weights form a distribution
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-3, wsum.toString)
+  }
+
   test("q121 pack report: exact pack arithmetic per lane, totals complete") {
     val docs = graft.Tables.load(spark, Sf, "documents")
     val packed = Sampling.q50PackSequences(spark, Sf).collect()
