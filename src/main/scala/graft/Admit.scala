@@ -287,8 +287,8 @@ object Admit {
                  lockWaitMs: Long = 10 * 60 * 1000L,
                  pqTable: Option[String] = None,
                  qualityFloor: Double = -1.0): Report =
-    Locks.withLock(spark, s"$outDir/.admit-running", staleAfterMs,
-      maxWaitMs = lockWaitMs) {
+    Locks.withLockClaim(spark, s"$outDir/.admit-running", staleAfterMs,
+      maxWaitMs = lockWaitMs) { claim =>
       // the width rule (graft.Tuning, VERDICT r9 #6): admission is
       // open-ended-input production code — its screens explode the
       // batch into grams/bands, so the shuffle width must scale with
@@ -299,7 +299,7 @@ object Admit {
         Tuning.scaledShufflePartitionsForFrame(spark, docs)) {
         admitBatchLocked(spark, docs, bandTable, outDir, batchId,
           embeddings, vecIndexOf(semTable, pqTable), eps, recovery,
-          benchmarkGrams, bloomMBits, qualityFloor)
+          benchmarkGrams, bloomMBits, qualityFloor, claim)
       }
     }
 
@@ -310,7 +310,8 @@ object Admit {
                                recovery: Option[Standing],
                                benchmarkGrams: Option[DataFrame],
                                bloomMBits: Int,
-                               qualityFloor: Double): Report = {
+                               qualityFloor: Double,
+                               claim: Locks.Claim): Report = {
     // WAL repair check: the previous attempt at THIS batch died between
     // its index appends and its landing — rebuild the standing state
     // before screening, or the whole batch self-flags and lands empty
@@ -449,16 +450,26 @@ object Admit {
           // it — WAL first, then indexes, then the landing: a crash
           // anywhere inside leaves the WAL naming this batch, and the
           // replay's repair rebuilds from landed state (the appends are
-          // NOT idempotent against a partial window — the repair is)
+          // NOT idempotent against a partial window — the repair is).
+          // Each mutation is FENCED (VERDICT r10 #7): a holder paused
+          // past the TTL and reclaimed aborts HERE, before its append
+          // collides with the new holder's — the heartbeat keeps a LIVE
+          // holder inside the TTL, but no mtime lease can cover a
+          // stop-the-world pause longer than the TTL itself, so the
+          // residual window narrows to one token read before each write.
           if (nAdmitted > 0) {
+            claim.assertHeld(s"the WAL write for batch $batchId")
             writeWal(spark, outDir, batchId)
+            claim.assertHeld(s"the band-index append for batch $batchId")
             Dedup.appendIndex(spark, bandTable,
               admittedDocs.select("doc_id", "text"))
             for ((vecs, idx) <- embeddings.zip(vecIndex)) {
               val admittedVecs = vecs
                 .join(admittedDocs.select(col("doc_id").as("vec_id")), "vec_id")
-              if (!admittedVecs.isEmpty)
+              if (!admittedVecs.isEmpty) {
+                claim.assertHeld(s"the ${idx.table} append for batch $batchId")
                 idx.append(spark, admittedVecs.select("vec_id", "emb"))
+              }
             }
           }
           admittedDocs.write.mode("overwrite")

@@ -77,6 +77,13 @@ object Bench {
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.sharedState.cacheManager.clearCache()
+        // sweep persistent RDDs too (VERDICT r10 #1): clearCache drops
+        // cacheManager-registered persists, but eager localCheckpoint
+        // blocks (q112's in-query pins, the admission discipline) are
+        // plain persistent RDDs — without this they survive the query
+        // and the suite measures their memory pressure, not the plans
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         if (ok) dt else -1.0
       }
       // ReservedCodeCacheSize is capped at 2g by the JVM; at 50+ queries
@@ -123,8 +130,11 @@ object Bench {
     // skip are unchanged, and sticky entries fork FIRST so a budget
     // squeeze drops a new entry's first number, never a baseline's
     // continuation.
+    // r10 additions: q112/q122/q123 earned canonical isolated numbers in
+    // BENCH_r10 and stay for good (the sticky rule)
     val sticky = Seq("q23", "q46", "q51", "q71", "q81", "q84", "q87",
-      "q95", "q96", "q97", "q98", "q99", "q101", "q110")
+      "q95", "q96", "q97", "q98", "q99", "q101", "q110", "q112", "q122",
+      "q123")
     val byTime = results.filter { case (n, v) => n.startsWith("q") && v > 0 }
       .sortBy(-_._2).map(_._1)
     val stickyFirst = byTime.filter(n => sticky.exists(s => n.startsWith(s + "_")))
@@ -148,7 +158,14 @@ object Bench {
           // budget + a final child's full 150 s (ADVICE r8)
           val remainingNs = 1800L * 1000 * 1000 * 1000 -
             (System.nanoTime() - isoStart)
-          if (remainingNs <= 0) None
+          // a budget squeeze must be VISIBLE (ADVICE r10): a round with
+          // many new heavy entrants could otherwise silently skip every
+          // new entrant's first isolated baseline — stderr, so the JSON
+          // line stays the only stdout payload after spark.stop()
+          if (remainingNs <= 0) {
+            System.err.println(s"[bench] isolated budget exhausted — dropped fork $q")
+            None
+          }
           else try {
             val sb = new java.lang.StringBuffer // appended from the pump thread
             val proc = scala.sys.process.Process(base :+ q, None,
@@ -158,7 +175,10 @@ object Bench {
             val deadline = System.nanoTime() +
               math.min(150L * 1000 * 1000 * 1000, remainingNs)
             while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(500)
-            if (proc.isAlive()) { proc.destroy(); None }
+            if (proc.isAlive()) {
+              System.err.println(s"[bench] fork $q hit its deadline — killed")
+              proc.destroy(); None
+            }
             else {
               // exitValue() joins the I/O pump threads, so the tail of the
               // child's output is in the buffer before the parse reads it

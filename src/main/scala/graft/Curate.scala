@@ -46,7 +46,8 @@ object Curate {
           trainManifest: Boolean = false,
           manifestShards: Int = 16,
           classifierFloor: Double = -1.0,
-          bpeMerges: Int = 0): Summary = {
+          bpeMerges: Int = 0,
+          classifierTargetPrecision: Double = -1.0): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
@@ -67,7 +68,7 @@ object Curate {
     // (`outDir/quality_model`) so the gate is reproducible and
     // downstream re-scoring uses the exact model that curated the data.
     val (quality0, afterClassifier) =
-      if (classifierFloor < 0) (quality1, -1L)
+      if (classifierFloor < 0 && classifierTargetPrecision < 0) (quality1, -1L)
       else {
         val lab = ml.QualityClassifier.labeled(docs)
         val (tr, _) = ml.QualityClassifier.trainHeldoutSplit(lab)
@@ -80,10 +81,24 @@ object Curate {
         // informed number — both derive from ONE scoring pass
         ml.QualityClassifier.calibrationReport(scoredAll)
           .write.mode("overwrite").parquet(s"$outDir/quality_model_calibration")
-        ml.QualityClassifier.floorSweep(scoredAll)
-          .write.mode("overwrite").parquet(s"$outDir/quality_model_floor_sweep")
+        val sweep = ml.QualityClassifier.floorSweep(scoredAll)
+        sweep.write.mode("overwrite").parquet(s"$outDir/quality_model_floor_sweep")
+        // auto floor (VERDICT r10 #8): when a target precision is set,
+        // the gate floor comes from the sweep — the lowest floor whose
+        // precision meets the target — instead of a hand-set constant;
+        // the CHOICE persists beside the model so a re-scoring run and
+        // an audit both see the number the gate actually used
+        val floor: Double =
+          if (classifierTargetPrecision < 0) classifierFloor
+          else ml.QualityClassifier.chooseFloor(sweep, classifierTargetPrecision)
+        locally {
+          import spark.implicits._
+          Seq((floor, classifierTargetPrecision))
+            .toDF("floor", "target_precision")
+            .write.mode("overwrite").parquet(s"$outDir/quality_model_floor")
+        }
         val passing = scoredAll
-          .filter(col("p_quality") >= classifierFloor)
+          .filter(col("p_quality") >= floor)
           .select("doc_id")
         val g = quality1.join(passing, "doc_id")
         (g, g.count())
@@ -258,7 +273,7 @@ object Curate {
   }
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
-    * [--manifest] [--classifier] [--bpe=k]` */
+    * [--manifest] [--classifier] [--classifier-precision=P] [--bpe=k]` */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val Array(dataDir, outDir) = pos
@@ -286,7 +301,11 @@ object Curate {
         trainManifest = flags.contains("--manifest"),
         classifierFloor = if (flags.contains("--classifier")) 0.5 else -1.0,
         bpeMerges = flags.find(_.startsWith("--bpe="))
-          .map(_.stripPrefix("--bpe=").toInt).getOrElse(0))
+          .map(_.stripPrefix("--bpe=").toInt).getOrElse(0),
+        classifierTargetPrecision = flags
+          .find(_.startsWith("--classifier-precision="))
+          .map(_.stripPrefix("--classifier-precision=").toDouble)
+          .getOrElse(-1.0))
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
       s"classifier=${s.afterClassifier} " +

@@ -95,20 +95,64 @@ object Locks {
     // still ours; stop silently if we have been reclaimed — refreshing
     // the NEW holder's claim would extend a lock we no longer own
     @volatile private var stopped = false
+    // consecutive missed beats (ADVICE r10): a flaky filesystem that
+    // swallows setTimes would otherwise silently degrade the claim back
+    // to the pre-heartbeat reclaim race — three straight misses and a
+    // contender's stale check can fire against a LIVE holder. One miss
+    // is retried quietly; from the second consecutive miss onward the
+    // holder logs loudly, and [[healthy]] exposes the state so a cycle
+    // can check its own lease before a long critical section.
+    @volatile private var missedBeats = 0
+
+    /** False while the heartbeat has ≥2 consecutive failed mtime
+      * refreshes — the claim may look stale to contenders even though
+      * this holder is live.
+      */
+    def healthy: Boolean = missedBeats < 2
     private val heart = new Thread(() => {
       val periodMs = math.max(staleAfterMs / 3, 50L)
       try while (!stopped) {
         Thread.sleep(periodMs)
         if (!stopped) {
           if (tokenOnDiskIsMine)
-            try fs.setTimes(lock, System.currentTimeMillis(), -1)
-            catch { case _: Exception => () } // missed beat — retry next period
+            try {
+              fs.setTimes(lock, System.currentTimeMillis(), -1)
+              missedBeats = 0
+            } catch {
+              case e: Exception => // missed beat — retry next period
+                missedBeats += 1
+                if (missedBeats >= 2) System.err.println(
+                  s"[graft.Locks] heartbeat on $lock has missed " +
+                    s"$missedBeats consecutive beats (${e.getClass.getSimpleName}: " +
+                    s"${e.getMessage}) — after 3 the claim looks stale to " +
+                    "contenders and a live-holder reclaim becomes possible")
+            }
           else stopped = true
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-${lock.getName}")
     heart.setDaemon(true)
     heart.start()
+
+    /** Fencing check at a critical-section boundary (VERDICT r10 #7):
+      * true iff the token ON DISK is still this holder's. A holder that
+      * was paused past the TTL (stop-the-world GC) and reclaimed must
+      * discover it HERE — before an index append — not after completing
+      * one in-flight write against state a new holder now owns. Costs
+      * one small read of the lock file; callers place it immediately
+      * before each non-idempotent mutation.
+      */
+    def stillHeld: Boolean = tokenOnDiskIsMine
+
+    /** [[stillHeld]] as an assertion: throws naming the lock if the
+      * claim was reclaimed, so the cycle aborts BEFORE its append
+      * instead of racing the new holder.
+      */
+    def assertHeld(what: String): Unit =
+      if (!tokenOnDiskIsMine) throw new IllegalStateException(
+        s"lock $lock was reclaimed (token on disk is no longer this " +
+          s"holder's) — aborting before $what; this holder was likely " +
+          "paused past the stale TTL and another writer now owns the state")
 
     def release(): Unit = {
       stopped = true
@@ -175,8 +219,17 @@ object Locks {
 
   /** Run `body` under an awaited claim, releasing on every exit path. */
   def withLock[T](spark: SparkSession, lockPath: String, staleAfterMs: Long,
-                  retryMs: Long = 200, maxWaitMs: Long = 10 * 60 * 1000L)(body: => T): T = {
+                  retryMs: Long = 200, maxWaitMs: Long = 10 * 60 * 1000L)(body: => T): T =
+    withLockClaim(spark, lockPath, staleAfterMs, retryMs, maxWaitMs)(_ => body)
+
+  /** [[withLock]] handing `body` its [[Claim]], so a cycle can fence its
+    * own append boundaries ([[Claim.assertHeld]]) against a reclaim that
+    * happened while it was paused.
+    */
+  def withLockClaim[T](spark: SparkSession, lockPath: String, staleAfterMs: Long,
+                       retryMs: Long = 200,
+                       maxWaitMs: Long = 10 * 60 * 1000L)(body: Claim => T): T = {
     val claim = awaitClaim(spark, lockPath, staleAfterMs, retryMs, maxWaitMs)
-    try body finally claim.release()
+    try body(claim) finally claim.release()
   }
 }

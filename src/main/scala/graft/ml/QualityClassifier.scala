@@ -125,6 +125,28 @@ object QualityClassifier {
     * heuristic label — the table that makes `classifierFloor` an
     * informed number instead of a default 0.5.
     */
+  /** The gate floor the sweep recommends (VERDICT r10 #8): the LOWEST
+    * floor whose precision against the weak label meets
+    * `targetPrecision` — lowest, because every higher qualifying floor
+    * keeps strictly fewer documents for no precision the caller asked
+    * for. Falls back to the sweep's most selective floor (0.9) when no
+    * floor qualifies — the caller asked for a precision the model
+    * cannot deliver, and the closest-to-qualifying gate is the honest
+    * degradation (logged by the caller via the persisted choice row).
+    * The sweep is a 10-row frame, so the driver-side read is bounded by
+    * construction (the q100 languages-frame exception).
+    */
+  def chooseFloor(sweep: DataFrame, targetPrecision: Double): Double = {
+    val qualifying = sweep
+      .filter(col("precision").isNotNull &&
+        col("precision") >= targetPrecision)
+      .agg(min(col("floor"))).head().get(0)
+    qualifying match {
+      case d: java.lang.Double => d.doubleValue()
+      case _ => 0.9
+    }
+  }
+
   def floorSweep(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // densified over ALL ten deciles (the q59 date-spine discipline):

@@ -722,13 +722,49 @@ object Ann {
   private def centroidTable(vecs: DataFrame): DataFrame =
     centroidTable(vecs, 1)
 
+  /** nlist ∝ √N as arithmetic (VERDICT r10 #2): the `splits` a standing-
+    * index REFRESH should use for a corpus of `nMembers` vectors whose
+    * seed quantizer starts from `nLabels` label cells — the smallest
+    * splits that brings nlist = labels × splits to at least √N, the
+    * standard IVF sizing (probe work per query is nprobe/nlist of the
+    * corpus ≈ nprobe·√N candidates when nlist tracks √N, instead of
+    * growing linearly at fixed nlist — the PLANS.md round-10 measurement:
+    * sf3 PQ screen 41.1 s at nlist 10 vs 22.3 s at 80). Deterministic
+    * integer arithmetic so specs pin it at any corpus size.
+    */
+  private[graft] def autoSplits(nMembers: Long, nLabels: Long): Int = {
+    val nlist = math.ceil(math.sqrt(math.max(nMembers, 1L).toDouble))
+    math.max(1.0, math.ceil(nlist / math.max(nLabels, 1L).toDouble)).toInt
+  }
+
+  /** `splits ≤ 0` means AUTO: compute [[autoSplits]] from the refresh
+    * input itself (one aggregate pass — the refresh already makes
+    * several). An explicit positive `splits` remains the operator
+    * override.
+    */
+  private def resolveSplits(index: DataFrame, splits: Int): Int =
+    if (splits > 0) splits
+    else {
+      val r = index.agg(count(lit(1)), countDistinct(col("label"))).head()
+      autoSplits(r.getLong(0), r.getLong(1))
+    }
+
   private[operators] def centroidTable(vecs: DataFrame, splits: Int): DataFrame = {
     val seeded =
       if (splits <= 1) vecs.withColumn("seed_cell", col("label"))
       else vecs.withColumn("seed_cell", concat_ws("#",
         col("label").cast("string"),
         pmod(xxhash64(col("vec_id")), lit(splits)).cast("string")))
-    seeded.groupBy(col("seed_cell").as("cell")).agg(
+    centroidMeans(seeded, col("seed_cell"))
+  }
+
+  /** The centroid-table aggregate over any cell keying: decimal-exact
+    * per-component means, integer-quantized — shared by the seeded
+    * quantizer ([[centroidTable]]) and the Lloyd update
+    * ([[centroidTableKmeans]], which regroups by the ASSIGNED cell).
+    */
+  private def centroidMeans(vecs: DataFrame, cellKey: Column): DataFrame =
+    vecs.groupBy(cellKey.as("cell")).agg(
       array((0 until Dim).map { j =>
         (Num.exactSum(col("emb")(j)).cast("double") / count(lit(1))).cast("double")
       }: _*).as("centroid"))
@@ -736,6 +772,36 @@ object Ann {
       .withColumn("cnorm2", expr(
         "aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
       .select("cell", "qcent", "cnorm2")
+
+  /** TRAINED coarse quantizer (VERDICT r10 #1): spherical Lloyd's from
+    * the deterministic seeding — `iters` rounds of (argmax-cosine
+    * assignment against the current centroids → decimal-exact mean
+    * update per assigned cell). No RNG anywhere: the init is
+    * [[centroidTable]]'s seeded cells and every update is exact
+    * arithmetic, so two refreshes of the same corpus train byte-equal
+    * centroids. Cell IDs are the SEED ids throughout (members move
+    * between rounds, names don't), so downstream partitioning and the
+    * probe contract are unchanged. A cell that loses every member in a
+    * round drops (nlist shrinks) — standard Lloyd behavior, harmless to
+    * consumers that treat the table as the source of truth.
+    *
+    * Scale shape per round: one assignment pass (broadcast nlist-row
+    * centroids, argmax per vector) + one partial-aggregated groupBy —
+    * the [[centroidTable]] cost times `iters`. The nlist-row result is
+    * eagerly pinned per round and the previous round's pin freed
+    * (Frames.freePinned — the CC-loop discipline), so the loop holds
+    * O(nlist) state regardless of `iters`.
+    */
+  private[operators] def centroidTableKmeans(vecs: DataFrame, splits: Int,
+                                             iters: Int): DataFrame = {
+    var cents = centroidTable(vecs, splits).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = centroidMeans(assignCellsLean(vecs, cents), col("cell"))
+        .localCheckpoint(true)
+      graft.Frames.freePinned(cents)
+      cents = next
+    }
+    cents
   }
 
   /** Argmax cell assignment of `vecs` against a broadcast centroid
@@ -1099,8 +1165,16 @@ object Ann {
     * of the semantic-admission and semantic-serving paths.
     */
   def refreshSemanticIndex(index: DataFrame, table: String,
-                           numBuckets: Int = 32): Unit = {
-    val (centroids, guarded) = semanticIndexFrames(index)
+                           numBuckets: Int = 32, splits: Int = 0): Unit = {
+    // the same refresh-time nlist rule as [[refreshPqIndex]] (VERDICT
+    // r10 #2): splits ≤ 0 computes [[autoSplits]] so cells keep their
+    // SIZE as the corpus grows — the in-query twins (semProbe/q95/q97)
+    // stay label-seeded (splits = 1) because their DuckDB oracles replay
+    // that configuration; the standing index is the production shape.
+    // The probe/append/rebuild contract is split-invariant: assignment
+    // is argmax over whatever centroid table the refresh materialized.
+    val centroids = centroidTable(index, resolveSplits(index, splits))
+    val guarded = guardedFromAssigned(assignCells(index, centroids))
     graft.sources.Ingest.writeBucketed(guarded, table, "cell", numBuckets,
       sortCol = None, moreBucketCols = Seq("band_idx", "band_val"))
     centroids.write.mode("overwrite").format("parquet")
@@ -1621,6 +1695,88 @@ object Ann {
       .agg(floor((Num.exactSum(col("v")).cast("double") / count(lit(1)))
         .cast("double") * lit(10000000.0)).cast("long").as("cw"))
 
+  // ── Trained (k-means) PQ quantizer (round 11 — VERDICT r10 #1) ───────
+  //
+  // The deterministic sign quantizer stays the ORACLE family (DuckDB
+  // replays it bit-for-bit); this block is the family a deployment
+  // runs: Lloyd's iterations from the sign-bucket init, per subspace —
+  // nearest-codeword assignment on exact integer distances, decimal-
+  // exact mean updates. Deterministic end to end (no RNG: the init is
+  // structured, every step exact arithmetic), so the trained codebook
+  // is byte-equal across re-trainings of the same corpus — which is
+  // what lets the append/rebuild specs assert FROZEN trained codebooks.
+
+  /** The quantized component frame of a (vec_id, emb) set: one row per
+    * (vector, component) with subspace/offset and the floor(v·10⁷) long
+    * — shared by nearest assignment, mean updates, and the encoder.
+    */
+  private def pqQComps(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), posexplode(col("emb")).as(Seq("j", "v")))
+      .withColumn("sub", expr(s"j div $PqSubDim"))
+      .withColumn("jj", expr(s"j % $PqSubDim"))
+      .withColumn("qv", floor(col("v") * lit(10000000.0)).cast("long"))
+
+  /** Nearest-codeword assignment of every (vector, subspace) against a
+    * broadcast codebook: exact integer squared distance
+    * Σ_jj (qv − cw)², argmin with ties to the lower code. Returns
+    * (vec_id, sub, code, dist). One batch-sized shuffle (the per-
+    * (vector, subspace, codeword) partial aggregate); the window ranks
+    * 16 rows per key.
+    */
+  private def pqNearestAssign(qcomps: DataFrame, codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("dist").asc, col("code"))
+    qcomps.join(broadcast(codebook), Seq("sub", "jj"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(sum((col("qv") - col("cw")) * (col("qv") - col("cw"))).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "code", "dist")
+  }
+
+  /** The Lloyd mean update: decimal-exact per-(sub, code, jj) means of
+    * the members `assign` routed to each codeword, quantized to longs —
+    * [[pqCodebook]]'s aggregate over the TRAINED assignment instead of
+    * the sign buckets. Codewords that attracted no member drop.
+    */
+  private def pqMeansFor(qcomps: DataFrame, assign: DataFrame): DataFrame =
+    qcomps.join(assign.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+      .groupBy("sub", "code", "jj")
+      .agg(floor((Num.exactSum(col("v")).cast("double") / count(lit(1)))
+        .cast("double") * lit(10000000.0)).cast("long").as("cw"))
+
+  /** TRAINED PQ codebook: `iters` Lloyd rounds per subspace from the
+    * sign-bucket init. Each round pins its 1 024-row result eagerly and
+    * frees the previous round's pin, so the loop holds O(|codebook|)
+    * state. The returned frame is localCheckpoint-pinned — the caller
+    * (refresh) frees it after materializing.
+    */
+  private[operators] def pqCodebookKmeans(vecs: DataFrame, iters: Int): DataFrame = {
+    val qcomps = pqQComps(vecs)
+    var cb = pqCodebook(pqComps(pqCoded(vecs))).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = pqMeansFor(qcomps, pqNearestAssign(qcomps, cb))
+        .localCheckpoint(true)
+      graft.Frames.freePinned(cb)
+      cb = next
+    }
+    cb
+  }
+
+  /** Encode vectors by NEAREST CODEWORD against a broadcast codebook —
+    * the trained family's encoder (the sign family encodes row-locally
+    * from the vector alone). Returns (vec_id, codes) with codes[sub] =
+    * the argmin codeword of that subspace. This is how FAISS encodes
+    * against a trained PQ codebook; cost is one batch-sized aggregate
+    * against 1 024 broadcast rows.
+    */
+  private[operators] def pqEncodeNearest(vecs: DataFrame,
+                                         codebook: DataFrame): DataFrame =
+    pqNearestAssign(pqQComps(vecs), codebook)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), s -> s.code)")
+        .as("codes"))
+
   def q109AnnPq(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, dir)
@@ -1948,26 +2104,93 @@ object Ann {
     * table — the lifecycle (and the frozen-under-append rule) is
     * unchanged.
     */
-  def refreshPqIndex(index: DataFrame, table: String, splits: Int = 1): Unit = {
-    // splits: the nlist knob (centroidTable doc) — a refresh at a grown
-    // corpus raises it (∝ √N) so probe candidate sets keep their size
-    val centroids = centroidTable(index, splits)
-    centroids.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
-    pqCodebook(pqComps(pqCoded(index.select(col("vec_id"), col("emb")))))
-      .write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_codebook")
-    writePqMembers(assignCellsLean(index, centroids), table, overwrite = true)
+  /** `quantizer`: `"sign"` (default) is the deterministic oracle-
+    * pinnable family — q109's structured one-step quantizer, replayed
+    * bit-for-bit by DuckDB (q112's value oracle anchors it).
+    * `"kmeans"` is the TRAINED family a deployment runs (VERDICT r10
+    * #1): [[centroidTableKmeans]] coarse cells and [[pqCodebookKmeans]]
+    * codewords — `lloydIters` deterministic Lloyd rounds from the same
+    * seeds — with members encoded by NEAREST CODEWORD against the
+    * trained codebook. Same three-table lifecycle either way, plus a
+    * `<table>_meta` row recording the choice so [[appendPqIndex]] /
+    * [[rebuildPqIndex]] encode batches with the matching encoder; both
+    * families freeze centroids AND codebook under append and repair.
+    */
+  def refreshPqIndex(index: DataFrame, table: String, splits: Int = 0,
+                     quantizer: String = "sign", lloydIters: Int = 2): Unit = {
+    require(quantizer == "sign" || quantizer == "kmeans",
+      s"quantizer must be sign or kmeans, got $quantizer")
+    // splits: the nlist knob (centroidTable doc). The DEFAULT is now the
+    // rule, not a constant (VERDICT r10 #2): splits ≤ 0 computes
+    // [[autoSplits]] from the member count at refresh time, so a refresh
+    // at a grown corpus raises nlist ∝ √N with NO hand-set knob and
+    // probe candidate sets keep their size; a positive value overrides.
+    val sp = resolveSplits(index, splits)
+    val vecsOnly = index.select(col("vec_id"), col("emb"))
+    val centroids =
+      if (quantizer == "kmeans") centroidTableKmeans(index, sp, lloydIters)
+      else centroidTable(index, sp)
+    val codebook =
+      if (quantizer == "kmeans") pqCodebookKmeans(vecsOnly, lloydIters)
+      else pqCodebook(pqComps(pqCoded(vecsOnly)))
+    try {
+      centroids.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_centroids")
+      codebook.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_codebook")
+      writePqMeta(index.sparkSession, table, quantizer)
+      writePqMembers(assignCellsLean(index, centroids), table,
+        overwrite = true, encodeCodes(index.sparkSession, table, quantizer))
+    } finally if (quantizer == "kmeans") {
+      // the Lloyd loops return eagerly-pinned frames (their own rounds'
+      // hygiene) — freed once materialized as tables
+      graft.Frames.freePinned(centroids)
+      graft.Frames.freePinned(codebook)
+    }
   }
+
+  /** The standing index's quantizer family, from its `_meta` side table
+    * — `"sign"` for tables refreshed before the meta row existed.
+    */
+  private def pqQuantizerOf(s: SparkSession, table: String): String =
+    // only a MISSING meta table falls back (pre-r11 indexes are all
+    // sign-family by construction); any other failure must surface —
+    // silently mis-encoding a kmeans index's appends as sign codes
+    // would corrupt the standing members
+    if (!s.catalog.tableExists(s"${table}_meta")) "sign"
+    else s.table(s"${table}_meta").select("quantizer").head().getString(0)
+
+  private def writePqMeta(s: SparkSession, table: String,
+                          quantizer: String): Unit = {
+    import s.implicits._
+    Seq(quantizer).toDF("quantizer")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** The member encoder of a quantizer family: sign codes are row-local
+    * arithmetic on the vector itself; trained codes are nearest-codeword
+    * against the STANDING broadcast codebook (which is exactly why the
+    * codebook must freeze under append — a moved codeword would silently
+    * re-interpret every stored code).
+    */
+  private def encodeCodes(s: SparkSession, table: String,
+                          quantizer: String): DataFrame => DataFrame =
+    if (quantizer == "kmeans")
+      df => df.join(
+        pqEncodeNearest(df.select(col("vec_id"), col("emb")),
+          s.table(s"${table}_codebook")), Seq("vec_id"))
+    else
+      df => df.withColumn("codes", pqCodesCol)
 
   /** Members write shared by refresh/append/rebuild: codes are the
     * row-local sign arithmetic of [[pqCoded]], landed partitioned by
     * cell so serving probes prune to their nprobe cells' files.
     */
   private def writePqMembers(assigned: DataFrame, table: String,
-                             overwrite: Boolean): Unit =
-    assigned
-      .select(col("vec_id"), pqCodesCol.as("codes"), col("emb"), col("cell"))
+                             overwrite: Boolean,
+                             encode: DataFrame => DataFrame): Unit =
+    encode(assigned)
+      .select(col("vec_id"), col("codes"), col("emb"), col("cell"))
       // one file per cell partition per write (writeBucketed's
       // discipline at the partition grain): each cell hashes to one
       // task, so files-per-partition = 1 + appends since the last
@@ -1987,7 +2210,7 @@ object Ann {
     */
   def appendPqIndex(s: SparkSession, table: String, batch: DataFrame): Unit = {
     writePqMembers(assignCellsLean(batch, s.table(s"${table}_centroids")),
-      table, overwrite = false)
+      table, overwrite = false, encodeCodes(s, table, pqQuantizerOf(s, table)))
     // refresh through the PROBING session (Dedup.appendIndex): a
     // foreachBatch clone's cached listing must not hide this append
     s.catalog.refreshTable(table)
@@ -2003,7 +2226,7 @@ object Ann {
     */
   def rebuildPqIndex(s: SparkSession, table: String, vecs: DataFrame): Unit = {
     writePqMembers(assignCellsLean(vecs, s.table(s"${table}_centroids")),
-      table, overwrite = true)
+      table, overwrite = true, encodeCodes(s, table, pqQuantizerOf(s, table)))
     s.catalog.refreshTable(table)
   }
 
@@ -2198,18 +2421,34 @@ object Ann {
       .unionByName(e.filter(col("vec_id") % 11 === 0)
         .select((col("vec_id") + 50000).as("vec_id"),
           expr("transform(emb, x -> -x)").as("emb")))
-    val best = pqTopKFrames(members, centroids, codebook, batch,
-        k = 1, nprobe, adcTopC, verify = "dec")
-      .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
-    // both right sides are batch-bounded — broadcast them so the final
-    // assembly never sorts (a SortMergeJoin here would shuffle the batch
-    // twice for two ≤|batch|-row lookups)
-    val ownCell = assignCellsLean(batch, centroids).select("vec_id", "cell")
-    batch.select("vec_id").join(broadcast(ownCell), Seq("vec_id"), "left")
-      .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
-        coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
-      .orderBy("vec_id")
+    try {
+      val best = pqTopKFrames(members, centroids, codebook, batch,
+          k = 1, nprobe, adcTopC, verify = "dec")
+        .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
+      // both right sides are batch-bounded — broadcast them so the final
+      // assembly never sorts (a SortMergeJoin here would shuffle the batch
+      // twice for two ≤|batch|-row lookups)
+      val ownCell = assignCellsLean(batch, centroids).select("vec_id", "cell")
+      // the result is batch-sized (one row per batch vector): pin IT
+      // eagerly — which also evaluates every consumer of the three
+      // persisted state frames — so the finally below can free those
+      // pins INSIDE the query (VERDICT r10 #1: the in-query persists
+      // used to outlive the query for the rest of a 123-query suite
+      // run; now the only blocks that survive are the batch-sized
+      // result's own, and the Verify/Bench harnesses sweep those after
+      // consuming it). The admission cycle's freePinned discipline,
+      // applied to the oracle twin.
+      batch.select("vec_id").join(broadcast(ownCell), Seq("vec_id"), "left")
+        .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
+          coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
+        .orderBy("vec_id")
+        .localCheckpoint(true)
+    } finally {
+      members.unpersist(false)
+      centroids.unpersist(false)
+      codebook.unpersist(false)
+    }
   }
 
   val q112Sql: String =
@@ -2339,4 +2578,143 @@ object Ann {
        |LEFT JOIN owncell o ON o.vec_id = b.vec_id
        |LEFT JOIN best t ON t.q_id = b.vec_id
        |ORDER BY b.vec_id""".stripMargin
+
+  /** Recall@k of standing PQ indexes against the exact brute-force
+    * baseline — q98's artifact for the MATERIALIZED family, and the
+    * gate that grades the trained (k-means) quantizer against the
+    * deterministic one (VERDICT r10 #1): one row per `indexes` entry
+    * (index_type → table), recall = fraction of the true top-k each
+    * index's serving path returned over the corpus' own `nQueries`
+    * query prefix. All ranking on 4dp decimal cosines with (desc, id)
+    * ties, so the report is deterministic.
+    */
+  def pqRecallByIndex(s: SparkSession, dir: String,
+                      indexes: Seq[(String, String)],
+                      k: Int = 10, nQueries: Int = 50,
+                      nprobe: Int = 3, adcTopC: Int = 32): DataFrame = {
+    val exact = q25AnnBruteforce(s, dir, nQueries)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    val queries = embeddings(s, dir).filter(col("vec_id") < nQueries)
+      .select("vec_id", "emb")
+    val served = indexes.map { case (indexType, table) =>
+      searchPqIndex(s, table, queries, k, nprobe, adcTopC, verify = "dec")
+        .select(lit(indexType).as("index_type"), col("q_id"), col("n_id"))
+    }.reduce(_ unionByName _)
+    served
+      .join(broadcast(exact), Seq("q_id", "n_id"), "left")
+      .groupBy("index_type")
+      .agg(
+        sum(coalesce(col("hit"), lit(0))).as("hits"),
+        Num.roundD(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          lit(nQueries * k).cast("double")).as("recall_at_k"))
+      .orderBy("index_type")
+  }
+
+  /** q124: ONE Lloyd refinement round of the PQ codebook as a
+    * SELF-CONTAINED oracle query — the value anchor of the TRAINED
+    * quantizer family ([[pqCodebookKmeans]], q113's discipline applied
+    * to vector quantization): start from the sign-bucket init codebook
+    * (q109's), re-assign every (vector, subspace) to its NEAREST
+    * codeword by exact integer squared distance (ties to the lower
+    * code), and recompute each surviving codeword as the decimal-exact
+    * mean of its assigned members. Output: one row per refined
+    * (sub, code, jj) with the init and trained codeword values, the
+    * member count, and the mean squared distance before/after the
+    * update — mse_trained ≤ mse_init per codeword is Lloyd's descent
+    * property, oracle-visible. DuckDB replays every stage bit-for-bit
+    * because assignment is integer argmin and the update is the
+    * [[pqCodebook]] decimal mean.
+    *
+    * Scale shape: the assignment is one partial-aggregated pass over
+    * (vectors × 64 components × 16 codewords of their subspace) against
+    * a BROADCAST 1 024-row codebook; everything else aggregates to
+    * codebook-sized frames. [[pqCodebookKmeans]] runs exactly this
+    * round `iters` times.
+    */
+  def q124PqKmeansRound(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir).select(col("vec_id"), col("emb"))
+    val qcomps = pqQComps(e)
+    val cb0 = pqCodebook(pqComps(pqCoded(e)))
+    val assign = pqNearestAssign(qcomps, cb0)
+    val cb1 = pqMeansFor(qcomps, assign)
+    val nm = assign.groupBy("sub", "code")
+      .agg(count(lit(1)).as("n_members"), sum(col("dist")).as("sse_init"))
+    val d2 = qcomps
+      .join(assign.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+      .join(broadcast(cb1.select(col("sub"), col("code"), col("jj"),
+        col("cw").as("cw1"))), Seq("sub", "code", "jj"))
+      .groupBy("sub", "code")
+      .agg(sum((col("qv") - col("cw1")) * (col("qv") - col("cw1"))).as("sse_trained"))
+    cb1.select(col("sub"), col("code"), col("jj"), col("cw").as("cw_trained"))
+      .join(broadcast(cb0.select(col("sub"), col("code"), col("jj"),
+        col("cw").as("cw_init"))), Seq("sub", "code", "jj"))
+      .join(broadcast(nm), Seq("sub", "code"))
+      .join(broadcast(d2), Seq("sub", "code"))
+      .select(col("sub").cast("int").as("sub"),
+        col("code").cast("int").as("code"),
+        col("jj").cast("int").as("jj"),
+        col("cw_init"), col("cw_trained"), col("n_members"),
+        Num.roundD(col("sse_init").cast("double") / col("n_members")).as("mse_init"),
+        Num.roundD(col("sse_trained").cast("double") / col("n_members")).as("mse_trained"))
+      .orderBy("sub", "code", "jj")
+  }
+
+  val q124Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM e),
+       |sv AS (
+       |  SELECT vec_id, j // $PqSubDim AS sub, j % $PqSubDim AS jj, v FROM expl),
+       |codes AS (
+       |  SELECT vec_id, sub,
+       |    CAST(SUM(CASE WHEN jj < $PqSignBits AND v >= 0 THEN 1 << jj ELSE 0 END) AS INT) AS code
+       |  FROM sv GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT s.sub, c.code, s.jj,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(s.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000000.0) AS BIGINT) AS cw
+       |  FROM sv s JOIN codes c ON c.vec_id = s.vec_id AND c.sub = s.sub
+       |  GROUP BY 1, 2, 3),
+       |q AS (
+       |  SELECT vec_id, sub, jj, CAST(FLOOR(v * 10000000.0) AS BIGINT) AS qv
+       |  FROM sv),
+       |dist AS (
+       |  SELECT q.vec_id, q.sub, cb.code,
+       |    SUM((q.qv - cb.cw) * (q.qv - cb.cw)) AS dist
+       |  FROM q JOIN cb ON cb.sub = q.sub AND cb.jj = q.jj
+       |  GROUP BY 1, 2, 3),
+       |asg AS (
+       |  SELECT vec_id, sub, code, dist FROM (
+       |    SELECT vec_id, sub, code, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM dist) t
+       |  WHERE rn = 1),
+       |cb1 AS (
+       |  SELECT s.sub, a.code, s.jj,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(s.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000000.0) AS BIGINT) AS cw_trained
+       |  FROM sv s JOIN asg a ON a.vec_id = s.vec_id AND a.sub = s.sub
+       |  GROUP BY 1, 2, 3),
+       |nm AS (
+       |  SELECT sub, code, COUNT(*) AS n_members, SUM(dist) AS sse_init
+       |  FROM asg GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT q.sub, a.code,
+       |    SUM((q.qv - c.cw_trained) * (q.qv - c.cw_trained)) AS sse_trained
+       |  FROM q
+       |  JOIN asg a ON a.vec_id = q.vec_id AND a.sub = q.sub
+       |  JOIN cb1 c ON c.sub = q.sub AND c.code = a.code AND c.jj = q.jj
+       |  GROUP BY 1, 2)
+       |SELECT CAST(c.sub AS INT) AS sub, CAST(c.code AS INT) AS code,
+       |  CAST(c.jj AS INT) AS jj,
+       |  cb.cw AS cw_init, c.cw_trained, nm.n_members,
+       |  ${Num.sqlRoundD("CAST(nm.sse_init AS DOUBLE) / nm.n_members")} AS mse_init,
+       |  ${Num.sqlRoundD("CAST(d2.sse_trained AS DOUBLE) / nm.n_members")} AS mse_trained
+       |FROM cb1 c
+       |JOIN cb ON cb.sub = c.sub AND cb.code = c.code AND cb.jj = c.jj
+       |JOIN nm ON nm.sub = c.sub AND nm.code = c.code
+       |JOIN d2 ON d2.sub = c.sub AND d2.code = c.code
+       |ORDER BY 1, 2, 3""".stripMargin
 }

@@ -132,10 +132,19 @@ object Bpe {
     * each still one pass over the word types with a ≤ 4m-row pull.
     */
   def train(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
-            batchMerges: Int = 1): Seq[(String, String)] = {
+            batchMerges: Int = 1): Seq[(String, String)] =
+    trainWithStats(docs, numMerges, minCount, batchMerges)._1
+
+  /** [[train]] plus the round count it paid — the number the k/m
+    * arithmetic predicts and the production-vocabulary rehearsal
+    * ([[graft.BpeRehearsal]]) publishes (VERDICT r10 #4).
+    */
+  def trainWithStats(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
+                     batchMerges: Int = 1): (Seq[(String, String)], Int) = {
     require(batchMerges >= 1, s"batchMerges must be >= 1, got $batchMerges")
     var syms = initialSyms(wordTable(docs)).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
     try {
       var exhausted = false
       while (merges.size < numMerges && !exhausted) {
@@ -150,6 +159,7 @@ object Bpe {
           .collect()
           .toSeq.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
         val round = disjointBatch(top, want)
+        rounds += 1
         if (round.isEmpty) exhausted = true
         else {
           merges ++= round
@@ -160,7 +170,7 @@ object Bpe {
           syms = next
         }
       }
-      merges.toSeq
+      (merges.toSeq, rounds)
     } finally Frames.freePinned(syms)
   }
 

@@ -623,10 +623,17 @@ object CorpusOps {
       .na.fill(0L, Seq("n_new_types"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("cum_vocab", sum(col("n_new_types")).over(w))
-      .withColumn("x", Num.roundD(log(col("cum_tokens").cast("double")), 6))
-      .withColumn("y", Num.roundD(log(col("cum_vocab").cast("double")), 6))
+      // zero guard (ADVICE r10): Spark's log(0) returns NULL where
+      // DuckDB's LN(0) ERRORS, so a leading decile with no trigram type
+      // (or an empty-text prefix) must be excluded from the fit points
+      // in BOTH engines — the guarded CASE below mirrors this exactly,
+      // and the fit moments count only the guarded points
+      .withColumn("x", when(col("cum_tokens") >= 1 && col("cum_vocab") >= 1,
+        Num.roundD(log(col("cum_tokens").cast("double")), 6)))
+      .withColumn("y", when(col("cum_tokens") >= 1 && col("cum_vocab") >= 1,
+        Num.roundD(log(col("cum_vocab").cast("double")), 6)))
     val g = pts.agg(
-      count(lit(1)).cast("double").as("n"),
+      count(col("x")).cast("double").as("n"),
       Num.exactSum(col("x")).cast("double").as("sx"),
       Num.exactSum(col("y")).cast("double").as("sy"),
       Num.exactSum(col("x") * col("x")).cast("double").as("sxx"),
@@ -685,11 +692,13 @@ object CorpusOps {
        |  FROM tb LEFT JOIN nv ON tb.bucket = nv.bucket),
        |xy AS (
        |  SELECT bucket, n_docs, cum_tokens, cum_vocab,
-       |    ${Num.sqlRoundD("LN(CAST(cum_tokens AS DOUBLE))", 6)} AS x,
-       |    ${Num.sqlRoundD("LN(CAST(cum_vocab AS DOUBLE))", 6)} AS y
+       |    CASE WHEN cum_tokens >= 1 AND cum_vocab >= 1
+       |      THEN ${Num.sqlRoundD("LN(CAST(cum_tokens AS DOUBLE))", 6)} END AS x,
+       |    CASE WHEN cum_tokens >= 1 AND cum_vocab >= 1
+       |      THEN ${Num.sqlRoundD("LN(CAST(cum_vocab AS DOUBLE))", 6)} END AS y
        |  FROM pts),
        |g AS (
-       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |  SELECT CAST(COUNT(x) AS DOUBLE) AS n,
        |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) AS sx,
        |    CAST(SUM(CAST(y AS DECIMAL(25,6))) AS DOUBLE) AS sy,
        |    CAST(SUM(CAST(x * x AS DECIMAL(25,6))) AS DOUBLE) AS sxx,

@@ -539,12 +539,22 @@ object Sampling {
     val keepers = Clusters.q46DedupClusters(s, dir)
       .filter(col("is_canonical")).select("doc_id")
     val alloc = unimaxAllocFrom(corpus.join(keepers, "doc_id"), epochCap)
-    raw.join(alloc, "lang")
+    // LEFT join from raw (ADVICE r10): a language whose every document
+    // is a non-canonical member of a cross-language near-dup cluster
+    // vanishes from the deduped supply entirely — the report must SHOW
+    // that language (supply 0, allocation 0, 100% removed), not omit
+    // the row; a fully-mirrored language is the loudest finding a
+    // dedup-aware mixture can surface
+    raw.join(alloc, Seq("lang"), "left")
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
+      .withColumn("is_capped", coalesce(col("is_capped"), lit(0)))
+      .withColumn("alloc_tokens", coalesce(col("alloc_tokens"), lit(0.0)))
       .withColumn("removed_tokens",
         col("avail_raw_tokens") - col("avail_tokens"))
       .withColumn("removed_pct", Num.roundD(
         col("removed_tokens").cast("double") / col("avail_raw_tokens")))
-      .withColumn("weight", Num.roundD(col("alloc_tokens") / col("budget")))
+      .withColumn("weight",
+        coalesce(Num.roundD(col("alloc_tokens") / col("budget")), lit(0.0)))
       .select(col("lang"), col("avail_raw_tokens"),
         col("avail_tokens").as("avail_dedup_tokens"),
         col("removed_tokens"), col("removed_pct"),
@@ -573,12 +583,13 @@ object Sampling {
        |  FROM corpus GROUP BY lang),
        |${sqlUnimaxCtes(2, "ded")}
        |SELECT raw.lang, avail_raw_tokens,
-       |  avail_tokens AS avail_dedup_tokens,
-       |  avail_raw_tokens - avail_tokens AS removed_tokens,
-       |  ${Num.sqlRoundD("CAST(avail_raw_tokens - avail_tokens AS DOUBLE) / avail_raw_tokens")} AS removed_pct,
-       |  is_capped, alloc_tokens,
-       |  ${Num.sqlRoundD("alloc_tokens / budget")} AS weight
-       |FROM raw JOIN o USING (lang)
+       |  COALESCE(avail_tokens, CAST(0 AS BIGINT)) AS avail_dedup_tokens,
+       |  avail_raw_tokens - COALESCE(avail_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+       |  ${Num.sqlRoundD("CAST(avail_raw_tokens - COALESCE(avail_tokens, CAST(0 AS BIGINT)) AS DOUBLE) / avail_raw_tokens")} AS removed_pct,
+       |  COALESCE(is_capped, CAST(0 AS INT)) AS is_capped,
+       |  COALESCE(alloc_tokens, 0.0) AS alloc_tokens,
+       |  COALESCE(${Num.sqlRoundD("alloc_tokens / budget")}, 0.0) AS weight
+       |FROM raw LEFT JOIN o USING (lang)
        |ORDER BY raw.lang""".stripMargin
 
   // --------------------------------------------------------------- q121

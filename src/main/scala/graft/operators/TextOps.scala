@@ -413,7 +413,19 @@ object TextOps {
     * inputs), and the −ln is quantized at 6dp before the exact decimal
     * average, q85's libm rule.
     */
+  /** @param minDf model-head document-frequency floor. MUST be ≤ 2
+    *   (ADVICE r10): the plan coalesces a floored-away count to 1, which
+    *   is EXACT only when the floor cuts counts that are exactly 1 —
+    *   at minDf > 2 a floored count could be anywhere in [1, minDf-1]
+    *   and the score would silently diverge from the true interpolated
+    *   model. Raising the floor at corpus scale therefore requires
+    *   carrying a (count-below-floor) marker, not just this knob.
+    */
   def q118BigramLm(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    require(minDf <= 2,
+      s"q118BigramLm: minDf=$minDf > 2 — the coalesce-missing-to-1 " +
+        "simplification is exact only when every floored count is exactly " +
+        "1 (minDf ≤ 2); a higher floor needs explicit below-floor counts")
     val d = docs(s, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
     val toks = d.select(col("doc_id"), explode(col("w")).as("tok"))

@@ -201,6 +201,49 @@ class CurateSpec extends SparkSpec {
       .afterClassifier == -1L)
   }
 
+  test("auto classifier floor: Curate picks the sweep's lowest qualifying floor and persists the choice") {
+    import org.apache.spark.sql.functions.col
+    // VERDICT r10 #8: the gate floor comes from the published sweep —
+    // the LOWEST floor whose precision against the weak label meets the
+    // target — instead of a hand-set 0.5
+    val out = java.nio.file.Files.createTempDirectory("curate-autoclf").toString
+    val target = 0.9
+    val s = Curate.run(spark, Sf, out, classifierTargetPrecision = target)
+    assert(s.afterClassifier >= 0, "the auto mode must enable the gate")
+
+    // the persisted choice equals what the sweep recommends
+    val choice = spark.read.parquet(s"$out/quality_model_floor").head()
+    val floor = choice.getAs[Double]("floor")
+    assert(choice.getAs[Double]("target_precision") == target)
+    val sweep = spark.read.parquet(s"$out/quality_model_floor_sweep")
+    assert(floor == graft.ml.QualityClassifier.chooseFloor(sweep, target),
+      s"persisted floor $floor must be the sweep's answer")
+    // it IS the lowest qualifying floor: its precision meets the target
+    // and every lower floor's precision misses it
+    val rows = sweep.collect().sortBy(_.getAs[Double]("floor"))
+    val mine = rows.find(_.getAs[Double]("floor") == floor).get
+    assert(mine.getAs[Double]("precision") >= target, mine.toString)
+    rows.filter(_.getAs[Double]("floor") < floor).foreach { r =>
+      val p = r.getAs[java.lang.Double]("precision")
+      assert(p == null || p.doubleValue() < target,
+        s"a lower floor already met the target: $r")
+    }
+
+    // the gate bites at the chosen floor: shipped docs all re-score at
+    // or above it, and the chosen floor's kept count is afterClassifier
+    val model = graft.ml.QualityClassifier.load(s"$out/quality_model")
+    val rescored = graft.ml.QualityClassifier.score(model,
+      graft.ml.QualityClassifier.labeled(Tables.load(spark, Sf, "documents")))
+    assert(s.afterClassifier ==
+      rescored.filter(col("p_quality") >= floor).count(),
+      "afterClassifier must equal a direct re-score at the chosen floor")
+    assert(s.afterClassifier < s.afterQuality,
+      "a 0.9-precision target must reject some heuristic survivors")
+
+    // an unreachable target degrades to the most selective floor (0.9)
+    assert(graft.ml.QualityClassifier.chooseFloor(sweep, 2.0) == 0.9)
+  }
+
   test("bpe stage trains on the train split only, ships reloadable merges, and the vocab re-spells the corpus") {
     import graft.operators.Bpe
     val out = java.nio.file.Files.createTempDirectory("cbpe").toString

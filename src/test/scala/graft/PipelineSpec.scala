@@ -120,10 +120,53 @@ class PipelineSpec extends SparkSpec {
         probes += 1
       }
       assert(probes >= 3, "the body must have been probed past the TTL")
+      // ADVICE r10: a healthy heart (no ≥2 consecutive missed beats)
+      // reports so — the flag a cycle checks before a long section
+      assert(claim.get.healthy, "3 s of 333 ms beats must all have landed")
     } finally claim.get.release()
     // the fenced release freed the path: a fresh claim wins immediately
     val fresh = Locks.tryClaim(spark, lockPath, staleAfterMs = ttlMs)
     assert(fresh.isDefined, "release must free the lock for the next claimer")
     fresh.get.release()
+  }
+
+  test("a reclaimed holder fails the append-boundary fence (VERDICT r10 #7)") {
+    // the residual window: a holder paused past the TTL (stop-the-world
+    // GC) is reclaimed, resumes, and would complete one in-flight index
+    // append against state the new holder now owns. The cycle's fence
+    // (Claim.assertHeld immediately before each append) must catch the
+    // reclaim — simulated here by overwriting the token mid-hold, which
+    // is byte-for-byte what a reclaimer's fresh claim does.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock-fence").toString
+    val lockPath = s"$dir/.fenced-holder"
+    val claim = Locks.tryClaim(spark, lockPath, staleAfterMs = 60000L).get
+    try {
+      // pre-reclaim: the fence passes silently
+      assert(claim.stillHeld)
+      claim.assertHeld("a pre-reclaim append")
+
+      // "reclaim": a new holder's token lands on the lock path
+      val lock = new org.apache.hadoop.fs.Path(lockPath)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val os = fs.create(lock, true)
+      try os.write("someone-else".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+
+      // post-reclaim: the fence aborts BEFORE the append, naming it
+      assert(!claim.stillHeld)
+      val ex = intercept[IllegalStateException] {
+        claim.assertHeld("the band-index append for batch 42")
+      }
+      assert(ex.getMessage.contains("band-index append for batch 42") &&
+        ex.getMessage.contains("reclaimed"), ex.getMessage)
+    } finally {
+      // the fenced release must NOT delete the new holder's claim
+      claim.release()
+      val lock = new org.apache.hadoop.fs.Path(lockPath)
+      val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(lock),
+        "a reclaimed holder's release must not free the new holder's lock")
+      fs.delete(lock, false)
+    }
   }
 }
