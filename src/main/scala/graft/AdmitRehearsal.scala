@@ -38,11 +38,12 @@ object AdmitRehearsal {
     // --pq: screen through the standing IVF-PQ index instead of the
     // banded semantic index (the Admit seam's third option), and also
     // time the serving path (searchPqIndex, 100 queries) at this scale.
-    // --splits=N raises the PQ quantizer's nlist (labels × N cells) —
-    // the nlist ∝ √N rehearsal knob
+    // --splits=N overrides the PQ quantizer's nlist (labels × N cells);
+    // the default 0 engages the refresh-time nlist ∝ √N rule (round 11
+    // — the rehearsal now measures the NO-KNOB configuration)
     val usePq = args.contains("--pq")
     val splits = args.find(_.startsWith("--splits="))
-      .map(_.stripPrefix("--splits=").toInt).getOrElse(1)
+      .map(_.stripPrefix("--splits=").toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val scratch = java.nio.file.Files.createTempDirectory("admit-rehearsal")
     val spark = SparkSession.builder()
@@ -65,7 +66,9 @@ object AdmitRehearsal {
     val (_, tBand) = timed(Dedup.refreshIndex(docs, band))
     val (_, tSem) = timed(
       if (usePq) Ann.refreshPqIndex(e, sem, splits)
-      else Ann.refreshSemanticIndex(e, sem))
+      else Ann.refreshSemanticIndex(e, sem, splits = splits))
+    // the EFFECTIVE nlist (splits=0 means the √N rule computed it)
+    val nlist = spark.table(s"${sem}_centroids").count()
 
     // a novel batch: ScaleUp's replica transforms (token permutation /
     // component sign-flip) applied at replica key 777 — the rehearsal
@@ -104,7 +107,7 @@ object AdmitRehearsal {
       (if (usePq) Ann.searchPqIndex(spark, sem, queries)
        else Ann.searchSemanticIndex(spark, sem, queries)).count())
 
-    println(s"""{"sf":"$sfDir","mode":"${if (usePq) "pq" else "sem"}","splits":$splits,""" +
+    println(s"""{"sf":"$sfDir","mode":"${if (usePq) "pq" else "sem"}","splits":$splits,"nlist":$nlist,""" +
       s""""docs":$nDocs,"vecs":$nVecs,""" +
       s""""batch":$batchSize,"refresh_band_s":${f"$tBand%.1f"},""" +
       s""""refresh_sem_s":${f"$tSem%.1f"},"admit_s":${f"$tAdmit%.1f"},""" +

@@ -18,16 +18,25 @@ object OneQ {
     // aggregates need ~3 executions before C2 fully compiles them (see the
     // measurement note in Bench.scala), so a cold first slot would publish
     // order-dependent numbers and defeat cross-round isolated compares.
+    // the persistent-RDD sweep mirrors Bench/Verify (VERDICT r10 #1):
+    // eager localCheckpoint blocks aren't cacheManager-tracked, and a
+    // fork measuring a pin-carrying query must not let run N's blocks
+    // pressure run N+1
+    def sweep(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     for (q <- args) {
       for (_ <- 1 to 2) {
         SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
-        spark.sharedState.cacheManager.clearCache()
+        sweep()
       }
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
         SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
         println(f"$q run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        spark.sharedState.cacheManager.clearCache()
+        sweep()
       }
     }
     spark.stop()

@@ -312,7 +312,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q112 PQ probe: probes/LUT/shortlist ride broadcasts; no sort-merge join, no cartesian") {
-    val p = planString(Ann.q112PqProbe(spark, Sf))
+    // the lazy body: the registered query pins its result eagerly (the
+    // r11 in-query free), which plans as a bare RDD scan — the shape
+    // under test is the UNPINNED q110-read-path plan
+    val (lazyPlan, pins) = Ann.q112Lazy(spark, Sf)
+    val p = planString(lazyPlan)
+    pins.foreach(_.unpersist(false))
     // the q110 read-path shape against inline state: the member side is
     // only ever the stream side of broadcast joins (probes by cell, LUT
     // by (q_id, sub, code), shortlist+queries for the rerank)
