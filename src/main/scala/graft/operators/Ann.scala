@@ -2618,6 +2618,103 @@ object Ann {
       .orderBy("index_type")
   }
 
+  /** q125: ONE spherical-Lloyd refinement round of the COARSE IVF
+    * centroids as a SELF-CONTAINED oracle query — q124's twin for the
+    * other half of the trained quantizer ([[centroidTableKmeans]]):
+    * start from the label-seeded decimal-exact centroids (q81's, the
+    * oracle contract), re-assign every corpus vector by argmax cosine
+    * against them (exact integer dots, ties to the lower cell — the
+    * [[assignCellsLean]] kernel q112 already value-anchors), and
+    * recompute each surviving cell's centroid as the decimal-exact mean
+    * of its assigned members. Output per surviving cell: member count,
+    * how many members arrived from a DIFFERENT seed label (the argmax
+    * migration the training exists to capture), the exact integer
+    * squared drift of the quantized centroid, and the init/trained
+    * centroid norms. One assignment pass + two centroid-sized
+    * aggregates; [[centroidTableKmeans]] runs exactly this round
+    * `iters` times.
+    */
+  def q125IvfLloydRound(s: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(s, dir)
+    val cents0 = centroidTable(e)
+    val assigned = assignCellsLean(e, cents0)
+    val cents1 = centroidMeans(assigned, col("cell"))
+    val stats = assigned
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("label") === col("cell"), 1L).otherwise(0L))
+          .as("n_from_seed"))
+    cents1.select(col("cell"), col("qcent").as("q1"),
+        col("cnorm2").as("cnorm2_trained"))
+      .join(broadcast(cents0.select(col("cell"), col("qcent").as("q0"),
+        col("cnorm2").as("cnorm2_init"))), Seq("cell"))
+      .withColumn("drift2", expr(
+        "aggregate(zip_with(q1, q0, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .join(broadcast(stats), Seq("cell"))
+      .select(col("cell"), col("n_members"), col("n_from_seed"),
+        (col("n_members") - col("n_from_seed")).as("n_moved_in"),
+        col("drift2"), col("cnorm2_init"), col("cnorm2_trained"))
+      .orderBy("cell")
+  }
+
+  val q125Sql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |expl AS (
+       |  SELECT vec_id, label, generate_subscripts(emb, 1) - 1 AS j, unnest(emb) AS v
+       |  FROM e),
+       |cent AS (
+       |  SELECT label AS cell, j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq
+       |  FROM expl GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell,
+       |    SUM(CAST(FLOOR(x.v * $QScale) AS BIGINT) * ct.cq) AS dvc
+       |  FROM expl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |vqn AS (
+       |  SELECT vec_id,
+       |    SUM(CAST(FLOOR(v * $QScale) AS BIGINT) * CAST(FLOOR(v * $QScale) AS BIGINT)) AS qn2
+       |  FROM expl GROUP BY 1),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT d.vec_id, d.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+       |        CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE) * CAST(q.qn2 AS DOUBLE)) DESC, d.cell) AS rn
+       |    FROM vdots d JOIN cnorm c ON c.cell = d.cell
+       |    JOIN vqn q ON q.vec_id = d.vec_id) t
+       |  WHERE rn = 1),
+       |cent1 AS (
+       |  SELECT a.cell, x.j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(x.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * $QScale) AS BIGINT) AS cq1
+       |  FROM expl x JOIN asg a ON a.vec_id = x.vec_id
+       |  GROUP BY 1, 2),
+       |cnorm1 AS (SELECT cell, SUM(cq1 * cq1) AS n2t FROM cent1 GROUP BY 1),
+       |drift AS (
+       |  SELECT c1.cell, SUM((c1.cq1 - c0.cq) * (c1.cq1 - c0.cq)) AS drift2
+       |  FROM cent1 c1 JOIN cent c0 ON c0.cell = c1.cell AND c0.j = c1.j
+       |  GROUP BY 1),
+       |st AS (
+       |  SELECT a.cell, COUNT(*) AS n_members,
+       |    CAST(SUM(CASE WHEN e.label = a.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_from_seed
+       |  FROM asg a JOIN e ON e.vec_id = a.vec_id
+       |  GROUP BY 1)
+       |SELECT st.cell, st.n_members, st.n_from_seed,
+       |  st.n_members - st.n_from_seed AS n_moved_in,
+       |  CAST(drift.drift2 AS BIGINT) AS drift2,
+       |  CAST(c0.n2 AS BIGINT) AS cnorm2_init,
+       |  CAST(c1.n2t AS BIGINT) AS cnorm2_trained
+       |FROM st
+       |JOIN drift ON drift.cell = st.cell
+       |JOIN cnorm c0 ON c0.cell = st.cell
+       |JOIN cnorm1 c1 ON c1.cell = st.cell
+       |ORDER BY st.cell""".stripMargin
+
   /** q124: ONE Lloyd refinement round of the PQ codebook as a
     * SELF-CONTAINED oracle query — the value anchor of the TRAINED
     * quantizer family ([[pqCodebookKmeans]], q113's discipline applied
