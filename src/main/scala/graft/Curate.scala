@@ -29,7 +29,7 @@ object Curate {
                      afterDecontam: Long, packed: Long,
                      afterCut: Long = -1L, afterSemantic: Long = -1L,
                      manifestPacks: Long = -1L, afterClassifier: Long = -1L,
-                     bpeMergesLearned: Long = -1L)
+                     bpeMergesLearned: Long = -1L, indexedDocs: Long = -1L)
 
   /** `packShards` is the packing-parallelism knob (VERDICT r8 #5): the
     * pack window partitions by (split, lang, shard) with `shard = doc_id
@@ -47,7 +47,9 @@ object Curate {
           manifestShards: Int = 16,
           classifierFloor: Double = -1.0,
           bpeMerges: Int = 0,
-          classifierTargetPrecision: Double = -1.0): Summary = {
+          classifierTargetPrecision: Double = -1.0,
+          refreshIndexes: Boolean = false,
+          indexPrefix: String = "curated"): Summary = {
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
@@ -267,13 +269,38 @@ object Curate {
           merges.size.toLong
         }
 
+      // 7. optional standing-index handoff (round 11): refresh the band
+      // index and the TRAINED IVF-PQ index from the CURATED corpus, so
+      // day-2 ingest (graft.Admit / the streaming admission) screens new
+      // batches against exactly what curation shipped — the curate-once,
+      // admit-forever composition. Indexes land as managed tables under
+      // `<indexPrefix>_band` / `<indexPrefix>_pq`; the PQ family is the
+      // kmeans one (production default — the sign family exists for the
+      // oracle twins), with the refresh-time √N nlist rule.
+      val indexedDocs =
+        if (!refreshIndexes) -1L
+        else {
+          val kept = out.select("doc_id", "text")
+          graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
+          val keptVecs = Tables.load(spark, dataDir, "embeddings")
+            .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+            .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
+            .select("vec_id", "emb", "label")
+          if (!keptVecs.isEmpty)
+            Ann.refreshPqIndex(keptVecs, s"${indexPrefix}_pq",
+              quantizer = "kmeans")
+          kept.count()
+        }
+
       Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
-        afterCut, afterSemantic, manifestPacks, afterClassifier, bpeLearned)
+        afterCut, afterSemantic, manifestPacks, afterClassifier, bpeLearned,
+        indexedDocs)
     } finally labels.unpersist()
   }
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
-    * [--manifest] [--classifier] [--classifier-precision=P] [--bpe=k]` */
+    * [--manifest] [--classifier] [--classifier-precision=P] [--bpe=k]
+    * [--indexes]` */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val Array(dataDir, outDir) = pos
@@ -305,13 +332,15 @@ object Curate {
         classifierTargetPrecision = flags
           .find(_.startsWith("--classifier-precision="))
           .map(_.stripPrefix("--classifier-precision=").toDouble)
-          .getOrElse(-1.0))
+          .getOrElse(-1.0),
+        refreshIndexes = flags.contains("--indexes"))
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
       s"classifier=${s.afterClassifier} " +
       s"cut=${s.afterCut} dedup=${s.afterDedup} semantic=${s.afterSemantic} " +
       s"decontam=${s.afterDecontam} packed=${s.packed} " +
-      s"manifest=${s.manifestPacks} bpe=${s.bpeMergesLearned}")
+      s"manifest=${s.manifestPacks} bpe=${s.bpeMergesLearned} " +
+      s"indexed=${s.indexedDocs}")
     spark.stop()
   }
 }

@@ -352,21 +352,36 @@ class AdmitSpec extends SparkSpec {
   }
 
   test("the IVF-PQ index is a drop-in third standing index: screens, grows per cycle, recovers") {
+    pqCycleCase("sign", "admit_band_pq", "admit_pq_idx")
+  }
+
+  test("the TRAINED (kmeans) PQ index runs the same admission cycle: meta routes the encoder through append and repair") {
+    // round 11: the whole cycle — probe screen, per-cycle append (which
+    // must encode by NEAREST CODEWORD against the standing trained
+    // codebook, via the _meta row), and the WAL repair's members rebuild
+    // — is family-invariant. A mis-dispatched encoder (sign codes into a
+    // trained index) would break the batch-2 catch: cycle 1's append
+    // would store codes the ADC stage scores against the wrong
+    // codewords.
+    pqCycleCase("kmeans", "admit_band_pqkm", "admit_pqkm_idx")
+  }
+
+  private def pqCycleCase(quantizer: String, band: String, pq: String): Unit = {
     import spark.implicits._
-    val band = "admit_band_pq"
-    val pq = "admit_pq_idx"
     dropIndexTables(band, pq)
-    spark.sql(s"DROP TABLE IF EXISTS ${pq}_codebook")
-    val cbLoc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/${pq}_codebook")
-    val cbFs = cbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (cbFs.exists(cbLoc)) cbFs.delete(cbLoc, true)
+    for (side <- Seq("codebook", "meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${pq}_$side")
+      val cbLoc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/${pq}_$side")
+      val cbFs = cbLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (cbFs.exists(cbLoc)) cbFs.delete(cbLoc, true)
+    }
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .select("vec_id", "emb", "label")
     Dedup.refreshIndex(d, band, numBuckets = 8)
-    Ann.refreshPqIndex(e, pq)
+    Ann.refreshPqIndex(e, pq, quantizer = quantizer)
     val out = java.nio.file.Files.createTempDirectory("admit-pq").toString
 
     val vec5 = e.filter(col("vec_id") === 5L)

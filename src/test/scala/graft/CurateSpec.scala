@@ -275,6 +275,52 @@ class CurateSpec extends SparkSpec {
     assert(badTok == 0, s"$badTok malformed tokens")
   }
 
+  test("index handoff: the curated corpus becomes the standing state day-2 admission screens against") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Ann, Dedup}
+    val prefix = "curhand"
+    for (t <- Seq(s"${prefix}_band", s"${prefix}_pq", s"${prefix}_pq_centroids",
+        s"${prefix}_pq_codebook", s"${prefix}_pq_meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val out = java.nio.file.Files.createTempDirectory("curate-idx").toString
+    val s = Curate.run(spark, Sf, out, refreshIndexes = true,
+      indexPrefix = prefix)
+    assert(s.indexedDocs == s.packed, s"indexed ${s.indexedDocs} != packed ${s.packed}")
+
+    // a re-submission of SHIPPED text flags on the band probe — the
+    // curated corpus IS the standing surface-form state now
+    val kept = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "text").orderBy("doc_id").limit(5)
+      .withColumn("doc_id", col("doc_id") + 900000L)
+    val nearOut = Dedup.probeIndex(spark, s"${prefix}_band", kept).collect()
+    assert(nearOut.nonEmpty &&
+      nearOut.forall(_.getAs[Int]("is_near_dup") == 1), nearOut.mkString)
+
+    // the PQ handoff is the TRAINED family, and a re-encode of a kept
+    // doc's vector semantic-rejects against it
+    assert(spark.table(s"${prefix}_pq_meta").head().getString(0) == "kmeans")
+    val keptVecs = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .join(spark.read.parquet(s"$out/corpus")
+        .select(col("doc_id").as("vec_id")), "vec_id")
+      .orderBy("vec_id").limit(5)
+      .select((col("vec_id") + 900000L).as("vec_id"),
+        expr("transform(emb, x -> x * 0.99)").as("emb"))
+    val pqOut = Ann.probePqIndex(spark, s"${prefix}_pq", keptVecs).collect()
+    assert(pqOut.nonEmpty && pqOut.forall(_.getAs[Int]("is_dup") == 1),
+      pqOut.mkString)
+
+    // the default run does not build indexes
+    assert(s.packed > 0 && Curate.run(spark, Sf,
+      java.nio.file.Files.createTempDirectory("curate-noidx").toString)
+      .indexedDocs == -1L)
+  }
+
   test("curate rerun is deterministic") {
     val (a, b) = (java.nio.file.Files.createTempDirectory("ca").toString,
       java.nio.file.Files.createTempDirectory("cb").toString)

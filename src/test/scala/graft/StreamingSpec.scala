@@ -302,7 +302,8 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.{Ann, Dedup}
     val band = "stream_admit_pq_band"
     val pq = "stream_admit_pq_idx"
-    for (t <- Seq(band, pq, s"${pq}_centroids", s"${pq}_codebook")) {
+    for (t <- Seq(band, pq, s"${pq}_centroids", s"${pq}_codebook",
+        s"${pq}_meta")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
