@@ -740,4 +740,246 @@ object Sampling {
        |FROM d
        |ORDER BY lang""".stripMargin
   }
+
+  // --------------------------------------------------------------- q126
+
+  /** q126: weight-proportional sample WITHOUT replacement — priority
+    * sampling (Duffield–Lund–Thorup, JACM 54(6) 2007): per language,
+    * the k documents with the highest priority w/u, where w is the
+    * document's size and u a per-document uniform draw. Unlike the
+    * uniform stratified sample (q48), inclusion probability is
+    * proportional to size, and the Horvitz–Thompson estimate
+    * max(w, τ) — τ the (k+1)-th priority — makes the k-row sample an
+    * UNBIASED estimator of each language's total token mass, so a
+    * 100 TB corpus can be audited from a few thousand rows with a
+    * quantified error (the rel_err column makes it oracle-visible).
+    *
+    * Determinism across engines: u is the house hex24 draw, and the
+    * priority is (w·2²⁴)/(u+1) — one IEEE multiply and one divide of
+    * exactly-represented integers, both correctly rounded, so Spark
+    * and DuckDB rank the SAME doubles (no transcendentals: the
+    * textbook u^(1/w) key would hit libm pow divergence; w/u is the
+    * DLT-equivalent ordering that stays exact).
+    *
+    * Scale shape: one scan; the rank filter compiles to
+    * WindowGroupLimit (per-partition top-(k+1) before the exchange,
+    * O(k) state per stratum); τ and the per-language totals are
+    * 25-row broadcast frames.
+    */
+  def q126PrioritySample(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("w", col("n_chars"))
+      .withColumn("priority",
+        (col("w").cast("double") * lit(16777216.0)) /
+          (hex24("prio", col("doc_id")) + lit(1L)).cast("double"))
+    val byPrio = Window.partitionBy("lang")
+      .orderBy(col("priority").desc, col("doc_id"))
+    val ranked = base.withColumn("rk", row_number().over(byPrio))
+      .filter(col("rk") <= k + 1)
+    val tauF = ranked.filter(col("rk") === k + 1)
+      .select(col("lang"), col("priority").as("tau"))
+    val totals = docs(s, dir).groupBy("lang")
+      .agg(sum("n_chars").as("lang_total_w"))
+    val langW = Window.partitionBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked.filter(col("rk") <= k)
+      .join(broadcast(tauF), Seq("lang"), "left")
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("est_w", greatest(col("w").cast("double"),
+        coalesce(col("tau"), lit(0.0))))
+      .withColumn("est_total",
+        Num.exactSum(col("est_w")).over(langW).cast("double"))
+      .select(col("lang"), col("rk"), col("doc_id"), col("w"),
+        Num.roundD(col("priority")).as("priority_r"),
+        Num.roundD(col("est_w")).as("est_w_r"),
+        col("lang_total_w"),
+        Num.roundD((col("est_total") - col("lang_total_w").cast("double")) /
+          col("lang_total_w").cast("double"), 6).as("rel_err_r"))
+      .orderBy("lang", "rk")
+  }
+
+  val q126Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars AS w,
+       |    ${sqlSaltedMd5("prio", "doc_id")} AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, lang, w,
+       |    (CAST(w AS DOUBLE) * 16777216.0) /
+       |      CAST($sqlHex24 + 1 AS DOUBLE) AS priority
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, lang, w, priority,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY priority DESC, doc_id) AS rk
+       |  FROM p),
+       |tauf AS (SELECT lang, priority AS tau FROM r WHERE rk = 9),
+       |tot AS (
+       |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS lang_total_w
+       |  FROM documents GROUP BY lang),
+       |sm AS (
+       |  SELECT lang, rk, doc_id, w, priority,
+       |    GREATEST(CAST(w AS DOUBLE), COALESCE(tau, 0.0)) AS est_w,
+       |    lang_total_w
+       |  FROM r LEFT JOIN tauf USING (lang) JOIN tot USING (lang)
+       |  WHERE rk <= 8),
+       |ws AS (
+       |  SELECT lang, rk, doc_id, w, priority, est_w, lang_total_w,
+       |    CAST(SUM(CAST(est_w AS DECIMAL(25,6)))
+       |      OVER (PARTITION BY lang) AS DOUBLE) AS est_total
+       |  FROM sm)
+       |SELECT lang, rk, doc_id, w,
+       |  ${Num.sqlRoundD("priority")} AS priority_r,
+       |  ${Num.sqlRoundD("est_w")} AS est_w_r,
+       |  lang_total_w,
+       |  ${Num.sqlRoundD(
+             "(est_total - CAST(lang_total_w AS DOUBLE)) / CAST(lang_total_w AS DOUBLE)", 6)}
+       |    AS rel_err_r
+       |FROM ws
+       |ORDER BY lang, rk""".stripMargin
+
+  // --------------------------------------------------------------- q127
+
+  /** q127: curriculum staging — each language's documents NTILE'd into
+    * difficulty stages (easy → hard by mean token length, the classic
+    * zero-model curriculum proxy from Bengio et al., ICML 2009), with
+    * per-stage doc/token counts, the difficulty band each stage spans,
+    * and the cumulative token fraction a trainer has consumed when the
+    * stage completes. The monotone min/max band columns make the
+    * schedule's ordering property oracle-visible; the cumulative
+    * fraction is what a curriculum scheduler reads to place its pacing
+    * boundaries.
+    *
+    * Difficulty is n_chars/n_tok — one IEEE divide of exact integers,
+    * so both engines order the SAME doubles (the bigram-LM score of
+    * q118 would be the model-based upgrade; this operator is about the
+    * staging machinery, which is score-agnostic). Scale shape: one
+    * scan; NTILE's window shuffles once per language; the output is
+    * langs × stages rows.
+    */
+  def q127Curriculum(s: SparkSession, dir: String, stages: Int = 5): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .withColumn("difficulty",
+        col("n_chars").cast("double") / col("n_tok").cast("double"))
+    val byDiff = Window.partitionBy("lang")
+      .orderBy(col("difficulty"), col("doc_id"))
+    val langAll = Window.partitionBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val langOrd = Window.partitionBy("lang").orderBy("stage")
+    d.withColumn("stage", ntile(stages).over(byDiff))
+      .groupBy("lang", "stage")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_tok").as("stage_tokens"),
+        Num.roundD(min("difficulty")).as("min_diff_r"),
+        Num.roundD(max("difficulty")).as("max_diff_r"))
+      .withColumn("cum_tokens", sum("stage_tokens").over(langOrd))
+      .withColumn("lang_tokens", sum("stage_tokens").over(langAll))
+      .withColumn("cum_frac_r", Num.roundD(
+        col("cum_tokens").cast("double") / col("lang_tokens").cast("double"), 6))
+      .select("lang", "stage", "docs", "stage_tokens", "min_diff_r",
+        "max_diff_r", "cum_tokens", "cum_frac_r")
+      .orderBy("lang", "stage")
+  }
+
+  val q127Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS difficulty
+       |  FROM t),
+       |st AS (
+       |  SELECT lang, n_tok, difficulty,
+       |    NTILE(5) OVER (PARTITION BY lang
+       |      ORDER BY difficulty, doc_id) AS stage
+       |  FROM d),
+       |g AS (
+       |  SELECT lang, stage, COUNT(*) AS docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS stage_tokens,
+       |    ${Num.sqlRoundD("MIN(difficulty)")} AS min_diff_r,
+       |    ${Num.sqlRoundD("MAX(difficulty)")} AS max_diff_r
+       |  FROM st GROUP BY lang, stage),
+       |c AS (
+       |  SELECT lang, stage, docs, stage_tokens, min_diff_r, max_diff_r,
+       |    CAST(SUM(stage_tokens) OVER (PARTITION BY lang
+       |      ORDER BY stage) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(stage_tokens) OVER (PARTITION BY lang) AS BIGINT)
+       |      AS lang_tokens
+       |  FROM g)
+       |SELECT lang, stage, docs, stage_tokens, min_diff_r, max_diff_r,
+       |  cum_tokens,
+       |  ${Num.sqlRoundD(
+             "CAST(cum_tokens AS DOUBLE) / CAST(lang_tokens AS DOUBLE)", 6)}
+       |    AS cum_frac_r
+       |FROM c
+       |ORDER BY lang, stage""".stripMargin
+
+  // --------------------------------------------------------------- q128
+
+  /** q128: multi-epoch training order — q104's sharded manifest
+    * extended to the axis real pretraining runs need: a DIFFERENT
+    * deterministic permutation per epoch (epoch-salted hash order and
+    * epoch-salted shard assignment), so no two epochs present data in
+    * the same order or co-locate the same documents, yet any (epoch,
+    * shard) is reproducible from the ids alone — a resumed run
+    * re-materializes exactly the order it crashed in. The prev_shard /
+    * moved columns make the reshuffle oracle-visible: a doc's shard in
+    * epoch e is compared against its epoch e-1 home.
+    *
+    * Scale shape: the epoch fan-out is a row-local explode (output is
+    * docs × epochs — the manifest a trainer consumes, written once);
+    * position assignment shuffles per (epoch, shard), 24 balanced
+    * partitions here; the moved flag adds one per-doc window over
+    * epochs rows.
+    */
+  def q128EpochOrder(s: SparkSession, dir: String, epochs: Int = 3,
+      numShards: Int = 8): DataFrame = {
+    val key = concat_ws(":",
+      col("epoch").cast("string"), col("doc_id").cast("string"))
+    val keyed = docs(s, dir).select("doc_id", "lang")
+      .withColumn("epoch", explode(expr(s"sequence(0, ${epochs - 1})")))
+      .withColumn("okey", md5(concat(lit("eord:"), key)))
+      .withColumn("shard", (hex24("eshard", key) % numShards).cast("int"))
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("okey"), col("doc_id"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("epoch")
+    keyed.withColumn("pos", row_number().over(w))
+      .withColumn("prev_shard", lag("shard", 1).over(byDoc))
+      .withColumn("moved",
+        when(col("prev_shard").isNull, lit(null).cast("int"))
+          .otherwise((col("shard") =!= col("prev_shard")).cast("int")))
+      .select("epoch", "shard", "pos", "doc_id", "lang", "prev_shard", "moved")
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  val q128Sql: String =
+    s"""WITH x AS (
+       |  SELECT doc_id, lang, unnest(range(3)) AS epoch FROM documents),
+       |k AS (
+       |  SELECT doc_id, lang, epoch,
+       |    md5('eord:' || CAST(epoch AS VARCHAR) || ':' ||
+       |      CAST(doc_id AS VARCHAR)) AS okey,
+       |    ${sqlSaltedMd5("eshard",
+            "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h
+       |  FROM x),
+       |ss AS (
+       |  SELECT doc_id, lang, epoch, okey,
+       |    CAST($sqlHex24 % 8 AS INT) AS shard
+       |  FROM k),
+       |o AS (
+       |  SELECT epoch, shard,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, shard
+       |      ORDER BY okey, doc_id) AS pos,
+       |    doc_id, lang,
+       |    LAG(shard) OVER (PARTITION BY doc_id ORDER BY epoch) AS prev_shard
+       |  FROM ss)
+       |SELECT epoch, shard, pos, doc_id, lang, prev_shard,
+       |  CASE WHEN prev_shard IS NULL THEN NULL
+       |       ELSE CAST(shard <> prev_shard AS INT) END AS moved
+       |FROM o
+       |ORDER BY epoch, shard, pos""".stripMargin
 }

@@ -48,6 +48,83 @@ class SamplingCurationSpec extends SparkSpec {
     assert(planString(df).contains("WindowGroupLimit"), "no WindowGroupLimit")
   }
 
+  test("q126 priority sample: k per stratum, HT estimate bounded below by w, group-limited plan") {
+    val df = Sampling.q126PrioritySample(spark, Sf, k = 8)
+    val rows = df.collect()
+    val docsPerLang = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      // exactly k rows when the stratum has them, contiguous ranks
+      assert(rs.length == math.min(8L, docsPerLang(lang)), s"$lang size")
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length),
+        s"$lang ranks")
+      // Horvitz–Thompson: each estimate is max(w, tau), so never below w
+      rs.foreach { r =>
+        assert(r.getAs[Double]("est_w_r") >= r.getAs[Long]("w") - 1e-4, r.toString)
+      }
+      // rel_err is a per-language constant (the window total), and when
+      // the whole stratum fits in the sample the estimate is EXACT
+      assert(rs.map(_.getAs[Double]("rel_err_r")).distinct.length == 1, lang)
+      if (docsPerLang(lang) <= 8)
+        assert(rs.head.getAs[Double]("rel_err_r") == 0.0, s"$lang exact case")
+    }
+    // the top-(k+1) rank filter must group-limit, O(k) state per stratum
+    assert(planString(df).contains("WindowGroupLimit"), "no WindowGroupLimit")
+  }
+
+  test("q127 curriculum: stages balanced and difficulty bands monotone") {
+    val rows = Sampling.q127Curriculum(spark, Sf, stages = 5).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val docsPerLang = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("stage"))
+      // NTILE balance: stage sizes differ by at most one and sum back
+      val sizes = ordered.map(_.getAs[Long]("docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.mkString(",")}")
+      assert(sizes.sum == docsPerLang(lang), s"$lang total")
+      // easy → hard: stage difficulty bands never go backwards
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Double]("min_diff_r") >= a.getAs[Double]("min_diff_r") - 1e-4 &&
+            b.getAs[Double]("max_diff_r") >= a.getAs[Double]("max_diff_r") - 1e-4,
+            s"$lang band order")
+        case _ =>
+      }
+      // the last stage completes the language's token mass
+      assert(ordered.last.getAs[Double]("cum_frac_r") == 1.0, s"$lang cum")
+    }
+  }
+
+  test("q128 epoch order: every epoch is a full permutation and epochs genuinely reshuffle") {
+    val rows = Sampling.q128EpochOrder(spark, Sf, epochs = 3, numShards = 8).collect()
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length == 3 * nDocs)
+    // permutation per epoch: each doc exactly once
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_.getAs[Long]("doc_id")).distinct.length == nDocs, s"epoch $e")
+      // contiguous positions within each shard
+      rs.groupBy(_.getAs[Int]("shard")).foreach { case (sh, ss) =>
+        assert(ss.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to ss.length),
+          s"epoch $e shard $sh positions")
+      }
+    }
+    // the reshuffle is real: the epoch-salted shard moves ~7/8 of docs,
+    // and moved is null exactly on the first epoch
+    rows.filter(_.getAs[Int]("epoch") == 0)
+      .foreach(r => assert(r.isNullAt(r.fieldIndex("moved")), r.toString))
+    val later = rows.filter(_.getAs[Int]("epoch") > 0)
+    val movedFrac = later.count(r => !r.isNullAt(r.fieldIndex("moved")) &&
+      r.getAs[Int]("moved") == 1).toDouble / later.length
+    assert(movedFrac > 0.5, s"movedFrac $movedFrac")
+  }
+
   test("q49 kept counts equal the per-row bucket decision") {
     val out = Sampling.q49SourceMixing(spark, Sf).collect()
     assert(out.length == 20)
