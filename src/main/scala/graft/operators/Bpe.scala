@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Frames, Tables}
+import graft.{Frames, Num, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -359,6 +359,144 @@ object Bpe {
        |  CAST((len(st) - len(replace(st, $d2, ''))) AS INT) AS n_tokens
        |FROM ap, nm WHERE ap.mi = nm.n_m
        |ORDER BY word""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q129
+
+  /** q129: tokenizer fertility report — the round-1 tokenizer (q113's
+    * batch, trained on GLOBAL pair counts) applied CORPUS-WIDE, rolled
+    * up to the metrics a tokenizer evaluation reads per language:
+    * word/char/symbol totals, BPE token totals, fertility (tokens per
+    * word), chars per token, and the percent of symbol positions the
+    * merges eliminated. This is the query that grades a tokenizer the
+    * way a pretraining team does — a merge list wins or loses on the
+    * fertility it buys each language, not on its own training loss —
+    * and languages whose surface forms the merges never cover show
+    * fertility = init symbols/word, oracle-visibly unhelped.
+    *
+    * Scale shape: the tokenizer applies on the DISTINCT (lang, word)
+    * frame — per-type cost, independent of corpus size; the only
+    * corpus-sized operations are the two word-frequency groupBys
+    * (global for training, per-language for the rollup), both
+    * partial-aggregated scans. Output is one row per language.
+    */
+  def q129TokenizerFertility(s: SparkSession, dir: String, m: Int = 8): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val round = firstBatch(d, m)
+    val langWords = d.select(col("lang"),
+        explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+    initialSyms(langWords)
+      .withColumn("syms", applyMerges(col("syms"), round))
+      .withColumn("n_tok_word", size(col("syms")).cast("long"))
+      .groupBy("lang").agg(
+        sum(col("freq")).as("words"),
+        sum(length(col("word")).cast("long") * col("freq")).as("chars"),
+        sum((length(col("word")).cast("long") + 1L) * col("freq"))
+          .as("init_syms"),
+        sum(col("n_tok_word") * col("freq")).as("bpe_tokens"))
+      .withColumn("fertility_r", Num.roundD(
+        col("bpe_tokens").cast("double") / col("words").cast("double"), 6))
+      .withColumn("chars_per_tok_r", Num.roundD(
+        col("chars").cast("double") / col("bpe_tokens").cast("double"), 6))
+      .withColumn("saved_pct_r", Num.roundD(
+        (col("init_syms") - col("bpe_tokens")).cast("double") * lit(100.0) /
+          col("init_syms").cast("double"), 6))
+      .select("lang", "words", "chars", "init_syms", "bpe_tokens",
+        "fertility_r", "chars_per_tok_r", "saved_pct_r")
+      .orderBy("lang")
+  }
+
+  /** Oracle for [[q129TokenizerFertility]] (m = 8): q113's training
+    * selection verbatim (global counts → ranked walk → disjoint batch)
+    * plus a per-(lang, word) application of the same sentinel-replace
+    * fold, aggregated per language.
+    */
+  val q129Sql: String = {
+    val d1 = "chr(1)"; val d2 = "chr(2)"
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE len(word) > 0 GROUP BY word),
+       |p AS (
+       |  SELECT word, freq, unnest(generate_series(1, len(word))) AS i FROM w),
+       |c AS (
+       |  SELECT substr(word, i, 1) AS a,
+       |    CASE WHEN i = len(word) THEN '</w>'
+       |         ELSE substr(word, i + 1, 1) END AS b,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM p GROUP BY 1, 2),
+       |r AS (
+       |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rk
+       |  FROM c WHERE cnt >= 2
+       |  QUALIFY rk <= 32),
+       |sel AS (
+       |  SELECT 0 AS rk, CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+       |    0 AS n_sel, $d1 AS used, FALSE AS took
+       |  UNION ALL
+       |  SELECT r.rk, r.a, r.b,
+       |    sel.n_sel + CASE WHEN sel.n_sel < 8
+       |        AND NOT contains(sel.used, $d1 || r.a || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.b || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.a || r.b || $d1)
+       |      THEN 1 ELSE 0 END,
+       |    CASE WHEN sel.n_sel < 8
+       |        AND NOT contains(sel.used, $d1 || r.a || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.b || $d1)
+       |        AND NOT contains(sel.used, $d1 || r.a || r.b || $d1)
+       |      THEN sel.used || r.a || $d1 || r.b || $d1 || r.a || r.b || $d1
+       |      ELSE sel.used END,
+       |    sel.n_sel < 8
+       |      AND NOT contains(sel.used, $d1 || r.a || $d1)
+       |      AND NOT contains(sel.used, $d1 || r.b || $d1)
+       |      AND NOT contains(sel.used, $d1 || r.a || r.b || $d1)
+       |  FROM sel JOIN r ON r.rk = sel.rk + 1),
+       |m AS (
+       |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY rk) AS mi
+       |  FROM sel WHERE took),
+       |nm AS (SELECT CAST(COUNT(*) AS INT) AS n_m FROM m),
+       |wl AS (
+       |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT lang, unnest(string_split(lower(trim(text)), ' ')) AS word
+       |    FROM documents) u
+       |  WHERE len(word) > 0 GROUP BY lang, word),
+       |init AS (
+       |  SELECT lang, word, freq,
+       |    list_aggregate(list_transform(generate_series(1, len(word)),
+       |      i -> $d1 || substr(word, i, 1) || $d2), 'string_agg', '')
+       |    || $d1 || '</w>' || $d2 AS st
+       |  FROM wl),
+       |ap AS (
+       |  SELECT lang, word, freq, st, 0 AS mi FROM init
+       |  UNION ALL
+       |  SELECT ap.lang, ap.word, ap.freq,
+       |    replace(ap.st, $d1 || m.a || $d2 || $d1 || m.b || $d2,
+       |      $d1 || m.a || m.b || $d2),
+       |    ap.mi + 1
+       |  FROM ap JOIN m ON m.mi = ap.mi + 1),
+       |seg AS (
+       |  SELECT lang, word, freq,
+       |    CAST((len(st) - len(replace(st, $d2, ''))) AS BIGINT) AS n_tok
+       |  FROM ap, nm WHERE ap.mi = nm.n_m),
+       |g AS (
+       |  SELECT lang,
+       |    CAST(SUM(freq) AS BIGINT) AS words,
+       |    CAST(SUM(len(word) * freq) AS BIGINT) AS chars,
+       |    CAST(SUM((len(word) + 1) * freq) AS BIGINT) AS init_syms,
+       |    CAST(SUM(n_tok * freq) AS BIGINT) AS bpe_tokens
+       |  FROM seg GROUP BY lang)
+       |SELECT lang, words, chars, init_syms, bpe_tokens,
+       |  ${Num.sqlRoundD("CAST(bpe_tokens AS DOUBLE) / CAST(words AS DOUBLE)", 6)}
+       |    AS fertility_r,
+       |  ${Num.sqlRoundD("CAST(chars AS DOUBLE) / CAST(bpe_tokens AS DOUBLE)", 6)}
+       |    AS chars_per_tok_r,
+       |  ${Num.sqlRoundD(
+             "CAST(init_syms - bpe_tokens AS DOUBLE) * 100.0 / CAST(init_syms AS DOUBLE)", 6)}
+       |    AS saved_pct_r
+       |FROM g
+       |ORDER BY lang""".stripMargin
   }
 
   /** CLI: `runMain graft.operators.Bpe <dataDir> <numMerges> [batchMerges]`

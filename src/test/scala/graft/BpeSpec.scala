@@ -224,6 +224,36 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("q129 fertility totals reconcile with the corpus and the merges genuinely compress") {
+    import org.apache.spark.sql.functions._
+    val rows = Bpe.q129TokenizerFertility(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // words/chars columns are plain corpus arithmetic — recompute them
+    // independently of the tokenizer path
+    val direct = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("lang"),
+        explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang").agg(count(lit(1)).as("words"),
+        sum(length(col("word"))).as("chars"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert((r.getAs[Long]("words"), r.getAs[Long]("chars")) == direct(lang), lang)
+      // init symbols = chars + one </w> per word; merges only shrink
+      assert(r.getAs[Long]("init_syms") ==
+        r.getAs[Long]("chars") + r.getAs[Long]("words"), lang)
+      assert(r.getAs[Long]("bpe_tokens") <= r.getAs[Long]("init_syms") &&
+        r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("words"), lang)
+      assert(r.getAs[Double]("fertility_r") >= 1.0, lang)
+    }
+    // the round-1 batch is non-empty on this corpus, so SOME language
+    // must actually have been compressed
+    assert(rows.exists(r =>
+      r.getAs[Long]("bpe_tokens") < r.getAs[Long]("init_syms")), "no compression")
+  }
+
   test("q113 equals the trainer's own first batched round replayed through segment") {
     // q113 IS one train(batchMerges = 8) iteration surfaced as a query.
     // Its merges are the trainer's own firstBatch; replaying them
