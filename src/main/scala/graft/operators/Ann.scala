@@ -347,6 +347,91 @@ object Ann {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q130
+
+  /** q130: hard-negative mining — the retrieval-training composition of
+    * the ANN and dedup families: per query, the top-k most-similar
+    * vectors whose cosine is BELOW the near-duplicate threshold.
+    * Contrastive training (DPR/Contriever-style) wants exactly these
+    * rows as negatives: maximally confusable, but provably not the
+    * positive itself — a near-dup leaking into the negative set is a
+    * false negative that actively corrupts the loss, which is why the
+    * excluded-dup count ships beside the ranking (n_dups_excluded > 0
+    * is the audit signal that exclusion mattered). Runs on [[embCorpus]]
+    * so planted re-encodes exercise the exclusion.
+    *
+    * Scale shape: q25's oracle-pinnable broadcast pattern at baseline
+    * grain (queries broadcast, corpus never shuffled; the rank filter
+    * group-limits); a production run swaps the candidate generator for
+    * the standing semantic/IVF-PQ index probe (q97/q112) and keeps this
+    * operator's threshold-split + rank stages unchanged — the
+    * candidates-then-verify seam every ANN path here shares.
+    */
+  def q130HardNegatives(s: SparkSession, dir: String, eps: Double = 0.99,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embCorpus(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", dotDec("qemb", "qemb"))
+    val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
+      .withColumn("nn", dotDec("nemb", "nemb"))
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(dotDec("qemb", "nemb").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+    val dups = scored.filter(col("cosine") >= eps)
+      .groupBy("q_id").agg(count(lit(1)).as("n_dups_excluded"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored.filter(col("cosine") < eps)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(dups), Seq("q_id"), "left")
+      .withColumn("n_dups_excluded", coalesce(col("n_dups_excluded"), lit(0L)))
+      .select("q_id", "rank", "n_id", "cosine", "n_dups_excluded")
+      .orderBy("q_id", "rank")
+  }
+
+  val q130Sql: String =
+    s"""WITH ecorpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |expl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+       |  FROM ecorpus),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS norm2
+       |  FROM expl GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    SUM(CAST(q.v * n.v AS DECIMAL(25,12))) AS dotp
+       |  FROM expl q JOIN expl n ON q.pos = n.pos AND q.vec_id < 5
+       |    AND n.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(qn.norm2 AS DOUBLE) * CAST(nn.norm2 AS DOUBLE))")} AS cosine
+       |  FROM dots d
+       |  JOIN norms qn ON qn.vec_id = d.q_id
+       |  JOIN norms nn ON nn.vec_id = d.n_id),
+       |dups AS (
+       |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_dups_excluded
+       |  FROM scored WHERE cosine >= 0.99 GROUP BY q_id),
+       |neg AS (
+       |  SELECT q_id, n_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored WHERE cosine < 0.99)
+       |SELECT neg.q_id, rank, n_id, cosine,
+       |  COALESCE(n_dups_excluded, 0) AS n_dups_excluded
+       |FROM neg LEFT JOIN dups ON dups.q_id = neg.q_id
+       |WHERE rank <= 10
+       |ORDER BY neg.q_id, rank""".stripMargin
+
   /** IVF (inverted-file) ANN — the second scale path beside hyperplane
     * LSH: a k-means coarse quantizer partitions the corpus into `nlist`
     * cells; a query probes only its `nprobe` nearest cells. Centroids are

@@ -575,6 +575,28 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q130 hard negatives exclude the planted near-dup and stay below the threshold") {
+    val rows = Ann.q130HardNegatives(spark, Sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      // full descending top-10, no self, every cosine strictly under eps
+      assert(rs.length == 10, s"query $q: ${rs.length}")
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val cosines = ordered.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, s"q $q order")
+      assert(cosines.forall(_ < 0.99), s"q $q leaked a near-dup")
+      assert(!rs.exists(_.getAs[Long]("n_id") == q), s"q $q returned itself")
+      // the audit count is a per-query constant
+      assert(rs.map(_.getAs[Long]("n_dups_excluded")).distinct.length == 1)
+    }
+    // query 0 has a planted re-encode (vec 10000, cosine ≈ 1): it must be
+    // EXCLUDED from the negatives and counted in the audit column
+    val q0 = byQ(0L)
+    assert(!q0.exists(_.getAs[Long]("n_id") == 10000L), "planted dup leaked")
+    assert(q0.head.getAs[Long]("n_dups_excluded") >= 1L, "exclusion not counted")
+  }
+
   test("IVF ANN recalls every genuinely-near neighbor at rank 1") {
     val top1 = Ann.ivfTopK(spark, Sf).filter(col("rank") === 1)
       .collect().map(r => r.getAs[Long]("q_id") ->
