@@ -884,7 +884,8 @@ object Dedup {
     * pipeline with the base hash selectable ([[baseHash60]]).
     */
   def ngramJaccardPairs(docs: DataFrame, hashMode: String = "md5",
-                        maxDf: Int = 50): DataFrame = {
+                        maxDf: Int = 50,
+                        minJaccard: Double = 0.5): DataFrame = {
     // The ENTIRE inverted index is ONE corpus-wide shuffle (round 6): a
     // groupBy(sh) with a partial-aggregated distinct-set builds the sorted
     // posting list per shingle (map-side set merge dedups locally — the
@@ -937,7 +938,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         Num.roundD(col("n_inter").cast("double") /
           (col("sa.n_shingles") + col("sb.n_shingles") - col("n_inter"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -960,6 +961,83 @@ object Dedup {
        |  JOIN sizes sb ON doc_b = sb.doc_id)
        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --------------------------------------------------------------- q131
+
+  /** q131: dedup threshold-sensitivity sweep — the tuning artifact an
+    * operator reads BEFORE committing a 100 TB near-dedup pass: for
+    * each candidate Jaccard threshold, the verified pair count, the
+    * documents that would be flagged (keep-lowest-id convention: the
+    * higher id of each pair drops), and the character mass removed.
+    * q96 publishes this for the semantic family (eps); this is the
+    * surface-form twin (τ), computed from ONE run of q23's verified
+    * pair table — the sweep itself is arithmetic over the (tiny)
+    * pair set crossed with a 5-row literal threshold frame, so trying
+    * five thresholds costs one dedup pass, not five.
+    *
+    * Scale shape: identical to q23 (the capped inverted index is the
+    * only corpus-sized work); everything after it is bounded by the
+    * verified pair count.
+    */
+  def q131ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // pair floor sits BELOW the sweep grid so the report shows the whole
+    // curve, incidental-overlap cloud included — the knee between "τ
+    // flags chance shingle collisions" and "τ flags real duplicates" is
+    // exactly what the artifact exists to locate
+    val pairs = ngramJaccardPairs(corpus(s, dir), minJaccard = 0.01)
+    val taus = Seq(0.01, 0.05, 0.1, 0.3, 0.5, 0.9).toDF("tau")
+    val hit = pairs.crossJoin(broadcast(taus))
+      .filter(col("jaccard") >= col("tau"))
+    val pairAgg = hit.groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+    val docAgg = hit.select("tau", "doc_b").distinct()
+      .join(corpus(s, dir).select(col("doc_id").as("doc_b"), col("n_chars")),
+        "doc_b")
+      .groupBy("tau").agg(count(lit(1)).as("n_docs_flagged"),
+        sum("n_chars").as("chars_dropped"))
+    taus.join(pairAgg, Seq("tau"), "left")
+      .join(docAgg, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"))
+      .orderBy("tau")
+  }
+
+  val q131Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |${sqlShingleCte("corpus")},
+       |sh AS (SELECT DISTINCT doc_id, x FROM shx),
+       |hot AS (SELECT x FROM sh GROUP BY x HAVING COUNT(*) > 50),
+       |shc AS (SELECT doc_id, x FROM sh WHERE x NOT IN (SELECT x FROM hot)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+       |  FROM shc a JOIN shc b ON a.x = b.x AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b,
+       |    ${graft.Num.sqlRoundD("CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)")} AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id),
+       |jf AS (SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.01),
+       |taus AS (SELECT * FROM (VALUES (0.01), (0.05), (0.1), (0.3), (0.5), (0.9)) t(tau)),
+       |hit AS (
+       |  SELECT tau, doc_a, doc_b FROM jf JOIN taus ON jaccard >= tau),
+       |pa AS (SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM hit GROUP BY tau),
+       |fl AS (SELECT DISTINCT tau, doc_b FROM hit),
+       |da AS (
+       |  SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_docs_flagged,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars_dropped
+       |  FROM fl JOIN corpus c ON c.doc_id = fl.doc_b GROUP BY tau)
+       |SELECT taus.tau,
+       |  COALESCE(n_pairs, 0) AS n_pairs,
+       |  COALESCE(n_docs_flagged, 0) AS n_docs_flagged,
+       |  COALESCE(chars_dropped, 0) AS chars_dropped
+       |FROM taus LEFT JOIN pa USING (tau) LEFT JOIN da USING (tau)
+       |ORDER BY taus.tau""".stripMargin
 
   /** q62: entity resolution — blocked fuzzy matching over the customer
     * dimension: candidate pairs form ONLY inside a blocking key

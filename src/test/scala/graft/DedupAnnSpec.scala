@@ -575,6 +575,26 @@ class DedupAnnSpec extends SparkSpec {
     }
   }
 
+  test("q131 threshold sweep is monotone and its 0.5 row equals q23 exactly") {
+    val sweep = Dedup.q131ThresholdSweep(spark, Sf).collect()
+      .map(r => r.getAs[Double]("tau") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_flagged"),
+          r.getAs[Long]("chars_dropped"))).toMap
+    assert(sweep.size == 6)
+    // tightening tau can only shrink every column
+    val ordered = sweep.toSeq.sortBy(_._1).map(_._2)
+    ordered.sliding(2).foreach {
+      case Seq((p1, d1, c1), (p2, d2, c2)) =>
+        assert(p2 <= p1 && d2 <= d1 && c2 <= c1, "sweep not monotone")
+      case _ =>
+    }
+    // the 0.5 row is q23's published pair table, counted
+    val q23 = Dedup.q23NgramJaccard(spark, Sf).collect()
+    assert(sweep(0.5)._1 == q23.length, s"${sweep(0.5)._1} vs ${q23.length}")
+    assert(sweep(0.5)._2 ==
+      q23.map(_.getAs[Long]("doc_b")).distinct.length.toLong)
+  }
+
   test("q130 hard negatives exclude the planted near-dup and stay below the threshold") {
     val rows = Ann.q130HardNegatives(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
