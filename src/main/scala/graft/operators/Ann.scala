@@ -1262,12 +1262,16 @@ object Ann {
     val guarded = guardedFromAssigned(assignCells(index, centroids))
     graft.sources.Ingest.writeBucketed(guarded, table, "cell", numBuckets,
       sortCol = None, moreBucketCols = Seq("band_idx", "band_val"))
+    graft.sources.Ingest.clearStaleLocation(index.sparkSession,
+      s"${table}_centroids")
     centroids.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${table}_centroids")
     // the SERVING view: one row per member, UNGUARDED (the hot-group
     // guard bounds dedup pair generation; a top-k search must see every
     // member), partitioned by cell so a broadcast nprobe-cell probe
     // prunes partitions at the scan (DPP) instead of reading the corpus
+    graft.sources.Ingest.clearStaleLocation(index.sparkSession,
+      s"${table}_members")
     assignCells(index, centroids)
       .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
       .repartition(col("cell")) // one file per cell per write (compaction-trigger discipline)
@@ -1324,6 +1328,7 @@ object Ann {
       graft.sources.Ingest.writeBucketed(guardedFromAssigned(assigned), table,
         "cell", numBuckets, sortCol = None,
         moreBucketCols = Seq("band_idx", "band_val"))
+      graft.sources.Ingest.clearStaleLocation(s, s"${table}_members")
       assigned
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
         .repartition(col("cell")) // one file per cell per write (compaction-trigger discipline)
@@ -2219,8 +2224,12 @@ object Ann {
       if (quantizer == "kmeans") pqCodebookKmeans(vecsOnly, lloydIters)
       else pqCodebook(pqComps(pqCoded(vecsOnly)))
     try {
+      graft.sources.Ingest.clearStaleLocation(index.sparkSession,
+        s"${table}_centroids")
       centroids.write.mode("overwrite").format("parquet")
         .saveAsTable(s"${table}_centroids")
+      graft.sources.Ingest.clearStaleLocation(index.sparkSession,
+        s"${table}_codebook")
       codebook.write.mode("overwrite").format("parquet")
         .saveAsTable(s"${table}_codebook")
       writePqMeta(index.sparkSession, table, quantizer)
@@ -2248,6 +2257,7 @@ object Ann {
   private def writePqMeta(s: SparkSession, table: String,
                           quantizer: String): Unit = {
     import s.implicits._
+    graft.sources.Ingest.clearStaleLocation(s, s"${table}_meta")
     Seq(quantizer).toDF("quantizer")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
   }
@@ -2273,7 +2283,9 @@ object Ann {
     */
   private def writePqMembers(assigned: DataFrame, table: String,
                              overwrite: Boolean,
-                             encode: DataFrame => DataFrame): Unit =
+                             encode: DataFrame => DataFrame): Unit = {
+    if (overwrite)
+      graft.sources.Ingest.clearStaleLocation(assigned.sparkSession, table)
     encode(assigned)
       .select(col("vec_id"), col("codes"), col("emb"), col("cell"))
       // one file per cell partition per write (writeBucketed's
@@ -2284,6 +2296,7 @@ object Ann {
       .repartition(col("cell"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .format("parquet").partitionBy("cell").saveAsTable(table)
+  }
 
   /** Incremental IVF-PQ maintenance: encode ONLY the batch and append
     * it under the standing cells — the [[appendSemanticIndex]] contract

@@ -202,9 +202,30 @@ object Ingest {
     * at 100 TB: pay the shuffle once in the pipeline that lands the data,
     * never per query.
     */
+  /** Remove an ORPHANED managed-table location. `saveAsTable(overwrite)`
+    * replaces a table the CATALOG knows, but a fresh session pointed at
+    * a reused warehouse directory (a second driver run, a crash-restart
+    * — exactly the Curate→Admit day-2 sequence) sees the previous run's
+    * directory with no catalog entry and fails LOCATION_ALREADY_EXISTS
+    * instead of refreshing. Deleting the location ONLY when the catalog
+    * has no entry is safe: a catalog-known table never takes the branch,
+    * and a catalog-unknown directory under a managed table's name is by
+    * definition dead state from a dead session. Every index refresh
+    * calls this before its overwrite, making refresh idempotent across
+    * driver restarts. (Found live: Curate --indexes on a second
+    * SparkSession against the same repo warehouse.)
+    */
+  def clearStaleLocation(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val loc = new Path(s.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sortCol: Option[String] = None,
                     moreBucketCols: Seq[String] = Nil): Unit = {
+    clearStaleLocation(df.sparkSession, table)
     // repartition on the bucket keys first: Spark's bucketed writer emits
     // one file per (task, bucket) pair, so an un-repartitioned frame with
     // P upstream partitions lands up to P files PER BUCKET. repartition's

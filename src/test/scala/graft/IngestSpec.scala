@@ -121,6 +121,34 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("index refresh survives an orphaned warehouse location (restart idempotence)") {
+    import graft.operators.Dedup
+    // simulate a dead session's leftovers: a warehouse directory under
+    // the table's name with NO catalog entry — saveAsTable(overwrite)
+    // alone fails LOCATION_ALREADY_EXISTS on exactly this state (found
+    // live by Curate --indexes on a second driver run)
+    val t = "orphan_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val out = fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+
+    val docs = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(docs, t, numBuckets = 4) // must not throw
+    assert(spark.catalog.tableExists(t))
+    // the stale file is gone — the refresh owns the location now
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "stale.parquet")))
+
+    // and a catalog-KNOWN table refreshes through the normal overwrite
+    // path (clearStaleLocation must be a no-op on it)
+    Dedup.refreshIndex(docs, t, numBuckets = 4)
+    assert(spark.table(t).count() > 0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("validateLanding routes files by header contract: valid, quarantined, drifted, delimiter fallback") {
     val d = tmpDir("landing")
     Files.createDirectories(d.resolve("alpha"))

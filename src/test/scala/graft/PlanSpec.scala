@@ -368,4 +368,32 @@ class PlanSpec extends SparkSpec {
     assert(p117.contains("BroadcastHashJoin"), p117.take(500))
     assert(!p117.contains("CartesianProduct"), p117.take(800))
   }
+
+  test("q126 priority sample: WindowGroupLimit rank, side frames broadcast back") {
+    val p = planString(Sampling.q126PrioritySample(spark, Sf))
+    // top-(k+1) per stratum must group-limit BEFORE the exchange, and
+    // the tau/totals frames (≤ one row per language) must never drag
+    // the sampled rows into a sort-merge join
+    assert(p.contains("WindowGroupLimit"), "rank filter must group-limit")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
+  test("q128 epoch order: position window partitions by (epoch, shard)") {
+    val p = planString(Sampling.q128EpochOrder(spark, Sf))
+    // the manifest-sized window must spread over epoch × shard — a
+    // degenerate global window would single-thread docs × epochs rows
+    assert(p.contains("hashpartitioning(epoch"), p.take(800))
+    assert(!p.contains("Join"), "epoch fan-out is an explode, not a join")
+  }
+
+  test("q130 hard negatives: queries broadcast; the corpus side never shuffles for the join") {
+    val p = planString(Ann.q130HardNegatives(spark, Sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("WindowGroupLimit"), "rank filter must group-limit")
+  }
 }
