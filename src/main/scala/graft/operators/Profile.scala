@@ -176,4 +176,104 @@ object Profile {
       .select("column_name", "n_rows", "n_non_null", "n_distinct_approx")
       .orderBy("column_name")
   }
+
+  // --------------------------------------------------------------- q132
+
+  /** q132: population-stability-index (PSI) report — per source, the
+    * shift of the quality-score distribution against the corpus-wide
+    * distribution, with the standard PSI rubric (≥0.25 shift, ≥0.1
+    * watch) as the flag a data-ops rotation actually reads. q70's χ²
+    * drift monitor compares a table against ITS OWN history; PSI
+    * compares each slice against the whole, which is how ingest
+    * monitoring spots the one crawler whose content quietly degraded.
+    *
+    * Binning is FIXED-WIDTH over the score's [0,1] range — a row-local
+    * expression, where the quantile-bin alternative would demand a
+    * global NTILE (single-partition window over the corpus: the exact
+    * shape this codebase bans). Shares are clamped at 1e-4 so empty
+    * bins contribute a finite penalty instead of ±∞, and both shares
+    * and the log-ratio round before combining (the q114 discipline:
+    * identical doubles into LN on both engines, 6 dp out of it).
+    *
+    * Scale shape: two partial-aggregated groupBys (source × 10 bins,
+    * 10 bins) + a sources × 10 literal grid with broadcast joins —
+    * nothing corpus-sized after the scoring scan.
+    */
+  def q132SourcePsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = TextOps.stats(Tables.load(s, dir, "documents"))
+      .select(col("source"), col("quality_score"))
+      .withColumn("bin",
+        least(floor(col("quality_score") * 10).cast("int"), lit(9)))
+    val srcBin = scored.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+    val srcTot = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val gBin = scored.groupBy("bin").agg(count(lit(1)).as("gcnt"))
+    val gTot = scored.agg(count(lit(1)).as("g_total"))
+    val bins = (0 to 9).toDF("bin")
+    srcTot.crossJoin(broadcast(bins))
+      .join(srcBin, Seq("source", "bin"), "left")
+      .join(broadcast(gBin), Seq("bin"), "left")
+      .crossJoin(broadcast(gTot))
+      .withColumn("p", greatest(Num.roundD(
+        coalesce(col("cnt"), lit(0L)).cast("double") / col("n_docs"), 6),
+        lit(1e-4)))
+      .withColumn("g", greatest(Num.roundD(
+        coalesce(col("gcnt"), lit(0L)).cast("double") / col("g_total"), 6),
+        lit(1e-4)))
+      .withColumn("term", Num.roundD(
+        (col("p") - col("g")) * Num.roundD(log(col("p") / col("g")), 6), 6))
+      .groupBy("source", "n_docs")
+      .agg(Num.roundD(Num.exactSum(col("term")).cast("double"), 6).as("psi_r"))
+      .withColumn("drift_flag",
+        when(col("psi_r") >= 0.25, "shift")
+          .when(col("psi_r") >= 0.1, "watch")
+          .otherwise("ok"))
+      .select("source", "n_docs", "psi_r", "drift_flag")
+      .orderBy("source")
+  }
+
+  val q132Sql: String = {
+    val quality = Num.sqlRoundD(
+      "GREATEST(0.0, LEAST(1.0, 0.4 * LEAST(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) " +
+        "+ 0.3 * (1.0 - stopword_ratio) + 0.3 * type_token_ratio))")
+    s"""WITH t AS (
+       |  SELECT source, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |st AS (
+       |  SELECT source,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    ${Num.sqlRoundD("CAST(len(list_filter(w, x -> x IN ('a', 'the'))) AS DOUBLE) / len(w)")} AS stopword_ratio,
+       |    ${Num.sqlRoundD("CAST(len(list_distinct(w)) AS DOUBLE) / len(w)")} AS type_token_ratio
+       |  FROM t),
+       |b AS (
+       |  SELECT source, LEAST(CAST(FLOOR($quality * 10) AS INT), 9) AS bin
+       |  FROM st),
+       |sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2),
+       |stt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM b GROUP BY 1),
+       |gb AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS gcnt FROM b GROUP BY 1),
+       |gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS g_total FROM b),
+       |grid AS (
+       |  SELECT source, n_docs, CAST(unnest(range(10)) AS INT) AS bin FROM stt),
+       |j AS (
+       |  SELECT grid.source, grid.n_docs,
+       |    GREATEST(${Num.sqlRoundD("CAST(COALESCE(cnt, 0) AS DOUBLE) / n_docs", 6)}, 0.0001) AS p,
+       |    GREATEST(${Num.sqlRoundD("CAST(COALESCE(gcnt, 0) AS DOUBLE) / g_total", 6)}, 0.0001) AS g
+       |  FROM grid LEFT JOIN sb USING (source, bin)
+       |  LEFT JOIN gb USING (bin), gt),
+       |tm AS (
+       |  SELECT source, n_docs,
+       |    ${Num.sqlRoundD(s"(p - g) * ${Num.sqlRoundD("LN(p / g)", 6)}", 6)} AS term
+       |  FROM j),
+       |ps AS (
+       |  SELECT source, n_docs,
+       |    ${Num.sqlRoundD("CAST(SUM(CAST(term AS DECIMAL(25,6))) AS DOUBLE)", 6)} AS psi_r
+       |  FROM tm GROUP BY source, n_docs)
+       |SELECT source, n_docs, psi_r,
+       |  CASE WHEN psi_r >= 0.25 THEN 'shift'
+       |       WHEN psi_r >= 0.1 THEN 'watch'
+       |       ELSE 'ok' END AS drift_flag
+       |FROM ps
+       |ORDER BY source""".stripMargin
+  }
 }

@@ -9,6 +9,36 @@ import org.apache.spark.sql.functions._
   */
 class ProfileTemporalSpec extends SparkSpec {
 
+  test("q132 PSI equals an independent recomputation and flags by the rubric") {
+    import graft.operators.TextOps
+    val rows = Profile.q132SourcePsi(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val scored = TextOps.stats(spark.read.parquet(s"$Sf/documents.parquet"))
+      .select(col("source"),
+        least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("bin"))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val gTotal = scored.length.toDouble
+    val gBin = scored.groupBy(_._2).map { case (b, xs) => b -> xs.length }
+      .withDefaultValue(0)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = scored.filter(_._1 == src)
+      assert(r.getAs[Long]("n_docs") == mine.length.toLong, src)
+      val psi = (0 to 9).map { b =>
+        val p = math.max(r6(mine.count(_._2 == b) / mine.length.toDouble), 1e-4)
+        val g = math.max(r6(gBin(b) / gTotal), 1e-4)
+        r6((p - g) * r6(math.log(p / g)))
+      }.sum
+      val got = r.getAs[Double]("psi_r")
+      assert(math.abs(r6(psi) - got) < 1e-9, s"$src: $psi vs $got")
+      val flag = if (got >= 0.25) "shift" else if (got >= 0.1) "watch" else "ok"
+      assert(flag == r.getAs[String]("drift_flag"), src)
+      // PSI is a sum of same-sign terms: never meaningfully negative
+      assert(got >= -1e-5, src)
+    }
+  }
+
   test("approx profile stays inside the HLL error envelope of the exact profile") {
     val exact = Profile.q55ColumnProfile(spark, Sf).collect()
       .map(r => r.getAs[String]("column_name") -> r.getAs[Long]("n_distinct")).toMap
