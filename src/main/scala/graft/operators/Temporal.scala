@@ -137,4 +137,63 @@ object Temporal {
        |  p.purchase_value, v.view_value, v.view_ts_us
        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
        |ORDER BY p.event_id""".stripMargin
+
+  // --------------------------------------------------------------- q133
+
+  /** q133: cohort retention matrix — the canonical product-analytics
+    * report: users cohorted by FIRST-activity week, each later week's
+    * activity expressed as a fraction of the cohort (cohort_week ×
+    * week_offset grid). The reference's engagement views answer "who is
+    * active"; retention answers "of those who arrived together, who
+    * stayed" — the question every weekly review opens with.
+    *
+    * Scale shape: the user-week activity grid is ONE distinct shuffle;
+    * first-week and the offset join are user-co-partitioned (partial
+    * aggregation + one sort-merge join on the same key — no broadcast
+    * needed and no re-shuffle); cohort sizes are a week-sized frame
+    * broadcast back. Weeks are Monday-truncated dates kept internal
+    * (the house rule: DATE never reaches the output schema) and the
+    * offset is exact integer division of a day difference between two
+    * week-truncated dates.
+    */
+  def q133Retention(s: SparkSession, dir: String): DataFrame = {
+    val uw = events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("cw"))
+    val sizes = first.groupBy("cw")
+      .agg(count_distinct(col("user_id")).as("cohort_size"))
+    uw.join(first, "user_id")
+      .withColumn("week_offset", expr("datediff(wk, cw) div 7").cast("int"))
+      .groupBy("cw", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        Num.roundD(col("n_active").cast("double") * lit(100.0) /
+          col("cohort_size"), 4).as("retention_pct"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q133Sql: String =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+       |  FROM events),
+       |fw AS (SELECT user_id, MIN(wk) AS cw FROM uw GROUP BY user_id),
+       |sz AS (SELECT cw, COUNT(DISTINCT user_id) AS cohort_size
+       |  FROM fw GROUP BY cw),
+       |j AS (
+       |  SELECT uw.user_id, cw,
+       |    CAST(DATE_DIFF('day', cw, wk) // 7 AS INT) AS week_offset
+       |  FROM uw JOIN fw USING (user_id)),
+       |r AS (
+       |  SELECT cw, week_offset, COUNT(DISTINCT user_id) AS n_active
+       |  FROM j GROUP BY 1, 2)
+       |SELECT STRFTIME(r.cw, '%Y-%m-%d') AS cohort_week, week_offset,
+       |  n_active, cohort_size,
+       |  ${Num.sqlRoundD("CAST(n_active AS DOUBLE) * 100.0 / cohort_size", 4)}
+       |    AS retention_pct
+       |FROM r JOIN sz USING (cw)
+       |ORDER BY cohort_week, week_offset""".stripMargin
 }

@@ -9,6 +9,30 @@ import org.apache.spark.sql.functions._
   */
 class ProfileTemporalSpec extends SparkSpec {
 
+  test("q133 retention: offset 0 is 100%, cohorts partition the user base, bounds hold") {
+    val rows = Temporal.q133Retention(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      // by definition every cohort member is active in their first week
+      val zero = rs.find(_.getAs[Int]("week_offset") == 0).get
+      assert(zero.getAs[Long]("n_active") == zero.getAs[Long]("cohort_size"), cw)
+      assert(zero.getAs[Double]("retention_pct") == 100.0, cw)
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"), cw)
+        assert(r.getAs[Int]("week_offset") >= 0, cw)
+      }
+      // one size per cohort, everywhere
+      assert(rs.map(_.getAs[Long]("cohort_size")).distinct.length == 1, cw)
+    }
+    // cohorts PARTITION the user base: sizes sum to the distinct users
+    val users = spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id").distinct().count()
+    val sizeSum = byCohort.values
+      .map(_.head.getAs[Long]("cohort_size")).sum
+    assert(sizeSum == users, s"$sizeSum vs $users")
+  }
+
   test("q132 PSI equals an independent recomputation and flags by the rubric") {
     import graft.operators.TextOps
     val rows = Profile.q132SourcePsi(spark, Sf).collect()
