@@ -121,6 +121,28 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("writeZOrdered files cover tighter rectangles than a hash layout on BOTH keys") {
+    val e = Tables.load(spark, Sf, "events").select("user_id", "value")
+    val zdir = Files.createTempDirectory("zord").toString
+    val hdir = Files.createTempDirectory("hashl").toString
+    Ingest.writeZOrdered(e, zdir, "user_id", "value", numFiles = 8)
+    e.repartition(8).write.mode("overwrite").parquet(hdir)
+    // per-file key span, summed — the surface parquet min/max skipping
+    // prunes against; a Z layout must shrink it on BOTH dimensions
+    def spread(dir: String, c: String): Double =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c).cast("double")) - min(col(c).cast("double"))).as("r"))
+        .agg(sum("r")).head().getDouble(0)
+    val (zu, hu) = (spread(zdir, "user_id"), spread(hdir, "user_id"))
+    val (zv, hv) = (spread(zdir, "value"), spread(hdir, "value"))
+    assert(zu < hu * 0.8, s"user_id: z $zu vs hash $hu")
+    assert(zv < hv * 0.8, s"value: z $zv vs hash $hv")
+    // fidelity: same rows, clustering column not leaked into the schema
+    assert(spark.read.parquet(zdir).count() == e.count())
+    assert(spark.read.parquet(zdir).columns.sorted.toSeq == Seq("user_id", "value"))
+  }
+
   test("index refresh survives an orphaned warehouse location (restart idempotence)") {
     import graft.operators.Dedup
     // simulate a dead session's leftovers: a warehouse directory under
