@@ -741,6 +741,94 @@ object Sampling {
        |ORDER BY lang""".stripMargin
   }
 
+  // --------------------------------------------------------------- q134
+
+  /** q134: pack-budget ablation — q50's packing arithmetic swept over
+    * candidate context lengths in ONE pass: per budget, how many docs
+    * straddle a pack boundary (truncate-or-continue cases at training
+    * time) and how much of the pack volume is end-of-shard padding.
+    * This is the artifact that picks a context length from the DATA —
+    * the q131/q96 threshold-sweep discipline applied to the packing
+    * stage. The running totals (tok_start/tok_end) are budget-
+    * INDEPENDENT, so the sweep is row-local arithmetic against a 3-row
+    * literal frame: three budgets cost one packing pass, not three.
+    *
+    * Scale shape: q50's per-(lang, shard) window is the only
+    * corpus-sized work (paid once); both rollups are partial-aggregated
+    * groupBys to a 3-row output.
+    */
+  def q134BudgetSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    val base = docs(s, dir)
+      .withColumn("shard", (col("doc_id") % 32).cast("int"))
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+    val budgets = Seq(256, 512, 1024).toDF("budget")
+    val docAgg = base.crossJoin(broadcast(budgets))
+      .withColumn("straddles",
+        (expr("(tok_end - 1) div budget") > expr("tok_start div budget"))
+          .cast("int"))
+      .groupBy("budget").agg(
+        count(lit(1)).as("n_docs"),
+        sum("straddles").as("straddle_docs"))
+    val packAgg = base.groupBy("lang", "shard")
+      .agg(max("tok_end").as("total_toks"))
+      .crossJoin(broadcast(budgets))
+      .withColumn("packs", expr("(total_toks + budget - 1) div budget"))
+      .groupBy("budget").agg(
+        sum("packs").as("n_packs"),
+        sum(col("packs") * col("budget") - col("total_toks"))
+          .as("padding_tokens"),
+        sum("total_toks").as("total_tokens"))
+    docAgg.join(packAgg, "budget")
+      .select(col("budget"), col("n_docs"), col("straddle_docs"),
+        Num.roundD(col("straddle_docs").cast("double") * lit(100.0) /
+          col("n_docs"), 4).as("straddle_pct"),
+        col("n_packs"), col("total_tokens"), col("padding_tokens"),
+        Num.roundD(col("padding_tokens").cast("double") * lit(100.0) /
+          (col("n_packs") * col("budget")).cast("double"), 4)
+          .as("padding_pct"))
+      .orderBy("budget")
+  }
+
+  val q134Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, CAST(doc_id % 32 AS INT) AS shard,
+       |    CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, shard, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id) AS tok_end
+       |  FROM t),
+       |b AS (SELECT * FROM (VALUES (256), (512), (1024)) v(budget)),
+       |da AS (
+       |  SELECT budget, COUNT(*) AS n_docs,
+       |    CAST(SUM(CAST((tok_end - 1) // budget >
+       |      (tok_end - n_tok) // budget AS INT)) AS BIGINT) AS straddle_docs
+       |  FROM c, b GROUP BY budget),
+       |st AS (
+       |  SELECT lang, shard, MAX(tok_end) AS total_toks
+       |  FROM c GROUP BY 1, 2),
+       |pa AS (
+       |  SELECT budget,
+       |    CAST(SUM((total_toks + budget - 1) // budget) AS BIGINT) AS n_packs,
+       |    CAST(SUM((total_toks + budget - 1) // budget * budget - total_toks)
+       |      AS BIGINT) AS padding_tokens,
+       |    CAST(SUM(total_toks) AS BIGINT) AS total_tokens
+       |  FROM st, b GROUP BY budget)
+       |SELECT da.budget, n_docs, straddle_docs,
+       |  ${Num.sqlRoundD("CAST(straddle_docs AS DOUBLE) * 100.0 / n_docs", 4)}
+       |    AS straddle_pct,
+       |  n_packs, total_tokens, padding_tokens,
+       |  ${Num.sqlRoundD(
+             "CAST(padding_tokens AS DOUBLE) * 100.0 / CAST(n_packs * budget AS DOUBLE)", 4)}
+       |    AS padding_pct
+       |FROM da JOIN pa USING (budget)
+       |ORDER BY da.budget""".stripMargin
+
   // --------------------------------------------------------------- q126
 
   /** q126: weight-proportional sample WITHOUT replacement — priority

@@ -48,6 +48,29 @@ class SamplingCurationSpec extends SparkSpec {
     assert(planString(df).contains("WindowGroupLimit"), "no WindowGroupLimit")
   }
 
+  test("q134 budget sweep: straddles fall with budget, padding identity holds, 512 row equals q50") {
+    val rows = Sampling.q134BudgetSweep(spark, Sf).collect()
+      .sortBy(_.getAs[Int]("budget"))
+    assert(rows.map(_.getAs[Int]("budget")).toSeq == Seq(256, 512, 1024))
+    // token mass is budget-independent by construction
+    assert(rows.map(_.getAs[Long]("total_tokens")).distinct.length == 1)
+    rows.foreach { r =>
+      // padding ≡ pack volume minus content — the exact identity
+      assert(r.getAs[Long]("padding_tokens") ==
+        r.getAs[Long]("n_packs") * r.getAs[Int]("budget") -
+          r.getAs[Long]("total_tokens"), r.toString)
+    }
+    // larger windows can only reduce straddlers and pack count
+    val st = rows.map(_.getAs[Long]("straddle_docs"))
+    assert(st.zip(st.tail).forall { case (a, b) => b <= a }, st.mkString(","))
+    val np = rows.map(_.getAs[Long]("n_packs"))
+    assert(np.zip(np.tail).forall { case (a, b) => b <= a }, np.mkString(","))
+    // the 512 row is q50's own packing, counted
+    val q50Straddles = Sampling.q50PackSequences(spark, Sf).collect()
+      .map(_.getAs[Int]("straddles").toLong).sum
+    assert(rows(1).getAs[Long]("straddle_docs") == q50Straddles)
+  }
+
   test("q126 priority sample: k per stratum, HT estimate bounded below by w, group-limited plan") {
     val df = Sampling.q126PrioritySample(spark, Sf, k = 8)
     val rows = df.collect()
