@@ -376,11 +376,15 @@ object Ann {
       .withColumn("qn", dotDec("qemb", "qemb"))
     val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
       .withColumn("nn", dotDec("nemb", "nemb"))
+    // persisted: the dup count and the ranking both consume the
+    // corpus-sized cosine pass — without the pin it would run twice
+    // (the harness sweeps in-query pins between queries)
     val scored = n.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         Num.roundD(dotDec("qemb", "nemb").cast("double") /
           sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+      .persist()
     val dups = scored.filter(col("cosine") >= eps)
       .groupBy("q_id").agg(count(lit(1)).as("n_dups_excluded"))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))

@@ -972,8 +972,8 @@ object Dedup {
     * q96 publishes this for the semantic family (eps); this is the
     * surface-form twin (τ), computed from ONE run of q23's verified
     * pair table — the sweep itself is arithmetic over the (tiny)
-    * pair set crossed with a 5-row literal threshold frame, so trying
-    * five thresholds costs one dedup pass, not five.
+    * pair set crossed with a 6-row literal threshold frame, so trying
+    * six thresholds costs one dedup pass, not six.
     *
     * Scale shape: identical to q23 (the capped inverted index is the
     * only corpus-sized work); everything after it is bounded by the
@@ -984,8 +984,13 @@ object Dedup {
     // pair floor sits BELOW the sweep grid so the report shows the whole
     // curve, incidental-overlap cloud included — the knee between "τ
     // flags chance shingle collisions" and "τ flags real duplicates" is
-    // exactly what the artifact exists to locate
-    val pairs = ngramJaccardPairs(corpus(s, dir), minJaccard = 0.01)
+    // exactly what the artifact exists to locate. The verified pair
+    // table is PERSISTED: both rollups below fan out from it, and
+    // without the pin each would re-run the whole q23 pipeline (the
+    // harness sweeps persistent RDDs between queries, the house
+    // contract for in-query pins)
+    val pairs = ngramJaccardPairs(corpus(s, dir), minJaccard = 0.01).persist()
+    pairs.count()
     val taus = Seq(0.01, 0.05, 0.1, 0.3, 0.5, 0.9).toDF("tau")
     val hit = pairs.crossJoin(broadcast(taus))
       .filter(col("jaccard") >= col("tau"))

@@ -195,20 +195,22 @@ object Profile {
     * and the log-ratio round before combining (the q114 discipline:
     * identical doubles into LN on both engines, 6 dp out of it).
     *
-    * Scale shape: two partial-aggregated groupBys (source × 10 bins,
-    * 10 bins) + a sources × 10 literal grid with broadcast joins —
-    * nothing corpus-sized after the scoring scan.
+    * Scale shape: ONE corpus-sized partial-aggregated groupBy (the
+    * (source, bin) counts — a persisted sources × 10 frame); the
+    * per-source totals, global bin counts, and grand total all roll up
+    * from that tiny frame, so the scoring scan runs exactly once.
     */
   def q132SourcePsi(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val scored = TextOps.stats(Tables.load(s, dir, "documents"))
-      .select(col("source"), col("quality_score"))
-      .withColumn("bin",
-        least(floor(col("quality_score") * 10).cast("int"), lit(9)))
-    val srcBin = scored.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
-    val srcTot = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val gBin = scored.groupBy("bin").agg(count(lit(1)).as("gcnt"))
-    val gTot = scored.agg(count(lit(1)).as("g_total"))
+    val srcBin = TextOps.stats(Tables.load(s, dir, "documents"))
+      .select(col("source"),
+        least(floor(col("quality_score") * 10).cast("int"), lit(9)).as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+      .persist()
+    srcBin.count() // materialize: three rollups below reuse it
+    val srcTot = srcBin.groupBy("source").agg(sum("cnt").as("n_docs"))
+    val gBin = srcBin.groupBy("bin").agg(sum("cnt").as("gcnt"))
+    val gTot = srcBin.agg(sum("cnt").as("g_total"))
     val bins = (0 to 9).toDF("bin")
     srcTot.crossJoin(broadcast(bins))
       .join(srcBin, Seq("source", "bin"), "left")

@@ -760,12 +760,17 @@ object Sampling {
   def q134BudgetSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+    // persisted: the straddle rollup and the pack rollup both consume
+    // the windowed frame — without the pin the corpus scan + window
+    // shuffle would run twice (harness sweeps in-query pins)
     val base = docs(s, dir)
       .withColumn("shard", (col("doc_id") % 32).cast("int"))
       .withColumn("n_tok",
         size(split(lower(trim(col("text"))), " ")).cast("long"))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .select("lang", "shard", "n_tok", "tok_start", "tok_end")
+      .persist()
     val budgets = Seq(256, 512, 1024).toDF("budget")
     val docAgg = base.crossJoin(broadcast(budgets))
       .withColumn("straddles",
@@ -1026,6 +1031,10 @@ object Sampling {
     */
   def q128EpochOrder(s: SparkSession, dir: String, epochs: Int = 3,
       numShards: Int = 8): DataFrame = {
+    // sequence(0, epochs - 1) COUNTS DOWN for epochs < 1 (the Spark trap
+    // Bpe.pairCounts documents), minting phantom negative epochs — fail
+    // loudly instead
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     val key = concat_ws(":",
       col("epoch").cast("string"), col("doc_id").cast("string"))
     val keyed = docs(s, dir).select("doc_id", "lang")

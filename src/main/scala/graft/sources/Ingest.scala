@@ -241,9 +241,15 @@ object Ingest {
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     numFiles: Int = 8): Unit = {
+    require(!df.columns.contains("_z"),
+      "writeZOrdered uses '_z' as its clustering column; rename the input's _z first")
     val b = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (b.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def rank16(c: String, lo: Double, hi: Double): Column =
       least(lit(65535L), greatest(lit(0L),
         floor((col(c).cast("double") - lit(lo)) /
