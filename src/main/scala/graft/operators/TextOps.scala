@@ -131,6 +131,76 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q135
+
+  /** q135: language-ID confusion matrix — q28's heuristic GRADED against
+    * the labels: per (true lang, predicted lang) cell, the doc count and
+    * its share of the true-language row (recall contribution) and of the
+    * predicted column (precision contribution), diagonal flagged. This
+    * is the evaluation artifact a classifier swap is judged on — q28
+    * answers "what does the heuristic say", q135 answers "where does it
+    * fail, and is the failure a recall or a precision problem per
+    * language" (the routing decision for better markers vs a model).
+    *
+    * Scale shape: q28's row-local scoring scan feeds ONE
+    * partial-aggregated (lang, predicted) groupBy; the cell frame is
+    * ≤ langs² rows and is persisted so the row/column rollups reuse it
+    * (the q132 discipline — one corpus scan total).
+    */
+  def q135LangIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    val cm = q28LangId(s, dir)
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs"))
+      .persist()
+    cm.count() // materialize: both rollups below reuse it
+    val rowTot = cm.groupBy("lang").agg(sum("n_docs").as("lang_docs"))
+    val colTot = cm.groupBy("predicted_lang")
+      .agg(sum("n_docs").as("pred_docs"))
+    cm.join(broadcast(rowTot), "lang")
+      .join(broadcast(colTot), "predicted_lang")
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        col("lang_docs"), col("pred_docs"),
+        Num.roundD(col("n_docs").cast("double") / col("lang_docs"), 6)
+          .as("share_of_true_r"),
+        Num.roundD(col("n_docs").cast("double") / col("pred_docs"), 6)
+          .as("share_of_pred_r"),
+        (col("lang") === col("predicted_lang")).cast("int").as("is_diag"))
+      .orderBy("lang", "predicted_lang")
+  }
+
+  val q135Sql: String = {
+    val scoreCols = markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(w, x -> x IN ($inList))) AS BIGINT) AS score_$lang"
+    }.mkString(",\n       |    ")
+    val best = "GREATEST(" + markers.map { case (l, _) => s"score_$l" }.mkString(", ") + ")"
+    val predicted = "CASE " + markers.map { case (l, _) =>
+      s"WHEN score_$l = $best THEN '$l'"
+    }.mkString(" ") + " ELSE 'und' END"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM t),
+       |p AS (
+       |  SELECT lang, $predicted AS predicted_lang FROM scored),
+       |cm AS (
+       |  SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM p GROUP BY 1, 2),
+       |rt AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs
+       |  FROM cm GROUP BY lang),
+       |ct AS (SELECT predicted_lang, CAST(SUM(n_docs) AS BIGINT) AS pred_docs
+       |  FROM cm GROUP BY predicted_lang)
+       |SELECT cm.lang, cm.predicted_lang, n_docs, lang_docs, pred_docs,
+       |  ${Num.sqlRoundD("CAST(n_docs AS DOUBLE) / lang_docs", 6)} AS share_of_true_r,
+       |  ${Num.sqlRoundD("CAST(n_docs AS DOUBLE) / pred_docs", 6)} AS share_of_pred_r,
+       |  CAST(cm.lang = cm.predicted_lang AS INT) AS is_diag
+       |FROM cm
+       |JOIN rt ON rt.lang = cm.lang
+       |JOIN ct ON ct.predicted_lang = cm.predicted_lang
+       |ORDER BY cm.lang, cm.predicted_lang""".stripMargin
+  }
+
   /** q29: document fingerprinting — normalized whole-content md5 plus a
     * rolling-shingle min-hash (minimum md5 over all character 8-grams, a
     * winnowing-style content signature robust to block reordering).

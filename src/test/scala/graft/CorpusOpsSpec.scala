@@ -9,6 +9,27 @@ import org.apache.spark.sql.functions._
   */
 class CorpusOpsSpec extends SparkSpec {
 
+  test("q135 confusion matrix reconciles with q28's per-doc predictions") {
+    import graft.operators.TextOps
+    val cm = TextOps.q135LangIdConfusion(spark, Sf).collect()
+    assert(cm.nonEmpty)
+    // cells partition the corpus
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(cm.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // row shares sum to 1 per true language (±rounding)
+    cm.groupBy(_.getAs[String]("lang")).foreach { case (l, rs) =>
+      val rowSum = rs.map(_.getAs[Double]("share_of_true_r")).sum
+      assert(math.abs(rowSum - 1.0) < 1e-4, s"$l row sum $rowSum")
+      assert(rs.map(_.getAs[Long]("lang_docs")).distinct.length == 1, l)
+    }
+    // the diagonal equals q28's own is_match count
+    val matches = TextOps.q28LangId(spark, Sf).collect()
+      .map(_.getAs[Int]("is_match").toLong).sum
+    val diag = cm.filter(_.getAs[Int]("is_diag") == 1)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(diag == matches, s"diag $diag vs q28 matches $matches")
+  }
+
   test("q65 snapshot diff classifies by construction rules") {
     val out = CorpusOps.q65SnapshotDiff(spark, Sf).cache()
     // removed ⇔ doc_id % 13 == 0 (and not re-added under a new id)
