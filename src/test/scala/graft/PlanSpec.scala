@@ -388,6 +388,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "epoch fan-out is an explode, not a join")
   }
 
+  test("q132/q135 rollup queries scan the corpus exactly once (persisted cell frame)") {
+    // the review fix pinned: all rollups must reuse the persisted
+    // (source, bin) / (lang, predicted) cell frame instead of
+    // re-running the corpus-sized scoring scan per branch. NOTE: the
+    // suite's planString clears the cache (needed by the lineage
+    // assertions above) — these three tests read the RAW plan because
+    // the in-query pin IS what they assert.
+    val p132 = Profile.q132SourcePsi(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p132).size >= 3,
+      "q132 rollups must read the persisted cell frame")
+    val p135 = graft.operators.TextOps.q135LangIdConfusion(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p135).size >= 3,
+      "q135 rollups must read the persisted cell frame")
+  }
+
+  test("q133 retention: cohort sizes broadcast; the user join never goes cartesian") {
+    val p = planString(Temporal.q133Retention(spark, Sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q134 budget sweep: both rollups read the persisted windowed frame") {
+    val p = Sampling.q134BudgetSweep(spark, Sf)
+      .queryExecution.executedPlan.toString // raw plan: the pin is the assertion
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "docAgg and packAgg must reuse the pinned window pass")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
   test("q130 hard negatives: queries broadcast; the corpus side never shuffles for the join") {
     val p = planString(Ann.q130HardNegatives(spark, Sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
