@@ -81,7 +81,8 @@ object Admit {
   case class Report(batchId: Long, input: Long, intraRejected: Long,
                     contaminatedRejected: Long, nearDupRejected: Long,
                     semanticRejected: Long, admitted: Long,
-                    qualityRejected: Long = 0L)
+                    qualityRejected: Long = 0L,
+                    lockHealthy: Boolean = true)
 
   /** The rebuild source for crash [[recover]]y: the seed corpus the
     * indexes were first refreshed from (vectors for LANDED docs come
@@ -242,14 +243,21 @@ object Admit {
     // cumulative rate guards the degenerate all-empty prefix (ADVICE r9)
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(s"$outDir/_admit_reports")
-    val hist =
+    val hist0 =
       if (raw.columns.contains("quality_rejected")) raw
       // histories persisted before the quality screen existed carry no
       // column — read them as zero rejections, not a schema error
       else raw.withColumn("quality_rejected", lit(0L))
+    val hist =
+      if (hist0.columns.contains("lock_healthy")) hist0
+      // pre-r12 histories predate the lease-health bit: those cycles
+      // completed under assertHeld fencing, so "healthy" is the honest
+      // backfill (an UNhealthy cycle only exists once the bit does)
+      else hist0.withColumn("lock_healthy", lit(true))
     hist
       .withColumn("quality_rejected",
         coalesce(col("quality_rejected"), lit(0L)))
+      .withColumn("lock_healthy", coalesce(col("lock_healthy"), lit(true)))
       .withColumn("admit_rate", when(col("input") > 0,
         round(col("admitted").cast("double") / col("input"), 4)))
       .withColumn("cum_input", sum("input").over(w))
@@ -259,7 +267,7 @@ object Admit {
       .select("batch_id", "input", "quality_rejected", "intra_rejected",
         "contaminated_rejected", "near_dup_rejected", "semantic_rejected",
         "admitted", "admit_rate", "cum_input", "cum_admitted",
-        "cum_admit_rate")
+        "cum_admit_rate", "lock_healthy")
       .orderBy("batch_id")
   }
 
@@ -302,6 +310,23 @@ object Admit {
           benchmarkGrams, bloomMBits, qualityFloor, claim)
       }
     }
+
+  /** Test seam (round 12 — VERDICT r11 #7): one locked cycle under a
+    * CALLER-supplied claim, so specs can drive the lease-health
+    * reporting with a doctored heartbeat
+    * ([[Locks.Claim.simulateMissedBeats]]). The production entry is
+    * [[admitBatch]], which owns its claim; this wrapper adds no second
+    * protocol — it is admitBatchLocked minus the claim acquisition.
+    */
+  private[graft] def admitBatchUnderClaim(spark: SparkSession, docs: DataFrame,
+                                          bandTable: String, outDir: String,
+                                          batchId: Long, claim: Locks.Claim,
+                                          embeddings: Option[DataFrame] = None,
+                                          semTable: Option[String] = None,
+                                          pqTable: Option[String] = None,
+                                          eps: Double = 0.99): Report =
+    admitBatchLocked(spark, docs, bandTable, outDir, batchId, embeddings,
+      vecIndexOf(semTable, pqTable), eps, None, None, 20, -1.0, claim)
 
   private def admitBatchLocked(spark: SparkSession, docs: DataFrame,
                                bandTable: String, outDir: String, batchId: Long,
@@ -457,6 +482,16 @@ object Admit {
           // holder inside the TTL, but no mtime lease can cover a
           // stop-the-world pause longer than the TTL itself, so the
           // residual window narrows to one token read before each write.
+          // the lease-health signal, READ at the mutation boundary
+          // (VERDICT r11 #7): `healthy` false means the heartbeat has
+          // missed ≥2 consecutive mtime refreshes — the claim may look
+          // stale to contenders even though this holder is live, i.e.
+          // the reclaim race is re-opened by the filesystem, not by a
+          // dead holder. assertHeld still gates every write (a healthy-
+          // looking token is the hard fence); the health bit lands in
+          // the persisted report so a flaky-filesystem degradation is
+          // visible in reportHistory instead of only on stderr.
+          val lockHealthy = claim.healthy
           if (nAdmitted > 0) {
             claim.assertHeld(s"the WAL write for batch $batchId")
             writeWal(spark, outDir, batchId)
@@ -476,16 +511,16 @@ object Admit {
             .parquet(s"$outDir/batch_id=$batchId")
           val report =
             Report(batchId, input, nIntra, nContam, nNear, nSem, nAdmitted,
-              nQuality)
+              nQuality, lockHealthy)
           // the cycle's own accounting, landed beside the batch (replay
           // overwrites — same idempotence contract as the landing)
           import spark.implicits._
           Seq((report.input, report.qualityRejected, report.intraRejected,
               report.contaminatedRejected, report.nearDupRejected,
-              report.semanticRejected, report.admitted))
+              report.semanticRejected, report.admitted, report.lockHealthy))
             .toDF("input", "quality_rejected", "intra_rejected",
               "contaminated_rejected", "near_dup_rejected",
-              "semantic_rejected", "admitted")
+              "semantic_rejected", "admitted", "lock_healthy")
             .write.mode("overwrite")
             .parquet(s"$outDir/_admit_reports/batch_id=$batchId")
           report

@@ -143,6 +143,17 @@ object Bench {
     // BEFORE forking, so the children measure on an uncontended host
     spark.stop()
     val isoStart = System.nanoTime()
+    // dropped/killed forks land IN THE ARTIFACT (round 12 — VERDICT r11
+    // #3: BENCH_r11 silently lost q112 and q96, the exact canonical
+    // baselines that round's fix targeted, because the drop reasons went
+    // only to stderr): a gapped fork gets `-1` in the isolated section
+    // plus a `"dropped"` entry naming the reason, so a future round's
+    // compare sees the gap mechanically. Budget 2700 s, not 1800: the
+    // sticky union is 17 entries and a fork costs ~100 s on a QUIET
+    // sf0.1 host — r11's 1800 s fit exactly 17 only when unloaded, and
+    // its busy run (load ~5.8) dropped two.
+    val isoBudgetNs = 2700L * 1000 * 1000 * 1000
+    val dropped = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val isolated: Map[String, Double] =
       if (slow.isEmpty) Map.empty
       else {
@@ -154,16 +165,12 @@ object Bench {
         val run = """(\S+) run\d+: ([0-9.]+) s""".r
         slow.flatMap { q =>
           // each child's deadline is capped by what REMAINS of the
-          // 1800 s section budget, so the section can never overrun to
+          // section budget, so the section can never overrun to
           // budget + a final child's full 150 s (ADVICE r8)
-          val remainingNs = 1800L * 1000 * 1000 * 1000 -
-            (System.nanoTime() - isoStart)
-          // a budget squeeze must be VISIBLE (ADVICE r10): a round with
-          // many new heavy entrants could otherwise silently skip every
-          // new entrant's first isolated baseline — stderr, so the JSON
-          // line stays the only stdout payload after spark.stop()
+          val remainingNs = isoBudgetNs - (System.nanoTime() - isoStart)
           if (remainingNs <= 0) {
             System.err.println(s"[bench] isolated budget exhausted — dropped fork $q")
+            dropped(q) = "budget"
             None
           }
           else try {
@@ -177,7 +184,9 @@ object Bench {
             while (proc.isAlive() && System.nanoTime() < deadline) Thread.sleep(500)
             if (proc.isAlive()) {
               System.err.println(s"[bench] fork $q hit its deadline — killed")
-              proc.destroy(); None
+              proc.destroy()
+              dropped(q) = "deadline"
+              None
             }
             else {
               // exitValue() joins the I/O pump threads, so the tail of the
@@ -185,9 +194,10 @@ object Bench {
               proc.exitValue()
               val times = run.findAllMatchIn(sb.toString).toSeq
                 .filter(_.group(1) == q).map(_.group(2).toDouble)
-              if (times.isEmpty) None else Some(q -> times.min)
+              if (times.isEmpty) { dropped(q) = "noparse"; None }
+              else Some(q -> times.min)
             }
-          } catch { case _: Throwable => None }
+          } catch { case _: Throwable => dropped(q) = "crash"; None }
         }.toMap
       }
     // The harness that collects this output keeps only a bounded tail of
@@ -204,12 +214,17 @@ object Bench {
       entries.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     val qs = section(results)
-    val iso = section(slow.flatMap(n => isolated.get(n).map(n -> _)))
+    // a gapped fork publishes -1 (the suite's own failing-query marker),
+    // never a silent absence; the reasons ride a compact sibling map
+    val iso = section(slow.map(n => n -> isolated.getOrElse(n, -1.0)))
+    val drops = dropped
+      .map { case (q, why) => s"\"${q.takeWhile(_ != '_')}\":\"$why\"" }
+      .mkString("{", ",", "}")
     // headline total covers the oracle-gated qNN series only, so it stays
     // comparable round-over-round; the xNN hash-variant times are reported
     // per-query but don't move the total
     val total = results.filter(_._1.startsWith("q")).map(_._2).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"dropped":$drops,"sf":"$sfDir"}""")
   }
 }

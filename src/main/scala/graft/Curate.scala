@@ -50,6 +50,15 @@ object Curate {
           classifierTargetPrecision: Double = -1.0,
           refreshIndexes: Boolean = false,
           indexPrefix: String = "curated"): Summary = {
+    // the two classifier-gate knobs are alternatives, not a composition:
+    // with both set the target-precision path used to silently win and
+    // the explicit floor was discarded (ADVICE r11) — fail loudly so a
+    // caller always gets the gate they asked for
+    require(classifierFloor < 0 || classifierTargetPrecision < 0,
+      s"pass classifierFloor OR classifierTargetPrecision, not both " +
+        s"(got floor=$classifierFloor, targetPrecision=" +
+        s"$classifierTargetPrecision) — the sweep-chosen floor would " +
+        "silently override the explicit one")
     val docs = Tables.load(spark, dataDir, "documents")
     val input = docs.count()
 
@@ -277,19 +286,24 @@ object Curate {
       // `<indexPrefix>_band` / `<indexPrefix>_pq`; the PQ family is the
       // kmeans one (production default — the sign family exists for the
       // oracle twins), with the refresh-time √N nlist rule.
+      //
+      // SERIALIZED with admission (round 12 — VERDICT r11 #2): the
+      // refreshes overwrite the very tables a live Admit.admitBatch
+      // cycle probes and appends, and refreshPqIndex's
+      // clearStaleLocation may recursively DELETE a table directory a
+      // concurrent session is serving — both are only safe under the
+      // same `.admit-running` claim the admission cycles queue on. A
+      // handoff racing a cycle now WAITS for it (and vice versa)
+      // instead of overwriting its standing state mid-probe.
       val indexedDocs =
         if (!refreshIndexes) -1L
         else {
           val kept = out.select("doc_id", "text")
-          graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
           val keptVecs = Tables.load(spark, dataDir, "embeddings")
             .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
             .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
             .select("vec_id", "emb", "label")
-          if (!keptVecs.isEmpty)
-            Ann.refreshPqIndex(keptVecs, s"${indexPrefix}_pq",
-              quantizer = "kmeans")
-          kept.count()
+          refreshStandingIndexes(spark, kept, keptVecs, indexPrefix, outDir)
         }
 
       Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
@@ -297,6 +311,32 @@ object Curate {
         indexedDocs)
     } finally labels.unpersist()
   }
+
+  /** The stage-7 standing-index handoff as a callable: refresh the band
+    * index and the trained-PQ index from a shipped corpus, SERIALIZED
+    * under the same `.admit-running` claim the admission cycles queue on
+    * (round 12 — VERDICT r11 #2). The refreshes overwrite the very
+    * tables a live [[Admit.admitBatch]] cycle probes and appends, and
+    * the refresh-internal `clearStaleLocation` recursively deletes a
+    * catalog-unknown table directory — both are only safe while no
+    * admission cycle is mid-flight, so a handoff racing a cycle WAITS
+    * for it (and a cycle arriving mid-handoff waits in turn).
+    * `lockDir` must be the admission outDir those cycles pass.
+    *
+    * `corpus` is (doc_id, text, …); `vecs` is (vec_id, emb, …) aligned
+    * with doc_id. Returns the indexed doc count.
+    */
+  def refreshStandingIndexes(spark: SparkSession, corpus: DataFrame,
+                             vecs: DataFrame, indexPrefix: String,
+                             lockDir: String): Long =
+    Locks.withLock(spark, s"$lockDir/.admit-running",
+      Admit.DefaultStaleAfterMs) {
+      val kept = corpus.select("doc_id", "text")
+      graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
+      if (!vecs.isEmpty)
+        Ann.refreshPqIndex(vecs, s"${indexPrefix}_pq", quantizer = "kmeans")
+      kept.count()
+    }
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
     * [--manifest] [--classifier] [--classifier-precision=P] [--bpe=k]

@@ -109,6 +109,13 @@ object Locks {
       * this holder is live.
       */
     def healthy: Boolean = missedBeats < 2
+
+    /** Test seam: simulate N consecutive missed heartbeats (a flaky
+      * filesystem swallowing setTimes) so specs can drive the
+      * lease-degradation reporting without a real slow filesystem. The
+      * next SUCCESSFUL beat resets the count, exactly like real misses.
+      */
+    private[graft] def simulateMissedBeats(n: Int): Unit = missedBeats = n
     private val heart = new Thread(() => {
       val periodMs = math.max(staleAfterMs / 3, 50L)
       try while (!stopped) {

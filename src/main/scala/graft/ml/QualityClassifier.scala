@@ -137,14 +137,20 @@ object QualityClassifier {
     * construction (the q100 languages-frame exception).
     */
   def chooseFloor(sweep: DataFrame, targetPrecision: Double): Double = {
-    val qualifying = sweep
-      .filter(col("precision").isNotNull &&
-        col("precision") >= targetPrecision)
-      .agg(min(col("floor"))).head().get(0)
-    qualifying match {
-      case d: java.lang.Double => d.doubleValue()
-      case _ => 0.9
-    }
+    // ONE bounded pass computes both the answer and the fallback: the
+    // fallback is the sweep's own most selective floor (max), not a
+    // hardcoded 0.9 — if the sweep's grid ever changes, the persisted
+    // choice row stays a row OF the published sweep (ADVICE r11)
+    val r = sweep.agg(
+      min(when(col("precision").isNotNull &&
+        col("precision") >= targetPrecision, col("floor"))).as("qualifying"),
+      max(col("floor")).as("most_selective")).head()
+    if (!r.isNullAt(0)) r.getDouble(0)
+    else if (!r.isNullAt(1)) r.getDouble(1)
+    else throw new IllegalStateException(
+      "chooseFloor got an empty floor sweep — floorSweep always emits " +
+        "its densified 10-row grid, so an empty frame is a corrupt or " +
+        "mis-wired sweep table")
   }
 
   def floorSweep(scored: DataFrame): DataFrame = {

@@ -436,6 +436,70 @@ object Ann {
        |WHERE rank <= 10
        |ORDER BY neg.q_id, rank""".stripMargin
 
+  /** q130's PRODUCTION twin (round 12 — VERDICT r11 #4): hard-negative
+    * mining over a STANDING index instead of the brute-force cross
+    * product. The candidate generator is [[searchPqIndex]] (`family =
+    * "pq"`, a [[refreshPqIndex]] table — sign or trained, the `_meta`
+    * row routes it) or [[searchSemanticIndex]] (`family = "sem"`); the
+    * threshold-split + rank seam is IDENTICAL to q130's: retrieved
+    * candidates at cosine ≥ `eps` are excluded as near-dups and counted
+    * in `n_dups_excluded` (the audit column — a near-dup leaking into
+    * the negatives is a false negative that corrupts a contrastive
+    * loss), the survivors re-rank, and the top-`k` per query ship.
+    * `dupHeadroom` extra candidates are retrieved so excluding a
+    * query's dups cannot starve its negative set.
+    *
+    * Differences from the oracle query, by construction: candidates
+    * (and therefore the dup count) are those the index SURFACES —
+    * recall is the index's nprobe/adcTopC trade (q98/pqRecallByIndex
+    * price it), not 1.0; at 100 TB that trade is the point — per query
+    * the scan touches nprobe cells' code rows instead of the corpus.
+    * Self-matches are already excluded by the read paths. Shape: the
+    * searches broadcast query-sized frames only (their serving guard),
+    * the candidate frame is pinned once (|Q| × (k + dupHeadroom) rows)
+    * so the dup rollup and the ranking share one index pass, and the
+    * returned frame is batch-sized and eagerly pinned (the q112
+    * in-query free discipline — the harnesses sweep result pins).
+    */
+  def mineHardNegatives(s: SparkSession, table: String, queries: DataFrame,
+                        eps: Double = 0.99, k: Int = 10,
+                        family: String = "pq", nprobe: Int = 3,
+                        adcTopC: Int = 64, dupHeadroom: Int = 16): DataFrame = {
+    val (res, pin) = mineHardNegativesLazy(s, table, queries, eps, k, family,
+      nprobe, adcTopC, dupHeadroom)
+    try res.localCheckpoint(true)
+    finally pin.unpersist(false)
+  }
+
+  /** [[mineHardNegatives]] without the eager result pin — the lazy body
+    * DedupAnnSpec plan-asserts (the q112Lazy pattern: a checkpointed
+    * frame plans as a bare RDD scan). Returns (result, pinned
+    * candidates).
+    */
+  private[graft] def mineHardNegativesLazy(s: SparkSession, table: String,
+      queries: DataFrame, eps: Double, k: Int, family: String, nprobe: Int,
+      adcTopC: Int, dupHeadroom: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val candK = k + dupHeadroom
+    val cand = (family match {
+      case "pq" => searchPqIndex(s, table, queries, candK, nprobe, adcTopC)
+      case "sem" => searchSemanticIndex(s, table, queries, candK, nprobe)
+      case other => throw new IllegalArgumentException(
+        s"family must be pq or sem, got $other")
+    }).persist()
+    val dups = cand.filter(col("cosine") >= eps)
+      .groupBy("q_id").agg(count(lit(1)).as("n_dups_excluded"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val res = cand.filter(col("cosine") < eps)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(dups), Seq("q_id"), "left")
+      .withColumn("n_dups_excluded", coalesce(col("n_dups_excluded"), lit(0L)))
+      .select("q_id", "rank", "n_id", "cosine", "n_dups_excluded")
+      .orderBy("q_id", "rank")
+    (res, cand)
+  }
+
   /** IVF (inverted-file) ANN — the second scale path beside hyperplane
     * LSH: a k-means coarse quantizer partitions the corpus into `nlist`
     * cells; a query probes only its `nprobe` nearest cells. Centroids are
@@ -2256,7 +2320,16 @@ object Ann {
     // silently mis-encoding a kmeans index's appends as sign codes
     // would corrupt the standing members
     if (!s.catalog.tableExists(s"${table}_meta")) "sign"
-    else s.table(s"${table}_meta").select("quantizer").head().getString(0)
+    else s.table(s"${table}_meta").select("quantizer").collect().headOption
+      .map(_.getString(0))
+      // an existing-but-EMPTY meta is corruption (a crash between
+      // clearStaleLocation and the parquet commit, or a manual
+      // truncation) — name the side table instead of surfacing a bare
+      // NoSuchElementException (ADVICE r11)
+      .getOrElse(throw new IllegalStateException(
+        s"${table}_meta exists but holds no quantizer row — the side " +
+          s"table is corrupt (crash mid-refresh or manual truncation); " +
+          s"re-run refreshPqIndex on $table to rewrite it"))
 
   private def writePqMeta(s: SparkSession, table: String,
                           quantizer: String): Unit = {

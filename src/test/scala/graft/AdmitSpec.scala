@@ -445,4 +445,83 @@ class AdmitSpec extends SparkSpec {
       .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
     assert(landed == Set((1, 610001L), (3, 810001L)), landed.toString)
   }
+
+  test("a degraded lock lease is visible in the persisted report, not only on stderr") {
+    import spark.implicits._
+    val band = "admit_band_health"
+    dropIndexTables(band, "admit_health_unused")
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    val out = java.nio.file.Files.createTempDirectory("admit-health").toString
+
+    val b1 = Seq((930001L, "a novel bulletin on fenwork lanterns and the " +
+      "supply chains of moonlit scaffolding guilds")).toDF("doc_id", "text")
+    // a doctored claim: ≥2 consecutive missed beats — the shape a flaky
+    // filesystem swallowing setTimes produces (VERDICT r11 #7: the
+    // health signal existed but nothing read it)
+    val claim = Locks.tryClaim(spark, s"$out/.admit-running",
+      Admit.DefaultStaleAfterMs).get
+    val r1 = try {
+      claim.simulateMissedBeats(2)
+      assert(!claim.healthy)
+      Admit.admitBatchUnderClaim(spark, b1, band, out, 1L, claim)
+    } finally claim.release()
+    assert(r1.admitted == 1 && !r1.lockHealthy, r1.toString)
+
+    // a healthy cycle reports true, and the history carries both bits
+    val b2 = Seq((930002L, "a second untouched report about cartographers " +
+      "indexing the migration ledgers of paper boats")).toDF("doc_id", "text")
+    val r2 = Admit.admitBatch(spark, b2, band, out, 2L)
+    assert(r2.lockHealthy, r2.toString)
+    val hist = Admit.reportHistory(spark, out).collect()
+    assert(hist.map(r => r.getAs[Int]("batch_id") ->
+      r.getAs[Boolean]("lock_healthy")).toSeq == Seq(1 -> false, 2 -> true),
+      hist.mkString)
+  }
+
+  test("the Curate index handoff serializes under the admission lock (never overwrites mid-cycle)") {
+    import spark.implicits._
+    val band = "curated_race_band"
+    val pq = "curated_race_pq"
+    dropIndexTables(band, pq)
+    for (side <- Seq("codebook", "meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${pq}_$side")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/${pq}_$side")
+      val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (lfs.exists(loc)) lfs.delete(loc, true)
+    }
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    val out = java.nio.file.Files.createTempDirectory("admit-handoff").toString
+
+    // an "admission cycle" holds the lock; a handoff arriving now must
+    // WAIT — before round 12 it refreshed (and clearStaleLocation-
+    // deleted) the standing tables while the cycle was mid-probe
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val cycleClaim = Locks.tryClaim(spark, s"$out/.admit-running",
+      Admit.DefaultStaleAfterMs).get
+    val handoff = Future(
+      Curate.refreshStandingIndexes(spark, d, e.limit(200), "curated_race", out))
+    try {
+      Thread.sleep(1500)
+      assert(!handoff.isCompleted,
+        "the handoff must block while an admission cycle holds the lock")
+      assert(!spark.catalog.tableExists(s"default.$band"),
+        "the handoff refreshed the standing band table under a live cycle")
+    } finally cycleClaim.release()
+    val indexed = Await.result(handoff, 5.minutes)
+    assert(indexed == d.count(), s"handoff indexed $indexed")
+    assert(spark.catalog.tableExists(s"default.$band") &&
+      spark.catalog.tableExists(s"default.$pq"))
+    // and the refreshed tables serve a normal admission cycle
+    val b1 = Seq((940001L, "a fresh account of chalk harbors auditing the " +
+      "punctuality of tide-borne mail skiffs")).toDF("doc_id", "text")
+    val r1 = Admit.admitBatch(spark, b1, band, out, 1L)
+    assert(r1.admitted == 1, r1.toString)
+  }
 }

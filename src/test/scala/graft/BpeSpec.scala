@@ -69,9 +69,11 @@ class BpeSpec extends SparkSpec {
   /** The BATCHED policy's reference (VERDICT r9 #5), sequential-apply
     * semantics: per round, rank once, accept the top-ranked
     * symbol-disjoint pairs (the trainer's own [[Bpe.disjointBatch]]
-    * over the same 4×-headroom candidate window), then apply the
-    * accepted pairs ONE AT A TIME in acceptance order — the semantics
-    * the one-pass fold must be equivalent to.
+    * over the same ADAPTIVE-headroom candidate window — round 12's
+    * starvation ratchet: a round accepting under half its want doubles
+    * the next round's window, cap 32×, healthy rounds reset to 4×),
+    * then apply the accepted pairs ONE AT A TIME in acceptance order —
+    * the semantics the one-pass fold must be equivalent to.
     */
   private def naiveBpeBatched(words: Map[String, Long], k: Int,
                               m: Int): Seq[(String, String)] = {
@@ -79,15 +81,19 @@ class BpeSpec extends SparkSpec {
       words.toSeq.map { case (w, f) => (codePointSyms(w) :+ "</w>") -> f }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
+    var headroom = 4
     while (out.size < k && !done) {
       val want = math.min(m, k - out.size)
-      val ranked = rankedPairs(segs).filter(_._2 >= 2).take(4 * want).map(_._1)
+      val ranked = rankedPairs(segs).filter(_._2 >= 2)
+        .take(headroom * want).map(_._1)
       val round = Bpe.disjointBatch(ranked, want)
       if (round.isEmpty) done = true
       else {
         out ++= round
         for ((a, b) <- round)
           segs = segs.map { case (seg, f) => applyGreedy(seg, a, b) -> f }
+        headroom =
+          if (round.size < (want + 1) / 2) math.min(headroom * 2, 32) else 4
       }
     }
     out.toSeq

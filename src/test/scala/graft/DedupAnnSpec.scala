@@ -617,6 +617,81 @@ class DedupAnnSpec extends SparkSpec {
     assert(q0.head.getAs[Long]("n_dups_excluded") >= 1L, "exclusion not counted")
   }
 
+  test("mineHardNegatives: the index-backed twin keeps q130's contract over both standing families") {
+    import org.apache.spark.sql.functions._
+    // round 12 (VERDICT r11 #4): same threshold-split + rank seam as
+    // q130, candidates from the STANDING indexes instead of the brute
+    // cross product — built on the planted re-encode corpus so the
+    // exclusion audit genuinely bites
+    val corpus = Ann.embCorpus(spark, Sf)
+    val queries = corpus.filter(col("vec_id") < 5).select("vec_id", "emb")
+    val exact = Ann.q130HardNegatives(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("n_id")).toSet }
+
+    val pqT = "hn_pq_test"
+    dropPqTables(pqT)
+    Ann.refreshPqIndex(corpus.select("vec_id", "emb", "label"), pqT,
+      quantizer = "kmeans")
+    val semT = "hn_sem_test"
+    for (t <- Seq(semT, s"${semT}_centroids", s"${semT}_members")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    Ann.refreshSemanticIndex(corpus.withColumn("label", lit("x")), semT,
+      numBuckets = 8)
+
+    for ((family, table) <- Seq("pq" -> pqT, "sem" -> semT)) {
+      val rows = Ann.mineHardNegatives(spark, table, queries,
+        eps = 0.99, k = 10, family = family, nprobe = 8).collect()
+      val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+      assert(byQ.nonEmpty, family)
+      byQ.foreach { case (q, rs) =>
+        val ordered = rs.sortBy(_.getAs[Int]("rank"))
+        assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length),
+          s"$family q $q ranks")
+        val cosines = ordered.map(_.getAs[Double]("cosine"))
+        assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+          s"$family q $q order")
+        assert(cosines.forall(_ < 0.99), s"$family q $q leaked a near-dup")
+        assert(!rs.exists(_.getAs[Long]("n_id") == q), s"$family q $q self")
+        assert(rs.map(_.getAs[Long]("n_dups_excluded")).distinct.length == 1)
+      }
+      // query 0's planted re-encode (vec 10000, cosine ≈ 1) must be
+      // surfaced by the index, excluded, and counted
+      val q0 = byQ(0L)
+      assert(!q0.exists(_.getAs[Long]("n_id") == 10000L),
+        s"$family planted dup leaked")
+      assert(q0.head.getAs[Long]("n_dups_excluded") >= 1L,
+        s"$family exclusion not counted")
+      // recall floor vs the exact top-10: the index surfaces a usable
+      // fraction of the TRUE hardest negatives (these synthetic vectors
+      // have no cluster geometry, so nprobe bounds absolute recall —
+      // the gate is a floor, not equality)
+      val overlap = byQ.map { case (q, rs) =>
+        rs.map(_.getAs[Long]("n_id")).toSet.intersect(exact(q)).size.toDouble /
+          exact(q).size
+      }
+      val mean = overlap.sum / overlap.size
+      assert(mean >= 0.2, s"$family mean recall vs exact negatives: $mean")
+    }
+
+    // the lazy body's plan: candidates only ever ride broadcast joins —
+    // never a corpus-sized shuffle join or a cartesian (the q112Lazy
+    // plan-assert pattern; the public entry pins its result eagerly)
+    val (lazyRes, pin) = Ann.mineHardNegativesLazy(spark, pqT, queries,
+      0.99, 10, "pq", 8, 64, 16)
+    // unpersist FIRST: a pinned candidate frame would hide the join
+    // shapes behind an InMemoryTableScan and make the assertion vacuous
+    pin.unpersist(false)
+    val p = planString(lazyRes)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(600))
+  }
+
   test("IVF ANN recalls every genuinely-near neighbor at rank 1") {
     val top1 = Ann.ivfTopK(spark, Sf).filter(col("rank") === 1)
       .collect().map(r => r.getAs[Long]("q_id") ->

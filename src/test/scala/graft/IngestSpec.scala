@@ -143,6 +143,46 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).columns.sorted.toSeq == Seq("user_id", "value"))
   }
 
+  test("writeZOrdered quantile ranks survive a skewed key (round 12 — linear ranks degenerate)") {
+    import spark.implicits._
+    // a Zipf-shaped key: a handful of heavy-tail outliers stretch the
+    // value range 1000×. Linear min/max ranks park ~every row at rank 0
+    // (the layout then orders by the OTHER key only and each file spans
+    // the key's whole bulk); equal-mass quantile ranks ignore the range
+    // and keep per-file rectangles tight on BOTH keys.
+    val n = 4000
+    val skewed = (0 until n).map { i =>
+      val len = if (i % 500 == 0) 100000.0 + i else 10.0 + (i % 97)
+      (len, (i % 64).toDouble)
+    }.toDF("doc_len", "dim")
+    val zdir = Files.createTempDirectory("zskew").toString
+    val hdir = Files.createTempDirectory("hskew").toString
+    Ingest.writeZOrdered(skewed, zdir, "doc_len", "dim", numFiles = 8)
+    skewed.repartition(8).write.mode("overwrite").parquet(hdir)
+    // span of the BULK (outliers excluded): the skipping surface that
+    // matters for the 99.8% of predicates hitting the body of the
+    // distribution — a degenerate layout leaves every file spanning it
+    def bulkSpread(dir: String, c: String): Double =
+      spark.read.parquet(dir).filter(col("doc_len") < 100000.0)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(sum("r")).head().getDouble(0)
+    val (zl, hl) = (bulkSpread(zdir, "doc_len"), bulkSpread(hdir, "doc_len"))
+    val (zd, hd) = (bulkSpread(zdir, "dim"), bulkSpread(hdir, "dim"))
+    assert(zl < hl * 0.8, s"doc_len under skew: z $zl vs hash $hl")
+    assert(zd < hd * 0.8, s"dim under skew: z $zd vs hash $hd")
+    assert(spark.read.parquet(zdir).count().toInt == n)
+  }
+
+  test("writeZOrdered degrades to a plain write when either key is all-null (ADVICE r11)") {
+    import spark.implicits._
+    val d = Seq((1.0, None: Option[Double]), (2.0, None))
+      .toDF("a", "b")
+    val dir = Files.createTempDirectory("znull").toString
+    Ingest.writeZOrdered(d, dir, "a", "b") // must not throw
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("index refresh survives an orphaned warehouse location (restart idempotence)") {
     import graft.operators.Dedup
     // simulate a dead session's leftovers: a warehouse directory under

@@ -420,6 +420,23 @@ class PlanSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q127 curriculum: no corpus-sized window — every Window consumes an aggregated frame") {
+    // the r11 shape was ntile over Window.partitionBy("lang") — a
+    // per-language single-reducer sort of the CORPUS (lang is a
+    // ~4-value key). The rebuilt operator may only window over the
+    // quantized histogram / the langs × stages rollup, so every Window
+    // in the optimized plan must sit ABOVE an Aggregate; one windowing
+    // the raw scan fails here no matter how it is spelled
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = Sampling.q127Curriculum(spark, Sf).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the bounded histogram windows")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"a Window consumes un-aggregated (corpus-sized) input:\n$w")
+    }
+  }
+
   test("q130 hard negatives: queries broadcast; the corpus side never shuffles for the join") {
     val p = planString(Ann.q130HardNegatives(spark, Sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

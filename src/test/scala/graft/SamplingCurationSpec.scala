@@ -98,29 +98,102 @@ class SamplingCurationSpec extends SparkSpec {
     assert(planString(df).contains("WindowGroupLimit"), "no WindowGroupLimit")
   }
 
-  test("q127 curriculum: stages balanced and difficulty bands monotone") {
+  test("q127 curriculum: boundary-derived stages match a local replay; bands monotone") {
     val rows = Sampling.q127Curriculum(spark, Sf, stages = 5).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
-    val docsPerLang = spark.read.parquet(s"$Sf/documents.parquet")
-      .groupBy("lang").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // replay the quantized-boundary arithmetic locally (round 12 — the
+    // r11 NTILE's positional ±1 balance is now a tie-block tolerance,
+    // so the strongest check is exact agreement with the rule itself):
+    // per (lang, qdiff) histogram → stage of a block = which fifth its
+    // FIRST doc falls in → expected per-stage doc/token sums
+    val local = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars", "text").collect().map { r =>
+        val nTok = r.getAs[String]("text").trim.toLowerCase
+          .split(" ", -1).length.toLong
+        val qdiff = math.floor(
+          r.getAs[Number]("n_chars").doubleValue() / nTok * 1e6 + 0.5) / 1e6
+        (r.getAs[String]("lang"), qdiff, nTok)
+      }
+    val expected: Map[(String, Int), (Long, Long)] = local
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((lang, q), ts) => (lang, q, ts.length.toLong, ts.map(_._3).sum) }
+      .groupBy(_._1).flatMap { case (lang, blocks) =>
+        val langDocs = blocks.map(_._3).sum
+        var cumBefore = 0L
+        blocks.sortBy(_._2).map { case (_, _, nDocs, nTok) =>
+          val stage = math.min(5, (cumBefore * 5 / langDocs).toInt + 1)
+          cumBefore += nDocs
+          (lang, stage, nDocs, nTok)
+        }
+      }.groupBy(t => (t._1, t._2))
+      .map { case (k, ts) => k -> (ts.map(_._3).sum, ts.map(_._4).sum) }
+    assert(rows.map(r => (r.getAs[String]("lang"), r.getAs[Int]("stage")))
+      .toSet == expected.keySet, "stage set mismatch vs local replay")
+    rows.foreach { r =>
+      val (eDocs, eTok) = expected((r.getAs[String]("lang"), r.getAs[Int]("stage")))
+      assert(r.getAs[Long]("docs") == eDocs && r.getAs[Long]("stage_tokens") == eTok,
+        s"${r.getAs[String]("lang")} stage ${r.getAs[Int]("stage")}")
+    }
     byLang.foreach { case (lang, rs) =>
       val ordered = rs.sortBy(_.getAs[Int]("stage"))
-      // NTILE balance: stage sizes differ by at most one and sum back
-      val sizes = ordered.map(_.getAs[Long]("docs"))
-      assert(sizes.max - sizes.min <= 1, s"$lang sizes ${sizes.mkString(",")}")
-      assert(sizes.sum == docsPerLang(lang), s"$lang total")
-      // easy → hard: stage difficulty bands never go backwards
+      // stage sizes sum back to the language's corpus
+      assert(ordered.map(_.getAs[Long]("docs")).sum ==
+        local.count(_._1 == lang), s"$lang total")
+      // easy → hard: stage difficulty bands never go backwards, and
+      // quantized-value boundaries never SPLIT a value across stages
       ordered.sliding(2).foreach {
         case Array(a, b) =>
-          assert(b.getAs[Double]("min_diff_r") >= a.getAs[Double]("min_diff_r") - 1e-4 &&
-            b.getAs[Double]("max_diff_r") >= a.getAs[Double]("max_diff_r") - 1e-4,
-            s"$lang band order")
+          assert(b.getAs[Double]("min_diff_r") > a.getAs[Double]("max_diff_r"),
+            s"$lang band overlap")
         case _ =>
       }
       // the last stage completes the language's token mass
       assert(ordered.last.getAs[Double]("cum_frac_r") == 1.0, s"$lang cum")
     }
+  }
+
+  test("q136 perplexity curriculum: gibberish lands in the hardest stage, boilerplate in the easiest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length, lower, size, split, trim}
+    // a corpus with a KNOWN difficulty order: 30 copies of one highly
+    // predictable sentence (every bigram seen 30×), plus two all-hapax
+    // gibberish docs the bigram LM has never seen a single pair of
+    val dir = java.nio.file.Files.createTempDirectory("ppl-curr").toString
+    val common = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (1L to 30L).map(i => (i, "en", common)) ++ Seq(
+      (31L, "en", "zxqv kjwu pqnm bbtz yyrw qqak mmzo ttvb ccxd eelf"),
+      (32L, "en", "ghhj rrkl oppw uuzx nnvb aaqe ttym ddcf sslw iioz"))
+    rows.toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // doc-level staging through the same seam the query composes
+    val d = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(lower(trim(col("text"))), " ").as("w"))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+    val scored = graft.operators.TextOps
+      .bigramAvgNll(d, Seq("doc_id", "lang", "n_tok"))
+      .withColumnRenamed("avg_nll", "qdiff")
+    val staged = Sampling.curriculumStages(
+      scored.select("doc_id", "lang", "n_tok", "qdiff"), 5).collect()
+    assert(staged.length == 32)
+    val stageOf = staged.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("stage")).toMap
+    // the predictable block is the first stage; the gibberish docs take
+    // the LAST stage (their every bigram falls to the smoothed floor)
+    (1L to 30L).foreach(i => assert(stageOf(i) == 1, s"doc $i: ${stageOf(i)}"))
+    assert(stageOf(31L) == 5 && stageOf(32L) == 5, stageOf.toString)
+
+    // and the registered rollup agrees: the hardest stage holds exactly
+    // the two gibberish docs and its band sits strictly above stage 1's
+    val out = Sampling.q136PplCurriculum(spark, dir).collect()
+    val last = out.maxBy(_.getAs[Int]("stage"))
+    val first = out.minBy(_.getAs[Int]("stage"))
+    assert(last.getAs[Long]("docs") == 2L, last.toString)
+    assert(first.getAs[Long]("docs") == 30L, first.toString)
+    assert(last.getAs[Double]("min_diff_r") > first.getAs[Double]("max_diff_r"))
+    assert(out.map(_.getAs[Long]("docs")).sum == 32L)
   }
 
   test("q128 epoch order: every epoch is a full permutation and epochs genuinely reshuffle") {
