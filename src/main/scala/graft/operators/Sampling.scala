@@ -955,23 +955,40 @@ object Sampling {
     * exception, never the corpus (PlanSpec asserts every Window in the
     * plan sits above an aggregation).
     */
-  def curriculumStages(d: DataFrame, stages: Int): DataFrame = {
-    val g = d.groupBy("lang", "qdiff").agg(count(lit(1)).as("_docs"))
-    // docs STRICTLY before this quantized value (one row per distinct
-    // (lang, qdiff) — no ties within the partition, so ROWS is exact)
+  /** Stage assignment over a (lang, qdiff, _docs, …) histogram: docs
+    * STRICTLY before each quantized value (one row per distinct (lang,
+    * qdiff), so the ROWS frame is exact and tie-free), language totals
+    * broadcast back, stage = which K-th of the corpus the block's FIRST
+    * doc falls in (`div`, not `/` — both engines take the integer
+    * floor). All histogram-sized.
+    */
+  private def stageBoundaries(g: DataFrame, stages: Int): DataFrame = {
     val before = Window.partitionBy("lang").orderBy("qdiff")
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = g.groupBy("lang").agg(sum("_docs").as("_lang_docs"))
-    val bounds = g
-      .withColumn("_cum_before", coalesce(sum("_docs").over(before), lit(0L)))
+    g.withColumn("_cum_before", coalesce(sum("_docs").over(before), lit(0L)))
       .join(broadcast(tot), "lang")
-      // stage of a value block = which K-th of the corpus its FIRST doc
-      // falls in; `div` (not `/`) so both engines take the integer floor
       .withColumn("stage", least(lit(stages),
         expr(s"cast((_cum_before * $stages) div _lang_docs as int) + 1")))
-      .select("lang", "qdiff", "stage")
-    d.join(broadcast(bounds), Seq("lang", "qdiff"))
   }
+
+  def curriculumStages(d: DataFrame, stages: Int): DataFrame = {
+    val g = d.groupBy("lang", "qdiff").agg(count(lit(1)).as("_docs"))
+    d.join(broadcast(stageBoundaries(g, stages)
+      .select("lang", "qdiff", "stage")), Seq("lang", "qdiff"))
+  }
+
+  /** The staged histogram the REGISTERED queries roll up from: token
+    * sums ride the same one-pass histogram aggregate, so the stage-grain
+    * report never joins back to the corpus — one scan, one
+    * combiner-friendly shuffle, everything after histogram-sized
+    * ([[curriculumStages]] is the doc-grain API a trainer materializes
+    * its actual schedule through).
+    */
+  private def stagedHistogram(d: DataFrame, stages: Int): DataFrame =
+    stageBoundaries(
+      d.groupBy("lang", "qdiff")
+        .agg(count(lit(1)).as("_docs"), sum("n_tok").as("_tok")), stages)
 
   /** q127: curriculum staging — each language's documents cut into
     * difficulty stages (easy → hard by mean token length, the classic
@@ -986,12 +1003,14 @@ object Sampling {
     * Difficulty is n_chars/n_tok quantized to 6dp — one IEEE divide of
     * exact integers plus the [[Num.roundD]] formula, so both engines
     * bucket the SAME doubles (the bigram-LM score of q118 is the
-    * model-based upgrade — q136 — over the same [[curriculumStages]]
-    * machinery, which is score-agnostic). Scale shape (round 12 — the
-    * r11 per-language NTILE was the registry's one single-reducer
-    * window): one scan into a value-domain histogram, boundaries
-    * broadcast back, stages assigned row-locally; the final rollup's
-    * windows run over langs × stages rows.
+    * model-based upgrade — q136 — over the same staging machinery,
+    * which is score-agnostic). Scale shape (round 12 — the r11
+    * per-language NTILE was the registry's one single-reducer window):
+    * ONE corpus scan into a value-domain histogram carrying doc AND
+    * token sums; stages, bands, and fractions all derive from the
+    * histogram (the doc-grain broadcast-back assignment is
+    * [[curriculumStages]], the API a trainer materializes its actual
+    * schedule through).
     */
   def q127Curriculum(s: SparkSession, dir: String, stages: Int = 5): DataFrame = {
     val d = docs(s, dir)
@@ -999,20 +1018,19 @@ object Sampling {
         size(split(lower(trim(col("text"))), " ")).cast("long"))
       .withColumn("qdiff", Num.roundD(
         col("n_chars").cast("double") / col("n_tok").cast("double"), 6))
-    val staged = curriculumStages(
-      d.select("doc_id", "lang", "n_tok", "qdiff"), stages)
-    curriculumRollup(staged)
+    curriculumRollup(stagedHistogram(d.select("lang", "n_tok", "qdiff"), stages))
   }
 
-  /** The per-stage schedule rollup shared by q127 and q136: stage-grain
-    * doc/token counts, the quantized band each stage spans, and the
-    * cumulative token fraction. Everything after the first aggregate is
-    * langs × stages rows — bounded-frame windows/joins.
+  /** The per-stage schedule rollup shared by q127 and q136, over the
+    * [[stagedHistogram]]: stage-grain doc/token counts, the quantized
+    * band each stage spans, and the cumulative token fraction.
+    * Everything here is histogram-sized or smaller — the corpus was
+    * touched exactly once, by the histogram aggregate.
     */
   private def curriculumRollup(staged: DataFrame): DataFrame = {
     val perStage = staged.groupBy("lang", "stage")
-      .agg(count(lit(1)).as("docs"),
-        sum("n_tok").as("stage_tokens"),
+      .agg(sum("_docs").as("docs"),
+        sum("_tok").as("stage_tokens"),
         min("qdiff").as("min_diff_r"),
         max("qdiff").as("max_diff_r"))
     val langTot = perStage.groupBy("lang")
@@ -1099,9 +1117,8 @@ object Sampling {
       .withColumn("n_tok", size(col("w")).cast("long"))
     val scored = TextOps.bigramAvgNll(d, Seq("doc_id", "lang", "n_tok"))
       .withColumnRenamed("avg_nll", "qdiff")
-    val staged = curriculumStages(
-      scored.select("doc_id", "lang", "n_tok", "qdiff"), stages)
-    curriculumRollup(staged)
+    curriculumRollup(stagedHistogram(
+      scored.select("lang", "n_tok", "qdiff"), stages))
   }
 
   val q136Sql: String =
