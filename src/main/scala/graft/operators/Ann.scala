@@ -500,6 +500,101 @@ object Ann {
     (res, cand)
   }
 
+  // --------------------------------------------------------------- q137
+
+  /** q137: contrastive training-pair assembly — the composition a
+    * DPR/Contriever-style retrieval trainer actually consumes: per
+    * anchor, its POSITIVE (the best corpus match at cosine ≥ eps — here
+    * the planted re-encode; in production the near-dup cluster twin the
+    * dedup ladder already found) paired with the top-k HARD NEGATIVES
+    * below the threshold (q130's contract). Anchors with no positive
+    * emit nothing — a contrastive example needs both sides, and an
+    * anchor whose "positive" would be a chance sub-threshold match is a
+    * label error, not a training row. One output row per (anchor,
+    * negative): (q_id, pos_id, pos_cosine, rank, neg_id, neg_cosine).
+    *
+    * Scale shape: q130's oracle-pinnable broadcast pattern (anchors
+    * broadcast, corpus never shuffles; ONE scored pass pinned and
+    * consumed by both the positive argmax and the negative rank); the
+    * production twin swaps the candidate generator for
+    * [[mineHardNegatives]]/[[probePqIndex]] over the standing indexes —
+    * the same candidates-then-split seam.
+    */
+  def q137ContrastivePairs(s: SparkSession, dir: String, eps: Double = 0.99,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embCorpus(s, dir)
+    val q = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", dotDec("qemb", "qemb"))
+    val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
+      .withColumn("nn", dotDec("nemb", "nemb"))
+    // pinned: the positive argmax and the negative ranking both consume
+    // the corpus-sized cosine pass (the in-query pin the harness sweeps)
+    val scored = n.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Num.roundD(dotDec("qemb", "nemb").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+      .persist()
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    val pos = scored.filter(col("cosine") >= eps)
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") === 1)
+      .select(col("q_id"), col("n_id").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    scored.filter(col("cosine") < eps)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .join(broadcast(pos), Seq("q_id")) // INNER: no positive, no pairs
+      .select(col("q_id"), col("pos_id"), col("pos_cosine"), col("rank"),
+        col("n_id").as("neg_id"), col("cosine").as("neg_cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q137Sql: String =
+    s"""WITH ecorpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |expl AS (
+       |  SELECT vec_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v
+       |  FROM ecorpus),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS norm2
+       |  FROM expl GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    SUM(CAST(q.v * n.v AS DECIMAL(25,12))) AS dotp
+       |  FROM expl q JOIN expl n ON q.pos = n.pos AND q.vec_id < 25
+       |    AND n.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.q_id, d.n_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(qn.norm2 AS DOUBLE) * CAST(nn.norm2 AS DOUBLE))")} AS cosine
+       |  FROM dots d
+       |  JOIN norms qn ON qn.vec_id = d.q_id
+       |  JOIN norms nn ON nn.vec_id = d.n_id),
+       |pos AS (
+       |  SELECT q_id, n_id AS pos_id, cosine AS pos_cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, n_id) AS pr
+       |  FROM scored WHERE cosine >= 0.99),
+       |neg AS (
+       |  SELECT q_id, n_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored WHERE cosine < 0.99)
+       |SELECT neg.q_id, pos_id, pos_cosine, rank,
+       |  n_id AS neg_id, cosine AS neg_cosine
+       |FROM neg
+       |JOIN (SELECT q_id, pos_id, pos_cosine FROM pos WHERE pr = 1) p
+       |  ON p.q_id = neg.q_id
+       |WHERE rank <= 5
+       |ORDER BY neg.q_id, rank""".stripMargin
+
   /** IVF (inverted-file) ANN — the second scale path beside hyperplane
     * LSH: a k-means coarse quantizer partitions the corpus into `nlist`
     * cells; a query probes only its `nprobe` nearest cells. Centroids are

@@ -1044,6 +1044,95 @@ object Dedup {
        |FROM taus LEFT JOIN pa USING (tau) LEFT JOIN da USING (tau)
        |ORDER BY taus.tau""".stripMargin
 
+  // --------------------------------------------------------------- q138
+
+  /** q138: band-threshold calibration GRADED against planted truth —
+    * q131 prices τ by what it flags; this query grades the MinHash-LSH
+    * band threshold against ground truth the corpus actually contains
+    * (the re-ingested exact copies), the q135 discipline applied to the
+    * dedup family: per `n_shared_bands` threshold 1..8, flagged pairs,
+    * true positives, precision, and recall. The curve an operator reads
+    * to place the probe threshold (the standing-index screens run at
+    * ≥ 4): low thresholds admit the chance band-collision cloud
+    * (precision collapses), the top threshold keeps the true copies
+    * (recall stays 1.0 — an exact copy shares ALL bands).
+    *
+    * Truth is the exact-duplicate pair set, emitted through the SAME
+    * [[guardedPairs]] hot-bucket guard as the candidate side (a viral
+    * exact cluster stars to its canonical on BOTH sides, so pair-grain
+    * grading stays consistent and no path is O(k²)). Scale shape: one
+    * q21 band pass + one hash-key pair pass; everything after is
+    * bounded by the pair counts crossed with an 8-row literal frame
+    * (the q131 pattern).
+    */
+  def q138BandCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    // the candidate pairs flow through ONE lineage (fan-out → mark →
+    // aggregate), so only the truth table — consumed by its count AND
+    // the tp-join — needs the in-query pin the harness sweeps
+    val pairs = minhashPairs(c)
+    val truth = guardedPairs(
+        c.select(col("doc_id"), md5(lower(trim(col("text")))).as("h")),
+        "doc_id", Seq("h"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .persist()
+    val nTruth = truth.count()
+    val th = (1 to 8).toDF("threshold")
+    val flagged = pairs.crossJoin(broadcast(th))
+      .filter(col("n_shared_bands") >= col("threshold"))
+    val marked = flagged
+      .join(truth.withColumn("tp", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("tp", coalesce(col("tp"), lit(0L)))
+    marked.groupBy("threshold")
+      .agg(count(lit(1)).as("n_flagged"), sum("tp").as("n_tp"))
+      .withColumn("n_truth", lit(nTruth))
+      .select(col("threshold"), col("n_flagged"), col("n_truth"), col("n_tp"),
+        Num.roundD(col("n_tp").cast("double") / col("n_flagged").cast("double"), 6)
+          .as("precision_r"),
+        Num.roundD(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall_r"))
+      .orderBy("threshold")
+  }
+
+  val q138Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |${sqlMinhashCte("corpus")},
+       |hx AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM corpus),
+       |hann AS (
+       |  SELECT doc_id, h,
+       |    COUNT(*) OVER wh AS bucket_n,
+       |    MIN(doc_id) OVER wh AS canon
+       |  FROM hx WINDOW wh AS (PARTITION BY h)),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM hann a JOIN hann b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.bucket_n <= $MaxBucket
+       |  UNION ALL
+       |  SELECT canon AS doc_a, doc_id AS doc_b
+       |  FROM hann WHERE bucket_n > $MaxBucket AND doc_id <> canon),
+       |tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |th AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS threshold),
+       |fl AS (
+       |  SELECT th.threshold, mh.doc_a, mh.doc_b
+       |  FROM th JOIN mh ON mh.n_shared_bands >= th.threshold),
+       |mk AS (
+       |  SELECT fl.threshold, fl.doc_a, fl.doc_b,
+       |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS tp
+       |  FROM fl LEFT JOIN truth t
+       |    ON t.doc_a = fl.doc_a AND t.doc_b = fl.doc_b),
+       |g AS (
+       |  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_flagged,
+       |    CAST(SUM(tp) AS BIGINT) AS n_tp
+       |  FROM mk GROUP BY threshold)
+       |SELECT threshold, n_flagged, n_truth, n_tp,
+       |  ${graft.Num.sqlRoundD(
+            "CAST(n_tp AS DOUBLE) / CAST(n_flagged AS DOUBLE)", 6)} AS precision_r,
+       |  ${graft.Num.sqlRoundD(
+            "CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)", 6)} AS recall_r
+       |FROM g CROSS JOIN tc
+       |ORDER BY threshold""".stripMargin
+
   /** q62: entity resolution — blocked fuzzy matching over the customer
     * dimension: candidate pairs form ONLY inside a blocking key
     * (name length + 16-char prefix + nation), then exact Levenshtein

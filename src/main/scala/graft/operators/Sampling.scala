@@ -1184,6 +1184,92 @@ object Sampling {
        |FROM c
        |ORDER BY lang, stage""".stripMargin
 
+  // --------------------------------------------------------------- q139
+
+  /** q139: length-bucketed batching report — the padding-waste artifact
+    * an inference/training batcher reads before choosing its bucketing:
+    * documents bucket by power-of-two token-length cap (16 … 8192), and
+    * per bucket the report shows docs, tokens, full batches of
+    * `batchSize`, and the padding fraction when every sequence in a
+    * batch pads to the bucket cap — against the one-bucket baseline
+    * (everything pads to the GLOBAL max length), the waste bucketing
+    * exists to eliminate. q134 sweeps the packing budget for
+    * concat-and-pack training; this is the pad-don't-pack serving twin.
+    *
+    * Scale shape: pure scan arithmetic — the cap is a row-local CASE
+    * ladder (a quantile bucketing here would be the banned global sort;
+    * powers of two are the fixed-boundary discipline q132 uses for its
+    * bins), one groupBy over ≤ 10 buckets, the global baseline one
+    * 3-value aggregate broadcast back.
+    */
+  def q139LengthBuckets(s: SparkSession, dir: String,
+      batchSize: Int = 16): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), " ")).cast("long"))
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val cap = caps.foldRight(lit(8192L): Column)((c, acc) =>
+      when(col("n_tok") <= c, lit(c)).otherwise(acc))
+    val g = d.agg(count(lit(1)).as("g_docs"), sum("n_tok").as("g_tok"),
+        max("n_tok").as("g_max"))
+      .select(Num.roundD(lit(1.0) -
+        col("g_tok").cast("double") /
+          (expr(s"cast((g_docs + ${batchSize - 1}) div $batchSize as bigint)") *
+            batchSize * col("g_max")).cast("double"), 6)
+        .as("unbucketed_pad_frac_r"))
+    d.withColumn("cap", cap)
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("n_batches",
+        expr(s"cast((n_docs + ${batchSize - 1}) div $batchSize as bigint)"))
+      .withColumn("pad_frac_r", Num.roundD(lit(1.0) -
+        col("n_tokens").cast("double") /
+          (col("n_batches") * batchSize * col("cap")).cast("double"), 6))
+      .crossJoin(broadcast(g))
+      .select("cap", "n_docs", "n_tokens", "n_batches", "pad_frac_r",
+        "unbucketed_pad_frac_r")
+      .orderBy("cap")
+  }
+
+  val q139Sql: String = {
+    val caseCap = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+      .map(c => s"WHEN n_tok <= $c THEN $c").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)
+       |    AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tok,
+       |    CAST(CASE $caseCap ELSE 8192 END AS BIGINT) AS cap
+       |  FROM t),
+       |g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS g_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS g_tok,
+       |    CAST(MAX(n_tok) AS BIGINT) AS g_max
+       |  FROM t),
+       |gb AS (
+       |  SELECT ${Num.sqlRoundD(
+            "1.0 - CAST(g_tok AS DOUBLE) / " +
+            "CAST(((g_docs + 15) // 16) * 16 * g_max AS DOUBLE)", 6)}
+       |    AS unbucketed_pad_frac_r
+       |  FROM g),
+       |p AS (
+       |  SELECT cap, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |  FROM b GROUP BY cap),
+       |pb AS (
+       |  SELECT cap, n_docs, n_tokens,
+       |    CAST((n_docs + 15) // 16 AS BIGINT) AS n_batches
+       |  FROM p)
+       |SELECT cap, n_docs, n_tokens, n_batches,
+       |  ${Num.sqlRoundD(
+            "1.0 - CAST(n_tokens AS DOUBLE) / " +
+            "CAST(n_batches * 16 * cap AS DOUBLE)", 6)} AS pad_frac_r,
+       |  unbucketed_pad_frac_r
+       |FROM pb CROSS JOIN gb
+       |ORDER BY cap""".stripMargin
+  }
+
   // --------------------------------------------------------------- q128
 
   /** q128: multi-epoch training order — q104's sharded manifest

@@ -617,6 +617,51 @@ class DedupAnnSpec extends SparkSpec {
     assert(q0.head.getAs[Long]("n_dups_excluded") >= 1L, "exclusion not counted")
   }
 
+  test("q137 contrastive pairs: every anchor's positive is its planted twin; negatives stay under eps") {
+    val rows = Ann.q137ContrastivePairs(spark, Sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    // exactly the anchors WITH a planted re-encode (vec_id % 5 == 0
+    // under 25) emit pairs — no positive, no training row
+    assert(byQ.keySet == Set(0L, 5L, 10L, 15L, 20L), byQ.keySet.toString)
+    byQ.foreach { case (q, rs) =>
+      // the positive is the planted twin, at near-1 cosine, constant
+      // across the anchor's rows
+      assert(rs.map(_.getAs[Long]("pos_id")).distinct.toSeq == Seq(q + 10000),
+        s"q $q pos")
+      assert(rs.head.getAs[Double]("pos_cosine") >= 0.99, s"q $q pos cos")
+      // full descending top-5 negatives strictly under the threshold
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to 5), s"q $q ranks")
+      val cos = ordered.map(_.getAs[Double]("neg_cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"q $q order")
+      assert(cos.forall(_ < 0.99), s"q $q leaked a near-dup negative")
+      assert(!rs.exists(r => r.getAs[Long]("neg_id") == q ||
+        r.getAs[Long]("neg_id") == q + 10000), s"q $q self/positive as negative")
+    }
+  }
+
+  test("q138 band calibration: recall 1.0 at the full-band threshold, counts monotone in threshold") {
+    val cal = graft.operators.Dedup.q138BandCalibration(spark, Sf).collect()
+    assert(cal.map(_.getAs[Int]("threshold")).toSeq == (1 to 8), cal.mkString)
+    // truth = the re-ingested exact copies (the corpus is otherwise
+    // duplicate-free), one pair per planted doc
+    val planted = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(cal.forall(_.getAs[Long]("n_truth") == planted), cal.mkString)
+    // flagged and tp shrink as the threshold tightens; recall is exactly
+    // 1.0 at 8 shared bands (an exact copy shares every band)
+    val flagged = cal.map(_.getAs[Long]("n_flagged"))
+    val tp = cal.map(_.getAs[Long]("n_tp"))
+    assert(flagged.zip(flagged.tail).forall { case (a, b) => a >= b })
+    assert(tp.zip(tp.tail).forall { case (a, b) => a >= b })
+    assert(cal.last.getAs[Double]("recall_r") == 1.0, cal.last.toString)
+    assert(cal.last.getAs[Long]("n_tp") == planted)
+    // the calibration story: precision at the full-band threshold beats
+    // the chance-collision floor at threshold 1
+    assert(cal.last.getAs[Double]("precision_r") >=
+      cal.head.getAs[Double]("precision_r"), cal.mkString)
+  }
+
   test("mineHardNegatives: the index-backed twin keeps q130's contract over both standing families") {
     import org.apache.spark.sql.functions._
     // round 12 (VERDICT r11 #4): same threshold-split + rank seam as

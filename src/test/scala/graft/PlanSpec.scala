@@ -445,4 +445,23 @@ class PlanSpec extends SparkSpec {
       p.take(800))
     assert(p.contains("WindowGroupLimit"), "rank filter must group-limit")
   }
+
+  test("q137 contrastive pairs: anchors broadcast, one scored pass, rank filters group-limit") {
+    val p = planString(Ann.q137ContrastivePairs(spark, Sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+    assert(p.contains("WindowGroupLimit"), "rank filters must group-limit")
+    // the positive table joins back as a broadcast (anchor-sized)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(500))
+  }
+
+  test("q139 length buckets: row-local CASE ladder — no join beyond the 1-row baseline broadcast") {
+    val p = planString(Sampling.q139LengthBuckets(spark, Sf))
+    // the global baseline is a single-row aggregate riding a BNLJ (the
+    // q75 discipline); nothing else may join, and nothing may sort-merge
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
 }

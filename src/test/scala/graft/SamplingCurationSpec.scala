@@ -196,6 +196,41 @@ class SamplingCurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("docs")).sum == 32L)
   }
 
+  test("q139 length buckets: rows equal a local replay and bucketing beats the one-bucket baseline") {
+    val rows = Sampling.q139LengthBuckets(spark, Sf).collect()
+    // local replay of the whole report: per-doc token counts → caps →
+    // exact per-bucket aggregates and padding arithmetic
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val toks = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split(" ", -1).length.toLong)
+    def capOf(n: Long) = caps.find(n <= _).getOrElse(8192L)
+    val gBatches = (toks.length + 15) / 16
+    val gPad = math.floor((1.0 - toks.sum.toDouble /
+      (gBatches.toLong * 16 * toks.max).toDouble) * 1e6 + 0.5) / 1e6
+    val expected = toks.groupBy(capOf).map { case (cap, ts) =>
+      val batches = (ts.length + 15) / 16
+      cap -> (ts.length.toLong, ts.sum, batches.toLong,
+        math.floor((1.0 - ts.sum.toDouble /
+          (batches.toLong * 16 * cap).toDouble) * 1e6 + 0.5) / 1e6)
+    }
+    assert(rows.map(_.getAs[Long]("cap")).toSet == expected.keySet)
+    rows.foreach { r =>
+      val (d, t, b, p) = expected(r.getAs[Long]("cap"))
+      assert(r.getAs[Long]("n_docs") == d && r.getAs[Long]("n_tokens") == t &&
+        r.getAs[Long]("n_batches") == b && r.getAs[Double]("pad_frac_r") == p,
+        r.toString)
+      assert(r.getAs[Double]("unbucketed_pad_frac_r") == gPad, r.toString)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == toks.length)
+    // the report's reason to exist: token-weighted bucketed padding is
+    // below the pad-everything-to-global-max baseline
+    val totalPadded = rows.map(r =>
+      r.getAs[Long]("n_batches") * 16 * r.getAs[Long]("cap")).sum
+    val bucketedFrac = 1.0 - toks.sum.toDouble / totalPadded
+    assert(bucketedFrac < gPad, s"bucketed $bucketedFrac vs global $gPad")
+  }
+
   test("q128 epoch order: every epoch is a full permutation and epochs genuinely reshuffle") {
     val rows = Sampling.q128EpochOrder(spark, Sf, epochs = 3, numShards = 8).collect()
     val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
