@@ -225,6 +225,15 @@ object Bench {
     // per-query but don't move the total
     val total = results.filter(_._1.startsWith("q")).map(_._2).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"dropped":$drops,"sf":"$sfDir"}""")
+    // Field ORDER is load-bearing (round 12): the collecting harness
+    // stores only a bounded TAIL of the process log (~2000 chars), and at
+    // 139 queries the line overflows it — BENCH_r11's artifact lost its
+    // FRONT (the total and the q01–q09 entries), which a reviewer then
+    // had to estimate. The keys that must survive a front-truncation —
+    // the isolated canonical baselines, the drop records, and the
+    // headline total — therefore come LAST; what gets cut is the head of
+    // the per-query map, whose early entries are the small stable ones.
+    // The line still leads with {"metric" for line-grep consumers.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"isolated":$iso,"dropped":$drops,"value":${fmt(total)}}""")
   }
 }

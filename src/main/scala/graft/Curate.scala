@@ -323,14 +323,26 @@ object Curate {
     * for it (and a cycle arriving mid-handoff waits in turn).
     * `lockDir` must be the admission outDir those cycles pass.
     *
+    * `lockWaitMs` bounds how long the handoff queues behind a live
+    * cycle before failing loudly — the default is an HOUR, not the
+    * 10-minute withLock default (review r12): the serialization's whole
+    * point is that both sides can legitimately hold the lock for long
+    * stretches (a large batch's screens + landing on one side, a kmeans
+    * PQ refresh that grows with √N-many Lloyd cells on the other), and
+    * a handoff that crashes after the entire curation pipeline already
+    * ran is the expensive way to lose the race. Admission cycles
+    * queueing behind a LONG handoff raise their own `lockWaitMs`
+    * ([[Admit.admitBatch]]'s knob) to match.
+    *
     * `corpus` is (doc_id, text, …); `vecs` is (vec_id, emb, …) aligned
     * with doc_id. Returns the indexed doc count.
     */
   def refreshStandingIndexes(spark: SparkSession, corpus: DataFrame,
                              vecs: DataFrame, indexPrefix: String,
-                             lockDir: String): Long =
+                             lockDir: String,
+                             lockWaitMs: Long = 60 * 60 * 1000L): Long =
     Locks.withLock(spark, s"$lockDir/.admit-running",
-      Admit.DefaultStaleAfterMs) {
+      Admit.DefaultStaleAfterMs, maxWaitMs = lockWaitMs) {
       val kept = corpus.select("doc_id", "text")
       graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
       if (!vecs.isEmpty)
@@ -361,18 +373,26 @@ object Curate {
     val width = Tuning.shufflePartitionsFor(
       spark, dataDir, Seq("documents", "embeddings"))
     println(s"curate: shuffle width $width (input-proportional)")
+    // the two classifier knobs are API-exclusive (the require in run):
+    // a precision flag ALONE enables the gate, so passing both CLI flags
+    // resolves to the precision path instead of crashing after the
+    // whole pipeline spun up (review r12 — the r11 CLI forwarded 0.5 +
+    // the precision and the new require would reject a documented combo)
+    val targetPrecision = flags
+      .find(_.startsWith("--classifier-precision="))
+      .map(_.stripPrefix("--classifier-precision=").toDouble)
+      .getOrElse(-1.0)
     val s = Tuning.withShuffleWidth(spark, width) {
       run(spark, dataDir, outDir,
         substringCut = flags.contains("--cut"),
         semanticDedup = flags.contains("--semantic"),
         trainManifest = flags.contains("--manifest"),
-        classifierFloor = if (flags.contains("--classifier")) 0.5 else -1.0,
+        classifierFloor =
+          if (flags.contains("--classifier") && targetPrecision < 0) 0.5
+          else -1.0,
         bpeMerges = flags.find(_.startsWith("--bpe="))
           .map(_.stripPrefix("--bpe=").toInt).getOrElse(0),
-        classifierTargetPrecision = flags
-          .find(_.startsWith("--classifier-precision="))
-          .map(_.stripPrefix("--classifier-precision=").toDouble)
-          .getOrElse(-1.0),
+        classifierTargetPrecision = targetPrecision,
         refreshIndexes = flags.contains("--indexes"))
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +

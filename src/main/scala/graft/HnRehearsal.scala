@@ -59,7 +59,6 @@ object HnRehearsal {
       }.min
     }
 
-    graft.sources.Ingest.clearStaleLocation(spark, table)
     val t0 = System.nanoTime()
     Ann.refreshPqIndex(corpus.select("vec_id", "emb", "label"), table,
       quantizer = "kmeans")

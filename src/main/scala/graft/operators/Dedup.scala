@@ -1060,10 +1060,17 @@ object Dedup {
     * Truth is the exact-duplicate pair set, emitted through the SAME
     * [[guardedPairs]] hot-bucket guard as the candidate side (a viral
     * exact cluster stars to its canonical on BOTH sides, so pair-grain
-    * grading stays consistent and no path is O(k²)). Scale shape: one
-    * q21 band pass + one hash-key pair pass; everything after is
-    * bounded by the pair counts crossed with an 8-row literal frame
-    * (the q131 pattern).
+    * grading stays consistent and no path is O(k²)). One caveat the
+    * number carries at scale: the two guards key on DIFFERENT buckets
+    * (band hash vs content hash), so a band bucket blown past the guard
+    * by CHANCE colliders stars to the band bucket's minimum — a true
+    * pair caught in it can lose that band and top-threshold recall dips
+    * below 1.0 even though the exact cluster itself is small. That is a
+    * property of the guarded candidate generator being graded, not a
+    * grading error — the report showing it is the report working.
+    * Scale shape: one q21 band pass + one hash-key pair pass;
+    * everything after is bounded by the pair counts crossed with an
+    * 8-row literal frame (the q131 pattern).
     */
   def q138BandCalibration(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

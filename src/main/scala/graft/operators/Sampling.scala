@@ -974,8 +974,17 @@ object Sampling {
 
   def curriculumStages(d: DataFrame, stages: Int): DataFrame = {
     val g = d.groupBy("lang", "qdiff").agg(count(lit(1)).as("_docs"))
-    d.join(broadcast(stageBoundaries(g, stages)
-      .select("lang", "qdiff", "stage")), Seq("lang", "qdiff"))
+    // NULL-SAFE join back (review r12): groupBy builds a histogram row
+    // for a null qdiff (an unscored document) and the boundaries assign
+    // it a stage (nulls order first — the easiest slot, deterministic),
+    // so a plain equi-join would silently DROP exactly those rows
+    // (null != null) and break the every-row-comes-back contract
+    val b = stageBoundaries(g, stages)
+      .select(col("lang").as("_b_lang"), col("qdiff").as("_b_qdiff"),
+        col("stage"))
+    d.join(broadcast(b),
+        col("lang") <=> col("_b_lang") && col("qdiff") <=> col("_b_qdiff"))
+      .drop("_b_lang", "_b_qdiff")
   }
 
   /** The staged histogram the REGISTERED queries roll up from: token
@@ -1196,11 +1205,15 @@ object Sampling {
     * exists to eliminate. q134 sweeps the packing budget for
     * concat-and-pack training; this is the pad-don't-pack serving twin.
     *
-    * Scale shape: pure scan arithmetic — the cap is a row-local CASE
-    * ladder (a quantile bucketing here would be the banned global sort;
-    * powers of two are the fixed-boundary discipline q132 uses for its
-    * bins), one groupBy over ≤ 10 buckets, the global baseline one
-    * 3-value aggregate broadcast back.
+    * Scale shape: ONE corpus scan — the cap is a row-local CASE ladder
+    * (a quantile bucketing here would be the banned global sort; powers
+    * of two are the fixed-boundary discipline q132 uses for its bins)
+    * into one ≤ 10-bucket groupBy that also carries each bucket's max
+    * length, and the global baseline derives from THAT frame by an
+    * unpartitioned window — bounded by the bucket count (the q100
+    * exception), so the corpus is never re-read for the baseline
+    * (review r12: the first cut paid a second full scan for a 3-value
+    * aggregate).
     */
   def q139LengthBuckets(s: SparkSession, dir: String,
       batchSize: Int = 16): DataFrame = {
@@ -1210,22 +1223,24 @@ object Sampling {
     val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
     val cap = caps.foldRight(lit(8192L): Column)((c, acc) =>
       when(col("n_tok") <= c, lit(c)).otherwise(acc))
-    val g = d.agg(count(lit(1)).as("g_docs"), sum("n_tok").as("g_tok"),
-        max("n_tok").as("g_max"))
-      .select(Num.roundD(lit(1.0) -
-        col("g_tok").cast("double") /
-          (expr(s"cast((g_docs + ${batchSize - 1}) div $batchSize as bigint)") *
-            batchSize * col("g_max")).cast("double"), 6)
-        .as("unbucketed_pad_frac_r"))
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     d.withColumn("cap", cap)
       .groupBy("cap")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        max("n_tok").as("_cap_max"))
       .withColumn("n_batches",
         expr(s"cast((n_docs + ${batchSize - 1}) div $batchSize as bigint)"))
       .withColumn("pad_frac_r", Num.roundD(lit(1.0) -
         col("n_tokens").cast("double") /
           (col("n_batches") * batchSize * col("cap")).cast("double"), 6))
-      .crossJoin(broadcast(g))
+      .withColumn("_g_docs", sum("n_docs").over(all))
+      .withColumn("_g_tok", sum("n_tokens").over(all))
+      .withColumn("_g_max", max("_cap_max").over(all))
+      .withColumn("unbucketed_pad_frac_r", Num.roundD(lit(1.0) -
+        col("_g_tok").cast("double") /
+          (expr(s"cast((_g_docs + ${batchSize - 1}) div $batchSize as bigint)") *
+            batchSize * col("_g_max")).cast("double"), 6))
       .select("cap", "n_docs", "n_tokens", "n_batches", "pad_frac_r",
         "unbucketed_pad_frac_r")
       .orderBy("cap")

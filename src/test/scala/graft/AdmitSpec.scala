@@ -483,14 +483,8 @@ class AdmitSpec extends SparkSpec {
     import spark.implicits._
     val band = "curated_race_band"
     val pq = "curated_race_pq"
-    dropIndexTables(band, pq)
-    for (side <- Seq("codebook", "meta")) {
-      spark.sql(s"DROP TABLE IF EXISTS ${pq}_$side")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/${pq}_$side")
-      val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (lfs.exists(loc)) lfs.delete(loc, true)
-    }
+    dropWarehouseTables(band, pq, s"${pq}_centroids", s"${pq}_codebook",
+      s"${pq}_meta")
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))

@@ -679,13 +679,7 @@ class DedupAnnSpec extends SparkSpec {
     Ann.refreshPqIndex(corpus.select("vec_id", "emb", "label"), pqT,
       quantizer = "kmeans")
     val semT = "hn_sem_test"
-    for (t <- Seq(semT, s"${semT}_centroids", s"${semT}_members")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    dropWarehouseTables(semT, s"${semT}_centroids", s"${semT}_members")
     Ann.refreshSemanticIndex(corpus.withColumn("label", lit("x")), semT,
       numBuckets = 8)
 

@@ -456,12 +456,12 @@ class PlanSpec extends SparkSpec {
       p.take(500))
   }
 
-  test("q139 length buckets: row-local CASE ladder — no join beyond the 1-row baseline broadcast") {
+  test("q139 length buckets: one corpus scan, no join — the baseline derives from the bucket frame") {
     val p = planString(Sampling.q139LengthBuckets(spark, Sf))
-    // the global baseline is a single-row aggregate riding a BNLJ (the
-    // q75 discipline); nothing else may join, and nothing may sort-merge
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p.take(500))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      p.take(800))
+    // row-local CASE ladder into one bucket groupBy; the global baseline
+    // is a window over the ≤10-row bucket frame, never a second scan or
+    // a join (review r12 — the first cut re-scanned for a 3-value agg)
+    assert(!p.contains("Join"), p.take(500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "corpus scanned more than once")
   }
 }

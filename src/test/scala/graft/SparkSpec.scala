@@ -13,6 +13,20 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   def planString(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Drop managed tables AND their warehouse directories — the one
+    * cleanup every standing-index spec needs (a dead run's directory
+    * with no catalog entry fails the next overwrite; see
+    * Ingest.clearStaleLocation). Hoisted in round 12: three specs had
+    * grown hand-rolled copies of the same loop.
+    */
+  def dropWarehouseTables(names: String*): Unit = names.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Operators persist internal frames (banded signatures, posting
     * lists, daily grains) that only die with the session — the same
     * contract the harness mains honor by clearing caches between
