@@ -49,7 +49,8 @@ object Curate {
           bpeMerges: Int = 0,
           classifierTargetPrecision: Double = -1.0,
           refreshIndexes: Boolean = false,
-          indexPrefix: String = "curated"): Summary = {
+          indexPrefix: String = "curated",
+          admitLockDir: String = ""): Summary = {
     // the two classifier-gate knobs are alternatives, not a composition:
     // with both set the target-precision path used to silently win and
     // the explicit floor was discarded (ADVICE r11) — fail loudly so a
@@ -292,9 +293,13 @@ object Curate {
       // cycle probes and appends, and refreshPqIndex's
       // clearStaleLocation may recursively DELETE a table directory a
       // concurrent session is serving — both are only safe under the
-      // same `.admit-running` claim the admission cycles queue on. A
-      // handoff racing a cycle now WAITS for it (and vice versa)
-      // instead of overwriting its standing state mid-probe.
+      // same `.admit-running` claim the admission cycles queue on.
+      // `admitLockDir` names the directory those cycles pass as THEIR
+      // outDir (admission lands batch_id= partitions, so it cannot
+      // share the curate outDir itself); empty = this outDir, for
+      // compositions that haven't chosen a landing dir yet. A handoff
+      // racing a cycle WAITS for it (and vice versa) instead of
+      // overwriting its standing state mid-probe.
       val indexedDocs =
         if (!refreshIndexes) -1L
         else {
@@ -303,7 +308,8 @@ object Curate {
             .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
             .join(kept.select(col("doc_id").as("vec_id")), "vec_id")
             .select("vec_id", "emb", "label")
-          refreshStandingIndexes(spark, kept, keptVecs, indexPrefix, outDir)
+          refreshStandingIndexes(spark, kept, keptVecs, indexPrefix,
+            if (admitLockDir.nonEmpty) admitLockDir else outDir)
         }
 
       Summary(input, afterQuality, afterDedup, afterDecontam, out.count(),
@@ -352,7 +358,9 @@ object Curate {
 
   /** CLI: `runMain graft.Curate <dataDir> <outDir> [--cut] [--semantic]
     * [--manifest] [--classifier] [--classifier-precision=P] [--bpe=k]
-    * [--indexes]` */
+    * [--indexes] [--admit-dir=D]` — `--admit-dir` names the day-2
+    * admission landing dir so the `--indexes` handoff serializes on
+    * ITS lock (the dir `Admit.admitBatch` cycles pass as outDir). */
   def main(args: Array[String]): Unit = {
     val (flags, pos) = args.partition(_.startsWith("--"))
     val Array(dataDir, outDir) = pos
@@ -393,7 +401,9 @@ object Curate {
         bpeMerges = flags.find(_.startsWith("--bpe="))
           .map(_.stripPrefix("--bpe=").toInt).getOrElse(0),
         classifierTargetPrecision = targetPrecision,
-        refreshIndexes = flags.contains("--indexes"))
+        refreshIndexes = flags.contains("--indexes"),
+        admitLockDir = flags.find(_.startsWith("--admit-dir="))
+          .map(_.stripPrefix("--admit-dir=")).getOrElse(""))
     }
     println(s"curate: input=${s.input} quality=${s.afterQuality} " +
       s"classifier=${s.afterClassifier} " +

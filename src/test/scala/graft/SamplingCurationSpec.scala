@@ -196,6 +196,46 @@ class SamplingCurationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("docs")).sum == 32L)
   }
 
+  test("curriculumStages properties: every row returns (nulls included), stages in range and monotone in qdiff") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val langs = Seq("aa", "bb", "cc")
+      val rows = (1 to 400).map { i =>
+        val lang = langs(rng.nextInt(langs.size))
+        // quantized difficulties from a SMALL value domain (forces tie
+        // blocks) plus ~5% nulls (unscored docs — the r12 contract fix:
+        // a null-unsafe join silently dropped exactly these)
+        val qdiff: java.lang.Double =
+          if (rng.nextInt(20) == 0) null
+          else rng.nextInt(12) / 10.0
+        (i.toLong, lang, qdiff)
+      }
+      val d = rows.toDF("doc_id", "lang", "qdiff")
+      val staged = Sampling.curriculumStages(d, stages = 5).collect()
+      // contract: every input row comes back exactly once, with a stage
+      assert(staged.length == rows.length, s"trial $trial row count")
+      assert(staged.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+      assert(staged.forall(r => {
+        val s = r.getAs[Int]("stage"); s >= 1 && s <= 5
+      }), s"trial $trial stage range")
+      // within a language, stage is monotone in qdiff and constant per
+      // tie block (nulls order first = easiest slot)
+      staged.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+        val byVal = rs.groupBy(r => Option(r.getAs[java.lang.Double]("qdiff"))
+          .map(_.doubleValue()))
+        byVal.foreach { case (v, block) =>
+          assert(block.map(_.getAs[Int]("stage")).distinct.length == 1,
+            s"trial $trial $lang tie block $v split across stages")
+        }
+        val ordered = byVal.toSeq.sortBy(_._1.getOrElse(Double.NegativeInfinity))
+          .map(_._2.head.getAs[Int]("stage"))
+        assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+          s"trial $trial $lang stages not monotone in qdiff")
+      }
+    }
+  }
+
   test("q139 length buckets: rows equal a local replay and bucketing beats the one-bucket baseline") {
     val rows = Sampling.q139LengthBuckets(spark, Sf).collect()
     // local replay of the whole report: per-doc token counts → caps →
