@@ -174,6 +174,44 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(zdir).count().toInt == n)
   }
 
+  test("snapshot manifests: read-as-of pins the file set across appends; a rewrite invalidates loudly") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = Files.createTempDirectory("snap").toString
+    // an append-only landing in the admission shape: batch_id= partitions
+    Seq((1L, "first"), (2L, "second")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch_id=1")
+    assert(Snapshots.publish(spark, dir, 1) > 0)
+    Seq((3L, "third")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/batch_id=2")
+    Snapshots.publish(spark, dir, 2)
+
+    // time travel: v1 sees ONLY batch 1 even though batch 2 landed,
+    // v2 sees both, and partition columns survive the pinned read
+    val v1 = Snapshots.readAsOf(spark, dir, 1)
+    assert(v1.count() == 2 &&
+      v1.select("batch_id").distinct().collect().map(_.getInt(0)).toSet == Set(1))
+    assert(Snapshots.readAsOf(spark, dir, 2).count() == 3)
+    assert(spark.read.parquet(dir).count() == 3, "live read sees everything")
+    val vs = Snapshots.versions(spark, dir).collect()
+      .map(r => r.getAs[Int]("version") -> r.getAs[Long]("n_files")).toMap
+    assert(vs.keySet == Set(1, 2) && vs(2) > vs(1), vs.toString)
+
+    // history rewrite (a replayed batch overwrites its partition): the
+    // invalidated snapshot FAILS LOUDLY, never a silent partial corpus
+    Seq((1L, "first-replayed"), (2L, "second-replayed"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=1")
+    val broken = Snapshots.validate(spark, dir, 1)
+      .filter(col("status") =!= "ok").count()
+    assert(broken > 0, "the rewrite must be visible to validate")
+    val ex = intercept[IllegalStateException](Snapshots.readAsOf(spark, dir, 1))
+    assert(ex.getMessage.contains("history rewrite"), ex.getMessage)
+    // fresh publishes keep working after the rewrite
+    Snapshots.publish(spark, dir, 3)
+    assert(Snapshots.readAsOf(spark, dir, 3).count() == 3)
+  }
+
   test("writeZOrdered degrades to a plain write when either key is all-null (ADVICE r11)") {
     import spark.implicits._
     val d = Seq((1.0, None: Option[Double]), (2.0, None))
