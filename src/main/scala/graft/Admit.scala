@@ -292,7 +292,13 @@ object Admit {
                  benchmarkGrams: Option[DataFrame] = None,
                  bloomMBits: Int = 20,
                  staleAfterMs: Long = DefaultStaleAfterMs,
-                 lockWaitMs: Long = 10 * 60 * 1000L,
+                 // an HOUR, aligned with Curate.refreshStandingIndexes
+                 // (review r12, second pass): the other side of the same
+                 // serialization can legitimately hold the lock through a
+                 // long kmeans refresh, and a default-configured cycle
+                 // crashing after its caller prepared the batch is the
+                 // expensive way to lose the queue position
+                 lockWaitMs: Long = 60 * 60 * 1000L,
                  pqTable: Option[String] = None,
                  qualityFloor: Double = -1.0): Report =
     Locks.withLockClaim(spark, s"$outDir/.admit-running", staleAfterMs,

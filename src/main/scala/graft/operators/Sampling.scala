@@ -965,9 +965,16 @@ object Sampling {
   private def stageBoundaries(g: DataFrame, stages: Int): DataFrame = {
     val before = Window.partitionBy("lang").orderBy("qdiff")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // the totals join is NULL-SAFE too (review r12, second pass): a null
+    // lang — an un-identified document stream — groups into its own
+    // histogram AND totals row, but a usingColumn join evaluates
+    // null = null as null and would drop the whole language, making the
+    // downstream null-safe join dead code for exactly those rows
     val tot = g.groupBy("lang").agg(sum("_docs").as("_lang_docs"))
+      .select(col("lang").as("_t_lang"), col("_lang_docs"))
     g.withColumn("_cum_before", coalesce(sum("_docs").over(before), lit(0L)))
-      .join(broadcast(tot), "lang")
+      .join(broadcast(tot), col("lang") <=> col("_t_lang"))
+      .drop("_t_lang")
       .withColumn("stage", least(lit(stages),
         expr(s"cast((_cum_before * $stages) div _lang_docs as int) + 1")))
   }

@@ -202,7 +202,11 @@ class SamplingCurationSpec extends SparkSpec {
     for (trial <- 1 to 3) {
       val langs = Seq("aa", "bb", "cc")
       val rows = (1 to 400).map { i =>
-        val lang = langs(rng.nextInt(langs.size))
+        // ~4% null langs (un-identified documents): the totals join in
+        // stageBoundaries must be null-safe too, or the whole null
+        // language silently vanishes (review r12, second pass)
+        val lang: String =
+          if (rng.nextInt(25) == 0) null else langs(rng.nextInt(langs.size))
         // quantized difficulties from a SMALL value domain (forces tie
         // blocks) plus ~5% nulls (unscored docs — the r12 contract fix:
         // a null-unsafe join silently dropped exactly these)

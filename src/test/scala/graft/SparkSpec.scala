@@ -21,10 +21,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   def dropWarehouseTables(names: String*): Unit = names.foreach { t =>
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // the production orphan-cleanup resolves the managed location via
+    // the catalog's own rule — one path-resolution rule, not a
+    // hand-glued test copy of it
+    graft.sources.Ingest.clearStaleLocation(spark, t)
   }
 
   /** Operators persist internal frames (banded signatures, posting
