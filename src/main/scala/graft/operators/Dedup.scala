@@ -1091,13 +1091,26 @@ object Dedup {
     val marked = flagged
       .join(truth.withColumn("tp", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .withColumn("tp", coalesce(col("tp"), lit(0L)))
-    marked.groupBy("threshold")
+    // LEFT-join the 8-row threshold frame to the aggregates (ADVICE
+    // r12, the q131 pattern): the report's grain is "per threshold
+    // 1..8" by contract, so a threshold that flags NOTHING must still
+    // appear (zero counts), and the rate divisions are guarded
+    // explicitly in BOTH engines — Spark nulls x/0 while DuckDB's
+    // IEEE doubles produce inf/nan, so an unguarded empty corpus
+    // (n_truth = 0) would hash-diverge, not just read oddly
+    val agg = marked.groupBy("threshold")
       .agg(count(lit(1)).as("n_flagged"), sum("tp").as("n_tp"))
-      .withColumn("n_truth", lit(nTruth))
+    th.join(agg, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        lit(nTruth).as("n_truth"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
       .select(col("threshold"), col("n_flagged"), col("n_truth"), col("n_tp"),
-        Num.roundD(col("n_tp").cast("double") / col("n_flagged").cast("double"), 6)
+        when(col("n_flagged") > 0, Num.roundD(
+          col("n_tp").cast("double") / col("n_flagged").cast("double"), 6))
           .as("precision_r"),
-        Num.roundD(col("n_tp").cast("double") / col("n_truth").cast("double"), 6)
+        when(col("n_truth") > 0, Num.roundD(
+          col("n_tp").cast("double") / col("n_truth").cast("double"), 6))
           .as("recall_r"))
       .orderBy("threshold")
   }
@@ -1131,13 +1144,20 @@ object Dedup {
        |g AS (
        |  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_flagged,
        |    CAST(SUM(tp) AS BIGINT) AS n_tp
-       |  FROM mk GROUP BY threshold)
+       |  FROM mk GROUP BY threshold),
+       |j AS (
+       |  SELECT th.threshold,
+       |    CAST(COALESCE(g.n_flagged, 0) AS BIGINT) AS n_flagged,
+       |    CAST(COALESCE(g.n_tp, 0) AS BIGINT) AS n_tp
+       |  FROM th LEFT JOIN g USING (threshold))
        |SELECT threshold, n_flagged, n_truth, n_tp,
-       |  ${graft.Num.sqlRoundD(
-            "CAST(n_tp AS DOUBLE) / CAST(n_flagged AS DOUBLE)", 6)} AS precision_r,
-       |  ${graft.Num.sqlRoundD(
-            "CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)", 6)} AS recall_r
-       |FROM g CROSS JOIN tc
+       |  CASE WHEN n_flagged > 0 THEN ${graft.Num.sqlRoundD(
+            "CAST(n_tp AS DOUBLE) / CAST(n_flagged AS DOUBLE)", 6)} END
+       |    AS precision_r,
+       |  CASE WHEN n_truth > 0 THEN ${graft.Num.sqlRoundD(
+            "CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)", 6)} END
+       |    AS recall_r
+       |FROM j CROSS JOIN tc
        |ORDER BY threshold""".stripMargin
 
   /** q62: entity resolution — blocked fuzzy matching over the customer

@@ -1049,12 +1049,23 @@ object Sampling {
         sum("_tok").as("stage_tokens"),
         min("qdiff").as("min_diff_r"),
         max("qdiff").as("max_diff_r"))
+    // NULL-SAFE totals join (ADVICE r12): a null-lang histogram gets its
+    // own perStage AND langTot rows, but a usingColumn join evaluates
+    // null = null as null and would silently drop that language's
+    // stages — undoing stageBoundaries' null-safe handling one frame
+    // later. (Null QDIFF remains outside the REGISTERED q127/q136
+    // contract: both derive qdiff from non-null arithmetic — q127's
+    // n_tok ≥ 1 by split(), q136 drops unscorable docs — and their SQL
+    // twins' equi-joins would diverge on it; the doc-grain
+    // curriculumStages API is the fully null-safe surface.)
     val langTot = perStage.groupBy("lang")
       .agg(sum("stage_tokens").as("lang_tokens"))
+      .select(col("lang").as("_lt_lang"), col("lang_tokens"))
     val cumW = Window.partitionBy("lang").orderBy("stage")
     perStage
       .withColumn("cum_tokens", sum("stage_tokens").over(cumW))
-      .join(broadcast(langTot), "lang")
+      .join(broadcast(langTot), col("lang") <=> col("_lt_lang"))
+      .drop("_lt_lang")
       .withColumn("cum_frac_r", Num.roundD(
         col("cum_tokens").cast("double") / col("lang_tokens").cast("double"), 6))
       .select("lang", "stage", "docs", "stage_tokens", "min_diff_r",
