@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   *      lowest-id/earliest representative. Without this, two copies of
   *      one NOVEL document arriving in the same batch both pass the
   *      standing probes and are both admitted (ADVICE r8);
+  *   0.4 exact-hash screen (round 13 — VERDICT r12 #1, when the band
+  *      index's `_hashes` companion exists, which every refresh since
+  *      r13 lands): survivors' normalized content hashes probe the
+  *      STANDING hash set ([[operators.Dedup.probeHashIndex]]), so a
+  *      verbatim re-submission rejects regardless of shingle geometry —
+  *      the band screen's one measured floor was a shipped sub-3-word
+  *      document whose re-submission had no shingles, no bands, and
+  *      sailed through (ComposeRehearsal r12: 199/200). Exact copies
+  *      are the most common duplicate class; they cost one bucketed
+  *      hash join here, never a band miss;
   *   0.5 decontamination screen (optional, `benchmarkGrams`): survivors
   *      sharing any word 8-gram with the standing benchmark set are
   *      rejected — admission-time eval hygiene, so contaminated
@@ -82,7 +92,14 @@ object Admit {
                     contaminatedRejected: Long, nearDupRejected: Long,
                     semanticRejected: Long, admitted: Long,
                     qualityRejected: Long = 0L,
-                    lockHealthy: Boolean = true)
+                    lockHealthy: Boolean = true,
+                    // round 13: the exact-hash screen's rejections
+                    // (screen 0.4), and the cycle's lock QUEUE time —
+                    // 0 when uncontended; a cycle that queued 50
+                    // minutes behind a long handoff is an operational
+                    // fact the artifact must carry (VERDICT r12 #5)
+                    exactRejected: Long = 0L,
+                    lockWaitMs: Long = 0L)
 
   /** The rebuild source for crash [[recover]]y: the seed corpus the
     * indexes were first refreshed from (vectors for LANDED docs come
@@ -248,16 +265,28 @@ object Admit {
       // histories persisted before the quality screen existed carry no
       // column — read them as zero rejections, not a schema error
       else raw.withColumn("quality_rejected", lit(0L))
-    val hist =
+    val hist1 =
       if (hist0.columns.contains("lock_healthy")) hist0
       // pre-r12 histories predate the lease-health bit: those cycles
       // completed under assertHeld fencing, so "healthy" is the honest
       // backfill (an UNhealthy cycle only exists once the bit does)
       else hist0.withColumn("lock_healthy", lit(true))
+    val hist2 =
+      // pre-r13 histories predate the exact-hash screen (no hash
+      // companion existed, so zero is the literal truth) …
+      if (hist1.columns.contains("exact_rejected")) hist1
+      else hist1.withColumn("exact_rejected", lit(0L))
+    val hist =
+      // … and predate queue-time reporting: 0 (uncontended) is the only
+      // honest backfill a one-row-per-batch history can carry
+      if (hist2.columns.contains("lock_wait_ms")) hist2
+      else hist2.withColumn("lock_wait_ms", lit(0L))
     hist
       .withColumn("quality_rejected",
         coalesce(col("quality_rejected"), lit(0L)))
+      .withColumn("exact_rejected", coalesce(col("exact_rejected"), lit(0L)))
       .withColumn("lock_healthy", coalesce(col("lock_healthy"), lit(true)))
+      .withColumn("lock_wait_ms", coalesce(col("lock_wait_ms"), lit(0L)))
       .withColumn("admit_rate", when(col("input") > 0,
         round(col("admitted").cast("double") / col("input"), 4)))
       .withColumn("cum_input", sum("input").over(w))
@@ -265,9 +294,9 @@ object Admit {
       .withColumn("cum_admit_rate", when(col("cum_input") > 0,
         round(col("cum_admitted").cast("double") / col("cum_input"), 4)))
       .select("batch_id", "input", "quality_rejected", "intra_rejected",
-        "contaminated_rejected", "near_dup_rejected", "semantic_rejected",
-        "admitted", "admit_rate", "cum_input", "cum_admitted",
-        "cum_admit_rate", "lock_healthy")
+        "exact_rejected", "contaminated_rejected", "near_dup_rejected",
+        "semantic_rejected", "admitted", "admit_rate", "cum_input",
+        "cum_admitted", "cum_admit_rate", "lock_healthy", "lock_wait_ms")
       .orderBy("batch_id")
   }
 
@@ -421,6 +450,28 @@ object Admit {
       val nIntraUnique = intraUnique.count()
       val nIntra = input - nQuality - nIntraUnique
 
+      // 0.4 exact-hash screen against the STANDING hash set (the band
+      // index's `_hashes` companion — every refreshIndex since r13
+      // lands it; a pre-r13 band table has none and the screen is off,
+      // reported as zero, never a partial answer). One bucketed hash
+      // join, batch-sized on the probe side: a verbatim re-submission
+      // rejects HERE regardless of shingle geometry — the band
+      // screen's sub-3-word floor closed for a hash join's price.
+      // Pinned like every screen that reads a table this cycle's
+      // appends mutate (the hash companion grows in step 3).
+      val (postExact, nExact) =
+        if (!spark.catalog.tableExists(Dedup.hashTableOf(bandTable)))
+          (intraUnique, 0L)
+        else {
+          val exactHits = Dedup.probeHashIndex(spark, bandTable, intraUnique)
+            .filter(col("is_exact_dup") === 1)
+            .select(col("batch_doc_id").as("doc_id"))
+          val p = intraUnique.join(exactHits, Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+          (p, nIntraUnique - p.count())
+        }
+      try {
+
       // 0.5 admission-time decontamination (optional): intra-survivors
       // sharing any word 8-gram with the standing benchmark set are
       // rejected before they reach the index probes — q99's kernels:
@@ -434,16 +485,16 @@ object Admit {
       // build — O(benchmark) — is at worst a cached-scan per cycle).
       val (preNear, nContam) = benchmarkGrams match {
         case Some(bg) =>
-          val grams = operators.Curation.gramHashes(intraUnique)
+          val grams = operators.Curation.gramHashes(postExact)
           val contaminated = operators.Curation.bloomScreened(grams,
               operators.Curation.bloomBuild(bg, "md5", bloomMBits),
               "md5", bloomMBits)
             .filter(col("scr") === 1)
             .join(bg, Seq("gh")).select("doc_id").distinct()
-          val p = intraUnique.join(contaminated, Seq("doc_id"), "left_anti")
+          val p = postExact.join(contaminated, Seq("doc_id"), "left_anti")
             .localCheckpoint(true)
-          (p, nIntraUnique - p.count())
-        case None => (intraUnique, 0L)
+          (p, nIntraUnique - nExact - p.count())
+        case None => (postExact, 0L)
       }
       try {
 
@@ -455,7 +506,7 @@ object Admit {
         .localCheckpoint(true)
       try {
         val nAfterNear = afterNear.count()
-        val nNear = nIntraUnique - nContam - nAfterNear
+        val nNear = nIntraUnique - nExact - nContam - nAfterNear
 
         // 2. semantic screen for the survivors that have vectors — a doc
         // without an embedding passes (absence is not evidence; the
@@ -517,22 +568,24 @@ object Admit {
             .parquet(s"$outDir/batch_id=$batchId")
           val report =
             Report(batchId, input, nIntra, nContam, nNear, nSem, nAdmitted,
-              nQuality, lockHealthy)
+              nQuality, lockHealthy, nExact, claim.waitedMs)
           // the cycle's own accounting, landed beside the batch (replay
           // overwrites — same idempotence contract as the landing)
           import spark.implicits._
           Seq((report.input, report.qualityRejected, report.intraRejected,
-              report.contaminatedRejected, report.nearDupRejected,
-              report.semanticRejected, report.admitted, report.lockHealthy))
+              report.exactRejected, report.contaminatedRejected,
+              report.nearDupRejected, report.semanticRejected,
+              report.admitted, report.lockHealthy, report.lockWaitMs))
             .toDF("input", "quality_rejected", "intra_rejected",
-              "contaminated_rejected", "near_dup_rejected",
-              "semantic_rejected", "admitted", "lock_healthy")
+              "exact_rejected", "contaminated_rejected", "near_dup_rejected",
+              "semantic_rejected", "admitted", "lock_healthy", "lock_wait_ms")
             .write.mode("overwrite")
             .parquet(s"$outDir/_admit_reports/batch_id=$batchId")
           report
         } finally freePinned(admittedDocs)
       } finally freePinned(afterNear)
-      } finally { if (preNear ne intraUnique) freePinned(preNear) }
+      } finally { if (preNear ne postExact) freePinned(preNear) }
+      } finally { if (postExact ne intraUnique) freePinned(postExact) }
     } finally freePinned(intraUnique)
   }
 }

@@ -133,6 +133,7 @@ object ComposeRehearsal {
       s""""curate_s":${f"$tCurate%.1f"},""" +
       s""""admit1_s":${f"$tAdmit1%.1f"},"admit1_admitted":${r1.admitted},""" +
       s""""admit2_s":${f"$tAdmit2%.1f"},"admit2_admitted":${r2.admitted},""" +
+      s""""admit2_exact_rej":${r2.exactRejected},""" +
       s""""admit2_near_rej":${r2.nearDupRejected},""" +
       s""""admit2_sem_rej":${r2.semanticRejected},""" +
       s""""admit2_intra_rej":${r2.intraRejected},""" +

@@ -80,6 +80,18 @@ object Locks {
     */
   final class Claim private[Locks] (val fs: FileSystem, val lock: Path,
                                     val token: String, staleAfterMs: Long) {
+    // queue time before this claim was won (round 13 — VERDICT r12 #5):
+    // 0 when the first attempt succeeded (uncontended, by construction
+    // — not a sub-millisecond elapsed reading), set by [[awaitClaim]]
+    // when the claim was won on a retry. Consumers persist it
+    // ([[Admit]]'s report) so a cycle that queued 50 minutes behind a
+    // long handoff is distinguishable from one that ran immediately.
+    @volatile private[Locks] var waitedMsValue: Long = 0L
+
+    /** Milliseconds this claim queued behind a live holder before
+      * winning; 0 for an uncontended first-attempt claim.
+      */
+    def waitedMs: Long = waitedMsValue
     private def tokenOnDiskIsMine: Boolean =
       try {
         val in = fs.open(lock)
@@ -213,15 +225,22 @@ object Locks {
   def awaitClaim(spark: SparkSession, lockPath: String,
                  staleAfterMs: Long, retryMs: Long = 200,
                  maxWaitMs: Long = 10 * 60 * 1000L): Claim = {
-    val deadline = System.currentTimeMillis() + maxWaitMs
+    val start = System.currentTimeMillis()
+    val deadline = start + maxWaitMs
     var claim = tryClaim(spark, lockPath, staleAfterMs)
+    var retried = false
     while (claim.isEmpty && System.currentTimeMillis() < deadline) {
+      retried = true
       Thread.sleep(retryMs)
       claim = tryClaim(spark, lockPath, staleAfterMs)
     }
-    claim.getOrElse(throw new IllegalStateException(
+    val c = claim.getOrElse(throw new IllegalStateException(
       s"could not claim $lockPath within ${maxWaitMs / 1000} s — a live " +
         s"holder is running (stale after ${staleAfterMs / 1000} s; delete to force)"))
+    // only a RETRIED claim records queue time: a first-attempt win is
+    // uncontended by construction and reports exactly 0
+    if (retried) c.waitedMsValue = System.currentTimeMillis() - start
+    c
   }
 
   /** Run `body` under an awaited claim, releasing on every exit path. */

@@ -437,11 +437,33 @@ object Dedup {
     * §4 co-location contract applied to the near-dup family.
     */
   def refreshIndex(docs: DataFrame, table: String, hashMode: String = "md5",
-                   maxBucket: Int = MaxBucket, numBuckets: Int = 32): Unit =
+                   maxBucket: Int = MaxBucket, numBuckets: Int = 32): Unit = {
     graft.sources.Ingest.writeBucketed(
       guardedIndex(minhashBands(docs, hashMode), maxBucket),
       table, "band_idx", numBuckets, sortCol = None,
       moreBucketCols = Seq("band_hash"))
+    // the content-hash companion (round 13 — VERDICT r12 #1): the band
+    // screen has a geometric floor — a document too short to shingle
+    // (< 3 words) has no bands, so an EXACT re-submission of it sails
+    // past the band probe. Exact copies are the most common duplicate
+    // class; their membership test must not depend on shingle geometry,
+    // so every refresh also lands the q20-kernel hash set, bucketed on
+    // the hash for exchange-free probes. 32 B/doc: at 10⁹ docs this is
+    // ~50 GB beside a multi-TB band table — the cheapest standing state
+    // in the family.
+    graft.sources.Ingest.writeBucketed(contentHashes(docs),
+      hashTableOf(table), "h", numBuckets)
+  }
+
+  /** The [[refreshIndex]] content-hash companion's table name. */
+  def hashTableOf(table: String): String = s"${table}_hashes"
+
+  /** One (doc_id, h) row per document — h is the q20 exact-dedup kernel
+    * (md5 over case/whitespace-normalized text), the key of the standing
+    * hash set.
+    */
+  private def contentHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
 
   /** Incremental index maintenance: append an ADMITTED batch's bands to
     * the standing [[refreshIndex]] table without re-shingling the corpus
@@ -466,6 +488,17 @@ object Dedup {
     // table an outer-session frame appended to would otherwise keep
     // serving its stale pre-append listing)
     s.catalog.refreshTable(table)
+    // keep the content-hash companion in lockstep when it exists; a
+    // pre-r13 band table HAS no companion and must not get a partial
+    // one here (a hash set seeded from one batch would answer "not a
+    // member" for the whole standing corpus — worse than absent, and
+    // [[graft.Admit]] treats absence as screen-off), so the companion
+    // is only ever born corpus-complete, by a refresh
+    if (s.catalog.tableExists(hashTableOf(table))) {
+      graft.sources.Ingest.appendBucketed(contentHashes(batch),
+        hashTableOf(table), "h")
+      s.catalog.refreshTable(hashTableOf(table))
+    }
   }
 
   /** Probe a batch against a [[refreshIndex]]-materialized index table —
@@ -504,6 +537,83 @@ object Dedup {
         (coalesce(col("n_shared_bands"), lit(0L)) >= 4).cast("int").as("is_near_dup"))
       .orderBy("batch_doc_id")
   }
+
+  /** Probe a batch against the standing content-hash companion of a
+    * [[refreshIndex]] table: one row per batch document, the lowest
+    * standing doc_id sharing its normalized content hash (null when
+    * novel), and the membership flag. The admission cycle's screen 0.5
+    * ([[graft.Admit.admitBatch]]): catches exact re-submissions the
+    * band probe geometrically cannot (sub-3-word documents have no
+    * shingles, hence no bands). Plan shape: the standing side scans
+    * bucketed-on-h with NO exchange; only the batch shuffles; the
+    * match-pick aggregate is batch-sized.
+    */
+  def probeHashIndex(s: SparkSession, table: String, batch: DataFrame): DataFrame = {
+    val standing = s.table(hashTableOf(table))
+      .select(col("doc_id").as("match_doc_id"), col("h"))
+    val matches = contentHashes(batch)
+      .select(col("doc_id").as("batch_doc_id"), col("h"))
+      .join(standing, Seq("h"))
+      .groupBy("batch_doc_id").agg(min("match_doc_id").as("match_doc_id"))
+    batch.select(col("doc_id").as("batch_doc_id"))
+      .join(matches, Seq("batch_doc_id"), "left")
+      .select(col("batch_doc_id"), col("match_doc_id"),
+        col("match_doc_id").isNotNull.cast("int").as("is_exact_dup"))
+      .orderBy("batch_doc_id")
+  }
+
+  /** q140: the standing exact-hash probe as a SELF-CONTAINED oracle
+    * query — [[probeHashIndex]]'s semantics with the hash set built
+    * inline so DuckDB replays it (the q83 pattern applied to the exact
+    * screen). The batch mixes verbatim re-submissions (every 3rd corpus
+    * doc under a fresh id — must flag regardless of length, THE case
+    * the band probe misses on sub-3-word docs) with suffixed variants
+    * (every 7th doc + " revised edition" — one character of drift and
+    * the hash differs, so they must pass; near-dup catching is the band
+    * screen's job, not this one's). DedupAnnSpec proves this oracle
+    * twin row-equal to the materialized [[probeHashIndex]] path.
+    */
+  def q140ExactProbe(s: SparkSession, dir: String): DataFrame = {
+    val c = corpus(s, dir)
+    val batch = c.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionByName(c.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" revised edition")).as("text")))
+    val standing = contentHashes(c)
+      .select(col("doc_id").as("match_doc_id"), col("h"))
+    val matches = contentHashes(batch)
+      .select(col("doc_id").as("batch_doc_id"), col("h"))
+      .join(standing, Seq("h"))
+      .groupBy("batch_doc_id").agg(min("match_doc_id").as("match_doc_id"))
+    batch.select(col("doc_id").as("batch_doc_id"))
+      .join(matches, Seq("batch_doc_id"), "left")
+      .select(col("batch_doc_id"), col("match_doc_id"),
+        col("match_doc_id").isNotNull.cast("int").as("is_exact_dup"))
+      .orderBy("batch_doc_id")
+  }
+
+  val q140Sql: String =
+    s"""WITH corpus AS ($corpusSql),
+       |batch AS (
+       |  SELECT doc_id + 200000 AS doc_id, text FROM corpus WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, text || ' revised edition' AS text
+       |  FROM corpus WHERE doc_id % 7 = 0),
+       |standing AS (
+       |  SELECT doc_id AS match_doc_id, md5(lower(trim(text))) AS h
+       |  FROM corpus),
+       |probe AS (
+       |  SELECT doc_id AS batch_doc_id, md5(lower(trim(text))) AS h
+       |  FROM batch),
+       |matches AS (
+       |  SELECT batch_doc_id, MIN(match_doc_id) AS match_doc_id
+       |  FROM probe JOIN standing USING (h)
+       |  GROUP BY batch_doc_id)
+       |SELECT b.doc_id AS batch_doc_id, m.match_doc_id,
+       |  CAST(m.match_doc_id IS NOT NULL AS INT) AS is_exact_dup
+       |FROM batch b LEFT JOIN matches m ON b.doc_id = m.batch_doc_id
+       |ORDER BY batch_doc_id""".stripMargin
 
   val q83Sql: String =
     s"""WITH batch AS (

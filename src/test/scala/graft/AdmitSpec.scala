@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 class AdmitSpec extends SparkSpec {
 
   private def dropIndexTables(band: String, sem: String): Unit =
-    for (t <- Seq(band, sem, s"${sem}_centroids", s"${sem}_members")) {
+    for (t <- Seq(band, s"${band}_hashes", sem, s"${sem}_centroids",
+        s"${sem}_members")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
@@ -60,12 +61,15 @@ class AdmitSpec extends SparkSpec {
     val b1v = Seq(
       (600002L, novelVec(901)),
       (600003L, vec5.map(_ * 0.99))).toDF("vec_id", "emb")
+    // the standing copy rejects at the EXACT screen (round 13): a
+    // verbatim re-submission never reaches the band probe
     val r1 = Admit.admitBatch(spark, b1, band, out, 1L, Some(b1v), Some(sem))
-    assert(r1 == Admit.Report(1L, 3, 0, 0, 1, 1, 1), r1.toString)
+    assert(r1 == Admit.Report(1L, 3, 0, 0, 0, 1, 1, exactRejected = 1),
+      r1.toString)
 
     // batch 2: a copy of doc A (caught ONLY because cycle 1 appended its
-    // bands), a re-encode of doc A's vector under new text (caught ONLY
-    // because cycle 1 appended its cell/bands), and doc E (admit)
+    // content hash), a re-encode of doc A's vector under new text (caught
+    // ONLY because cycle 1 appended its cell/bands), and doc E (admit)
     val b2 = Seq(
       (700001L, textA),
       (700002L, "wholly different surface form reciting dune-colored " +
@@ -75,7 +79,8 @@ class AdmitSpec extends SparkSpec {
       (700002L, novelVec(901).map(_ * 0.99)),
       (700003L, novelVec(902))).toDF("vec_id", "emb")
     val r2 = Admit.admitBatch(spark, b2, band, out, 2L, Some(b2v), Some(sem))
-    assert(r2 == Admit.Report(2L, 3, 0, 0, 1, 1, 1), r2.toString)
+    assert(r2 == Admit.Report(2L, 3, 0, 0, 0, 1, 1, exactRejected = 1),
+      r2.toString)
 
     // the landing holds exactly the admitted docs, partitioned per batch
     val landed = spark.read.parquet(out)
@@ -85,11 +90,12 @@ class AdmitSpec extends SparkSpec {
     // observability (VERDICT r8 #8): each cycle's report is persisted
     // beside its landing and matches the returned accounting
     val reports = spark.read.parquet(s"$out/_admit_reports")
-      .select("batch_id", "input", "intra_rejected", "contaminated_rejected",
-        "near_dup_rejected", "semantic_rejected", "admitted")
-      .as[(Int, Long, Long, Long, Long, Long, Long)].collect().toSet
-    assert(reports == Set((1, 3L, 0L, 0L, 1L, 1L, 1L), (2, 3L, 0L, 0L, 1L, 1L, 1L)),
-      reports.toString)
+      .select("batch_id", "input", "intra_rejected", "exact_rejected",
+        "contaminated_rejected", "near_dup_rejected", "semantic_rejected",
+        "admitted")
+      .as[(Int, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(reports == Set((1, 3L, 0L, 1L, 0L, 0L, 1L, 1L),
+      (2, 3L, 0L, 1L, 0L, 0L, 1L, 1L)), reports.toString)
     // the consumable history: per-batch and cumulative admission rates
     // derived from the same partitions, in batch order
     val hist = Admit.reportHistory(spark, out).collect()
@@ -183,14 +189,34 @@ class AdmitSpec extends SparkSpec {
     val (rA, rB) = (Await.result(fA, 5.minutes), Await.result(fB, 5.minutes))
 
     // whichever cycle won the lock admitted its twin; the loser's screen
-    // then saw it in the standing index and rejected its own copy
+    // then saw it in the standing state and rejected its own copy (the
+    // twins are VERBATIM copies, so since round 13 it is the exact-hash
+    // screen that fires, never the band probe)
     assert(rA.admitted + rB.admitted == 3,
       s"exactly one twin + two singles must land: $rA $rB")
-    assert(Seq(rA, rB).map(_.nearDupRejected).sorted == Seq(0L, 1L),
+    assert(Seq(rA, rB).map(_.exactRejected).sorted == Seq(0L, 1L),
       s"exactly one cycle must reject its twin: $rA $rB")
     val landedTwins = spark.read.parquet(out).select("doc_id")
       .as[Long].collect().toSet.intersect(Set(910001L, 920001L))
     assert(landedTwins.size == 1, s"twin landed ${landedTwins.size} times")
+
+    // queue-time observability (VERDICT r12 #5): the loser QUEUED behind
+    // the winner's live cycle, and its report — returned AND persisted —
+    // must say for how long; the winner's uncontended claim reports 0
+    val (winner, loser) =
+      if (rA.exactRejected == 0L) (rA, rB) else (rB, rA)
+    assert(loser.lockWaitMs > 0L,
+      s"the losing cycle must report positive lock queue time: $loser")
+    val persistedWaits = spark.read.parquet(s"$out/_admit_reports")
+      .select("batch_id", "lock_wait_ms")
+      .as[(Int, Long)].collect().toMap
+    assert(persistedWaits(loser.batchId.toInt) == loser.lockWaitMs &&
+      persistedWaits(winner.batchId.toInt) == winner.lockWaitMs,
+      persistedWaits.toString)
+    // and the consumable history carries the column
+    val histWaits = Admit.reportHistory(spark, out)
+      .select("batch_id", "lock_wait_ms").as[(Int, Long)].collect().toMap
+    assert(histWaits(loser.batchId.toInt) > 0L, histWaits.toString)
   }
 
   test("WAL repair: a batch replayed after its appends but before its landing loses nothing and admits no duplicates") {
@@ -251,8 +277,9 @@ class AdmitSpec extends SparkSpec {
       .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
     assert(landed == Set((1, 930001L), (2, 940001L)), landed.toString)
 
-    // the repaired standing state still screens: a batch-3 copy of the
-    // replayed doc is rejected, a batch-1 semantic re-encode is rejected
+    // the repaired standing state still screens: a batch-3 VERBATIM copy
+    // of the replayed doc is rejected (exact screen — its hash landed
+    // with batch 2's append), a batch-1 semantic re-encode is rejected
     val b3 = Seq(
       (950001L, textB2),
       (950002L, "new surface form over a recycled vector of batch one's " +
@@ -261,7 +288,8 @@ class AdmitSpec extends SparkSpec {
     val b3v = Seq((950002L, novelVec(931).map(_ * 0.99))).toDF("vec_id", "emb")
     val r3 = Admit.admitBatch(spark, b3, band, out, 3L, Some(b3v),
       Some(sem), recovery = Some(standing))
-    assert(r3 == Admit.Report(3L, 2, 0, 0, 1, 1, 0), r3.toString)
+    assert(r3 == Admit.Report(3L, 2, 0, 0, 0, 1, 0, exactRejected = 1),
+      r3.toString)
 
     // without a recovery source the same WAL state fails LOUDLY instead
     // of landing empty
@@ -446,6 +474,61 @@ class AdmitSpec extends SparkSpec {
     assert(landed == Set((1, 610001L), (3, 810001L)), landed.toString)
   }
 
+  test("the exact-hash screen closes the band screen's sub-3-word floor") {
+    import spark.implicits._
+    val band = "admit_band_short"
+    dropIndexTables(band, "admit_short_unused")
+    // a standing corpus that SHIPPED a two-word document — too short to
+    // shingle (3-word shingles), so it has no bands in the index and a
+    // verbatim re-submission is geometrically invisible to the band probe
+    val shortText = "ok bye"
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+      .unionByName(Seq((77L, shortText)).toDF("doc_id", "text"))
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+
+    val batch = Seq(
+      (970001L, shortText), // verbatim re-submission of shipped content
+      (970002L, "a wholly novel communique on porcelain metronomes " +
+        "pacing the tide tables of an unhurried estuary"))
+      .toDF("doc_id", "text")
+
+    // A: the pre-r13 floor, reproduced — WITHOUT the hash companion the
+    // re-submission sails through every screen and lands (this is
+    // ComposeRehearsal r12's measured 199/200, as a unit case)
+    val hashes = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${band}_hashes")
+    val hfs = hashes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS ${band}_hashes")
+    if (hfs.exists(hashes)) hfs.delete(hashes, true)
+    val outA = java.nio.file.Files.createTempDirectory("admit-short-a").toString
+    val rA = Admit.admitBatch(spark, batch, band, outA, 1L)
+    assert(rA.admitted == 2 && rA.exactRejected == 0,
+      s"without the hash companion the short re-submission escapes: $rA")
+
+    // B: with the companion (a fresh refresh lands it) the re-submission
+    // rejects at the exact screen, with the named accounting to prove it
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    val outB = java.nio.file.Files.createTempDirectory("admit-short-b").toString
+    val rB = Admit.admitBatch(spark, batch, band, outB, 1L)
+    assert(rB == Admit.Report(1L, 2, 0, 0, 0, 0, 1, exactRejected = 1),
+      rB.toString)
+    val landed = spark.read.parquet(outB).select("doc_id")
+      .as[Long].collect().toSet
+    assert(landed == Set(970002L), landed.toString)
+    // the persisted report names the reason
+    val rep = spark.read.parquet(s"$outB/_admit_reports")
+      .select("exact_rejected", "near_dup_rejected", "admitted")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep == Set((1L, 0L, 1L)), rep.toString)
+    // and the admitted doc's OWN hash joined the standing set: an exact
+    // replay of it in the next cycle rejects too
+    val r2 = Admit.admitBatch(spark,
+      Seq((980001L, "a wholly novel communique on porcelain metronomes " +
+        "pacing the tide tables of an unhurried estuary")).toDF("doc_id", "text"),
+      band, outB, 2L)
+    assert(r2.exactRejected == 1 && r2.admitted == 0, r2.toString)
+  }
+
   test("a degraded lock lease is visible in the persisted report, not only on stderr") {
     import spark.implicits._
     val band = "admit_band_health"
@@ -483,8 +566,8 @@ class AdmitSpec extends SparkSpec {
     import spark.implicits._
     val band = "curated_race_band"
     val pq = "curated_race_pq"
-    dropWarehouseTables(band, pq, s"${pq}_centroids", s"${pq}_codebook",
-      s"${pq}_meta")
+    dropWarehouseTables(band, s"${band}_hashes", pq, s"${pq}_centroids",
+      s"${pq}_codebook", s"${pq}_meta")
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))

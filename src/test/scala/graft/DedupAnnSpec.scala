@@ -1333,4 +1333,59 @@ class DedupAnnSpec extends SparkSpec {
     assert(Ingest.partitionFileCounts(spark, table).values.max == 1)
     assert(!Ingest.needsCompaction(spark, table, maxFilesPerBucket = 1))
   }
+
+  test("standing exact-hash companion: probeHashIndex equals the q140 oracle twin and probes exchange-free") {
+    import org.apache.spark.sql.functions._
+    val table = "exact_twin_band"
+    for (t <- Seq(table, s"${table}_hashes")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
+    Dedup.refreshIndex(c, table, numBuckets = 8)
+
+    // q140's batch, byte-identical construction: verbatim re-submissions
+    // (must flag) + one-suffix variants (must pass)
+    val batch = c.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      .unionByName(c.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" revised edition")).as("text")))
+    val fromTable = Dedup.probeHashIndex(spark, table, batch)
+    val oracle = Dedup.q140ExactProbe(spark, Sf)
+    assert(fromTable.exceptAll(oracle).count() == 0 &&
+      oracle.exceptAll(fromTable).count() == 0,
+      "table-backed exact probe must equal the self-contained q140 path")
+    // both classes are present (the equality is not vacuous): every
+    // verbatim re-submission flags, every suffixed variant passes
+    val rows = fromTable.collect()
+    val (resub, variant) = rows.partition(_.getAs[Long]("batch_doc_id") < 300000)
+    assert(resub.nonEmpty && resub.forall(_.getAs[Int]("is_exact_dup") == 1))
+    assert(variant.nonEmpty && variant.forall(_.getAs[Int]("is_exact_dup") == 0))
+
+    // co-location: the standing hash set scans bucketed on h — only the
+    // batch side may exchange on the hash key
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planString(Dedup.probeHashIndex(spark, table, batch))
+      assert(p.contains("Bucketed: true"), p.take(600))
+      assert("Exchange hashpartitioning\\(h".r.findAllIn(p).size == 1,
+        s"only the probe side may exchange on h:\n${p.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // append keeps the companion in lockstep: a novel doc admitted once
+    // flags on its exact replay
+    import spark.implicits._
+    val novel = Seq((990001L,
+      "a brand new chronicle of basalt kites rehearsing slow semaphore"))
+      .toDF("doc_id", "text")
+    Dedup.appendIndex(spark, table, novel)
+    val replay = Dedup.probeHashIndex(spark, table,
+      novel.withColumn("doc_id", col("doc_id") + 1)).collect()
+    assert(replay.length == 1 && replay.head.getAs[Int]("is_exact_dup") == 1 &&
+      replay.head.getAs[Long]("match_doc_id") == 990001L, replay.mkString)
+  }
 }

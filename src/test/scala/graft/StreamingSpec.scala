@@ -270,25 +270,35 @@ class StreamingSpec extends SparkSpec {
       Some(sideVecs), Some(sem),
       recovery = Some(graft.Admit.Standing(d, Some(e))),
       maxFilesPerBucket = 1)
-    // micro-batch 0: doc A is novel on both screens — admitted
-    input.addData((800001L, textA))
+    // micro-batch 0: doc A is novel on both screens — admitted; so is a
+    // novel TWO-WORD doc (shingle-less: the band index never sees it)
+    input.addData((800001L, textA), (800006L, "zq wv"))
     q.processAllAvailable()
-    // micro-batch 1: an exact copy of doc A (surface reject vs batch 0's
-    // append), a re-encode of doc A's vector under new text (semantic
-    // reject vs batch 0's append), and a genuinely new doc (admitted)
+    // micro-batch 1: an exact copy of doc A (exact-hash reject vs batch
+    // 0's append — round 13; pre-r13 this was the band probe's catch), a
+    // re-encode of doc A's vector under new text (semantic reject vs
+    // batch 0's append), a genuinely new doc (admitted), and a verbatim
+    // replay of batch 0's two-word doc — the sub-3-word floor the
+    // streaming cycle must inherit the exact screen to close
     input.addData(
       (800004L, textA),
       (800002L, "wholly different streamed surface form reciting dune " +
         "mathematics to an audience of patient carpenter bees"),
       (800003L, "another new passage about velvet glaciers and the " +
-        "arithmetic of forgotten tram schedules at midnight"))
+        "arithmetic of forgotten tram schedules at midnight"),
+      (800007L, "zq wv"))
     q.processAllAvailable()
     q.stop()
 
     val landed = spark.read.parquet(out)
       .select("batch_id", "doc_id").as[(Int, Long)].collect().toSet
-    assert(landed == Set((0, 800001L), (1, 800003L)),
-      s"batch 1's copy and re-encode of batch 0's admission must be rejected: $landed")
+    assert(landed == Set((0, 800001L), (0, 800006L), (1, 800003L)),
+      s"batch 1's copies (incl. the two-word one) and re-encode of batch " +
+        s"0's admissions must be rejected: $landed")
+    // the per-batch accounting names the exact-screen catches
+    val exa = spark.read.parquet(s"$out/_admit_reports")
+      .select("batch_id", "exact_rejected").as[(Int, Long)].collect().toMap
+    assert(exa == Map(0 -> 0L, 1 -> 2L), exa.toString)
     // the compaction ran: both index tables are back to one file per
     // bucket even though two admitting micro-batches appended to them
     for (t <- Seq(band, sem))
