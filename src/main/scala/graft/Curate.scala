@@ -352,7 +352,13 @@ object Curate {
       val kept = corpus.select("doc_id", "text")
       graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
       if (!vecs.isEmpty)
-        Ann.refreshPqIndex(vecs, s"${indexPrefix}_pq", quantizer = "kmeans")
+        // the admission nprobe is CALIBRATED at handoff time (round 13 —
+        // VERDICT r12 #2): the smallest nprobe meeting a 0.99 held-out
+        // re-encode screen recall lands in `_meta`, and every day-2
+        // cycle's probePqIndex reads it — the sf1.0 99/100 PQ miss was
+        // an nprobe-3 recall miss nothing was wired to correct
+        Ann.refreshPqIndex(vecs, s"${indexPrefix}_pq", quantizer = "kmeans",
+          screenRecallTarget = 0.99)
       kept.count()
     }
 

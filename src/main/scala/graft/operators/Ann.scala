@@ -2370,7 +2370,15 @@ object Ann {
     * families freeze centroids AND codebook under append and repair.
     */
   def refreshPqIndex(index: DataFrame, table: String, splits: Int = 0,
-                     quantizer: String = "sign", lloydIters: Int = 2): Unit = {
+                     quantizer: String = "sign", lloydIters: Int = 2,
+                     // ≥ 0 calibrates the ADMISSION nprobe at refresh
+                     // time (round 13 — VERDICT r12 #2): the smallest
+                     // nprobe whose held-out re-encode screen recall
+                     // meets the target is persisted in `_meta`, and
+                     // [[probePqIndex]]'s auto default reads it — the
+                     // row-175 move (nlist ∝ √N) applied to the last
+                     // hand-set ANN knob
+                     screenRecallTarget: Double = -1.0): Unit = {
     require(quantizer == "sign" || quantizer == "kmeans",
       s"quantizer must be sign or kmeans, got $quantizer")
     // splits: the nlist knob (centroidTable doc). The DEFAULT is now the
@@ -2398,6 +2406,10 @@ object Ann {
       writePqMeta(index.sparkSession, table, quantizer)
       writePqMembers(assignCellsLean(index, centroids), table,
         overwrite = true, encodeCodes(index.sparkSession, table, quantizer))
+      // calibration must see the members it will screen against, so it
+      // runs LAST and rewrites the meta row with its choice
+      if (screenRecallTarget >= 0)
+        calibratePqScreenNprobe(index.sparkSession, table, screenRecallTarget)
     } finally if (quantizer == "kmeans") {
       // the Lloyd loops return eagerly-pinned frames (their own rounds'
       // hygiene) — freed once materialized as tables
@@ -2427,11 +2439,110 @@ object Ann {
           s"re-run refreshPqIndex on $table to rewrite it"))
 
   private def writePqMeta(s: SparkSession, table: String,
-                          quantizer: String): Unit = {
+                          quantizer: String,
+                          screenNprobe: Int = -1,
+                          recallTarget: Double = -1.0,
+                          recallMeasured: Double = -1.0): Unit = {
     import s.implicits._
     graft.sources.Ingest.clearStaleLocation(s, s"${table}_meta")
-    Seq(quantizer).toDF("quantizer")
+    // -1 sentinels = "not calibrated": the screen columns exist from the
+    // first write so readers never need a second schema probe, but only
+    // a calibration run puts real values in them
+    Seq((quantizer, screenNprobe, recallTarget, recallMeasured))
+      .toDF("quantizer", "screen_nprobe", "screen_recall_target",
+        "screen_recall_measured")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
+  }
+
+  /** The calibrated admission nprobe of a standing index, from its
+    * `_meta` row — None for an index never calibrated (pre-r13 metas
+    * have no column; -1 sentinels mean "refresh ran uncalibrated").
+    */
+  private[graft] def pqScreenNprobeOf(s: SparkSession, table: String): Option[Int] = {
+    if (!s.catalog.tableExists(s"${table}_meta")) None
+    else {
+      val m = s.table(s"${table}_meta")
+      if (!m.columns.contains("screen_nprobe")) None
+      else m.select("screen_nprobe").collect().headOption
+        .map(_.getInt(0)).filter(_ >= 1)
+    }
+  }
+
+  /** Held-out re-encode screen recall of a standing [[refreshPqIndex]]
+    * table at one nprobe: a deterministic sample of the index's OWN
+    * members (every ⌈N/nSample⌉-th by id, re-encoded as `emb * 0.99` —
+    * the canonical same-direction re-encode every rehearsal uses)
+    * probes the index, and recall is the flagged fraction. This is the
+    * event the admission PQ screen exists for, measured against the
+    * standing state itself — no external truth set needed.
+    */
+  def pqScreenRecall(s: SparkSession, table: String, nprobe: Int,
+                     nSample: Int = 100, eps: Double = 0.99): Double = {
+    val probes = pqScreenProbes(s, table, nSample)
+    try {
+      val n = probes.count()
+      require(n > 0, s"$table has no members to calibrate against")
+      val flagged = probePqIndex(s, table, probes, eps, nprobe)
+        .filter(col("is_dup") === 1).count()
+      flagged.toDouble / n
+    } finally graft.Frames.freePinned(probes)
+  }
+
+  private def pqScreenProbes(s: SparkSession, table: String,
+                             nSample: Int): org.apache.spark.sql.DataFrame = {
+    val members = s.table(table).select("vec_id", "emb")
+    val n = members.count()
+    require(n > 0, s"$table has no members to calibrate against")
+    val step = math.max(1L, n / nSample)
+    // pinned: the sweep probes this frame once per candidate nprobe, and
+    // an unpinned plan would rescan the members table each time
+    members.filter(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(nSample)
+      .select((col("vec_id") + 900000000L).as("vec_id"),
+        expr("transform(emb, x -> x * 0.99)").as("emb"))
+      .localCheckpoint(true)
+  }
+
+  /** Derive the admission nprobe from a target screen recall (round 13
+    * — VERDICT r12 #2): sweep nprobe upward from 1 against a held-out
+    * re-encode sample of the index's own members, pick the SMALLEST
+    * value meeting `targetRecall`, and persist the choice (plus the
+    * measured recall) in the `_meta` row beside the quantizer family —
+    * [[probePqIndex]]'s auto default (nprobe = 0) then reads it, so
+    * every admission cycle runs at a knob the index's own recall
+    * artifact justified rather than a hand-set constant. When even
+    * `maxNprobe` misses the target, maxNprobe is persisted with its
+    * measured recall — the residual is then the persisted target's
+    * documented complement, never a silent choice. Cost: ≤ maxNprobe
+    * batch-sized probe runs, paid once per refresh.
+    */
+  def calibratePqScreenNprobe(s: SparkSession, table: String,
+                              targetRecall: Double = 0.99,
+                              nSample: Int = 100,
+                              maxNprobe: Int = 8,
+                              eps: Double = 0.99): (Int, Double) = {
+    val probes = pqScreenProbes(s, table, nSample)
+    val (chosen, measured) = try {
+      val n = probes.count()
+      var np = 1
+      var recall = 0.0
+      var done = false
+      while (np <= maxNprobe && !done) {
+        val flagged = probePqIndex(s, table, probes, eps, np)
+          .filter(col("is_dup") === 1).count()
+        recall = flagged.toDouble / n
+        if (recall >= targetRecall || np == maxNprobe) done = true
+        else np += 1
+      }
+      (np, recall)
+    } finally graft.Frames.freePinned(probes)
+    if (measured < targetRecall) System.err.println(
+      s"[graft.Ann] screen-recall calibration on $table: even nprobe " +
+        s"$maxNprobe reaches only $measured < target $targetRecall — " +
+        "persisting maxNprobe; the residual is the target's complement")
+    writePqMeta(s, table, pqQuantizerOf(s, table), chosen, targetRecall,
+      measured)
+    (chosen, measured)
   }
 
   /** The member encoder of a quantizer family: sign codes are row-local
@@ -2627,16 +2738,23 @@ object Ann {
     * as [[searchPqIndex]] — admission batches are small by definition.
     */
   def probePqIndex(s: SparkSession, table: String, batch: DataFrame,
-                   eps: Double = 0.99, nprobe: Int = 3, adcTopC: Int = 32,
+                   // 0 = AUTO (round 13): use the `_meta`-persisted
+                   // calibrated nprobe when the index was refreshed with
+                   // a screen-recall target, else the historical 3 — so
+                   // a calibrated standing index screens at the knob its
+                   // own recall artifact chose, with no caller change
+                   eps: Double = 0.99, nprobe: Int = 0, adcTopC: Int = 32,
                    verify: String = "float",
                    maxBatchRows: Long = 100000L): DataFrame = {
+    val np = if (nprobe > 0) nprobe
+             else pqScreenNprobeOf(s, table).getOrElse(3)
     val nB = batch.count()
     require(nB <= maxBatchRows,
       s"probePqIndex broadcasts its batch's ADC LUTs, and $nB batch rows " +
         s"exceed maxBatchRows=$maxBatchRows — for corpus-sized probes use " +
         "the bucketed semantic probe (Ann.probeSemanticIndex), or raise " +
         "maxBatchRows deliberately.")
-    val best = pqTopK(s, table, batch, k = 1, nprobe, adcTopC, verify)
+    val best = pqTopK(s, table, batch, k = 1, np, adcTopC, verify)
       .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
     // every batch vector's own cell (rank-1 probe) for the report shape
     val centroids = s.table(s"${table}_centroids")

@@ -1334,6 +1334,88 @@ class DedupAnnSpec extends SparkSpec {
     assert(!Ingest.needsCompaction(spark, table, maxFilesPerBucket = 1))
   }
 
+  test("q141: planted near-dup recall decays monotonically in threshold, faster for lower overlap tiers") {
+    val rows = Dedup.q141NearCalibration(spark, Sf).collect()
+    assert(rows.length == 32, s"4 tiers x 8 thresholds expected, got ${rows.length}")
+    def recallOf(r: org.apache.spark.sql.Row): Double =
+      Option(r.getAs[java.lang.Double]("recall_r")).map(_.toDouble).getOrElse(0.0)
+    for ((tier, rs) <- rows.groupBy(_.getAs[Int]("tier"))) {
+      val sorted = rs.sortBy(_.getAs[Int]("threshold"))
+      val recalls = sorted.map(recallOf)
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+        s"tier $tier recall not monotone in threshold: ${recalls.mkString(",")}")
+      val nTruth = sorted.map(_.getAs[Long]("n_truth")).distinct
+      assert(nTruth.length == 1 && nTruth.head > 0,
+        s"tier $tier truth count must be constant and non-empty: $nTruth")
+    }
+    def recallAt(tier: Int, th: Int): Double = recallOf(rows.find(r =>
+      r.getAs[Int]("tier") == tier && r.getAs[Int]("threshold") == th).get)
+    // the banding cliff: high-overlap twins are caught nearly always at
+    // the 1-band threshold, and overlap ORDERS recall at the probe
+    // threshold (4, where the standing screens run)
+    assert(recallAt(90, 1) > 0.5, s"90%-overlap twins at threshold 1: ${recallAt(90, 1)}")
+    assert(recallAt(90, 4) >= recallAt(45, 4),
+      s"tier order must hold at the probe threshold: ${recallAt(90, 4)} vs ${recallAt(45, 4)}")
+    assert(recallAt(45, 1) >= recallAt(45, 8),
+      "degradation must be visible across the threshold range")
+  }
+
+  test("the admission nprobe is recall-derived at refresh time, persisted, and read by the default probe") {
+    import org.apache.spark.sql.functions._
+    val table = "pq_nprobe_cal"
+    for (t <- Seq(table, s"${table}_centroids", s"${table}_codebook",
+        s"${table}_meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+
+    // an UNCALIBRATED refresh leaves the sentinel: auto resolves to the
+    // historical default, nothing behaves differently
+    Ann.refreshPqIndex(e, table)
+    assert(Ann.pqScreenNprobeOf(spark, table).isEmpty,
+      "an uncalibrated refresh must not invent a screen nprobe")
+
+    // a refresh WITH a target persists the smallest qualifying nprobe
+    val target = 0.99
+    Ann.refreshPqIndex(e, table, screenRecallTarget = target)
+    val meta = spark.table(s"${table}_meta").collect().head
+    val chosen = meta.getAs[Int]("screen_nprobe")
+    val measured = meta.getAs[Double]("screen_recall_measured")
+    assert(meta.getAs[Double]("screen_recall_target") == target)
+    assert(Ann.pqScreenNprobeOf(spark, table).contains(chosen))
+    assert(chosen >= 1 && chosen <= 8, s"chosen nprobe $chosen")
+    // the choice meets the target (or is maxNprobe with the residual
+    // documented in the persisted measured recall)
+    assert(measured >= target || chosen == 8,
+      s"chosen $chosen measured $measured")
+    // MINIMALITY: the measured recall one step below the choice misses
+    // the target (vacuous when nprobe 1 already qualifies)
+    if (chosen > 1)
+      assert(Ann.pqScreenRecall(spark, table, chosen - 1) < target,
+        s"nprobe ${chosen - 1} already met the target — $chosen is not minimal")
+    assert(Ann.pqScreenRecall(spark, table, chosen) == measured,
+      "the persisted measured recall must reproduce")
+
+    // and the CYCLE uses it: the default (auto) probe is the calibrated
+    // probe — bit-equal outputs on a re-encode batch
+    val batch = e.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 70000).as("vec_id"),
+        expr("transform(emb, x -> x * 0.99)").as("emb"))
+    val auto = Ann.probePqIndex(spark, table, batch)
+    val explicit = Ann.probePqIndex(spark, table, batch, nprobe = chosen)
+    assert(auto.exceptAll(explicit).count() == 0 &&
+      explicit.exceptAll(auto).count() == 0,
+      "the auto probe must run at the calibrated nprobe")
+    assert(auto.filter(col("is_dup") =!= 1).count() == 0 && auto.count() > 0,
+      "re-encodes must flag at the calibrated knob")
+  }
+
   test("standing exact-hash companion: probeHashIndex equals the q140 oracle twin and probes exchange-free") {
     import org.apache.spark.sql.functions._
     val table = "exact_twin_band"
