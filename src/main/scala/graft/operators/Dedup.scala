@@ -615,6 +615,110 @@ object Dedup {
        |FROM batch b LEFT JOIN matches m ON b.doc_id = m.batch_doc_id
        |ORDER BY batch_doc_id""".stripMargin
 
+  /** q141: band-threshold calibration against NEAR-dup planted truth
+    * (round 13 — VERDICT r12 #3): q138 grades the threshold against
+    * exact copies, for which recall 1.0 at the full-band threshold is
+    * the exact-copy tautology; the threshold choice actually trades
+    * against PARTIAL overlap, so this query plants twins with KNOWN
+    * overlap tiers and grades recall per (tier, threshold). Each
+    * eligible document (≥ 7 words, so every tier keeps ≥ 3 — the
+    * shingle floor) gets ONE twin: the first ⌊n·tier/100⌋ words of its
+    * text, tier ∈ {90, 75, 60, 45} by doc_id mod 4. A prefix twin's
+    * shingle set is a subset of its source's, so the tier IS a
+    * controlled Jaccard band (≈ (k−2)/(n−2)); truth pairs are
+    * (source, twin) by construction. The output is the operator's
+    * actual placement curve: per tier, recall decays monotonically in
+    * the shared-band threshold (nested events), and lower tiers decay
+    * FASTER — the banding-probability cliff (1−(1−s⁴)⁸) the probe
+    * threshold must sit on. Integer arithmetic only (div/`//` and the
+    * same IEEE split both engines); the grid left-join keeps the
+    * 4×8 grain even where nothing is caught (the q138 ADVICE lesson,
+    * applied from birth).
+    */
+  def q141NearCalibration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val eligible = base
+      .withColumn("_w", split(col("text"), " "))
+      .withColumn("_n", size(col("_w")).cast("long"))
+      .filter(col("_n") >= 7)
+      .withColumn("tier",
+        expr("element_at(array(90, 75, 60, 45), cast(doc_id % 4 as int) + 1)"))
+    val twins = eligible
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        array_join(expr("slice(_w, 1, cast((_n * tier) div 100 as int))"), " ")
+          .as("text"))
+    val corpus2 = base.unionByName(twins)
+    val pairs = minhashPairs(corpus2)
+    // truth is consumed by the mark-join only (one lineage); the grid
+    // aggregate below is bounded by |truth| × 8
+    val truth = eligible
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 500000L).as("doc_b"), col("tier"))
+    val marked = truth
+      .join(pairs, Seq("doc_a", "doc_b"), "left")
+      .select(col("tier"),
+        coalesce(col("n_shared_bands"), lit(0L)).as("nsb"))
+    val th = (1 to 8).toDF("threshold")
+    val counts = marked.crossJoin(broadcast(th))
+      .groupBy("tier", "threshold")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("nsb") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_caught"))
+    val grid = Seq(90, 75, 60, 45)
+      .flatMap(t => (1 to 8).map(b => (t, b))).toDF("tier", "threshold")
+    grid.join(counts, Seq("tier", "threshold"), "left")
+      .select(col("tier"), col("threshold"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+      .withColumn("recall_r", when(col("n_truth") > 0, Num.roundD(
+        col("n_caught").cast("double") / col("n_truth").cast("double"), 6)))
+      .orderBy(col("tier").desc, col("threshold"))
+  }
+
+  val q141Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |el AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |    CAST(([90, 75, 60, 45])[CAST(doc_id % 4 AS INT) + 1] AS INT)
+       |      AS tier
+       |  FROM base
+       |  WHERE len(string_split(text, ' ')) >= 7),
+       |twins AS (
+       |  SELECT doc_id + 500000 AS doc_id,
+       |    array_to_string(w[1:CAST((n * tier) // 100 AS INT)], ' ') AS text
+       |  FROM el),
+       |corpus2 AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id, text FROM twins),
+       |${sqlMinhashCte("corpus2")},
+       |truth AS (
+       |  SELECT doc_id AS doc_a, doc_id + 500000 AS doc_b, tier FROM el),
+       |mk AS (
+       |  SELECT t.tier, COALESCE(mh.n_shared_bands, 0) AS nsb
+       |  FROM truth t LEFT JOIN mh
+       |    ON mh.doc_a = t.doc_a AND mh.doc_b = t.doc_b),
+       |th AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS threshold),
+       |g AS (
+       |  SELECT tier, threshold, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN nsb >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_caught
+       |  FROM mk CROSS JOIN th
+       |  GROUP BY tier, threshold),
+       |grid AS (
+       |  SELECT CAST(unnest([90, 75, 60, 45]) AS INT) AS tier, threshold
+       |  FROM th)
+       |SELECT grid.tier, grid.threshold,
+       |  CAST(COALESCE(g.n_truth, 0) AS BIGINT) AS n_truth,
+       |  CAST(COALESCE(g.n_caught, 0) AS BIGINT) AS n_caught,
+       |  CASE WHEN g.n_truth > 0 THEN ${graft.Num.sqlRoundD(
+            "CAST(g.n_caught AS DOUBLE) / CAST(g.n_truth AS DOUBLE)", 6)} END
+       |    AS recall_r
+       |FROM grid LEFT JOIN g USING (tier, threshold)
+       |ORDER BY tier DESC, threshold""".stripMargin
+
   val q83Sql: String =
     s"""WITH batch AS (
        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
