@@ -782,6 +782,59 @@ object CorpusOps {
       .orderBy("metric")
   }
 
+  /** Frame-grain data card — q119's release-artifact discipline over an
+    * ARBITRARY corpus frame (round 13 — VERDICT r12 #8): the metric
+    * subset computable from the landed-corpus shape (doc_id, text, plus
+    * lang/source when the frame carries them). The registered q119 stays
+    * the oracle-checked full card over the testdata layout; this is the
+    * composition seam [[dataCardAsOf]] pins a card to an immutable
+    * snapshot version with.
+    */
+  def dataCardOf(d: DataFrame): DataFrame = {
+    def named(name: String, v: org.apache.spark.sql.Column, df: DataFrame): DataFrame =
+      df.agg(v.cast("double").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    val base = Seq(
+      named("corpus_docs", count(lit(1)), d),
+      named("corpus_tokens",
+        sum(size(split(lower(trim(col("text"))), " ")).cast("long")), d),
+      named("exact_dup_docs",
+        count(lit(1)) - countDistinct(md5(lower(trim(col("text"))))), d),
+      named("mean_quality", Num.avgD(col("quality_score")),
+        TextOps.stats(d))) ++
+      (if (d.columns.contains("lang"))
+        Seq(named("languages", countDistinct(col("lang")), d)) else Nil) ++
+      (if (d.columns.contains("source"))
+        Seq(named("sources", countDistinct(col("source")), d)) else Nil)
+    base.reduce(_ unionByName _).orderBy("metric")
+  }
+
+  /** The data card of corpus `dir` AS OF snapshot `version` — cards
+    * pinned to immutable corpus versions, the release practice
+    * Datasheets asks for: publishing a version freezes the file set
+    * ([[graft.sources.Snapshots]]), so the card is reproducible for as
+    * long as the version validates, REGARDLESS of what landed since.
+    */
+  def dataCardAsOf(s: SparkSession, dir: String, version: Int): DataFrame =
+    dataCardOf(graft.sources.Snapshots.readAsOf(s, dir, version))
+
+  /** Version-over-version card diff — the q65 snapshot-diff discipline
+    * at metric grain: full outer join on the metric name, one row per
+    * metric with both values and a status (`changed` / `unchanged` /
+    * `added` / `removed`). The release reviewer's artifact: exactly
+    * which headline numbers moved between two published versions.
+    */
+  def dataCardDiff(prev: DataFrame, cur: DataFrame): DataFrame =
+    prev.select(col("metric"), col("value").as("value_prev"))
+      .join(cur.select(col("metric"), col("value").as("value_cur")),
+        Seq("metric"), "outer")
+      .select(col("metric"), col("value_prev"), col("value_cur"),
+        when(col("value_prev").isNull, "added")
+          .when(col("value_cur").isNull, "removed")
+          .when(col("value_prev") =!= col("value_cur"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("metric")
+
   val q119Sql: String =
     s"""WITH base AS (
        |  SELECT CAST(COUNT(*) AS DOUBLE) AS corpus_docs,

