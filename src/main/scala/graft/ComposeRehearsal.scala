@@ -123,6 +123,53 @@ object ComposeRehearsal {
       admitOut, 2L, embeddings = Some(b2v), pqTable = Some("curated_pq"),
       recovery = recovery))
 
+    // phase 4 (round 13 — VERDICT r12 #6): the STREAMING admission twin,
+    // timed at the same standing state — one ≥10k-doc micro-batch (the
+    // r11 sizing guidance) through EventStreams.admissionQuery, which
+    // runs the identical admitBatch cycle per micro-batch under the same
+    // lock and GROWS the same indexes. Composition: 9,300 novel docs
+    // (deterministic word permutations of shipped text at a fresh key),
+    // 500 verbatim re-submissions (the exact screen must bite), and 200
+    // re-encodes of shipped vectors under novel text (the PQ screen must
+    // bite at its calibrated nprobe).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val srcTexts = shipped.orderBy("doc_id")
+      .limit(4000).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def permuted(text: String, salt: Long): String =
+      text.split(' ').sortBy(w =>
+        scala.util.hashing.MurmurHash3.stringHash(s"$w#$salt")).mkString(" ")
+    val novelRows = (0 until 9300).map { i =>
+      val (_, t) = srcTexts(i % srcTexts.length)
+      (781000000L + i, permuted(t, 781L * i))
+    }
+    val resubRows = (0 until 500).map { i =>
+      (782000000L + i, srcTexts(i % srcTexts.length)._2)
+    }
+    val reencSrc2 = eligible.orderBy(col("doc_id").desc)
+      .limit(200).select("doc_id", "text").as[(Long, String)].collect()
+    val reencRows = reencSrc2.zipWithIndex.map { case ((id, t), i) =>
+      (783000000L + id, permuted(t, 783L * (i + 1)))
+    }.toSeq
+    val reencVecs2 = shippedVecs
+      .join(reencSrc2.map(_._1).toSeq.toDF("vec_id"), "vec_id")
+      .withColumn("vec_id", col("vec_id") + 783000000L)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+    val streamRows = novelRows ++ resubRows ++ reencRows
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ckpt = s"$scratch/stream-ckpt"
+    val q = graft.streaming.EventStreams.admissionQuery(
+      input.toDF.toDF("doc_id", "text"), "curated_band", admitOut, ckpt,
+      embeddings = Some(reencVecs2), pqTable = Some("curated_pq"),
+      recovery = recovery)
+    input.addData(streamRows)
+    val tStream: Double = timed { q.processAllAvailable() }._2
+    q.stop()
+    val sRep = Admit.reportHistory(spark, admitOut)
+      .filter(col("batch_id") === 0).collect().head
+
     // the consumable history, lock_healthy included (the r12 bit)
     val hist = Admit.reportHistory(spark, admitOut).collect()
     val healthy = hist.forall(_.getAs[Boolean]("lock_healthy"))
@@ -137,6 +184,13 @@ object ComposeRehearsal {
       s""""admit2_near_rej":${r2.nearDupRejected},""" +
       s""""admit2_sem_rej":${r2.semanticRejected},""" +
       s""""admit2_intra_rej":${r2.intraRejected},""" +
+      s""""stream_docs":${streamRows.length},""" +
+      s""""stream_s":${f"$tStream%.1f"},""" +
+      s""""stream_admitted":${sRep.getAs[Long]("admitted")},""" +
+      s""""stream_exact_rej":${sRep.getAs[Long]("exact_rejected")},""" +
+      s""""stream_near_rej":${sRep.getAs[Long]("near_dup_rejected")},""" +
+      s""""stream_sem_rej":${sRep.getAs[Long]("semantic_rejected")},""" +
+      s""""stream_intra_rej":${sRep.getAs[Long]("intra_rejected")},""" +
       s""""history_rows":${hist.length},"lock_healthy_all":$healthy}""")
     spark.stop()
   }
