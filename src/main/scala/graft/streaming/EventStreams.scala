@@ -373,10 +373,16 @@ object EventStreams {
           // needsCompaction dispatches to the partition grain for it
           // (round 10), so micro-batch small-file growth is watched on
           // every standing table the cycle appends to
-          val trip = maxFilesPerBucket > 0 &&
-            (graft.sources.Ingest.needsCompaction(s, bandTable, maxFilesPerBucket) ||
-              (semTable.toSeq ++ pqTable.toSeq).exists(t =>
-                graft.sources.Ingest.needsCompaction(s, t, maxFilesPerBucket)))
+          // the hash COMPANION is watched explicitly (round 13): its
+          // appends are lockstep with the band table's, but a batch of
+          // all-sub-3-word docs appends hashes while adding ZERO band
+          // rows — growth the band-table check alone would never see
+          val hashTable = graft.operators.Dedup.hashTableOf(bandTable)
+          val watched = Seq(bandTable) ++
+            (if (s.catalog.tableExists(hashTable)) Seq(hashTable) else Nil) ++
+            semTable.toSeq ++ pqTable.toSeq
+          val trip = maxFilesPerBucket > 0 && watched.exists(t =>
+            graft.sources.Ingest.needsCompaction(s, t, maxFilesPerBucket))
           // the compaction IS the recovery rebuild with nothing excluded;
           // it runs under the same admission lock so it can never race a
           // concurrent cycle's screens
