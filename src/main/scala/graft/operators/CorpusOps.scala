@@ -818,6 +818,30 @@ object CorpusOps {
   def dataCardAsOf(s: SparkSession, dir: String, version: Int): DataFrame =
     dataCardOf(graft.sources.Snapshots.readAsOf(s, dir, version))
 
+  /** Doc-grain diff of two PUBLISHED snapshot versions — q65's diff
+    * kernel (reduce both sides to (id, md5), full outer join — the
+    * shuffle moves 48 bytes/doc, never text) composed with
+    * [[graft.sources.Snapshots.readAsOf]], so a release reviewer gets
+    * added/removed/changed/unchanged at the DOCUMENT grain between two
+    * immutable corpus versions to pair with the metric-grain
+    * [[dataCardDiff]]. On an append-only landing every row is `added`
+    * or `unchanged` by construction — a `changed`/`removed` row here is
+    * itself a history-rewrite signal.
+    */
+  def snapshotDiffAsOf(s: SparkSession, dir: String, v1: Int, v2: Int): DataFrame = {
+    def side(v: Int, as: String) =
+      graft.sources.Snapshots.readAsOf(s, dir, v)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as(as))
+    side(v1, "old_md5").join(side(v2, "new_md5"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("old_md5"), col("new_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Version-over-version card diff — the q65 snapshot-diff discipline
     * at metric grain: full outer join on the metric name, one row per
     * metric with both values and a status (`changed` / `unchanged` /

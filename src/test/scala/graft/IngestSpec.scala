@@ -332,6 +332,13 @@ class IngestSpec extends SparkSpec {
       diff("corpus_tokens") == "changed" &&
       diff("mean_quality") == "changed" &&
       diff("exact_dup_docs") == "unchanged", diff.toString)
+
+    // and the DOC-grain companion: v1→v2 on an append-only landing is
+    // pure additions — the original docs unchanged, the new ones added
+    val docDiff = CorpusOps.snapshotDiffAsOf(spark, dir, 1, 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docDiff == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "unchanged", 4L -> "added", 5L -> "added"), docDiff.toString)
   }
 
   test("writeZOrdered degrades to a plain write when either key is all-null (ADVICE r11)") {
