@@ -155,6 +155,47 @@ object Snapshots {
     }.toDF("version", "n_files", "bytes", "publisher", "row_count")
   }
 
+  /** The manifest frame of `version`, failing with a NAMED error (not a
+    * bare path-not-found) when the version was never published or was
+    * expired by [[expireVersions]].
+    */
+  private def manifestFrame(spark: SparkSession, dir: String,
+                            version: Int): DataFrame = {
+    val p = new Path(s"$dir/_snapshots/v=$version")
+    if (!fs(spark, dir).exists(p)) {
+      val avail = versions(spark, dir).select("version").collect()
+        .map(_.getInt(0)).mkString(", ")
+      throw new IllegalStateException(
+        s"snapshot v=$version of $dir does not exist — never published, " +
+          s"or expired by expireVersions (published versions: " +
+          s"${if (avail.isEmpty) "none" else avail})")
+    }
+    spark.read.parquet(s"$dir/_snapshots/v=$version")
+  }
+
+  /** Retention: expire all but the newest `keepLast` published versions
+    * — the `expire_snapshots` analog, completing the manifest
+    * lifecycle. Only MANIFESTS are deleted (and their metadata rows);
+    * data files are never touched — on an append-only landing every
+    * version shares them, so manifest-grain expiry reclaims catalog
+    * clutter, not storage, exactly like a format's snapshot expiry
+    * without its orphan-file sweep (which needs the tombstone log this
+    * stand-in honestly lacks). A read of an expired version fails
+    * naming the expiry. Returns the expired version numbers.
+    */
+  def expireVersions(spark: SparkSession, dir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir).select("version").collect()
+      .map(_.getInt(0)).sorted
+    val expire = vs.dropRight(keepLast).toSeq
+    for (v <- expire; suffix <- Seq("", "_meta")) {
+      val p = new Path(s"$dir/_snapshots/v=$v$suffix")
+      if (f.exists(p)) f.delete(p, true)
+    }
+    expire
+  }
+
   /** The manifest's file set checked against the LIVE directory as a
     * DISTRIBUTED join (no driver-side file map): per manifest file,
     * whether it still exists and whether its size OR mtime changed — a
@@ -164,7 +205,7 @@ object Snapshots {
     * longer readable.
     */
   def validate(spark: SparkSession, dir: String, version: Int): DataFrame = {
-    val manifest = spark.read.parquet(s"$dir/_snapshots/v=$version")
+    val manifest = manifestFrame(spark, dir, version)
       .select("path", "size", "mtime")
     val live = dataFilesFrame(spark, dir)
       .select(col("path"), col("size").as("_live_size"),
@@ -196,7 +237,7 @@ object Snapshots {
   def readAsOf(spark: SparkSession, dir: String, version: Int,
                strict: Boolean = true): DataFrame = {
     import spark.implicits._
-    val manifest = spark.read.parquet(s"$dir/_snapshots/v=$version")
+    val manifest = manifestFrame(spark, dir, version)
       .select("path", "size", "mtime")
     // pinned: the decision takes a handful of actions over the live
     // listing, and each would otherwise RE-LIST the tree — a pin also

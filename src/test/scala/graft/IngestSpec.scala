@@ -298,6 +298,29 @@ class IngestSpec extends SparkSpec {
     assert(none.getMessage.contains("no surviving"), none.getMessage)
   }
 
+  test("snapshot retention: expireVersions drops old manifests only; expired reads fail naming the expiry") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = tmpDir("snapexp").toString
+    for (v <- 1 to 3) {
+      Seq((v.toLong, s"landed document number $v")).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$dir/batch_id=$v")
+      Snapshots.publish(spark, dir, v)
+    }
+    assert(Snapshots.expireVersions(spark, dir, keepLast = 2) == Seq(1))
+    val left = Snapshots.versions(spark, dir).select("version")
+      .as[Int].collect().toSet
+    assert(left == Set(2, 3), left.toString)
+    // data files are untouched: the surviving versions still read, and
+    // the live landing is whole
+    assert(Snapshots.readAsOf(spark, dir, 2).count() == 2)
+    assert(spark.read.parquet(dir).count() == 3)
+    // an expired version fails with a NAMED error, not a bare path miss
+    val ex = intercept[IllegalStateException](Snapshots.readAsOf(spark, dir, 1))
+    assert(ex.getMessage.contains("expired") &&
+      ex.getMessage.contains("2, 3"), ex.getMessage)
+  }
+
   test("data card per snapshot version: v1's card is stable after v2 lands; the diff names exactly the moved metrics") {
     import graft.sources.Snapshots
     import graft.operators.CorpusOps
