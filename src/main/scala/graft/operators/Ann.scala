@@ -2470,15 +2470,17 @@ object Ann {
 
   /** Held-out re-encode screen recall of a standing [[refreshPqIndex]]
     * table at one nprobe: a deterministic sample of the index's OWN
-    * members (every ⌈N/nSample⌉-th by id, re-encoded as `emb * 0.99` —
-    * the canonical same-direction re-encode every rehearsal uses)
-    * probes the index, and recall is the flagged fraction. This is the
-    * event the admission PQ screen exists for, measured against the
-    * standing state itself — no external truth set needed.
+    * members, each rotated to the BOUNDARY re-encode (exact cosine
+    * eps + (1−eps)/2 — see [[pqScreenProbes]]: off-axis, so a cell
+    * boundary or an ADC top-C cut can genuinely lose it, unlike a
+    * scale-invariant `emb · 0.99` which can never miss) probes the
+    * index, and recall is the flagged fraction. This is the hardest
+    * in-class event the admission PQ screen exists for, measured
+    * against the standing state itself — no external truth set needed.
     */
   def pqScreenRecall(s: SparkSession, table: String, nprobe: Int,
                      nSample: Int = 100, eps: Double = 0.99): Double = {
-    val probes = pqScreenProbes(s, table, nSample)
+    val probes = pqScreenProbes(s, table, nSample, eps)
     try {
       val n = probes.count()
       require(n > 0, s"$table has no members to calibrate against")
@@ -2488,18 +2490,47 @@ object Ann {
     } finally graft.Frames.freePinned(probes)
   }
 
+  /** The calibration's held-out probe set: a deterministic sample of
+    * the index's own members, each re-encoded at EXACT cosine
+    * cosθ = eps + (1−eps)/2 to its source — in-class by a clear margin
+    * but rotated off-axis: v' = v·cosθ + u·sinθ·(|v|/|u|) with u the
+    * pairwise rotation (u₂ₖ = −v₂ₖ₊₁, u₂ₖ₊₁ = v₂ₖ; odd last
+    * coordinate zeroed), orthogonal to v by construction, so
+    * cos(v, v') = cosθ in exact arithmetic. Degenerate rows (all mass
+    * on an unpaired last coordinate, or a zero vector) degrade to the
+    * direction-preserving v·cosθ (cosine 1 — they cannot miss).
+    */
   private def pqScreenProbes(s: SparkSession, table: String,
-                             nSample: Int): org.apache.spark.sql.DataFrame = {
+                             nSample: Int,
+                             eps: Double): org.apache.spark.sql.DataFrame = {
     val members = s.table(table).select("vec_id", "emb")
     val n = members.count()
     require(n > 0, s"$table has no members to calibrate against")
     val step = math.max(1L, n / nSample)
+    // the held-out event is the BOUNDARY re-encode: exact cosine midway
+    // between the screen threshold and identity — in-class by a clear
+    // margin, but rotated off-axis so the probe's failure modes (cell
+    // miss, ADC cut) are actually exercised (review r13: the previous
+    // v·0.99 probe was scale-invariant and could never miss)
+    val cosTheta = eps + (1.0 - eps) * 0.5
+    val sinTheta = math.sqrt(math.max(0.0, 1.0 - cosTheta * cosTheta))
+    val n2 = expr("aggregate(emb, 0D, (a, x) -> a + x * x)")
+    val lastSq = expr(
+      "CASE WHEN size(emb) % 2 = 1 THEN element_at(emb, -1) * element_at(emb, -1) ELSE 0D END")
     // pinned: the sweep probes this frame once per candidate nprobe, and
     // an unpinned plan would rescan the members table each time
     members.filter(col("vec_id") % step === 0)
       .orderBy("vec_id").limit(nSample)
+      .withColumn("__n2", n2)
+      .withColumn("__un2", n2 - lastSq)
+      .withColumn("__sin_scale",
+        when(col("__un2") > 0, lit(sinTheta) * sqrt(col("__n2") / col("__un2")))
+          .otherwise(lit(0.0)))
       .select((col("vec_id") + 900000000L).as("vec_id"),
-        expr("transform(emb, x -> x * 0.99)").as("emb"))
+        expr(s"""transform(emb, (x, i) -> x * $cosTheta +
+          (CASE WHEN i % 2 = 0 THEN
+             (CASE WHEN i + 2 <= size(emb) THEN -element_at(emb, i + 2) ELSE 0D END)
+           ELSE element_at(emb, i) END) * __sin_scale)""").as("emb"))
       .localCheckpoint(true)
   }
 
@@ -2521,7 +2552,7 @@ object Ann {
                               nSample: Int = 100,
                               maxNprobe: Int = 8,
                               eps: Double = 0.99): (Int, Double) = {
-    val probes = pqScreenProbes(s, table, nSample)
+    val probes = pqScreenProbes(s, table, nSample, eps)
     val (chosen, measured) = try {
       val n = probes.count()
       var np = 1
