@@ -2500,7 +2500,7 @@ object Ann {
     * on an unpaired last coordinate, or a zero vector) degrade to the
     * direction-preserving v·cosθ (cosine 1 — they cannot miss).
     */
-  private def pqScreenProbes(s: SparkSession, table: String,
+  private[graft] def pqScreenProbes(s: SparkSession, table: String,
                              nSample: Int,
                              eps: Double): org.apache.spark.sql.DataFrame = {
     val members = s.table(table).select("vec_id", "emb")

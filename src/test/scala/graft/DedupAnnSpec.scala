@@ -1416,6 +1416,41 @@ class DedupAnnSpec extends SparkSpec {
       "re-encodes must flag at the calibrated knob")
   }
 
+  test("the calibration probe is an exact boundary re-encode: cosine to its source is eps+(1-eps)/2") {
+    import org.apache.spark.sql.functions._
+    val table = "cal_geom"
+    for (t <- Seq(table, s"${table}_centroids", s"${table}_codebook",
+        s"${table}_meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Ann.refreshPqIndex(e, table)
+    val probes = Ann.pqScreenProbes(spark, table, 50, eps = 0.99)
+    try {
+      // each probe's TRUE cosine to its source member must be exactly
+      // the boundary (0.995 for eps 0.99) up to IEEE accumulation — the
+      // pairwise rotation is orthogonal by construction, so the probe
+      // sits in-class by a clear margin but genuinely off-axis
+      val cos = probes
+        .select((col("vec_id") - 900000000L).as("vec_id"), col("emb").as("p"))
+        .join(e.select("vec_id", "emb"), "vec_id")
+        .select(
+          (expr("aggregate(zip_with(p, emb, (a, b) -> a * b), 0D, (a, x) -> a + x)") /
+            (sqrt(expr("aggregate(p, 0D, (a, x) -> a + x * x)")) *
+              sqrt(expr("aggregate(emb, 0D, (a, x) -> a + x * x)")))).as("c"))
+        .collect().map(_.getDouble(0))
+      assert(cos.length >= 20, s"probe sample too small: ${cos.length}")
+      cos.foreach(c => assert(math.abs(c - 0.995) < 1e-9,
+        s"boundary cosine drifted: $c"))
+    } finally Frames.freePinned(probes)
+  }
+
   test("standing exact-hash companion: probeHashIndex equals the q140 oracle twin and probes exchange-free") {
     import org.apache.spark.sql.functions._
     val table = "exact_twin_band"
