@@ -347,8 +347,14 @@ object Curate {
                              vecs: DataFrame, indexPrefix: String,
                              lockDir: String,
                              lockWaitMs: Long = 60 * 60 * 1000L): Long =
-    Locks.withLock(spark, s"$lockDir/.admit-running",
-      Admit.DefaultStaleAfterMs, maxWaitMs = lockWaitMs) {
+    Locks.withLockClaim(spark, s"$lockDir/.admit-running",
+      Admit.DefaultStaleAfterMs, maxWaitMs = lockWaitMs) { claim =>
+      // queue-time parity with the admission report (round 13): a
+      // handoff that waited out a long cycle should say so, not look
+      // like a slow refresh
+      if (claim.waitedMs > 0) System.err.println(
+        s"[graft.Curate] index handoff queued ${claim.waitedMs} ms " +
+          s"behind a live admission cycle on $lockDir/.admit-running")
       val kept = corpus.select("doc_id", "text")
       graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
       if (!vecs.isEmpty)
