@@ -293,26 +293,46 @@ object Snapshots {
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
 
-    // q strictly under p (the root pdir is the empty string, so its
-    // descendants are every non-root key, not "/"-prefixed ones)
-    def under(q: String, p: String): Boolean =
-      if (p.isEmpty) q.nonEmpty else q.startsWith(p + "/")
+    // the driver-side decision is O(dirs·log dirs + dirs·depth), never
+    // quadratic (review r13: a naive all-pairs prefix scan would cost
+    // 10¹⁰ comparisons at 10⁵ partitions): descendants of a dir are a
+    // CONTIGUOUS range of the sorted key array (strings sharing the
+    // "p/" prefix), and a dir's ancestors are its own path prefixes —
+    // both lookups index, nothing scans the whole key set per dir.
+    // The root pdir is the empty string: ancestor of everything.
+    val sortedKeys: Array[String] = summary.keys.toArray.sorted
+    def descendants(p: String): Iterator[String] =
+      if (p.isEmpty) sortedKeys.iterator.filter(_.nonEmpty)
+      else {
+        val pre = p + "/"
+        import scala.collection.Searching._
+        val from = sortedKeys.search(pre) match {
+          case Found(i) => i
+          case InsertionPoint(i) => i
+        }
+        Iterator.range(from, sortedKeys.length)
+          .map(sortedKeys(_)).takeWhile(_.startsWith(pre))
+      }
+    def ancestors(p: String): Iterator[String] =
+      if (p.isEmpty) Iterator.empty
+      else Iterator.single("") ++
+        Iterator.range(0, p.length).filter(p.charAt(_) == '/')
+          .map(p.substring(0, _))
     def selfSafe(p: String): Boolean = summary.get(p).exists {
       case (mN, okN, liveN) => mN > 0 && okN == mN && liveN == mN
     }
     def subtreeSafe(p: String): Boolean =
-      selfSafe(p) && summary.keysIterator
-        .filter(q => under(q, p)).forall(selfSafe)
+      selfSafe(p) && descendants(p).forall(selfSafe)
     val manifestDirs = summary.keysIterator
       .filter(p => summary(p)._1 > 0).toSeq.sorted
-    val safeDirs = manifestDirs.filter(subtreeSafe)
+    val safeSet = manifestDirs.filter(subtreeSafe).toSet
     // maximal safe dirs only — a kept ancestor's recursive listing
     // already covers its safe descendants
-    val keptDirs = safeDirs.filterNot(p =>
-      safeDirs.exists(q => q != p && under(p, q)))
+    val keptDirs = manifestDirs.filter(p =>
+      safeSet.contains(p) && !ancestors(p).exists(safeSet.contains))
     val keptSet = keptDirs.toSet
     def covered(p: String): Boolean =
-      keptSet.contains(p) || keptSet.exists(q => under(p, q))
+      keptSet.contains(p) || ancestors(p).exists(keptSet.contains)
 
     // explicit file paths ONLY for manifest dirs no kept dir covers
     val residualDirs = manifestDirs.filterNot(covered)
