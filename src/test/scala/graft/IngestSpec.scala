@@ -298,6 +298,45 @@ class IngestSpec extends SparkSpec {
     assert(none.getMessage.contains("no surviving"), none.getMessage)
   }
 
+  test("read-as-of under NESTED partitions: leaf-grain decisions, multi-level ancestors, partition columns intact") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = tmpDir("snapnest").toString
+    Seq((1L, "first nested document"), (2L, "second nested document"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/y=2020/m=1")
+    Seq((3L, "third nested document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/y=2020/m=2")
+    Seq((4L, "fourth nested document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/y=2021/m=1")
+    Snapshots.publish(spark, dir, 1)
+
+    // drift: an append INTO y=2020/m=2 and a wholly new y=2021/m=2
+    Seq((9L, "late nested appendix")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$dir/y=2020/m=2")
+    Seq((5L, "fifth nested document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/y=2021/m=2")
+
+    val v1 = Snapshots.readAsOf(spark, dir, 1)
+    assert(v1.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L), "v1 must pin exactly the published docs")
+    // both partition LEVELS survive the mixed dir/file read
+    assert(v1.columns.toSet == Set("doc_id", "text", "y", "m"), v1.columns.mkString(","))
+    assert(v1.filter(col("y") === 2021 && col("m") === 1)
+      .select("doc_id").as[Long].collect().toSeq == Seq(4L))
+    // white-box: decisions are LEAF-grain — two clean leaf dirs plus
+    // the drifted leaf's single manifest file; never a per-file array,
+    // never a parent dir that would recursively swallow the drift
+    val roots = v1.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(roots.length == 3, s"2 clean leaves + 1 drifted file: $roots")
+    assert(roots.count(p => p.endsWith("y=2020/m=1") || p.endsWith("y=2021/m=1")) == 2,
+      s"clean leaves must be dir paths: $roots")
+    assert(roots.exists(p => p.contains("y=2020/m=2/") && p.endsWith(".parquet")),
+      s"the drifted leaf must fall back to its manifest file: $roots")
+  }
+
   test("snapshot retention: expireVersions drops old manifests only; expired reads fail naming the expiry") {
     import graft.sources.Snapshots
     import spark.implicits._
