@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   * Batch 1 is genuinely novel ([[AdmitRehearsal]]'s replica transforms
   * at a fresh key) — the cycle pays both probes, both appends, and the
   * landing. Batch 2 mixes RE-SUBMISSIONS of shipped text (must
-  * band-reject) and re-encodes of shipped vectors (must PQ-reject) with
-  * a novel remainder — the screens bite against the handoff's tables,
-  * proving the composition end to end, and the persisted reportHistory
-  * (including the r12 `lock_healthy` bit) is read back as the final
+  * exact-reject — round 13's standing hash screen; pre-r13 these were
+  * the band probe's catch) and re-encodes of shipped vectors (must
+  * PQ-reject at the calibrated nprobe) with a novel remainder — the
+  * screens bite against the handoff's tables, proving the composition
+  * end to end. Phase 4 (round 13) then prices the STREAMING twin: one
+  * 10,000-doc micro-batch (novel + re-submission + re-encode mix)
+  * through [[graft.streaming.EventStreams.admissionQuery]] against the
+  * same standing state, and the persisted reportHistory (lock_healthy,
+  * exact_rejected, lock_wait_ms included) is read back as the final
   * artifact.
   *
   * Prints one JSON line with per-phase wall seconds and the admission
