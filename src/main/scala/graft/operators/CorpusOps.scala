@@ -849,14 +849,20 @@ object CorpusOps {
     * which headline numbers moved between two published versions.
     */
   def dataCardDiff(prev: DataFrame, cur: DataFrame): DataFrame =
-    prev.select(col("metric"), col("value").as("value_prev"))
-      .join(cur.select(col("metric"), col("value").as("value_cur")),
-        Seq("metric"), "outer")
+    // added/removed mean ROW presence, not value nullability (ADVICE
+    // r13): a metric can legitimately carry a null value (mean_quality
+    // over an empty version) and must not be mislabeled — presence
+    // flags decide added/removed, and the value comparison is
+    // null-safe so two null values are `unchanged` by design
+    prev.select(col("metric"), col("value").as("value_prev"),
+        lit(true).as("_in_prev"))
+      .join(cur.select(col("metric"), col("value").as("value_cur"),
+        lit(true).as("_in_cur")), Seq("metric"), "outer")
       .select(col("metric"), col("value_prev"), col("value_cur"),
-        when(col("value_prev").isNull, "added")
-          .when(col("value_cur").isNull, "removed")
-          .when(col("value_prev") =!= col("value_cur"), "changed")
-          .otherwise("unchanged").as("status"))
+        when(col("_in_prev").isNull, "added")
+          .when(col("_in_cur").isNull, "removed")
+          .when(col("value_prev") <=> col("value_cur"), "unchanged")
+          .otherwise("changed").as("status"))
       .orderBy("metric")
 
   val q119Sql: String =

@@ -337,6 +337,58 @@ class IngestSpec extends SparkSpec {
       s"the drifted leaf must fall back to its manifest file: $roots")
   }
 
+  test("snapshot listing tasks bind the SESSION Hadoop conf, not classpath defaults (ADVICE r13)") {
+    // the production failure this guards: a landing whose filesystem is
+    // configured via the SparkSession (s3a credentials, endpoints) —
+    // the r13 executor tasks bound `new Configuration()`, dropping it
+    val key = "graft.test.conf-marker"
+    spark.sparkContext.hadoopConfiguration.set(key, "rode-the-broadcast")
+    try
+      assert(graft.sources.Snapshots.taskConfValue(spark, key)
+        .contains("rode-the-broadcast"),
+        "a session-level Hadoop key must reach the task-side fs binding")
+    finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
+  test("versions() reads a 50-version catalog in O(1) Spark jobs and folds the legacy two-commit layout in") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = tmpDir("snapmany").toString
+    Seq((1L, "the only landed document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/batch_id=1")
+    for (v <- 1 to 50) Snapshots.publish(spark, dir, v, publisher = s"pub-$v")
+    // a LEGACY (r13-layout) version beside them: a manifest WITHOUT the
+    // metadata columns plus the old `v=N_meta` second commit
+    spark.read.parquet(s"$dir/_snapshots/v=1").select("path", "size", "mtime")
+      .coalesce(1).write.parquet(s"$dir/_snapshots/v=60")
+    Seq(("legacy-pub", 7L)).toDF("publisher", "row_count")
+      .coalesce(1).write.parquet(s"$dir/_snapshots/v=60_meta")
+
+    spark.sparkContext.setJobGroup("versions-one-pass", "catalog read")
+    val vs = try Snapshots.versions(spark, dir).collect()
+      finally spark.sparkContext.clearJobGroup()
+    // the status store fills asynchronously — poll briefly, then assert
+    var jobs = 0
+    val deadline = System.currentTimeMillis() + 10000
+    while (jobs < 1 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("versions-one-pass").length
+    }
+    // the r13 shape ran one count-job PER version (≥ 51 here); the
+    // one-pass catalog is a CONSTANT handful (schema merge, listing,
+    // two joins, the collect) regardless of version count
+    assert(jobs >= 1 && jobs <= 15,
+      s"catalog read must be O(1) jobs — constant, well under the " +
+        s"one-per-version 51 — saw $jobs")
+    assert(vs.length == 51, s"${vs.length} versions")
+    val byV = vs.map(r => r.getAs[Int]("version") -> r).toMap
+    assert(byV(7).getAs[String]("publisher") == "pub-7" &&
+      byV(7).getAs[Long]("n_files") == 1L, byV(7).toString)
+    assert(byV(60).getAs[String]("publisher") == "legacy-pub" &&
+      byV(60).getAs[Long]("row_count") == 7L, byV(60).toString)
+  }
+
   test("snapshot retention: expireVersions drops old manifests only; expired reads fail naming the expiry") {
     import graft.sources.Snapshots
     import spark.implicits._
