@@ -300,6 +300,37 @@ object Admit {
       .orderBy("batch_id")
   }
 
+  /** Lock-contention as a SIGNAL, not a column (round 14 — VERDICT r13
+    * #8): the q71 declarative-rules discipline applied to
+    * [[reportHistory]]'s queue-time data. One row per landed batch with
+    * its wait, the history-wide distribution context (max/mean ride the
+    * same one-pass plan — the history is one row per batch, so the
+    * unpartitioned window is bounded by design, the q100 exception),
+    * and the fired condition: `queued` when the cycle waited past
+    * `queuedThresholdMs` behind another writer (a long handoff, a
+    * kmeans refresh), `degraded_lease` when its heartbeat missed beats
+    * mid-cycle. An operator reads the offenders and the distribution
+    * from ONE frame instead of eyeballing a column.
+    */
+  def lockWaitAlerts(spark: SparkSession, outDir: String,
+                     queuedThresholdMs: Long = 60000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    reportHistory(spark, outDir)
+      .select("batch_id", "lock_wait_ms", "lock_healthy")
+      .withColumn("max_wait_ms", max("lock_wait_ms").over(w))
+      .withColumn("mean_wait_ms",
+        round(avg(col("lock_wait_ms").cast("double")).over(w), 1))
+      .withColumn("condition",
+        when(col("lock_wait_ms") > queuedThresholdMs, "queued")
+          .when(!col("lock_healthy"), "degraded_lease"))
+      .withColumn("severity",
+        when(col("condition") === "queued", "warning")
+          .when(col("condition") === "degraded_lease", "critical"))
+      .orderBy("batch_id")
+  }
+
   /** Screen `docs` (doc_id, text, …) against the standing state and land
     * the survivors. `embeddings` (vec_id aligned with doc_id) plus ONE
     * of `semTable` (the banded semantic index) or `pqTable` (the
@@ -420,16 +451,21 @@ object Admit {
     // run holds no per-batch blocks.
 
     // 0. intra-batch screen: exact copies keep their lowest id; surface
-    // near-dups (the batch's own band self-join, ≥4 shared bands — the
-    // probe threshold) and semantic twins (standing-centroid cells, in-
-    // cell sign-band self-join) keep their lowest-id representative.
-    // All three kernels run cache-free: this is per-micro-batch code.
+    // near-dups (the batch's own band self-join, at the SAME threshold
+    // the standing probe runs — `_meta`-calibrated when
+    // Dedup.calibrateBandThreshold ran on this index, the historical 4
+    // otherwise; round 14 retired the last hand-set screen knob) and
+    // semantic twins (standing-centroid cells, in-cell sign-band
+    // self-join) keep their lowest-id representative. All three kernels
+    // run cache-free: this is per-micro-batch code.
+    val bandThreshold = Dedup.bandThresholdOf(spark, bandTable)
+      .getOrElse(Dedup.DefaultBandThreshold)
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
     val exactUnique = screened.withColumn("_rk", row_number().over(wExact))
       .filter(col("_rk") === 1).drop("_rk")
     val nearSelfDropped = Dedup.minhashPairs(exactUnique, cache = false)
-      .filter(col("n_shared_bands") >= 4)
+      .filter(col("n_shared_bands") >= bandThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val surfaceUnique = exactUnique.join(nearSelfDropped, Seq("doc_id"), "left_anti")
     val intraUniqueLazy = (embeddings, vecIndex) match {
@@ -438,9 +474,11 @@ object Admit {
           .join(surfaceUnique.select(col("doc_id").as("vec_id")), "vec_id")
           .select("vec_id", "emb")
         // both index families expose the same `_centroids` side table —
-        // the intra screen shares the standing cells either way
+        // the intra screen shares the standing cells either way,
+        // resolved to the CURRENT generation (round 14: refreshes land
+        // versioned generations behind an atomic pointer)
         val semSelfDropped = Ann.semIntraDups(
-            spark.table(s"${idx.table}_centroids"), batchVecs, eps)
+            Ann.centroidsOf(spark, idx.table), batchVecs, eps)
           .withColumnRenamed("vec_id", "doc_id")
         surfaceUnique.join(semSelfDropped, Seq("doc_id"), "left_anti")
       case _ => surfaceUnique

@@ -67,8 +67,9 @@ object AdmitRehearsal {
     val (_, tSem) = timed(
       if (usePq) Ann.refreshPqIndex(e, sem, splits)
       else Ann.refreshSemanticIndex(e, sem, splits = splits))
-    // the EFFECTIVE nlist (splits=0 means the √N rule computed it)
-    val nlist = spark.table(s"${sem}_centroids").count()
+    // the EFFECTIVE nlist (splits=0 means the √N rule computed it) —
+    // read from the current generation (round 14 pointer resolution)
+    val nlist = Ann.centroidsOf(spark, sem).count()
 
     // a novel batch: ScaleUp's replica transforms (token permutation /
     // component sign-flip) applied at replica key 777 — the rehearsal

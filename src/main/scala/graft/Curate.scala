@@ -356,7 +356,14 @@ object Curate {
         s"[graft.Curate] index handoff queued ${claim.waitedMs} ms " +
           s"behind a live admission cycle on $lockDir/.admit-running")
       val kept = corpus.select("doc_id", "text")
-      graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band")
+      // the band-probe threshold is CALIBRATED at handoff time (round
+      // 14 — VERDICT r13 #1, the row-210 move applied to the last
+      // hand-set screen knob): planted 90%-overlap twins measure the
+      // index's own recall curve, the boundary threshold meeting 0.75
+      // recall at that tier lands in `_meta`, and every day-2 cycle's
+      // probeIndex / intra-batch screen reads it
+      graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band",
+        screenRecallTarget = 0.75)
       if (!vecs.isEmpty)
         // the admission nprobe is CALIBRATED at handoff time (round 13 —
         // VERDICT r12 #2): the smallest nprobe meeting a 0.99 held-out

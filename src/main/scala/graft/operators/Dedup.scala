@@ -437,11 +437,15 @@ object Dedup {
     * §4 co-location contract applied to the near-dup family.
     */
   def refreshIndex(docs: DataFrame, table: String, hashMode: String = "md5",
-                   maxBucket: Int = MaxBucket, numBuckets: Int = 32): Unit = {
-    graft.sources.Ingest.writeBucketed(
-      guardedIndex(minhashBands(docs, hashMode), maxBucket),
-      table, "band_idx", numBuckets, sortCol = None,
-      moreBucketCols = Seq("band_hash"))
+                   maxBucket: Int = MaxBucket, numBuckets: Int = 32,
+                   // ≥ 0 calibrates the band-probe THRESHOLD at refresh
+                   // time (round 14 — VERDICT r13 #1): the boundary
+                   // shared-band threshold whose planted-twin recall at
+                   // the policy overlap tier meets the target lands in
+                   // `_meta`, and [[probeIndex]]'s auto default reads it
+                   // — the nlist/nprobe move applied to the LAST
+                   // hand-set screen knob
+                   screenRecallTarget: Double = -1.0): Unit = {
     // the content-hash companion (round 13 — VERDICT r12 #1): the band
     // screen has a geometric floor — a document too short to shingle
     // (< 3 words) has no bands, so an EXACT re-submission of it sails
@@ -451,8 +455,25 @@ object Dedup {
     // the hash for exchange-free probes. 32 B/doc: at 10⁹ docs this is
     // ~50 GB beside a multi-TB band table — the cheapest standing state
     // in the family.
-    graft.sources.Ingest.writeBucketed(contentHashes(docs),
+    //
+    // WRITE ORDER (ADVICE r13): the companion lands FIRST — a crash
+    // between the two writes must never leave a FRESH band index beside
+    // a STALE hash companion, where the exact screen silently answers
+    // "novel" for verbatim copies of newly indexed docs until the next
+    // refresh. The inverted failure (fresh hashes beside stale bands)
+    // is the same exposure as crashing before the refresh started: the
+    // re-run rewrites both.
+    graft.sources.Ingest.writeBucketed(contentHashKeys(docs),
       hashTableOf(table), "h", numBuckets)
+    graft.sources.Ingest.writeBucketed(
+      guardedIndex(minhashBands(docs, hashMode), maxBucket),
+      table, "band_idx", numBuckets, sortCol = None,
+      moreBucketCols = Seq("band_hash"))
+    // calibration must probe the index it will screen against, so it
+    // runs LAST, against the just-written table (refreshPqIndex's rule)
+    if (screenRecallTarget >= 0)
+      calibrateBandThreshold(docs.sparkSession, table, docs,
+        targetRecall = screenRecallTarget, hashMode = hashMode)
   }
 
   /** The [[refreshIndex]] content-hash companion's table name. */
@@ -464,6 +485,24 @@ object Dedup {
     */
   private def contentHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+
+  /** The standing hash set's KEY rows (round 14 — VERDICT r13 #6): the
+    * q20 kernel h for every document, PLUS a whitespace-COLLAPSED
+    * variant for documents where internal whitespace makes the two
+    * differ — a double-spaced re-submission of a sub-3-word document
+    * previously escaped BOTH screens (different h; no shingles, hence
+    * no bands). Both keys live in the ONE bucketed `h` column, so the
+    * probe's membership test becomes {h, h_collapsed} ∩ standing ≠ ∅
+    * with no schema or plan change, and the q20/q140 oracle kernel
+    * ([[contentHashes]]) is untouched. Cost: an extra row only for
+    * documents that actually contain run-on whitespace.
+    */
+  private def contentHashKeys(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(array(
+        md5(lower(trim(col("text")))),
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))))
+        .as("h"))
 
   /** Incremental index maintenance: append an ADMITTED batch's bands to
     * the standing [[refreshIndex]] table without re-shingling the corpus
@@ -495,7 +534,7 @@ object Dedup {
     // [[graft.Admit]] treats absence as screen-off), so the companion
     // is only ever born corpus-complete, by a refresh
     if (s.catalog.tableExists(hashTableOf(table))) {
-      graft.sources.Ingest.appendBucketed(contentHashes(batch),
+      graft.sources.Ingest.appendBucketed(contentHashKeys(batch),
         hashTableOf(table), "h")
       s.catalog.refreshTable(hashTableOf(table))
     }
@@ -506,8 +545,16 @@ object Dedup {
     * the refresh (md5 band keys are strings, xxhash64 keys longs).
     */
   def probeIndex(s: SparkSession, table: String, batch: DataFrame,
-                 hashMode: String = "md5"): DataFrame =
-    incrementalProbe(s.table(table), batch, hashMode)
+                 hashMode: String = "md5",
+                 // 0 = AUTO (round 14): use the `_meta`-persisted
+                 // calibrated threshold when [[calibrateBandThreshold]]
+                 // ran on this table, else the historical default 4 —
+                 // [[graft.Ann.probePqIndex]]'s nprobe-auto rule applied
+                 // to the band family
+                 threshold: Int = 0): DataFrame =
+    incrementalProbe(s.table(table), batch, hashMode,
+      if (threshold >= 1) threshold
+      else bandThresholdOf(s, table).getOrElse(DefaultBandThreshold))
 
   /** Probe `batch` documents against a prepared [[guardedIndex]] — the
     * q83 tail, factored so the STREAMING twin
@@ -519,7 +566,8 @@ object Dedup {
     * one band-key join.
     */
   def incrementalProbe(guarded: DataFrame, batch: DataFrame,
-                       hashMode: String = "md5"): DataFrame = {
+                       hashMode: String = "md5",
+                       threshold: Int = DefaultBandThreshold): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probe = minhashBands(batch, hashMode)
       .select(col("doc_id").as("batch_doc_id"), col("band_idx"), col("band_hash"))
@@ -534,7 +582,8 @@ object Dedup {
       .join(best, Seq("batch_doc_id"), "left")
       .select(col("batch_doc_id"), col("match_doc_id"),
         coalesce(col("n_shared_bands"), lit(0L)).as("n_shared_bands"),
-        (coalesce(col("n_shared_bands"), lit(0L)) >= 4).cast("int").as("is_near_dup"))
+        (coalesce(col("n_shared_bands"), lit(0L)) >= threshold)
+          .cast("int").as("is_near_dup"))
       .orderBy("batch_doc_id")
   }
 
@@ -551,7 +600,11 @@ object Dedup {
   def probeHashIndex(s: SparkSession, table: String, batch: DataFrame): DataFrame = {
     val standing = s.table(hashTableOf(table))
       .select(col("doc_id").as("match_doc_id"), col("h"))
-    val matches = contentHashes(batch)
+    // the probe emits BOTH key forms (raw-normalized and whitespace-
+    // collapsed — [[contentHashKeys]]): a batch doc matching a standing
+    // doc under either normalization hits, and the min-aggregate
+    // already collapses a doc whose two keys both match
+    val matches = contentHashKeys(batch)
       .select(col("doc_id").as("batch_doc_id"), col("h"))
       .join(standing, Seq("h"))
       .groupBy("batch_doc_id").agg(min("match_doc_id").as("match_doc_id"))
@@ -560,6 +613,142 @@ object Dedup {
       .select(col("batch_doc_id"), col("match_doc_id"),
         col("match_doc_id").isNotNull.cast("int").as("is_exact_dup"))
       .orderBy("batch_doc_id")
+  }
+
+  /** The historical hand-set probe threshold — the fallback for indexes
+    * never calibrated, and [[incrementalProbe]]'s default (q83's oracle
+    * pins it).
+    */
+  val DefaultBandThreshold: Int = 4
+
+  /** The [[calibrateBandThreshold]] companion's table name. */
+  def metaTableOf(table: String): String = s"${table}_meta"
+
+  /** The calibrated band-probe threshold of a standing index, from its
+    * `_meta` row — None for an index never calibrated.
+    */
+  def bandThresholdOf(s: SparkSession, table: String): Option[Int] =
+    if (!s.catalog.tableExists(metaTableOf(table))) None
+    else s.table(metaTableOf(table)).select("band_threshold").collect()
+      .headOption.map(_.getInt(0)).filter(_ >= 1)
+
+  private def writeBandMeta(s: SparkSession, table: String, threshold: Int,
+                            policyTier: Int, target: Double,
+                            measured: Double): Unit = {
+    import s.implicits._
+    graft.sources.Ingest.clearStaleLocation(s, metaTableOf(table))
+    Seq((threshold, policyTier, target, measured))
+      .toDF("band_threshold", "policy_tier", "recall_target",
+        "recall_measured")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(metaTableOf(table))
+  }
+
+  /** Derive the band-probe threshold from planted near-dup truth
+    * (round 14 — VERDICT r13 #1, the LAST hand-set screen knob, retired
+    * by the same move as the nlist rule and the nprobe calibration):
+    * q141's machinery — prefix twins at a KNOWN overlap tier — is run
+    * against the standing index itself, and the measured recall curve
+    * picks the threshold the admission cycle runs at, persisted in a
+    * `_meta` companion beside the band table. `docs` must be the corpus
+    * the index was refreshed from (the twins' sources have to BE in the
+    * index for the probe to have truth to recall).
+    *
+    * The policy contract: "a re-submission sharing ≥ `policyTier`% of a
+    * standing document's content must be caught with recall ≥
+    * `targetRecall`". Recall is NON-increasing in the threshold (q141's
+    * nested events), so the qualifying set {t : recall(t) ≥ target} is
+    * downward-closed and its interesting extremum is the MAXIMUM: every
+    * smaller threshold also meets the recall floor but only at a
+    * strictly worse false-catch rate (q138/q141's precision
+    * counterweight — threshold 1 would flag any single shared band),
+    * so the persisted value is the unique BOUNDARY point — qualifying,
+    * with threshold+1 disqualified. When even threshold 1 misses the
+    * target (an index whose twins mostly fall below the banding cliff),
+    * 1 is persisted with its measured recall and a loud warning — the
+    * residual is the target's documented complement, never a silent
+    * choice (the nprobe calibration's rule).
+    *
+    * Cost: one bounded twin build (≤ `nSample` docs) + ONE probe join —
+    * all 8 candidate thresholds price out of the same 9-bin shared-band
+    * histogram. Paid once per refresh.
+    */
+  def calibrateBandThreshold(s: SparkSession, table: String, docs: DataFrame,
+                             policyTier: Int = 90,
+                             targetRecall: Double = 0.75,
+                             nSample: Int = 200,
+                             hashMode: String = "md5"): (Int, Double) = {
+    val nsbHist = bandScreenHist(s, table, docs, policyTier, nSample, hashMode)
+    val n = nsbHist.values.sum
+    def recallAt(t: Int): Double =
+      nsbHist.filter(_._1 >= t).values.sum.toDouble / n
+    val maxT = graft.functions.MinhashParams.Bands
+    val chosen = (1 to maxT).filter(t => recallAt(t) >= targetRecall)
+      .lastOption.getOrElse(1)
+    val measured = recallAt(chosen)
+    if (measured < targetRecall) System.err.println(
+      s"[graft.Dedup] band-threshold calibration on $table: even " +
+        s"threshold 1 reaches only $measured < target $targetRecall " +
+        s"at tier $policyTier — persisting 1; the residual is the " +
+        "target's complement")
+    writeBandMeta(s, table, chosen, policyTier, targetRecall, measured)
+    (chosen, measured)
+  }
+
+  /** Planted-twin screen recall of a standing index at ONE threshold —
+    * the calibration's measurement exposed on its own (the
+    * [[graft.operators.Ann.pqScreenRecall]] analog), so a spec or an
+    * operator can re-derive the persisted choice and its boundary
+    * (threshold+1 misses the target). Deterministic: the same `docs`
+    * and knobs reproduce the calibration's numbers exactly.
+    */
+  def bandScreenRecall(s: SparkSession, table: String, docs: DataFrame,
+                       threshold: Int, policyTier: Int = 90,
+                       nSample: Int = 200, hashMode: String = "md5"): Double = {
+    val nsbHist = bandScreenHist(s, table, docs, policyTier, nSample, hashMode)
+    val n = nsbHist.values.sum
+    nsbHist.filter(_._1 >= threshold).values.sum.toDouble / n
+  }
+
+  /** The calibration's shared measurement: plant one `policyTier`%
+    * prefix twin per sampled eligible document, probe the standing
+    * index ONCE, and return the best-shared-band-count histogram
+    * (≤ 9 bins — every candidate threshold prices out of it without
+    * re-probing).
+    */
+  private def bandScreenHist(s: SparkSession, table: String, docs: DataFrame,
+                             policyTier: Int, nSample: Int,
+                             hashMode: String): Map[Long, Long] = {
+    require(policyTier >= 1 && policyTier <= 100,
+      s"policyTier must be a percentage, got $policyTier")
+    // q141's eligibility: ≥ 7 words keeps every tier ≥ 3 words — the
+    // shingle floor (a twin with no shingles has no bands to recall)
+    val eligible = docs
+      .withColumn("_w", split(col("text"), " "))
+      .withColumn("_n", size(col("_w")).cast("long"))
+      .filter(col("_n") >= 7)
+    val nElig = eligible.count()
+    require(nElig > 0,
+      s"band calibration on $table: no eligible (≥ 7-word) documents " +
+        "to plant twins from")
+    val step = math.max(1L, nElig / nSample)
+    // id-modulo with the non-empty fallback (the pqScreenProbes rule)
+    val preferred = eligible.filter(col("doc_id") % step === 0)
+    val sampled = if (preferred.isEmpty) eligible else preferred
+    val twins = sampled.orderBy("doc_id").limit(nSample)
+      .select((col("doc_id") + 900000000L).as("doc_id"),
+        array_join(
+          expr(s"slice(_w, 1, cast((_n * $policyTier) div 100 as int))"),
+          " ").as("text"))
+      .localCheckpoint(true)
+    try {
+      val hist = probeIndex(s, table, twins, hashMode, threshold = 1)
+        .groupBy("n_shared_bands").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(hist.values.sum > 0,
+        s"band calibration on $table produced no probe rows")
+      hist
+    } finally graft.Frames.freePinned(twins)
   }
 
   /** q140: the standing exact-hash probe as a SELF-CONTAINED oracle

@@ -378,9 +378,13 @@ object EventStreams {
           // all-sub-3-word docs appends hashes while adding ZERO band
           // rows — growth the band-table check alone would never see
           val hashTable = graft.operators.Dedup.hashTableOf(bandTable)
+          // vector-index names resolve to their CURRENT generation
+          // (round 14): the compaction watch must count the files of
+          // the generation probes actually read
           val watched = Seq(bandTable) ++
             (if (s.catalog.tableExists(hashTable)) Seq(hashTable) else Nil) ++
-            semTable.toSeq ++ pqTable.toSeq
+            (semTable.toSeq ++ pqTable.toSeq)
+              .map(t => graft.operators.Ann.physicalOf(s, t))
           val trip = maxFilesPerBucket > 0 && watched.exists(t =>
             graft.sources.Ingest.needsCompaction(s, t, maxFilesPerBucket))
           // the compaction IS the recovery rebuild with nothing excluded;

@@ -527,6 +527,14 @@ class AdmitSpec extends SparkSpec {
         "pacing the tide tables of an unhurried estuary")).toDF("doc_id", "text"),
       band, outB, 2L)
     assert(r2.exactRejected == 1 && r2.admitted == 0, r2.toString)
+
+    // round 14 (VERDICT r13 #6): a DOUBLE-SPACED re-submission of the
+    // shipped 2-word doc — different q20 hash AND no shingles, the one
+    // class that slipped both screens — rejects at the exact screen via
+    // the companion's whitespace-collapsed second key
+    val r3 = Admit.admitBatch(spark,
+      Seq((990101L, "ok  bye")).toDF("doc_id", "text"), band, outB, 3L)
+    assert(r3.exactRejected == 1 && r3.admitted == 0, r3.toString)
   }
 
   test("a degraded lock lease is visible in the persisted report, not only on stderr") {
@@ -562,12 +570,39 @@ class AdmitSpec extends SparkSpec {
       hist.mkString)
   }
 
+  test("lockWaitAlerts flags exactly the queued cycles of a slow-handoff history") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("admit-waits").toString
+    // a doctored history: batch 1 uncontended, batch 2 queued 2 minutes
+    // behind a long handoff, batch 3 a short benign wait, batch 4 a
+    // degraded lease — the slow-handoff day reportHistory records
+    val rows = Seq(
+      (1, 0L, true), (2, 120000L, true), (3, 5000L, true), (4, 0L, false))
+    for ((b, wait, healthy) <- rows)
+      Seq((100L, 0L, 0L, 0L, 0L, 0L, 0L, 90L, healthy, wait))
+        .toDF("input", "quality_rejected", "intra_rejected",
+          "exact_rejected", "contaminated_rejected", "near_dup_rejected",
+          "semantic_rejected", "admitted", "lock_healthy", "lock_wait_ms")
+        .write.parquet(s"$out/_admit_reports/batch_id=$b")
+    val alerts = Admit.lockWaitAlerts(spark, out, queuedThresholdMs = 60000L)
+      .collect()
+    val byBatch = alerts.map(r => r.getAs[Int]("batch_id") ->
+      r.getAs[String]("condition")).toMap
+    assert(byBatch == Map(1 -> null, 2 -> "queued", 3 -> null,
+      4 -> "degraded_lease"), byBatch.toString)
+    // the distribution context rides every row of the same frame
+    assert(alerts.forall(_.getAs[Long]("max_wait_ms") == 120000L))
+    assert(alerts.forall(_.getAs[Double]("mean_wait_ms") == 31250.0))
+    assert(alerts.find(_.getAs[Int]("batch_id") == 2)
+      .get.getAs[String]("severity") == "warning")
+  }
+
   test("the Curate index handoff serializes under the admission lock (never overwrites mid-cycle)") {
     import spark.implicits._
     val band = "curated_race_band"
     val pq = "curated_race_pq"
-    dropWarehouseTables(band, s"${band}_hashes", pq, s"${pq}_centroids",
-      s"${pq}_codebook", s"${pq}_meta")
+    dropWarehouseTables(band, s"${band}_hashes", s"${band}_meta", pq,
+      s"${pq}_centroids", s"${pq}_codebook", s"${pq}_meta")
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
@@ -594,7 +629,13 @@ class AdmitSpec extends SparkSpec {
     val indexed = Await.result(handoff, 5.minutes)
     assert(indexed == d.count(), s"handoff indexed $indexed")
     assert(spark.catalog.tableExists(s"default.$band") &&
-      spark.catalog.tableExists(s"default.$pq"))
+      spark.catalog.tableExists(s"default.${phys(pq)}"),
+      s"band + current PQ generation (${phys(pq)}) must exist")
+    // round 14: the handoff CALIBRATED the band threshold — persisted
+    // beside the index and read by every day-2 probe (the last
+    // hand-set screen knob, retired)
+    assert(Dedup.bandThresholdOf(spark, band).nonEmpty,
+      "the handoff must persist a calibrated band threshold")
     // and the refreshed tables serve a normal admission cycle
     val b1 = Seq((940001L, "a fresh account of chalk harbors auditing the " +
       "punctuality of tide-borne mail skiffs")).toDF("doc_id", "text")

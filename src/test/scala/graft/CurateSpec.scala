@@ -303,7 +303,8 @@ class CurateSpec extends SparkSpec {
 
     // the PQ handoff is the TRAINED family, and a re-encode of a kept
     // doc's vector semantic-rejects against it
-    assert(spark.table(s"${prefix}_pq_meta").head().getString(0) == "kmeans")
+    val pqPhys = phys(s"${prefix}_pq")
+    assert(spark.table(s"${pqPhys}_meta").head().getString(0) == "kmeans")
     val keptVecs = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .join(spark.read.parquet(s"$out/corpus")

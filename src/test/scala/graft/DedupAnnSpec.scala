@@ -1008,14 +1008,10 @@ class DedupAnnSpec extends SparkSpec {
   }
 
   private def dropPqTables(table: String): Unit =
-    for (t <- Seq(table, s"${table}_centroids", s"${table}_codebook",
-        s"${table}_meta")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    // pointer + every generation + the unversioned legacy names (round
+    // 14: refreshes land versioned generations behind an atomic pointer)
+    graft.sources.TablePointer.dropAll(spark, table,
+      Seq("_centroids", "_codebook", "_meta"))
 
   test("standing IVF-PQ index: two batches probe one table set; rerank cosines bit-equal brute force") {
     import org.apache.spark.sql.functions._
@@ -1115,12 +1111,12 @@ class DedupAnnSpec extends SparkSpec {
     val nLabels = e.select("label").distinct().count()
     Ann.refreshPqIndex(e, table, splits = 4)
     // nlist = labels × splits cells, all non-empty seed groups
-    val nCells = spark.table(s"${table}_centroids").count()
+    val nCells = spark.table(s"${phys(table)}_centroids").count()
     assert(nCells == nLabels * 4,
       s"expected ${nLabels * 4} cells, got $nCells")
     // cells shrink accordingly: the largest cell is well under a
     // whole-label share of the corpus
-    val maxCell = spark.table(table).groupBy("cell").count()
+    val maxCell = spark.table(phys(table)).groupBy("cell").count()
       .agg(max("count")).head.getLong(0)
     assert(maxCell < e.count() / nLabels,
       s"largest split cell $maxCell not smaller than a label cell")
@@ -1153,7 +1149,7 @@ class DedupAnnSpec extends SparkSpec {
     // encoding vs the deterministic seeded/sign family)
     Ann.refreshPqIndex(e, signT, quantizer = "sign")
     Ann.refreshPqIndex(e, kmT, quantizer = "kmeans", lloydIters = 2)
-    assert(spark.table(s"${kmT}_meta").head().getString(0) == "kmeans")
+    assert(spark.table(s"${phys(kmT)}_meta").head().getString(0) == "kmeans")
 
     // recall@10 on the shared exact baseline (the q98/q91 gate): the
     // trained index must match or beat the deterministic one — Lloyd
@@ -1177,7 +1173,7 @@ class DedupAnnSpec extends SparkSpec {
     // training is deterministic: a re-refresh of the same corpus mints a
     // byte-equal codebook (no RNG anywhere — the spec-pinnable property
     // that makes frozen-under-append testable at all)
-    def cbRows(t: String) = spark.table(s"${t}_codebook").collect()
+    def cbRows(t: String) = spark.table(s"${phys(t)}_codebook").collect()
       .map(_.toString).sorted.toSeq
     val cbTrained = cbRows(kmT)
     val kmT2 = "pq_kmeans_retrain_test"
@@ -1197,7 +1193,7 @@ class DedupAnnSpec extends SparkSpec {
     Ann.refreshPqIndex(e.filter(col("vec_id") % 2 === 0), kmHalf,
       quantizer = "kmeans", lloydIters = 2)
     val cbBefore = cbRows(kmHalf)
-    val centBefore = spark.table(s"${kmHalf}_centroids").collect()
+    val centBefore = spark.table(s"${phys(kmHalf)}_centroids").collect()
       .map(_.toString).sorted.toSeq
     Ann.appendPqIndex(spark, kmHalf,
       e.filter(col("vec_id") % 2 === 1).select("vec_id", "emb"))
@@ -1213,12 +1209,12 @@ class DedupAnnSpec extends SparkSpec {
           r.getAs[Long]("vec_id") - 90000, r.toString)
     }
     assert(cbRows(kmHalf) == cbBefore, "append must not re-train the codebook")
-    assert(spark.table(s"${kmHalf}_centroids").collect()
+    assert(spark.table(s"${phys(kmHalf)}_centroids").collect()
       .map(_.toString).sorted.toSeq == centBefore,
       "append must not move the trained centroids")
     // WAL-repair write: members from vecs alone, trained side tables kept
     Ann.rebuildPqIndex(spark, kmHalf, e.select("vec_id", "emb"))
-    assert(spark.table(kmHalf).count() == e.count())
+    assert(spark.table(phys(kmHalf)).count() == e.count())
     assert(cbRows(kmHalf) == cbBefore, "rebuild must not re-train either")
     val out2 = Ann.probePqIndex(spark, kmHalf, probe).collect()
     assert(out2.nonEmpty && out2.forall(_.getAs[Int]("is_dup") == 1))
@@ -1247,7 +1243,7 @@ class DedupAnnSpec extends SparkSpec {
       dropPqTables(table)
       Ann.refreshPqIndex(sub, table)
       val expect = nLabels * Ann.autoSplits(n, nLabels)
-      val nCells = spark.table(s"${table}_centroids").count()
+      val nCells = spark.table(s"${phys(table)}_centroids").count()
       assert(nCells == expect,
         s"$tag corpus (N=$n): expected $expect auto cells, got $nCells")
       // and the probe contract holds under the auto configuration
@@ -1269,7 +1265,7 @@ class DedupAnnSpec extends SparkSpec {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     Ann.refreshSemanticIndex(e, semTable, numBuckets = 8)
-    assert(spark.table(s"${semTable}_centroids").count() ==
+    assert(spark.table(s"${phys(semTable)}_centroids").count() ==
       nLabels * Ann.autoSplits(e.count(), nLabels))
     val probe = e.filter(col("vec_id") < 40)
       .withColumn("vec_id", col("vec_id") + 90000)
@@ -1287,10 +1283,10 @@ class DedupAnnSpec extends SparkSpec {
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
       .select("vec_id", "emb", "label")
     Ann.refreshPqIndex(e.filter(col("vec_id") % 2 === 0), table)
-    def cbRows = spark.table(s"${table}_codebook").collect()
+    def cbRows = spark.table(s"${phys(table)}_codebook").collect()
       .map(_.toString).sorted.toSeq
     val cbBefore = cbRows
-    val centBefore = spark.table(s"${table}_centroids").count()
+    val centBefore = spark.table(s"${phys(table)}_centroids").count()
 
     Ann.appendPqIndex(spark, table,
       e.filter(col("vec_id") % 2 === 1).select("vec_id", "emb"))
@@ -1311,27 +1307,27 @@ class DedupAnnSpec extends SparkSpec {
     // frozen-under-append: the decode side tables did not move — every
     // stored code is still an index into the refresh-time codebook
     assert(cbRows == cbBefore, "append must not touch the codebook")
-    assert(spark.table(s"${table}_centroids").count() == centBefore)
+    assert(spark.table(s"${phys(table)}_centroids").count() == centBefore)
 
     // the partition-grain compaction trigger (round 10): a refresh lands
     // ONE file per cell, the append added at most one more per touched
     // cell, so files-per-partition counts appends — and needsCompaction
     // dispatches to the partition grain for this non-bucketed table
     import graft.sources.Ingest
-    assert(Ingest.partitionFileCounts(spark, table).values.max == 2,
-      Ingest.partitionFileCounts(spark, table).toString)
-    assert(Ingest.needsCompaction(spark, table, maxFilesPerBucket = 1))
+    assert(Ingest.partitionFileCounts(spark, phys(table)).values.max == 2,
+      Ingest.partitionFileCounts(spark, phys(table)).toString)
+    assert(Ingest.needsCompaction(spark, phys(table), maxFilesPerBucket = 1))
 
     // rebuild (the WAL-repair write) from the full vector set keeps
     // both side tables and restores the members from `vecs` alone —
     // and is also the compaction answer: one file per cell again
     Ann.rebuildPqIndex(spark, table, e.select("vec_id", "emb"))
-    assert(spark.table(table).count() == e.count())
+    assert(spark.table(phys(table)).count() == e.count())
     val out2 = Ann.probePqIndex(spark, table, probe).collect()
     assert(out2.nonEmpty && out2.forall(_.getAs[Int]("is_dup") == 1))
     assert(cbRows == cbBefore, "rebuild must not touch the codebook either")
-    assert(Ingest.partitionFileCounts(spark, table).values.max == 1)
-    assert(!Ingest.needsCompaction(spark, table, maxFilesPerBucket = 1))
+    assert(Ingest.partitionFileCounts(spark, phys(table)).values.max == 1)
+    assert(!Ingest.needsCompaction(spark, phys(table), maxFilesPerBucket = 1))
   }
 
   test("q141: planted near-dup recall decays monotonically in threshold, faster for lower overlap tiers") {
@@ -1384,7 +1380,7 @@ class DedupAnnSpec extends SparkSpec {
     // a refresh WITH a target persists the smallest qualifying nprobe
     val target = 0.99
     Ann.refreshPqIndex(e, table, screenRecallTarget = target)
-    val meta = spark.table(s"${table}_meta").collect().head
+    val meta = spark.table(s"${phys(table)}_meta").collect().head
     val chosen = meta.getAs[Int]("screen_nprobe")
     val measured = meta.getAs[Double]("screen_recall_measured")
     assert(meta.getAs[Double]("screen_recall_target") == target)
@@ -1504,5 +1500,148 @@ class DedupAnnSpec extends SparkSpec {
       novel.withColumn("doc_id", col("doc_id") + 1)).collect()
     assert(replay.length == 1 && replay.head.getAs[Int]("is_exact_dup") == 1 &&
       replay.head.getAs[Long]("match_doc_id") == 990001L, replay.mkString)
+  }
+
+  test("the band-probe threshold is recall-derived at refresh time, persisted, and read by the default probe") {
+    val table = "band_th_cal"
+    for (t <- Seq(table, s"${table}_hashes", s"${table}_meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
+
+    // an UNCALIBRATED refresh persists nothing: auto = the historical 4
+    Dedup.refreshIndex(c, table, numBuckets = 8)
+    assert(Dedup.bandThresholdOf(spark, table).isEmpty,
+      "an uncalibrated refresh must not invent a threshold")
+
+    // a refresh WITH a target persists the boundary choice in `_meta`
+    val target = 0.75
+    Dedup.refreshIndex(c, table, numBuckets = 8, screenRecallTarget = target)
+    val meta = spark.table(s"${table}_meta").collect().head
+    val chosen = meta.getAs[Int]("band_threshold")
+    val measured = meta.getAs[Double]("recall_measured")
+    assert(meta.getAs[Int]("policy_tier") == 90)
+    assert(meta.getAs[Double]("recall_target") == target)
+    assert(Dedup.bandThresholdOf(spark, table).contains(chosen))
+    assert(chosen >= 1 && chosen <= 8, s"chosen $chosen")
+    assert(measured >= target || chosen == 1,
+      s"chosen $chosen measured $measured")
+    // BOUNDARY (the nprobe minimality case adapted to this knob's
+    // geometry): recall is NON-increasing in the threshold, so the
+    // qualifying set {t : recall ≥ target} is downward-closed and the
+    // persisted choice is its extremum under the q138/q141 precision
+    // counterweight — threshold+1 must MISS the target (vacuous at 8),
+    // and the persisted measured recall must reproduce
+    if (chosen < 8)
+      assert(Dedup.bandScreenRecall(spark, table, c, chosen + 1) < target,
+        s"threshold ${chosen + 1} still met the target — $chosen is " +
+          "not the boundary")
+    assert(Dedup.bandScreenRecall(spark, table, c, chosen) == measured,
+      "the persisted measured recall must reproduce")
+
+    // and the CYCLE uses it: the default (auto) probe ≡ the explicit
+    // calibrated probe, bit-equal on a planted-twin batch
+    val batch = c.filter(col("doc_id") % 11 === 0)
+      .withColumn("_w", split(col("text"), " "))
+      .filter(size(col("_w")) >= 7)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        array_join(
+          expr("slice(_w, 1, cast((size(_w) * 90) div 100 as int))"),
+          " ").as("text"))
+    val auto = Dedup.probeIndex(spark, table, batch)
+    val explicit = Dedup.probeIndex(spark, table, batch, threshold = chosen)
+    assert(auto.exceptAll(explicit).count() == 0 &&
+      explicit.exceptAll(auto).count() == 0,
+      "the auto probe must run at the calibrated threshold")
+    assert(auto.filter(col("is_near_dup") === 1).count() > 0,
+      "planted twins must flag at the calibrated threshold")
+  }
+
+  test("the hash companion's whitespace-collapsed key: run-on-space variants of unshingleable docs flag both ways") {
+    import spark.implicits._
+    val table = "band_ws_keys"
+    for (t <- Seq(table, s"${table}_hashes")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    // a shipped 2-word doc: no shingles, so the band screen can never
+    // see it, and an internal-whitespace variant has a different q20
+    // hash — the one normalization class that slipped BOTH screens
+    // (VERDICT r13 #6)
+    val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
+      .unionByName(Seq((91L, "ok go")).toDF("doc_id", "text"))
+    Dedup.refreshIndex(c, table, numBuckets = 8)
+    val r = Dedup.probeHashIndex(spark, table, Seq(
+        (910001L, "ok  go"), // double-spaced variant — must flag
+        (910002L, "ok going") // genuinely different short doc — must pass
+      ).toDF("doc_id", "text")).collect()
+      .map(x => x.getAs[Long]("batch_doc_id") -> x.getAs[Int]("is_exact_dup"))
+      .toMap
+    assert(r == Map(910001L -> 1, 910002L -> 0), r.toString)
+    // the REVERSE direction through an append: standing run-on
+    // whitespace catches a single-spaced re-submission (both sides' key
+    // sets live in the one bucketed column)
+    Dedup.appendIndex(spark, table,
+      Seq((920001L, "tidal   ledger")).toDF("doc_id", "text"))
+    val r2 = Dedup.probeHashIndex(spark, table,
+      Seq((930001L, "tidal ledger")).toDF("doc_id", "text")).collect()
+    assert(r2.head.getAs[Int]("is_exact_dup") == 1 &&
+      r2.head.getAs[Long]("match_doc_id") == 920001L, r2.mkString)
+  }
+
+  test("reader-side snapshot isolation: a search resolved before a refresh completes on its own generation") {
+    val table = "pq_reader_iso"
+    dropPqTables(table)
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    // generation 1: evens only
+    Ann.refreshPqIndex(e.filter(col("vec_id") % 2 === 0), table)
+    assert(phys(table) == s"${table}__g1", phys(table))
+    val queries = e.filter(col("vec_id") < 20).select("vec_id", "emb")
+    val baseline = Ann.searchPqIndex(spark, table, queries, k = 5).collect()
+
+    // the READER: a plan resolved against generation 1, NOT yet executed
+    val oldReader = Ann.searchPqIndex(spark, table, queries, k = 5)
+
+    // a refresh lands generation 2 (the FULL corpus — new neighbors
+    // exist) and swaps the pointer; generation 1 is retained (grace)
+    Ann.refreshPqIndex(e, table)
+    assert(phys(table) == s"${table}__g2", phys(table))
+
+    // the old reader completes CORRECTLY on its own generation: the
+    // pre-r14 in-place rewrite (clearStaleLocation + overwrite) would
+    // have deleted its files mid-plan
+    val after = oldReader.collect()
+    assert(after.toSeq.map(_.toString) == baseline.toSeq.map(_.toString),
+      "a reader holding the old resolution must see the old snapshot")
+    // a NEW reader resolves generation 2 and sees the odd vectors
+    val fresh = Ann.searchPqIndex(spark, table, queries, k = 5).collect()
+    assert(fresh.exists(_.getAs[Long]("n_id") % 2 == 1),
+      "a post-swap reader must see the new generation's members")
+    // the auto-nprobe probe path resolves too (the admission read shape)
+    val probe = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 90000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .select("vec_id", "emb")
+    val probed = Ann.probePqIndex(spark, table, probe).collect()
+    assert(probed.nonEmpty && probed.forall(_.getAs[Int]("is_dup") == 1),
+      "re-encodes of gen-2-only members must flag after the swap")
+
+    // one more refresh: generation 1 retires (grace = one generation),
+    // generation 2 survives for its own in-flight readers
+    Ann.refreshPqIndex(e, table)
+    assert(phys(table) == s"${table}__g3", phys(table))
+    assert(!spark.catalog.tableExists(s"default.${table}__g1"),
+      "gen 1 must retire two refreshes later")
+    assert(spark.catalog.tableExists(s"default.${table}__g2"),
+      "gen 2 must survive its grace period")
   }
 }

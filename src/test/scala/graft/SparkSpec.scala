@@ -27,6 +27,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.sources.Ingest.clearStaleLocation(spark, t)
   }
 
+  /** A standing index's CURRENT physical name (round 14: refreshes land
+    * versioned generations behind an atomic pointer) — specs that read
+    * an index's side tables directly resolve through this.
+    */
+  def phys(table: String): String =
+    graft.operators.Ann.physicalOf(spark, table)
+
   /** Operators persist internal frames (banded signatures, posting
     * lists, daily grains) that only die with the session — the same
     * contract the harness mains honor by clearing caches between

@@ -301,7 +301,7 @@ class StreamingSpec extends SparkSpec {
     assert(exa == Map(0 -> 0L, 1 -> 2L), exa.toString)
     // the compaction ran: both index tables are back to one file per
     // bucket even though two admitting micro-batches appended to them
-    for (t <- Seq(band, sem))
+    for (t <- Seq(band, phys(sem)))
       assert(graft.sources.Ingest.bucketFileCounts(spark, t).values.max == 1,
         s"$t not compacted: ${graft.sources.Ingest.bucketFileCounts(spark, t)}")
   }
@@ -367,8 +367,8 @@ class StreamingSpec extends SparkSpec {
     // the partition-grain compaction ran: the cell-partitioned PQ member
     // table is back to one file per cell even though two admitting
     // micro-batches appended to it (needsCompaction's round-10 dispatch)
-    assert(graft.sources.Ingest.partitionFileCounts(spark, pq).values.max == 1,
-      s"$pq not compacted: ${graft.sources.Ingest.partitionFileCounts(spark, pq)}")
+    assert(graft.sources.Ingest.partitionFileCounts(spark, phys(pq)).values.max == 1,
+      s"$pq not compacted: ${graft.sources.Ingest.partitionFileCounts(spark, phys(pq))}")
     assert(graft.sources.Ingest.bucketFileCounts(spark, band).values.max == 1)
   }
 
