@@ -865,6 +865,85 @@ object Dedup {
       .orderBy(col("tier").desc, col("threshold"))
   }
 
+  /** q142: the band-SCREEN recall kernel as a SELF-CONTAINED oracle
+    * query (round 14 — the value anchor for [[calibrateBandThreshold]],
+    * row 216's q83-pattern twin): one 90%-overlap prefix twin per
+    * eligible (≥ 7-word) document probes the corpus's own GUARDED band
+    * index — the PROBE shape the admission screen runs, where q141
+    * grades the symmetric pair kernel — each twin keeps its BEST
+    * shared-band count (max over standing matches, 0 when nothing
+    * collides), and recall per candidate threshold falls out of the
+    * 8-row grid. This is exactly the histogram the calibration
+    * collects: DedupAnnSpec proves `bandScreenRecall` at full sample
+    * reproduces this query's recall column bit-for-bit, so the
+    * persisted `_meta` choice is anchored to a DuckDB-replayed value,
+    * not just a module test.
+    */
+  def q142BandScreenRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val eligible = base
+      .withColumn("_w", split(col("text"), " "))
+      .withColumn("_n", size(col("_w")).cast("long"))
+      .filter(col("_n") >= 7)
+    val twins = eligible
+      .select((col("doc_id") + 900000L).as("doc_id"),
+        array_join(expr("slice(_w, 1, cast((_n * 90) div 100 as int))"), " ")
+          .as("text"))
+    val best = incrementalProbe(guardedIndex(minhashBands(base)), twins)
+      .select(col("n_shared_bands").as("nsb"))
+    val th = (1 to 8).toDF("threshold")
+    best.crossJoin(broadcast(th))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("nsb") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_caught"))
+      .select(col("threshold"), col("n_truth"), col("n_caught"),
+        Num.roundD(col("n_caught").cast("double") /
+          col("n_truth").cast("double"), 6).as("recall_r"))
+      .orderBy("threshold")
+  }
+
+  val q142Sql: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |el AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM base
+       |  WHERE len(string_split(text, ' ')) >= 7),
+       |twins AS (
+       |  SELECT doc_id + 900000 AS doc_id,
+       |    array_to_string(w[1:CAST((n * 90) // 100 AS INT)], ' ') AS text
+       |  FROM el),
+       |${sqlBandCte("base", "i")},
+       |${sqlBandCte("twins", "b")},
+       |guarded AS (
+       |  SELECT doc_id, band_idx, band_hash FROM (
+       |    SELECT doc_id, band_idx, band_hash,
+       |      COUNT(*) OVER wb AS bucket_n, MIN(doc_id) OVER wb AS canon
+       |    FROM ibands WINDOW wb AS (PARTITION BY band_idx, band_hash))
+       |  WHERE bucket_n <= $MaxBucket OR doc_id = canon),
+       |matches AS (
+       |  SELECT b.doc_id AS batch_doc_id, g.doc_id AS match_doc_id,
+       |    COUNT(*) AS n_shared_bands
+       |  FROM bbands b JOIN guarded g USING (band_idx, band_hash)
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT t.doc_id AS batch_doc_id,
+       |    COALESCE(MAX(m.n_shared_bands), 0) AS nsb
+       |  FROM twins t LEFT JOIN matches m ON m.batch_doc_id = t.doc_id
+       |  GROUP BY 1),
+       |th AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS threshold)
+       |SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN nsb >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_caught,
+       |  ${graft.Num.sqlRoundD(
+            "CAST(SUM(CASE WHEN nsb >= threshold THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " / CAST(COUNT(*) AS DOUBLE)", 6)} AS recall_r
+       |FROM best CROSS JOIN th
+       |GROUP BY threshold
+       |ORDER BY threshold""".stripMargin
+
   val q141Sql: String =
     s"""WITH base AS (SELECT doc_id, text FROM documents),
        |el AS (

@@ -1596,6 +1596,35 @@ class DedupAnnSpec extends SparkSpec {
       r2.head.getAs[Long]("match_doc_id") == 920001L, r2.mkString)
   }
 
+  test("q142 anchors the calibration: bandScreenRecall at full sample reproduces the oracle recall curve") {
+    val table = "band_q142_anchor"
+    for (t <- Seq(table, s"${table}_hashes", s"${table}_meta")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val base = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(base, table, numBuckets = 8)
+    // the oracle-checked query measures the same event the calibration
+    // persists: best-shared-band recall of 90%-overlap twins against
+    // the guarded index — the table-backed production path at FULL
+    // sample must reproduce its recall column (the q83 twin-equality
+    // discipline applied to the measurement itself)
+    val oracle = Dedup.q142BandScreenRecall(spark, Sf).collect()
+      .map(r => r.getAs[Int]("threshold") -> r.getAs[Double]("recall_r"))
+      .toMap
+    assert(oracle.size == 8 && oracle(1) > oracle(8),
+      s"a decaying curve expected: $oracle")
+    for (t <- Seq(1, 3, 4, 5, 8)) {
+      val measured = Dedup.bandScreenRecall(spark, table, base, t,
+        nSample = 1000000)
+      assert(math.abs(measured - oracle(t)) < 1e-6,
+        s"threshold $t: production $measured vs oracle ${oracle(t)}")
+    }
+  }
+
   test("reader-side snapshot isolation: a search resolved before a refresh completes on its own generation") {
     val table = "pq_reader_iso"
     dropPqTables(table)
