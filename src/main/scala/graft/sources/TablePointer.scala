@@ -125,13 +125,12 @@ object TablePointer {
         (if (cutoff >= 1) Seq(logical) else Seq.empty)
     for (prefix <- dropGens; suffix <- "" +: sideSuffixes) {
       val t = s"$prefix$suffix"
-      if (s.catalog.tableExists(s"default.$t"))
-        s.sql(s"DROP TABLE IF EXISTS default.`$t`")
-      // the location too (an external/orphaned remnant must not block a
-      // much-later generation-number reuse)
-      val loc = new Path(s"${warehouseDir(s)}/$t")
-      val fs = fsOf(s, loc)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      s.sql(s"DROP TABLE IF EXISTS default.`$t`")
+      // the orphaned location too (a remnant must not block a much-later
+      // generation-number reuse) — resolved by the catalog's own path
+      // rule, not a hand-glued warehouse-dir concat (the ADVICE r12
+      // clearStaleLocation lesson)
+      Ingest.clearStaleLocation(s, t)
     }
     dropGens
   }
@@ -150,9 +149,7 @@ object TablePointer {
     for (prefix <- prefixes; suffix <- "" +: sideSuffixes) {
       val t = s"$prefix$suffix"
       s.sql(s"DROP TABLE IF EXISTS default.`$t`")
-      val loc = new Path(s"${warehouseDir(s)}/$t")
-      val fs = fsOf(s, loc)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      Ingest.clearStaleLocation(s, t)
     }
   }
 }
