@@ -536,8 +536,11 @@ object Admit {
       }
       try {
 
-      // 1. surface-form screen against the standing band index
-      val nearDup = Dedup.probeIndex(spark, bandTable, preNear)
+      // 1. surface-form screen against the standing band index — at the
+      // SAME threshold the intra screen used (read once per cycle, so
+      // both screens agree even across a mid-cycle recalibration)
+      val nearDup = Dedup.probeIndex(spark, bandTable, preNear,
+          threshold = bandThreshold)
         .filter(col("is_near_dup") === 1)
         .select(col("batch_doc_id").as("doc_id"))
       val afterNear = preNear.join(nearDup, Seq("doc_id"), "left_anti")

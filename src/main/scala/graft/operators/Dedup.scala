@@ -435,6 +435,15 @@ object Dedup {
     * batch is small by definition). Pay the corpus shuffle once in the
     * refresh, never per probe: [[graft.sources.Ingest.writeBucketed]]'s
     * §4 co-location contract applied to the near-dup family.
+    *
+    * Why this family refreshes IN PLACE while the vector indexes write
+    * [[graft.sources.TablePointer]] generations (round 14): every band
+    * reader is admission-internal — [[probeIndex]]/[[probeHashIndex]]
+    * run inside [[graft.Admit]]'s single-writer lock, and the family
+    * has no lock-free serving path (the searches live on the vector
+    * indexes) — so writer serialization already IS reader isolation
+    * here, and a generation would buy nothing but a second copy of the
+    * corpus-sized band table.
     */
   def refreshIndex(docs: DataFrame, table: String, hashMode: String = "md5",
                    maxBucket: Int = MaxBucket, numBuckets: Int = 32,
