@@ -177,6 +177,63 @@ object Snapshots {
     } finally graft.Frames.freePinned(files)
   }
 
+  /** CAS publish (round 14): stage the manifest, pick version =
+    * max(published) + 1, and commit by ATOMIC NO-OVERWRITE RENAME onto
+    * `v=N` — the [[ExperimentStore]] ETag discipline applied to the
+    * snapshot catalog, so two concurrent publishers can NEVER silently
+    * collide on one version number: the loser's rename fails, it
+    * re-reads the catalog, and retries onto the next number (bounded
+    * retries, then a loud error). Explicit-version [[publish]] remains
+    * the idempotent-REPLAY surface (re-publishing v3 after a crash is a
+    * deliberate overwrite); this is the "next release" surface where
+    * the version number is the store's to assign. Returns the version
+    * committed.
+    */
+  def publishNext(spark: SparkSession, dir: String, publisher: String = "",
+                  countRows: Boolean = false, maxRetries: Int = 5): Int = {
+    val snapRoot = new Path(s"$dir/_snapshots")
+    val f = fs(spark, dir)
+    f.mkdirs(snapRoot)
+    val staged = new Path(snapRoot,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    val files = dataFilesFrame(spark, dir).localCheckpoint(true)
+    try {
+      val nFiles = files.count()
+      val rowCount =
+        if (!countRows || nFiles == 0) -1L
+        else spark.read.parquet(dir).count()
+      files.orderBy("path").coalesce(1)
+        .withColumn("publisher", lit(publisher))
+        .withColumn("row_count", lit(rowCount))
+        .write.mode("overwrite").parquet(staged.toString)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        snapRoot.toUri, spark.sparkContext.hadoopConfiguration)
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val next = versions(spark, dir).agg(max("version")).collect()
+          .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Int]))
+          .getOrElse(0) + 1
+        try {
+          // Rename.NONE fails if v=N exists — the CAS: exactly one of
+          // two same-instant publishers wins N, the other retries N+1
+          fc.rename(staged, new Path(snapRoot, s"v=$next"),
+            org.apache.hadoop.fs.Options.Rename.NONE)
+          return next
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.io.IOException => attempt += 1
+        }
+      }
+      throw new IllegalStateException(
+        s"publishNext on $dir lost the version race $maxRetries times — " +
+          "a publisher storm or a wedged staging rename; inspect " +
+          s"$snapRoot and retry")
+    } finally {
+      graft.Frames.freePinned(files)
+      if (f.exists(staged)) f.delete(staged, true)
+    }
+  }
+
   /** Published versions with their file counts, byte totals, and the
     * publish metadata (null publisher / -1 row_count for versions
     * published without them) — the catalog a reader picks a version

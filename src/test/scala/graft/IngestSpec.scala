@@ -389,6 +389,30 @@ class IngestSpec extends SparkSpec {
       byV(60).getAs[Long]("row_count") == 7L, byV(60).toString)
   }
 
+  test("publishNext CAS-assigns versions: two concurrent publishers never collide") {
+    import graft.sources.Snapshots
+    import spark.implicits._
+    val dir = tmpDir("snapcas").toString
+    Seq((1L, "one landed document")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/batch_id=1")
+    assert(Snapshots.publishNext(spark, dir, publisher = "first") == 1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val both = Future.sequence(Seq(
+      Future(Snapshots.publishNext(spark, dir, publisher = "a")),
+      Future(Snapshots.publishNext(spark, dir, publisher = "b"))))
+    val got = Await.result(both, 2.minutes)
+    // the no-overwrite rename is the CAS: the loser retried onto the
+    // next number — never a silent same-version collision
+    assert(got.toSet == Set(2, 3), got.toString)
+    val vs = Snapshots.versions(spark, dir).collect()
+      .map(r => r.getAs[Int]("version") -> r.getAs[String]("publisher")).toMap
+    assert(vs.keySet == Set(1, 2, 3), vs.toString)
+    assert(Set(vs(2), vs(3)) == Set("a", "b"), vs.toString)
+    assert(Snapshots.readAsOf(spark, dir, 3).count() == 1)
+  }
+
   test("snapshot retention: expireVersions drops old manifests only; expired reads fail naming the expiry") {
     import graft.sources.Snapshots
     import spark.implicits._
