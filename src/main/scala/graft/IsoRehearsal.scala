@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-under-refresh rehearsal (round 14 — the measured evidence for
+  * [[graft.sources.TablePointer]]'s reader-isolation claim, row 217):
+  * while a full IVF-PQ refresh (trained quantizer — the slowest,
+  * most destructive rewrite the lifecycle has) lands a NEW generation,
+  * a serving loop keeps firing `searchPqIndex` queries against the same
+  * logical name. Before round 14 the refresh deleted the serving
+  * tables' files in place (clearStaleLocation + overwrite) and a
+  * concurrent reader would observe a cleared location or a partial
+  * table; with generations + the atomic pointer every search must
+  * complete, pre-swap searches on generation N and post-swap ones on
+  * N+1.
+  *
+  * Prints one JSON line per scale: searches completed/failed during the
+  * refresh window, the generation split, and the latency band —
+  * the artifact PLANS.md tables.
+  *
+  * Usage: `runMain graft.IsoRehearsal <sfDir> [...]`
+  */
+object IsoRehearsal {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Ann
+
+    for (dir <- args) {
+      val table = "iso_rehearsal_pq"
+      graft.sources.TablePointer.dropAll(spark, table,
+        Seq("_centroids", "_codebook", "_meta"))
+      val e = Tables.load(spark, dir, "embeddings")
+        .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+        .select("vec_id", "emb", "label")
+      // generation 1: half the corpus, trained family (production shape)
+      Ann.refreshPqIndex(e.filter(col("vec_id") % 2 === 0), table,
+        quantizer = "kmeans")
+      val queries = e.filter(col("vec_id") < 50).select("vec_id", "emb")
+        .localCheckpoint(true)
+      // warm the serving path once so the loop times steady-state reads
+      Ann.searchPqIndex(spark, table, queries, k = 5).collect()
+
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val t0 = System.nanoTime()
+      val refresh = Future {
+        Ann.refreshPqIndex(e, table, quantizer = "kmeans")
+        (System.nanoTime() - t0) / 1e9
+      }
+      var ok = 0L
+      var failed = 0L
+      var onOld = 0L
+      var onNew = 0L
+      val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (!refresh.isCompleted) {
+        val gen = graft.sources.TablePointer
+          .generationOf(Ann.physicalOf(spark, table))
+        val s0 = System.nanoTime()
+        try {
+          val n = Ann.searchPqIndex(spark, table, queries, k = 5).collect().length
+          require(n > 0)
+          ok += 1
+          if (gen <= 1) onOld += 1 else onNew += 1
+          lat += (System.nanoTime() - s0) / 1e9
+        } catch { case e: Exception =>
+          failed += 1
+          System.err.println(s"[IsoRehearsal] search FAILED mid-refresh: " +
+            e.toString.take(200))
+        }
+      }
+      val refreshS = Await.result(refresh, 30.minutes)
+      val sorted = lat.sorted
+      def pct(p: Double): Double =
+        if (sorted.isEmpty) -1 else sorted(math.min(sorted.length - 1,
+          (p * sorted.length).toInt))
+      println(f"""{"sf":"$dir","refresh_s":$refreshS%.1f,""" +
+        f""""searches_ok":$ok,"searches_failed":$failed,""" +
+        f""""on_old_gen":$onOld,"on_new_gen":$onNew,""" +
+        f""""lat_p50_s":${pct(0.5)}%.2f,"lat_p95_s":${pct(0.95)}%.2f}""")
+    }
+    spark.stop()
+  }
+}
