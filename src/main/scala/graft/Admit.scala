@@ -331,6 +331,74 @@ object Admit {
       .orderBy("batch_id")
   }
 
+  /** The standing state's health as ONE frame (round 14 — the capstone
+    * of the observability thread: rows 213/222 watch the CYCLES, this
+    * watches the STATE they maintain): per component, the numbers an
+    * operator checks before trusting a day's admissions — compaction
+    * pressure (files per bucket/cell vs the one-per-write discipline),
+    * corpus sizes, the persisted calibrations (band threshold, PQ
+    * nprobe + measured recall; −1 = never calibrated), the vector
+    * index's current GENERATION, and the admission history's totals
+    * (batches, worst queue time, unhealthy-lease count, cumulative
+    * admit rate). All reads are metadata- or footer-bounded; the
+    * history reads are two bounded aggregates, never a collect of the
+    * batch list.
+    */
+  def standingStateReport(spark: SparkSession, bandTable: String,
+                          outDir: String,
+                          semTable: Option[String] = None,
+                          pqTable: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    val bandCounts = graft.sources.Ingest.bucketFileCounts(spark, bandTable)
+    rows += (("band", "files_per_bucket_max",
+      bandCounts.values.maxOption.getOrElse(0).toDouble))
+    rows += (("band", "rows", spark.table(bandTable).count().toDouble))
+    val hashT = Dedup.hashTableOf(bandTable)
+    if (spark.catalog.tableExists(hashT))
+      rows += (("band", "hash_rows", spark.table(hashT).count().toDouble))
+    rows += (("band", "calibrated_threshold",
+      Dedup.bandThresholdOf(spark, bandTable).map(_.toDouble).getOrElse(-1.0)))
+    for (t <- semTable.toSeq ++ pqTable.toSeq) {
+      val phys = Ann.physicalOf(spark, t)
+      val comp = if (semTable.contains(t)) "sem" else "pq"
+      val membersT = if (comp == "sem") s"${phys}_members" else phys
+      rows += ((comp, "generation",
+        graft.sources.TablePointer.generationOf(phys).toDouble))
+      rows += ((comp, "nlist",
+        spark.table(s"${phys}_centroids").count().toDouble))
+      rows += ((comp, "members", spark.table(membersT).count().toDouble))
+      rows += ((comp, "files_per_cell_max",
+        graft.sources.Ingest.partitionFileCounts(spark, membersT)
+          .values.maxOption.getOrElse(0).toDouble))
+      if (comp == "pq" && spark.catalog.tableExists(s"${phys}_meta")) {
+        val m = spark.table(s"${phys}_meta").collect().head
+        rows += (("pq", "quantizer_kmeans",
+          if (m.getString(0) == "kmeans") 1.0 else 0.0))
+        rows += (("pq", "screen_nprobe",
+          m.getAs[Int]("screen_nprobe").toDouble))
+        rows += (("pq", "screen_recall_measured",
+          m.getAs[Double]("screen_recall_measured")))
+      }
+    }
+    val histPath = new Path(s"$outDir/_admit_reports")
+    if (histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(histPath)) {
+      val hist = reportHistory(spark, outDir)
+      val a = hist.agg(count(lit(1)), max("lock_wait_ms"),
+        sum(when(!col("lock_healthy"), 1L).otherwise(0L))).head()
+      rows += (("admission", "batches", a.getLong(0).toDouble))
+      rows += (("admission", "max_lock_wait_ms", a.getLong(1).toDouble))
+      rows += (("admission", "unhealthy_cycles", a.getLong(2).toDouble))
+      val lastRate = hist.orderBy(col("batch_id").desc)
+        .select("cum_admit_rate").head()
+      if (!lastRate.isNullAt(0))
+        rows += (("admission", "cum_admit_rate", lastRate.getDouble(0)))
+    }
+    rows.toSeq.toDF("component", "metric", "value")
+      .orderBy("component", "metric")
+  }
+
   /** Screen `docs` (doc_id, text, …) against the standing state and land
     * the survivors. `embeddings` (vec_id aligned with doc_id) plus ONE
     * of `semTable` (the banded semantic index) or `pqTable` (the

@@ -82,6 +82,14 @@ object TablePointer {
     * at this name; the caller's clearStaleLocation-before-write handles
     * it (the next refresh stages the same generation number again,
     * because the pointer never moved).
+    *
+    * Writer contract: REFRESHES of one logical table must serialize —
+    * two concurrent stagers would derive the same generation number and
+    * interleave writes into one physical table. Every production
+    * refresh path already does (Curate's handoff and Admit's WAL repair
+    * both run under the admission lock); the pointer protocol isolates
+    * READERS from writers, it does not arbitrate writer-vs-writer —
+    * that is the lock's job, as it was before generations existed.
     */
   def stage(s: SparkSession, logical: String): String =
     s"${logical}__g${generationOf(resolve(s, logical)) + 1}"

@@ -570,6 +570,45 @@ class AdmitSpec extends SparkSpec {
       hist.mkString)
   }
 
+  test("standingStateReport rolls the operator's state checks into one frame") {
+    import spark.implicits._
+    val band = "admit_state_band"
+    val pq = "admit_state_pq"
+    dropIndexTables(band, "admit_state_unused")
+    dropWarehouseTables(s"${band}_meta")
+    graft.sources.TablePointer.dropAll(spark, pq,
+      Seq("_centroids", "_codebook", "_meta"))
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Dedup.refreshIndex(d, band, numBuckets = 8, screenRecallTarget = 0.75)
+    Ann.refreshPqIndex(e, pq, screenRecallTarget = 0.99)
+    val out = java.nio.file.Files.createTempDirectory("admit-state").toString
+    val r = Admit.admitBatch(spark,
+      Seq((950001L, "a novel dossier of lighthouse accountants " +
+        "reconciling fog schedules")).toDF("doc_id", "text"),
+      band, out, 1L, embeddings = Some(e), pqTable = Some(pq))
+    assert(r.admitted == 1, r.toString)
+    val rep = Admit.standingStateReport(spark, band, out, pqTable = Some(pq))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    // the persisted calibrations surface (not the -1 sentinels)
+    assert(rep(("band", "calibrated_threshold")) >= 1.0, rep.toString)
+    assert(rep(("pq", "screen_nprobe")) >= 1.0 &&
+      rep(("pq", "screen_recall_measured")) > 0.0, rep.toString)
+    // state sizes and layout pressure
+    assert(rep(("band", "rows")) > 0 && rep(("band", "hash_rows")) > 0)
+    assert(rep(("band", "files_per_bucket_max")) >= 1.0)
+    assert(rep(("pq", "generation")) >= 1.0 && rep(("pq", "nlist")) >= 1.0)
+    assert(rep(("pq", "members")) == e.count().toDouble)
+    assert(rep(("pq", "files_per_cell_max")) >= 1.0)
+    // the admission totals
+    assert(rep(("admission", "batches")) == 1.0 &&
+      rep(("admission", "cum_admit_rate")) == 1.0 &&
+      rep(("admission", "unhealthy_cycles")) == 0.0, rep.toString)
+  }
+
   test("lockWaitAlerts flags exactly the queued cycles of a slow-handoff history") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("admit-waits").toString
