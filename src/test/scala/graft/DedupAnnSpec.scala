@@ -1672,5 +1672,25 @@ class DedupAnnSpec extends SparkSpec {
       "gen 1 must retire two refreshes later")
     assert(spark.catalog.tableExists(s"default.${table}__g2"),
       "gen 2 must survive its grace period")
+
+    // the SEMANTIC family shares the protocol: a search resolved on its
+    // generation completes bit-equal while the next one lands
+    val semT = "sem_reader_iso"
+    graft.sources.TablePointer.dropAll(spark, semT,
+      Seq("_centroids", "_members"))
+    Ann.refreshSemanticIndex(e.filter(col("vec_id") % 2 === 0), semT,
+      numBuckets = 8)
+    val semBaseline = Ann.searchSemanticIndex(spark, semT, queries, k = 5)
+      .collect()
+    val semOldReader = Ann.searchSemanticIndex(spark, semT, queries, k = 5)
+    Ann.refreshSemanticIndex(e, semT, numBuckets = 8)
+    assert(graft.sources.TablePointer
+      .generationOf(phys(semT)) == 2, phys(semT))
+    assert(semOldReader.collect().toSeq.map(_.toString) ==
+      semBaseline.toSeq.map(_.toString),
+      "a sem reader holding the old resolution must see the old snapshot")
+    assert(Ann.searchSemanticIndex(spark, semT, queries, k = 5).collect()
+      .exists(_.getAs[Long]("n_id") % 2 == 1),
+      "a post-swap sem reader must see the new generation's members")
   }
 }
