@@ -504,13 +504,20 @@ object Dedup {
     * probe's membership test becomes {h, h_collapsed} ∩ standing ≠ ∅
     * with no schema or plan change, and the q20/q140 oracle kernel
     * ([[contentHashes]]) is untouched. Cost: an extra row only for
-    * documents that actually contain run-on whitespace.
+    * documents that actually contain run-on (or non-space) whitespace.
+    *
+    * The collapse runs BEFORE the trim: Spark's `trim` strips SPACE
+    * characters only, so a tab/newline variant would survive a
+    * trim-first normalization at the edges — collapsing every
+    * whitespace run (regex `\s+`) to one space first makes the
+    * trailing/leading residue a plain space the trim then removes,
+    * closing the whole whitespace class, not just 0x20 runs.
     */
   private def contentHashKeys(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(array_distinct(array(
         md5(lower(trim(col("text")))),
-        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))))
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))))
         .as("h"))
 
   /** Incremental index maintenance: append an ADMITTED batch's bands to

@@ -1580,11 +1580,15 @@ class DedupAnnSpec extends SparkSpec {
     Dedup.refreshIndex(c, table, numBuckets = 8)
     val r = Dedup.probeHashIndex(spark, table, Seq(
         (910001L, "ok  go"), // double-spaced variant — must flag
-        (910002L, "ok going") // genuinely different short doc — must pass
+        (910002L, "ok going"), // genuinely different short doc — must pass
+        (910003L, "ok\tgo"), // tab variant — the collapse covers ALL \s
+        (910004L, "ok go\n") // trailing-newline variant (trim alone
+                             // strips spaces only — collapse-then-trim)
       ).toDF("doc_id", "text")).collect()
       .map(x => x.getAs[Long]("batch_doc_id") -> x.getAs[Int]("is_exact_dup"))
       .toMap
-    assert(r == Map(910001L -> 1, 910002L -> 0), r.toString)
+    assert(r == Map(910001L -> 1, 910002L -> 0, 910003L -> 1,
+      910004L -> 1), r.toString)
     // the REVERSE direction through an append: standing run-on
     // whitespace catches a single-spaced re-submission (both sides' key
     // sets live in the one bucketed column)
