@@ -143,6 +143,16 @@ object TablePointer {
     dropGens
   }
 
+  /** Test seam: delete ONLY the pointer file, leaving tables intact —
+    * specs forge the pre-generation (legacy) state with it to pin the
+    * migration path (resolve falls back to the logical name).
+    */
+  private[graft] def dropPointer(s: SparkSession, logical: String): Unit = {
+    val p = pointerPath(s, logical)
+    val fs = fsOf(s, p)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** Test/lifecycle helper: delete the pointer and EVERY generation of
     * `logical` (including the unversioned name) — the clean-slate drop
     * specs and rebuilds-from-nothing use.

@@ -1697,4 +1697,46 @@ class DedupAnnSpec extends SparkSpec {
       .exists(_.getAs[Long]("n_id") % 2 == 1),
       "a post-swap sem reader must see the new generation's members")
   }
+
+  test("a legacy unversioned index serves as-is and adopts generations on its next refresh") {
+    val table = "pq_legacy_adopt"
+    dropPqTables(table)
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Ann.refreshPqIndex(e.filter(col("vec_id") % 2 === 0), table)
+    // forge the PRE-r14 state every existing deployment has: the tables
+    // live at the LOGICAL name with no pointer file
+    for (suf <- Seq("", "_centroids", "_codebook", "_meta"))
+      spark.sql(s"ALTER TABLE ${table}__g1$suf RENAME TO $table$suf")
+    // a managed RENAME moves the root but leaves the cell-partition
+    // metadata at the old paths — recover them (forge hygiene only;
+    // production never renames an index)
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.catalog.refreshTable(table)
+    graft.sources.TablePointer.dropPointer(spark, table)
+    assert(Ann.physicalOf(spark, table) == table,
+      "resolution must be identity for a legacy index")
+    val probe = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 40)
+      .withColumn("vec_id", col("vec_id") + 90000)
+      .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
+      .select("vec_id", "emb")
+    val legacyOut = Ann.probePqIndex(spark, table, probe).collect()
+    assert(legacyOut.nonEmpty && legacyOut.forall(_.getAs[Int]("is_dup") == 1),
+      "the legacy index must keep screening unversioned")
+
+    // the next refresh ADOPTS generations; the legacy tables get the
+    // same one-generation grace any old generation gets
+    Ann.refreshPqIndex(e, table)
+    assert(phys(table) == s"${table}__g1", phys(table))
+    assert(spark.catalog.tableExists(s"default.$table"),
+      "the legacy table must survive its grace period")
+    Ann.refreshPqIndex(e, table)
+    assert(phys(table) == s"${table}__g2", phys(table))
+    assert(!spark.catalog.tableExists(s"default.$table"),
+      "the legacy table must retire two refreshes after adoption")
+    assert(spark.catalog.tableExists(s"default.${table}__g1"))
+    val adopted = Ann.probePqIndex(spark, table, probe).collect()
+    assert(adopted.nonEmpty && adopted.forall(_.getAs[Int]("is_dup") == 1))
+  }
 }
