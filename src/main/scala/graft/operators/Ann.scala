@@ -595,6 +595,102 @@ object Ann {
        |WHERE rank <= 5
        |ORDER BY neg.q_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q144
+
+  /** q144: kNN label propagation — semi-supervised labeling of the
+    * embedding corpus from a small labeled seed set, the bootstrapping
+    * move behind fastText-style quality classifiers and domain taggers:
+    * a handful of curated labels (here the `vec_id % 5 == 0` slice and
+    * the table's own `label` column) propagate to unlabeled vectors by
+    * majority vote among each target's k nearest seeds (exact cosine,
+    * ties at the k-boundary broken on seed id; vote ties on the smaller
+    * label — both deterministic in both engines).
+    *
+    * Scale shape: the target set is bounded by contract (the caller
+    * labels a batch at a time, here `vec_id < maxTargets`) and
+    * BROADCAST against the streamed seed corpus, so nothing
+    * corpus-sized shuffles until the k-bounded vote aggregate (≤ k rows
+    * per target). This is the exact-baseline grain (the q25 discipline);
+    * a production run at 100 TB swaps the candidate generator for the
+    * standing-index probes ([[searchPqIndex]]/[[searchSemanticIndex]],
+    * seeds as the indexed side) and keeps the vote stages unchanged —
+    * the candidates-then-verify seam every ANN path here shares.
+    * Cosines are decimal folds ([[dotDec]]) — engine-portable.
+    */
+  def q144LabelPropagation(s: SparkSession, dir: String, k: Int = 5,
+      maxTargets: Int = 400): DataFrame = {
+    val e = embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("s_id"), col("emb").as("semb"), col("label"))
+    val targets = e.filter(col("vec_id") % 5 =!= 0 && col("vec_id") < maxTargets)
+      .select(col("vec_id").as("t_id"), col("emb").as("temb"))
+    labelPropagate(seeds, targets, k).orderBy("vec_id")
+  }
+
+  /** The production seam under [[q144LabelPropagation]]: propagate
+    * labels from a `seeds` frame (`s_id`, `semb`, `label`) to a bounded
+    * `targets` frame (`t_id`, `temb`) by majority vote among each
+    * target's k nearest seeds. Targets broadcast; seeds stream.
+    */
+  def labelPropagate(seeds0: DataFrame, targets0: DataFrame,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = seeds0.withColumn("sn", dotDec("semb", "semb"))
+    val targets = targets0.withColumn("tn", dotDec("temb", "temb"))
+    val scored = seeds.crossJoin(broadcast(targets))
+      .select(col("t_id"), col("s_id"), col("label"),
+        Num.roundD(dotDec("temb", "semb").cast("double") /
+          sqrt(col("tn").cast("double") * col("sn").cast("double"))).as("cosine"))
+    val nnW = Window.partitionBy("t_id").orderBy(col("cosine").desc, col("s_id"))
+    val votes = scored
+      .withColumn("nr", row_number().over(nnW))
+      .filter(col("nr") <= k)
+      .groupBy("t_id", "label")
+      .agg(count(lit(1)).as("votes"), max("cosine").as("best_cosine"))
+    val vw = Window.partitionBy("t_id").orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("t_id").as("vec_id"), col("label").as("pred_label"),
+        col("votes"), col("best_cosine"))
+  }
+
+  val q144Sql: String =
+    s"""WITH expl AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS norm2
+       |  FROM expl GROUP BY vec_id),
+       |dots AS (
+       |  SELECT t.vec_id AS t_id, s.vec_id AS s_id,
+       |    SUM(CAST(t.v * s.v AS DECIMAL(25,12))) AS dotp
+       |  FROM expl t JOIN expl s ON t.pos = s.pos
+       |    AND t.vec_id % 5 <> 0 AND t.vec_id < 400 AND s.vec_id % 5 = 0
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.t_id, d.s_id, l.label,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(tn.norm2 AS DOUBLE) * CAST(sn.norm2 AS DOUBLE))")} AS cosine
+       |  FROM dots d
+       |  JOIN norms tn ON tn.vec_id = d.t_id
+       |  JOIN norms sn ON sn.vec_id = d.s_id
+       |  JOIN embeddings l ON l.vec_id = d.s_id),
+       |topk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |    ORDER BY cosine DESC, s_id) AS nr
+       |  FROM scored),
+       |votes AS (
+       |  SELECT t_id, label, COUNT(*) AS votes, MAX(cosine) AS best_cosine
+       |  FROM topk WHERE nr <= 5 GROUP BY 1, 2),
+       |win AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |    ORDER BY votes DESC, label) AS vr
+       |  FROM votes)
+       |SELECT t_id AS vec_id, label AS pred_label, votes, best_cosine
+       |FROM win WHERE vr = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** IVF (inverted-file) ANN — the second scale path beside hyperplane
     * LSH: a k-means coarse quantizer partitions the corpus into `nlist`
     * cells; a query probes only its `nprobe` nearest cells. Centroids are

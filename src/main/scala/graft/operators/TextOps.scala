@@ -595,4 +595,110 @@ object TextOps {
        |       WHEN avg_nll < sx / n - SQRT(GREATEST(sxx / n - (sx / n) * (sx / n), 0.0)) THEN 'boilerplate'
        |       ELSE 'typical' END AS lm_tier
        |FROM perdoc CROSS JOIN st ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q145
+
+  /** The default keyword taxonomy for [[tagTopics]]/[[q145TopicMixture]]:
+    * topic → keywords, grounded in the synthetic corpus vocabulary the
+    * way a production taxonomy is grounded in its domain's jargon.
+    */
+  val DefaultTaxonomy: Seq[(String, String)] = Seq(
+    "storage" -> "table", "storage" -> "row", "storage" -> "column",
+    "storage" -> "part", "storage" -> "key",
+    "execution" -> "scan", "execution" -> "filter", "execution" -> "sort",
+    "execution" -> "merge", "execution" -> "hash",
+    "streaming" -> "stream", "streaming" -> "batch", "streaming" -> "window",
+    "relational" -> "join", "relational" -> "agg", "relational" -> "group",
+    "relational" -> "query", "relational" -> "order")
+
+  /** Keyword-taxonomy topic tagging — the domain-labeling stage of
+    * mixture construction: every document gets the topic whose keywords
+    * it mentions most (hit-count ties break on the topic name; zero
+    * hits → `untagged`). The taxonomy is a broadcast frame (a taxonomy
+    * is curated by hand — it is small by construction), so tagging is
+    * one token explode + broadcast equi-join + per-doc argmax: nothing
+    * corpus-sized shuffles except the (doc, topic) hit aggregate, which
+    * the keyword join has already cut to matching tokens. Returns one
+    * row per input document: (doc_id, lang, n_tokens, topic, hits).
+    */
+  def tagTopics(s: SparkSession, d: DataFrame,
+      taxonomy: Seq[(String, String)] = DefaultTaxonomy): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val tax = taxonomy.toDF("topic", "term")
+    val base = d.select(col("doc_id"), col("lang"),
+      size(filter(toks, t => length(t) > 0)).as("n_tokens"))
+    val hits = d
+      .select(col("doc_id"), explode(toks).as("term"))
+      .filter(length(col("term")) > 0)
+      .join(broadcast(tax), "term")
+      .groupBy("doc_id", "topic")
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("topic"))
+    val best = hits.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    base.join(best.select("doc_id", "topic", "hits"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(col("topic"), lit("untagged")).as("topic"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+  }
+
+  /** q145: topic-mixture report — [[tagTopics]] rolled up to the
+    * (topic, lang) grain a mixture designer allocates over: document
+    * and token counts plus each cell's share of the corpus token
+    * budget. The per-doc tag frame is the production seam (it feeds the
+    * same mixture machinery as `lang`/`source` do in q49/q100); this
+    * query is its corpus-level artifact. Shares are exact-integer
+    * divisions, engine-portable.
+    */
+  def q145TopicMixture(s: SparkSession, dir: String): DataFrame = {
+    val tagged = tagTopics(s, docs(s, dir))
+    val tot = tagged.agg(sum("n_tokens").cast("double").as("tot_tokens"))
+    tagged.groupBy("topic", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("hits").as("n_keyword_hits"))
+      .crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        Num.roundD(col("n_tokens").cast("double") / col("tot_tokens"), 6))
+      .select("topic", "lang", "n_docs", "n_tokens", "n_keyword_hits",
+        "token_share")
+      .orderBy("topic", "lang")
+  }
+
+  val q145Sql: String = {
+    val tax = DefaultTaxonomy
+      .map { case (topic, term) => s"('$topic', '$term')" }.mkString(", ")
+    s"""WITH tax(topic, term) AS (VALUES $tax),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |base AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(string_split(lower(trim(text)), ' '),
+       |      x -> len(x) > 0)) AS n_tokens
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, topic, COUNT(*) AS hits
+       |  FROM t JOIN tax USING (term) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, topic, hits,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY hits DESC, topic) AS rk
+       |  FROM hits),
+       |tagged AS (
+       |  SELECT base.doc_id, base.lang, base.n_tokens,
+       |    COALESCE(b.topic, 'untagged') AS topic,
+       |    COALESCE(b.hits, 0) AS hits
+       |  FROM base LEFT JOIN (SELECT doc_id, topic, hits FROM best WHERE rk = 1) b
+       |    ON b.doc_id = base.doc_id),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens FROM tagged)
+       |SELECT topic, lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(hits) AS BIGINT) AS n_keyword_hits,
+       |  ${Num.sqlRoundD("CAST(SUM(n_tokens) AS DOUBLE) / ANY_VALUE(tot_tokens)", 6)} AS token_share
+       |FROM tagged CROSS JOIN tot
+       |GROUP BY topic, lang
+       |ORDER BY topic, lang""".stripMargin
+  }
 }

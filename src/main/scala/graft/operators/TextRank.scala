@@ -119,4 +119,112 @@ object TextRank {
        |  ${Num.sqlRoundD("CAST(SUM(rc) AS DOUBLE) / SUM(rv)")} AS conv_view_to_click,
        |  ${Num.sqlRoundD("CAST(SUM(rp) AS DOUBLE) / SUM(rc)")} AS conv_click_to_purchase
        |FROM s""".stripMargin
+
+  /** q143: BM25 sparse retrieval top-k — the ranked-retrieval primitive
+    * behind decontamination lookups, eval-set leakage hunts, and RAG
+    * indexing, complementing q63's per-doc term weighting with the
+    * query-side scatter-gather. The query set is derived from the corpus
+    * itself (one query per `doc_id % 101 == 0` document: the distinct
+    * terms of its first 6 tokens) so the operator is self-contained; a
+    * query never retrieves its own source document.
+    *
+    * Plan shape (the 100 TB story): the query-term frame is bounded
+    * (|docs|/101 queries × ≤6 terms) and BROADCAST to the postings
+    * join, so the only exchanges touching corpus-sized frames are the
+    * token aggregates (tf / df / doclen — the q63 class) and one
+    * decimal-sum shuffle on the matched (query, doc) pairs, which the
+    * query-term filter has already cut to the postings of ≤6·|Q| terms.
+    * N and avgdl ride along as broadcast one-row aggregates. The per-doc
+    * top-k is a WindowGroupLimit rank on the exact decimal score
+    * (identical in both engines), ties broken on doc_id.
+    *
+    * Okapi BM25 with k1 = 1.2, b = 0.75, idf = ln(1 + (N−df+0.5)/(df+0.5));
+    * per-term contributions are IEEE doubles with the same association
+    * order as the oracle, summed exactly via [[Num.exactSum]].
+    */
+  def q143Bm25Retrieval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val qt = docs.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    bm25TopK(docs, qt, k).orderBy("q_id", "rk")
+  }
+
+  /** The production seam under [[q143Bm25Retrieval]]: BM25 top-k of
+    * `docs` (any frame with `doc_id`/`text`) for an external query-term
+    * frame `qt` (`q_id`, `term`) — the shape a decontamination lookup or
+    * an eval-leakage hunt brings its own queries in. A query id equal to
+    * a document id never retrieves that document (self-exclusion).
+    */
+  def bm25TopK(docs: DataFrame, qt: DataFrame, k: Int = 10): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val ad = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val contrib = broadcast(qt).join(tf, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(ad))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("w",
+        col("idf") * ((col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    val scored = contrib.groupBy("q_id", "doc_id")
+      .agg(Num.exactSum(col("w")).as("score_dec"))
+    val w = Window.partitionBy("q_id").orderBy(col("score_dec").desc, col("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"),
+        Num.roundD(col("score_dec").cast("double")).as("bm25"))
+  }
+
+  val q143Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qraw AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest(list_distinct(string_split(lower(trim(text)), ' ')[1:6])) AS term
+       |  FROM documents WHERE doc_id % 101 = 0),
+       |qt AS (SELECT q_id, term FROM qraw WHERE len(term) > 0),
+       |contrib AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    (ln(1.0 + (n.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)))
+       |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf.tf AS DOUBLE) + 1.2 *
+       |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS w
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN n CROSS JOIN ad
+       |  WHERE tf.doc_id <> qt.q_id),
+       |sc AS (
+       |  SELECT q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |  FROM contrib GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score_dec DESC, doc_id) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, doc_id,
+       |  ${Num.sqlRoundD("CAST(score_dec AS DOUBLE)")} AS bm25
+       |FROM r WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
 }

@@ -70,6 +70,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.filter(col("is_repetitive") === 1).count() > 0)
   }
 
+  test("bm25TopK: tf ranks within equal-length docs, self-id excluded, absent term retrieves nothing") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    val docs = Seq(
+      (1L, "apple apple banana pear"),
+      (2L, "apple banana pear kiwi"),
+      (3L, "banana pear kiwi melon")).toDF("doc_id", "text")
+    // external query set — the production shape (decontam/eval lookups)
+    val qt = Seq((10L, "apple"), (2L, "apple"), (11L, "durian"))
+      .toDF("q_id", "term")
+    val out = TextRank.bm25TopK(docs, qt).collect()
+    // q10 "apple": doc1 (tf=2) outranks doc2 (tf=1); doc3 has no match
+    val q10 = out.filter(_.getAs[Long]("q_id") == 10L).sortBy(_.getAs[Int]("rk"))
+    assert(q10.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(q10.head.getAs[Double]("bm25") > q10.last.getAs[Double]("bm25"))
+    // q2 shares doc 2's id — self-exclusion drops it, doc 1 still retrieves
+    val q2 = out.filter(_.getAs[Long]("q_id") == 2L)
+    assert(q2.forall(_.getAs[Long]("doc_id") != 2L) && q2.nonEmpty)
+    // a term absent from the corpus retrieves nothing
+    assert(!out.exists(_.getAs[Long]("q_id") == 11L))
+  }
+
+  test("tagTopics: hit-count winner, deterministic tie on topic name, zero hits read untagged") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "table row column part key scan", "en"),
+      (2L, "zzz qqq", "en"),
+      (3L, "scan table", "fr")).toDF("doc_id", "text", "lang")
+    val tags = TextOps.tagTopics(spark, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("topic"), r.getAs[Long]("hits"), r.getAs[Int]("n_tokens"))).toMap
+    assert(tags(1L) == (("storage", 5L, 6)))       // 5 storage hits beat 1 execution hit
+    assert(tags(2L) == (("untagged", 0L, 2)))      // no keyword anywhere
+    assert(tags(3L) == (("execution", 1L, 2)))     // 1–1 tie → lexicographic topic
+  }
+
   test("q67 vocab ranks by total count with deterministic ties") {
     val out = CorpusOps.q67Vocab(spark, Sf).cache()
     val uni = out.filter(col("kind") === "unigram").orderBy("rank").collect()

@@ -617,6 +617,33 @@ class DedupAnnSpec extends SparkSpec {
     assert(q0.head.getAs[Long]("n_dups_excluded") >= 1L, "exclusion not counted")
   }
 
+  test("labelPropagate: a planted re-encode adopts its source's label at k=1; q144 votes are bounded") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+    val seeds = e.select(col("vec_id").as("s_id"), col("emb").as("semb"), col("label"))
+    // targets = 1.01-scaled re-encodes: cosine to the source is exactly 1
+    // up to per-component double rounding, so the nearest seed IS the
+    // source and k=1 propagation must recover every source label
+    val targets = e.select((col("vec_id") + 10000L).as("t_id"),
+      expr("transform(emb, x -> x * 1.01)").as("temb"))
+    val truth = e.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Ann.labelPropagate(seeds, targets, k = 1).collect()
+    assert(out.length == truth.size)
+    out.foreach { r =>
+      val src = r.getAs[Long]("vec_id") - 10000L
+      assert(r.getAs[Int]("pred_label") == truth(src), s"target of $src")
+      assert(r.getAs[Long]("votes") == 1L)
+      assert(r.getAs[Double]("best_cosine") >= 0.9999, s"twin cosine of $src")
+    }
+    // the oracle query's shape: one row per target, votes within [1, k]
+    val q = Ann.q144LabelPropagation(spark, Sf).collect()
+    assert(q.nonEmpty && q.forall { r =>
+      val v = r.getAs[Long]("votes"); v >= 1L && v <= 5L
+    })
+  }
+
   test("q137 contrastive pairs: every anchor's positive is its planted twin; negatives stay under eps") {
     val rows = Ann.q137ContrastivePairs(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
