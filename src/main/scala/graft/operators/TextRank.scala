@@ -144,7 +144,11 @@ object TextRank {
     */
   def q143Bm25Retrieval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val qt = docs.filter(col("doc_id") % 101 === 0)
+    // a FIXED query panel (doc_id < 3500 covers every sf the oracle
+    // runs at): |Q| must not grow with the corpus, or the oracle pays
+    // |Q|×postings ~ N² while the production shape — a bounded external
+    // query set against a growing corpus — is linear in N
+    val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
       .filter(length(col("term")) > 0)
@@ -204,7 +208,7 @@ object TextRank {
        |qraw AS (
        |  SELECT doc_id AS q_id,
        |    unnest(list_distinct(string_split(lower(trim(text)), ' ')[1:6])) AS term
-       |  FROM documents WHERE doc_id % 101 = 0),
+       |  FROM documents WHERE doc_id % 101 = 0 AND doc_id < 3500),
        |qt AS (SELECT q_id, term FROM qraw WHERE len(term) > 0),
        |contrib AS (
        |  SELECT qt.q_id, tf.doc_id,
