@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Num, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -231,4 +231,136 @@ object TextRank {
        |  ${Num.sqlRoundD("CAST(score_dec AS DOUBLE)")} AS bm25
        |FROM r WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
+
+  // --------------------------------------------------------------- q146
+
+  /** q146: hybrid retrieval via Reciprocal Rank Fusion — the modern
+    * two-tower stack: a sparse BM25 arm ([[bm25TopK]], exact lexical
+    * match) and a dense cosine arm (embeddings, semantic match) each
+    * rank top-k for the SAME query panel, and RRF fuses them on ranks
+    * alone (score = Σ 1/(60 + rank) over the arms that retrieved the
+    * doc) — no score normalization across incommensurable scales, the
+    * reason RRF is the default fusion in production search. A rank of 0
+    * in the output means "not retrieved by that arm".
+    *
+    * Scale shape: both arms are the already-audited bounded-panel
+    * shapes (q143's broadcast postings join; q25's broadcast
+    * nested-loop exact baseline, swappable for the standing-index
+    * probes at 100 TB), and the fusion itself is a full-outer equi-join
+    * of two ≤ |Q|·k frames — negligible at any corpus size. RRF terms
+    * are single IEEE divisions in a fixed association order, so fused
+    * ranking is engine-portable without decimals.
+    */
+  def q146HybridRetrieval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val isQ = (c: Column) => c % 101 === 0 && c < 3500
+    val qt = docs.filter(isQ(col("doc_id")))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    val sparse = bm25TopK(docs, qt, k)
+      .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+    val q = e.filter(isQ(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", Ann.dotDec("qemb", "qemb"))
+    val n = e.select(col("vec_id").as("doc_id"), col("emb").as("nemb"))
+      .withColumn("nn", Ann.dotDec("nemb", "nemb"))
+    val dW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("doc_id"))
+    val dense = n.crossJoin(broadcast(q))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        Num.roundD(Ann.dotDec("qemb", "nemb").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+      .withColumn("dense_rank", row_number().over(dW))
+      .filter(col("dense_rank") <= k)
+      .select("q_id", "doc_id", "dense_rank")
+    val fW = Window.partitionBy("q_id").orderBy(col("rrf0").desc, col("doc_id"))
+    sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf0",
+        coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")), lit(0.0)))
+      .withColumn("rank", row_number().over(fW))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        Num.roundD(col("rrf0"), 6).as("rrf"),
+        coalesce(col("sparse_rank"), lit(0)).as("sparse_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
+      .orderBy("q_id", "rank")
+  }
+
+  val q146Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qraw AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest(list_distinct(string_split(lower(trim(text)), ' ')[1:6])) AS term
+       |  FROM documents WHERE doc_id % 101 = 0 AND doc_id < 3500),
+       |qt AS (SELECT q_id, term FROM qraw WHERE len(term) > 0),
+       |contrib AS (
+       |  SELECT qt.q_id, tf.doc_id,
+       |    (ln(1.0 + (n.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)))
+       |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf.tf AS DOUBLE) + 1.2 *
+       |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS w
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN n CROSS JOIN ad
+       |  WHERE tf.doc_id <> qt.q_id),
+       |sc AS (
+       |  SELECT q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |  FROM contrib GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT q_id, doc_id, sparse_rank FROM (
+       |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score_dec DESC, doc_id) AS sparse_rank
+       |    FROM sc) z WHERE sparse_rank <= 10),
+       |expl AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |norms AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS norm2
+       |  FROM expl GROUP BY vec_id),
+       |dots AS (
+       |  SELECT q.vec_id AS q_id, nb.vec_id AS doc_id,
+       |    SUM(CAST(q.v * nb.v AS DECIMAL(25,12))) AS dotp
+       |  FROM expl q JOIN expl nb ON q.pos = nb.pos
+       |    AND q.vec_id % 101 = 0 AND q.vec_id < 3500 AND nb.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |dscored AS (
+       |  SELECT d.q_id, d.doc_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(qn.norm2 AS DOUBLE) * CAST(nn.norm2 AS DOUBLE))")} AS cosine
+       |  FROM dots d
+       |  JOIN norms qn ON qn.vec_id = d.q_id
+       |  JOIN norms nn ON nn.vec_id = d.doc_id),
+       |dense AS (
+       |  SELECT q_id, doc_id, dense_rank FROM (
+       |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, doc_id) AS dense_rank
+       |    FROM dscored) z WHERE dense_rank <= 10),
+       |fused AS (
+       |  SELECT q_id, doc_id,
+       |    COALESCE(1.0 / (60.0 + CAST(s.sparse_rank AS DOUBLE)), 0.0) +
+       |      COALESCE(1.0 / (60.0 + CAST(de.dense_rank AS DOUBLE)), 0.0) AS rrf0,
+       |    COALESCE(s.sparse_rank, 0) AS sparse_rank,
+       |    COALESCE(de.dense_rank, 0) AS dense_rank
+       |  FROM sparse s FULL OUTER JOIN dense de USING (q_id, doc_id))
+       |SELECT q_id, rank, doc_id, ${Num.sqlRoundD("rrf0", 6)} AS rrf,
+       |  sparse_rank, dense_rank
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY rrf0 DESC, doc_id) AS rank
+       |  FROM fused) f
+       |WHERE rank <= 10
+       |ORDER BY q_id, rank""".stripMargin
 }

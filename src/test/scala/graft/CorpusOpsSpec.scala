@@ -92,6 +92,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.exists(_.getAs[Long]("q_id") == 11L))
   }
 
+  test("q146 hybrid RRF: fusion equals its own rank columns, both arms contribute, scores ordered") {
+    import graft.operators.TextRank
+    val rows = TextRank.q146HybridRetrieval(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Int]("sparse_rank"); val d = r.getAs[Int]("dense_rank")
+      // rank 0 = "not retrieved by that arm"; the fused score must be
+      // exactly the sum of the present arms' reciprocal-rank terms
+      assert(s >= 0 && d >= 0 && (s > 0 || d > 0))
+      val expect = (if (s > 0) 1.0 / (60.0 + s) else 0.0) +
+        (if (d > 0) 1.0 / (60.0 + d) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6, s"row $r")
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.length <= 10)
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("rrf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // each arm returns a full top-10, so the fused head must draw on both
+    assert(rows.exists(_.getAs[Int]("sparse_rank") > 0))
+    assert(rows.exists(_.getAs[Int]("dense_rank") > 0))
+  }
+
   test("tagTopics: hit-count winner, deterministic tie on topic name, zero hits read untagged") {
     import spark.implicits._
     import graft.operators.TextOps
