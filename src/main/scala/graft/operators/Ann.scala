@@ -637,13 +637,21 @@ object Ann {
     */
   def labelPropagate(seeds0: DataFrame, targets0: DataFrame,
       k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val seeds = seeds0.withColumn("sn", dotDec("semb", "semb"))
     val targets = targets0.withColumn("tn", dotDec("temb", "temb"))
     val scored = seeds.crossJoin(broadcast(targets))
       .select(col("t_id"), col("s_id"), col("label"),
         Num.roundD(dotDec("temb", "semb").cast("double") /
           sqrt(col("tn").cast("double") * col("sn").cast("double"))).as("cosine"))
+    voteOnScored(scored, k)
+  }
+
+  /** The vote stage shared by the exact and index-backed propagation
+    * paths: rank each target's scored seeds, keep k, majority-vote the
+    * label (vote ties on the smaller label).
+    */
+  private def voteOnScored(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val nnW = Window.partitionBy("t_id").orderBy(col("cosine").desc, col("s_id"))
     val votes = scored
       .withColumn("nr", row_number().over(nnW))
@@ -656,6 +664,31 @@ object Ann {
       .filter(col("vr") === 1)
       .select(col("t_id").as("vec_id"), col("label").as("pred_label"),
         col("votes"), col("best_cosine"))
+  }
+
+  /** The index-backed production twin of [[labelPropagate]] — the 100 TB
+    * shape: candidate neighbors come from a STANDING index's serving
+    * path ([[searchPqIndex]]/[[searchSemanticIndex]] — nprobe cells per
+    * target, never the corpus) and the vote stage is shared verbatim
+    * with the exact path. `labels` maps index member ids to their
+    * curated labels (`s_id`, `label`) and is broadcast — a label set is
+    * small by definition; candidates without a label row are skipped
+    * (the index may hold unlabeled members). Targets are a bounded
+    * batch, per the serving paths' broadcast premise.
+    */
+  def propagateLabelsIndexed(s: SparkSession, table: String,
+      targets: DataFrame, labels: DataFrame, k: Int = 5,
+      family: String = "pq", nprobe: Int = 3, adcTopC: Int = 64): DataFrame = {
+    val cand = family match {
+      case "pq" => searchPqIndex(s, table, targets, k, nprobe, adcTopC)
+      case "sem" => searchSemanticIndex(s, table, targets, k, nprobe)
+      case other => throw new IllegalArgumentException(
+        s"family must be pq or sem, got $other")
+    }
+    val scored = cand
+      .select(col("q_id").as("t_id"), col("n_id").as("s_id"), col("cosine"))
+      .join(broadcast(labels.select(col("s_id"), col("label"))), "s_id")
+    voteOnScored(scored, k)
   }
 
   val q144Sql: String =

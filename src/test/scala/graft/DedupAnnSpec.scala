@@ -644,6 +644,34 @@ class DedupAnnSpec extends SparkSpec {
     })
   }
 
+  test("propagateLabelsIndexed: the standing-index twin recovers every planted source label at k=1") {
+    import org.apache.spark.sql.functions._
+    val table = "labelprop_pq_test"
+    dropPqTables(table)
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    Ann.refreshPqIndex(e, table, splits = 1)
+    // targets = 1.01 re-encodes of the indexed members: each one's own
+    // cell holds its source at cosine ≈ 1, so the index-backed vote at
+    // k=1 must recover the source label — the exact path's contract,
+    // now served from standing state
+    val targets = e.select((col("vec_id") + 10000L).as("vec_id"),
+      expr("transform(emb, x -> x * 1.01)").as("emb"))
+    val labels = e.select(col("vec_id").as("s_id"), col("label"))
+    val truth = e.select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val out = Ann.propagateLabelsIndexed(spark, table, targets, labels, k = 1)
+      .collect()
+    assert(out.length == truth.size)
+    out.foreach { r =>
+      val src = r.getAs[Long]("vec_id") - 10000L
+      assert(r.getAs[Int]("pred_label") == truth(src), s"target of $src")
+      assert(r.getAs[Double]("best_cosine") >= 0.999, s"twin cosine of $src")
+    }
+    dropPqTables(table)
+  }
+
   test("q137 contrastive pairs: every anchor's positive is its planted twin; negatives stay under eps") {
     val rows = Ann.q137ContrastivePairs(spark, Sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
