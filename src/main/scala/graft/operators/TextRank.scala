@@ -177,6 +177,17 @@ object TextRank {
       .join(dl, "doc_id")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(ad))
+    rankBm25(withBm25Weight(contrib), k)
+  }
+
+  /** The Okapi weight of one (query, term, doc) match — expects columns
+    * `tf`, `df`, `dl` (exact counts) and `n`, `avgdl` (corpus constants
+    * as doubles). Shared verbatim by the in-query path and the standing
+    * index's search so the two can never diverge: every op is a
+    * fixed-association IEEE double, engine- and path-portable.
+    */
+  private def withBm25Weight(contrib: DataFrame): DataFrame =
+    contrib
       .withColumn("idf",
         log(lit(1.0) + (col("n") - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5))))
@@ -184,7 +195,12 @@ object TextRank {
         col("idf") * ((col("tf").cast("double") * lit(2.2)) /
           (col("tf").cast("double") + lit(1.2) *
             (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-    val scored = contrib.groupBy("q_id", "doc_id")
+
+  /** Exact per-(query, doc) score sum + WindowGroupLimit top-k — the
+    * tail both BM25 paths share.
+    */
+  private def rankBm25(weighted: DataFrame, k: Int): DataFrame = {
+    val scored = weighted.groupBy("q_id", "doc_id")
       .agg(Num.exactSum(col("w")).as("score_dec"))
     val w = Window.partitionBy("q_id").orderBy(col("score_dec").desc, col("doc_id"))
     scored
@@ -192,6 +208,120 @@ object TextRank {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("doc_id"),
         Num.roundD(col("score_dec").cast("double")).as("bm25"))
+  }
+
+  // ------------------------------------------- standing text (BM25) index
+
+  /** The text families' companion-table suffixes (retire/drop). */
+  private val TextSuffixes = Seq("_df", "_meta")
+
+  /** Posting rows of a docs frame: one row per (doc, term) with the
+    * term frequency and the doc's token length DENORMALIZED onto the
+    * posting (the classic posting-list layout — a search needs tf and
+    * dl together and must never join back to the corpus).
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).join(dl, "doc_id")
+  }
+
+  /** One corpus-constant PARTIAL per commit (refresh or append):
+    * `n_docs` counts every doc (the idf denominator), `token_docs` /
+    * `total_tokens` define avgdl. Readers SUM the partials, so appends
+    * stay purely additive — no in-place rewrite on the serving path.
+    */
+  private def metaPartial(docs: DataFrame, post: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      post.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("token_docs"), sum("dl").as("total_tokens")))
+
+  /** Materialize the standing BM25 index of a docs frame — the sparse
+    * retrieval family's standing state, the lifecycle discipline of the
+    * band/semantic/PQ families applied to postings: the posting table
+    * (`term`, `doc_id`, `tf`, `dl`) and its `_df` companion are BUCKETED
+    * ON `term` (a search's only corpus-sized join key — probe-side-only
+    * exchange), `_meta` holds the corpus constants as summable partials,
+    * and the whole triple lands as a NEW [[graft.sources.TablePointer]]
+    * generation behind the atomic current pointer, so a search racing a
+    * refresh keeps its own generation's files (reader-side snapshot
+    * isolation, the vector families' round-14 contract). Refreshes
+    * serialize under the caller's lock as everywhere else.
+    */
+  def refreshTextIndex(docs: DataFrame, table: String,
+                       numBuckets: Int = 32): Unit = {
+    val s = docs.sparkSession
+    val phys = graft.sources.TablePointer.stage(s, table)
+    val post = postingsOf(docs).persist()
+    try {
+      graft.sources.Ingest.writeBucketed(
+        post.select("term", "doc_id", "tf", "dl"), phys, "term", numBuckets)
+      graft.sources.Ingest.writeBucketed(
+        post.groupBy("term").agg(count(lit(1)).as("df")),
+        s"${phys}_df", "term", numBuckets)
+      graft.sources.Ingest.clearStaleLocation(s, s"${phys}_meta")
+      metaPartial(docs, post).write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${phys}_meta")
+      graft.sources.TablePointer.swap(s, table, phys)
+      graft.sources.TablePointer.retire(s, table, TextSuffixes)
+    } finally post.unpersist(false)
+  }
+
+  /** Incremental text-index maintenance: append a batch's postings, df
+    * partials, and meta partial to the CURRENT generation — one
+    * batch-sized shuffle, never a corpus rebuild, and purely ADDITIVE
+    * (df and meta are summable partials), so a concurrent reader sees
+    * either the pre- or post-append corpus constants, never a torn
+    * rewrite. Bucket specs are owned by the standing tables.
+    */
+  def appendTextIndex(s: SparkSession, table: String, docs: DataFrame): Unit = {
+    val phys = graft.sources.TablePointer.resolve(s, table)
+    val post = postingsOf(docs).persist()
+    try {
+      graft.sources.Ingest.appendBucketed(
+        post.select("term", "doc_id", "tf", "dl"), phys, "term")
+      graft.sources.Ingest.appendBucketed(
+        post.groupBy("term").agg(count(lit(1)).as("df")), s"${phys}_df", "term")
+      metaPartial(docs, post).write.mode("append").format("parquet")
+        .saveAsTable(s"${phys}_meta")
+    } finally post.unpersist(false)
+  }
+
+  /** BM25 top-k against the STANDING index — bit-equal to [[bm25TopK]]
+    * over the same corpus (the spec's contract): the query-term frame is
+    * bounded and broadcast (the serving paths' premise, guarded the same
+    * way), df resolves from the `_df` partials for the query's terms
+    * only (vocabulary-bounded, then broadcast), the corpus constants sum
+    * from `_meta`, and the postings table is touched ONCE through its
+    * bucketed scan with no index-side exchange. The pointer resolves
+    * once per plan — a refresh landing mid-query never moves this
+    * query's files.
+    */
+  def searchTextIndex(s: SparkSession, table: String, qt: DataFrame,
+                      k: Int = 10, maxQueryRows: Long = 100000L): DataFrame = {
+    val nQ = qt.count()
+    require(nQ <= maxQueryRows,
+      s"searchTextIndex broadcasts its query terms, and $nQ query rows " +
+        s"exceed maxQueryRows=$maxQueryRows — this is a serving path for " +
+        "bounded query panels; for corpus-sized workloads run bm25TopK " +
+        "as a batch job, or raise maxQueryRows deliberately.")
+    val phys = graft.sources.TablePointer.resolve(s, table)
+    val post = s.table(phys)
+    val qterms = qt.select("term").distinct()
+    val qdf = s.table(s"${phys}_df")
+      .join(broadcast(qterms), "term")
+      .groupBy("term").agg(sum("df").as("df"))
+    val meta = s.table(s"${phys}_meta")
+      .agg(sum("n_docs").cast("double").as("n"),
+        (sum("total_tokens").cast("double") /
+          sum("token_docs").cast("double")).as("avgdl"))
+    val contrib = broadcast(qt).join(post, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(meta))
+    rankBm25(withBm25Weight(contrib), k).orderBy("q_id", "rk")
   }
 
   val q143Sql: String =
@@ -276,18 +406,52 @@ object TextRank {
       .withColumn("dense_rank", row_number().over(dW))
       .filter(col("dense_rank") <= k)
       .select("q_id", "doc_id", "dense_rank")
+    fuseRrf(sparse, dense, k).orderBy("q_id", "rank")
+  }
+
+  /** Reciprocal Rank Fusion of a sparse arm (`q_id`, `doc_id`,
+    * `sparse_rank`) and a dense arm (`q_id`, `doc_id`, `dense_rank`) —
+    * shared verbatim by the oracle query and the index-backed twin.
+    * Full-outer on (q, doc); an absent arm contributes 0 and reads as
+    * rank 0 in the output.
+    */
+  def fuseRrf(sparse: DataFrame, dense: DataFrame, k: Int = 10,
+              c: Double = 60.0): DataFrame = {
     val fW = Window.partitionBy("q_id").orderBy(col("rrf0").desc, col("doc_id"))
     sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf0",
-        coalesce(lit(1.0) / (lit(60.0) + col("sparse_rank").cast("double")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")), lit(0.0)))
+        coalesce(lit(1.0) / (lit(c) + col("sparse_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("dense_rank").cast("double")), lit(0.0)))
       .withColumn("rank", row_number().over(fW))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"),
         Num.roundD(col("rrf0"), 6).as("rrf"),
         coalesce(col("sparse_rank"), lit(0)).as("sparse_rank"),
         coalesce(col("dense_rank"), lit(0)).as("dense_rank"))
-      .orderBy("q_id", "rank")
+  }
+
+  /** The fully index-backed production twin of [[q146HybridRetrieval]]:
+    * the sparse arm serves from the standing BM25 index
+    * ([[searchTextIndex]]), the dense arm from a standing vector index
+    * ([[Ann.searchPqIndex]]/[[Ann.searchSemanticIndex]] — nprobe cells
+    * per query, never the corpus), and [[fuseRrf]] is shared verbatim.
+    * `qt` carries the query terms (`q_id`, `term`), `queries` the query
+    * vectors (`vec_id`, `emb`) — same ids, the two sides of one query
+    * panel. At 100 TB this is the hybrid serving path: both arms
+    * exchange-free on their index side, fusion a ≤ |Q|·k join.
+    */
+  def hybridSearchIndexed(s: SparkSession, textTable: String,
+      vecTable: String, qt: DataFrame, queries: DataFrame, k: Int = 10,
+      family: String = "pq", nprobe: Int = 3, adcTopC: Int = 64): DataFrame = {
+    val sparse = searchTextIndex(s, textTable, qt, k)
+      .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
+    val dense = (family match {
+      case "pq" => Ann.searchPqIndex(s, vecTable, queries, k, nprobe, adcTopC)
+      case "sem" => Ann.searchSemanticIndex(s, vecTable, queries, k, nprobe)
+      case other => throw new IllegalArgumentException(
+        s"family must be pq or sem, got $other")
+    }).select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("dense_rank"))
+    fuseRrf(sparse, dense, k).orderBy("q_id", "rank")
   }
 
   val q146Sql: String =

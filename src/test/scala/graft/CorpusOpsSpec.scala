@@ -92,6 +92,65 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.exists(_.getAs[Long]("q_id") == 11L))
   }
 
+  test("standing text index: search bit-equal to bm25TopK; append half ≡ refresh full; generations swap with grace") {
+    import graft.operators.TextRank
+    import graft.sources.TablePointer
+    val (t1, t2) = ("text_index_test", "text_index_append_test")
+    TablePointer.dropAll(spark, t1, Seq("_df", "_meta"))
+    TablePointer.dropAll(spark, t2, Seq("_df", "_meta"))
+    val docs = Tables.load(spark, Sf, "documents")
+    val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
+    val exact = key(TextRank.bm25TopK(docs, qt).collect())
+    assert(exact.nonEmpty)
+    // the standing index serves the exact path's numbers bit-for-bit
+    TextRank.refreshTextIndex(docs, t1)
+    assert(key(TextRank.searchTextIndex(spark, t1, qt).collect()) == exact)
+    // additive maintenance: refresh half, append the rest — df and meta
+    // partials must SUM to the full corpus's constants
+    TextRank.refreshTextIndex(docs.filter(col("doc_id") % 2 === 0), t2)
+    TextRank.appendTextIndex(spark, t2, docs.filter(col("doc_id") % 2 === 1))
+    assert(key(TextRank.searchTextIndex(spark, t2, qt).collect()) == exact)
+    // a second refresh lands generation N+1; N survives the grace period
+    val g1 = TablePointer.resolve(spark, t1)
+    TextRank.refreshTextIndex(docs, t1)
+    val g2 = TablePointer.resolve(spark, t1)
+    assert(TablePointer.generationOf(g2) == TablePointer.generationOf(g1) + 1)
+    assert(spark.catalog.tableExists(g1), "previous generation retired too early")
+    // the fully index-backed hybrid twin: sparse arm bit-equal to the
+    // exact BM25 ranks through the fused output, fusion self-consistent
+    val vecTable = "text_hybrid_vec_test"
+    TablePointer.dropAll(spark, vecTable, Seq("_centroids", "_codebook", "_meta"))
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    graft.operators.Ann.refreshPqIndex(e, vecTable, splits = 1)
+    val queries = e.select("vec_id", "emb")
+      .join(qt.select(col("q_id").as("vec_id")).distinct(), "vec_id")
+    val fused = TextRank.hybridSearchIndexed(spark, t1, vecTable, qt, queries)
+      .collect()
+    assert(fused.nonEmpty)
+    val exactByQ = exact.map { case (q, rk, d, _) => (q, d) -> rk }.toMap
+    fused.foreach { r =>
+      val s = r.getAs[Int]("sparse_rank"); val d = r.getAs[Int]("dense_rank")
+      assert(s > 0 || d > 0)
+      val expect = (if (s > 0) 1.0 / (60.0 + s) else 0.0) +
+        (if (d > 0) 1.0 / (60.0 + d) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+      if (s > 0) // the served sparse arm IS the exact BM25 ranking
+        assert(exactByQ((r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))) == s)
+    }
+    assert(fused.exists(_.getAs[Int]("dense_rank") > 0))
+    TablePointer.dropAll(spark, vecTable, Seq("_centroids", "_codebook", "_meta"))
+    TablePointer.dropAll(spark, t1, Seq("_df", "_meta"))
+    TablePointer.dropAll(spark, t2, Seq("_df", "_meta"))
+  }
+
   test("q146 hybrid RRF: fusion equals its own rank columns, both arms contribute, scores ordered") {
     import graft.operators.TextRank
     val rows = TextRank.q146HybridRetrieval(spark, Sf).collect()
