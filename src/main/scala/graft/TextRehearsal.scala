@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Standing text-index rehearsal (round 14 second pass): prices the
+  * sparse-retrieval family's lifecycle at scale the way CalRehearsal
+  * prices the nprobe calibration — per scale dir: full refresh wall,
+  * a 1,000-doc append wall, a bounded-panel `searchTextIndex` wall,
+  * and the fully index-backed hybrid (`hybridSearchIndexed`, sparse +
+  * PQ arms + RRF fusion) wall. The search walls are the serving
+  * latencies that must stay FLAT as the corpus grows (nothing
+  * index-side shuffles; the postings scan prunes to the panel's term
+  * buckets).
+  *
+  * Usage: `runMain graft.TextRehearsal <sfDir> [<sfDir> ...]`
+  */
+object TextRehearsal {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scratch = java.nio.file.Files.createTempDirectory("text-rehearsal")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(graft.functions.GraftFunctions.register)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (dir <- args) {
+      val docs = Tables.load(spark, dir, "documents")
+      val nDocs = docs.count()
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (table, vecTable) = ("textreh_" + suffix, "textvec_" + suffix)
+      // pin the panel before timing: a served query panel arrives as a
+      // bounded frame, not a corpus re-scan — the timed walls must price
+      // the SERVING path, not the rehearsal's panel derivation
+      val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+        .filter(length(col("term")) > 0)
+        .persist()
+      qt.count()
+
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tRefresh) = timed(operators.TextRank.refreshTextIndex(docs, table))
+      // day-2 shape: a bounded batch lands ADDITIVELY (new ids so the
+      // append is a genuine corpus extension, not a replay)
+      val batch = docs.filter(col("doc_id") < 1000)
+        .withColumn("doc_id", col("doc_id") + lit(50000000L))
+      val (_, tAppend) = timed(operators.TextRank.appendTextIndex(spark, table, batch))
+      // one untimed warmup per serving path (the OneQ discipline): the
+      // first read after a write pays partition discovery + footers,
+      // which a standing serving path pays once per refresh, not per query
+      operators.TextRank.searchTextIndex(spark, table, qt).count()
+      val (sparseRows, tSearch) = timed(
+        operators.TextRank.searchTextIndex(spark, table, qt).count())
+      val e = Tables.load(spark, dir, "embeddings")
+        .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+        .select(col("vec_id"), col("emb"), col("label"))
+      val (_, tVec) = timed(operators.Ann.refreshPqIndex(e, vecTable))
+      val queries = e.select("vec_id", "emb")
+        .join(qt.select(col("q_id").as("vec_id")).distinct(), "vec_id")
+        .persist()
+      queries.count()
+      operators.TextRank.hybridSearchIndexed(spark, table, vecTable, qt, queries).count()
+      val (hybridRows, tHybrid) = timed(
+        operators.TextRank.hybridSearchIndexed(spark, table, vecTable, qt, queries).count())
+      qt.unpersist(false)
+      queries.unpersist(false)
+      println(f"""{"dir":"$dir","n_docs":$nDocs,""" +
+        f""""refresh_s":$tRefresh%.1f,"append1k_s":$tAppend%.1f,""" +
+        f""""search_s":$tSearch%.1f,"search_rows":$sparseRows,""" +
+        f""""pq_refresh_s":$tVec%.1f,"hybrid_s":$tHybrid%.1f,""" +
+        f""""hybrid_rows":$hybridRows}""")
+    }
+    spark.stop()
+  }
+}

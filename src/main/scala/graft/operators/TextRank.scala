@@ -215,6 +215,20 @@ object TextRank {
   /** The text families' companion-table suffixes (retire/drop). */
   private val TextSuffixes = Seq("_df", "_meta")
 
+  /** Term-bucket PARTITION count for the postings table. Postings are
+    * partitioned (directories, not buckets) by `tb = pmod(xxhash64(term),
+    * TermBuckets)` so a broadcast query panel prunes unmatched term
+    * buckets at the scan via dynamic partition pruning — the `_members`
+    * cell-partitioning trick applied to posting lists. With selective
+    * query terms a search reads only its terms' buckets; a panel of
+    * stopwords degrades to the full postings scan, which is the data's
+    * floor, not the plan's.
+    */
+  private val TermBuckets = 32
+
+  private def termBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(TermBuckets.toLong))
+
   /** Posting rows of a docs frame: one row per (doc, term) with the
     * term frequency and the doc's token length DENORMALIZED onto the
     * posting (the classic posting-list layout — a search needs tf and
@@ -241,9 +255,10 @@ object TextRank {
   /** Materialize the standing BM25 index of a docs frame — the sparse
     * retrieval family's standing state, the lifecycle discipline of the
     * band/semantic/PQ families applied to postings: the posting table
-    * (`term`, `doc_id`, `tf`, `dl`) and its `_df` companion are BUCKETED
-    * ON `term` (a search's only corpus-sized join key — probe-side-only
-    * exchange), `_meta` holds the corpus constants as summable partials,
+    * (`term`, `doc_id`, `tf`, `dl`) is PARTITIONED by [[termBucket]] so
+    * a search's broadcast panel DPP-prunes unmatched term buckets at
+    * the scan, the `_df` companion is bucketed on `term` (vocabulary-
+    * sized), `_meta` holds the corpus constants as summable partials,
     * and the whole triple lands as a NEW [[graft.sources.TablePointer]]
     * generation behind the atomic current pointer, so a search racing a
     * refresh keeps its own generation's files (reader-side snapshot
@@ -256,8 +271,12 @@ object TextRank {
     val phys = graft.sources.TablePointer.stage(s, table)
     val post = postingsOf(docs).persist()
     try {
-      graft.sources.Ingest.writeBucketed(
-        post.select("term", "doc_id", "tf", "dl"), phys, "term", numBuckets)
+      graft.sources.Ingest.clearStaleLocation(s, phys)
+      post.select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          termBucket(col("term")).as("tb"))
+        .repartition(col("tb")) // one file per term bucket per write
+        .write.mode("overwrite").format("parquet").partitionBy("tb")
+        .saveAsTable(phys)
       graft.sources.Ingest.writeBucketed(
         post.groupBy("term").agg(count(lit(1)).as("df")),
         s"${phys}_df", "term", numBuckets)
@@ -280,8 +299,11 @@ object TextRank {
     val phys = graft.sources.TablePointer.resolve(s, table)
     val post = postingsOf(docs).persist()
     try {
-      graft.sources.Ingest.appendBucketed(
-        post.select("term", "doc_id", "tf", "dl"), phys, "term")
+      post.select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          termBucket(col("term")).as("tb"))
+        .repartition(col("tb"))
+        .write.mode("append").format("parquet").partitionBy("tb")
+        .saveAsTable(phys)
       graft.sources.Ingest.appendBucketed(
         post.groupBy("term").agg(count(lit(1)).as("df")), s"${phys}_df", "term")
       metaPartial(docs, post).write.mode("append").format("parquet")
@@ -317,7 +339,12 @@ object TextRank {
       .agg(sum("n_docs").cast("double").as("n"),
         (sum("total_tokens").cast("double") /
           sum("token_docs").cast("double")).as("avgdl"))
-    val contrib = broadcast(qt).join(post, "term")
+    // the panel joins on (tb, term): tb is the postings table's
+    // partition column, so the broadcast side's bucket values prune
+    // unmatched term-bucket directories at the scan (DPP — the
+    // `_members` cell-probe shape)
+    val contrib = broadcast(qt.withColumn("tb", termBucket(col("term"))))
+      .join(post, Seq("tb", "term"))
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(meta))

@@ -111,6 +111,10 @@ class CorpusOpsSpec extends SparkSpec {
     // the standing index serves the exact path's numbers bit-for-bit
     TextRank.refreshTextIndex(docs, t1)
     assert(key(TextRank.searchTextIndex(spark, t1, qt).collect()) == exact)
+    // the postings scan is term-bucket partitioned and the broadcast
+    // panel prunes it dynamically (the _members cell-probe shape)
+    val plan = planString(TextRank.searchTextIndex(spark, t1, qt))
+    assert(plan.contains("dynamicpruning"), plan.take(800))
     // additive maintenance: refresh half, append the rest — df and meta
     // partials must SUM to the full corpus's constants
     TextRank.refreshTextIndex(docs.filter(col("doc_id") % 2 === 0), t2)
