@@ -60,6 +60,23 @@ object TextRehearsal {
       operators.TextRank.searchTextIndex(spark, table, qt).count()
       val (sparseRows, tSearch) = timed(
         operators.TextRank.searchTextIndex(spark, table, qt).count())
+      // the approximate serving tiers (round 14 third pass) — the knobs
+      // that close the exact path's stopword floor: index elimination
+      // drops the stopword-class terms before their corpus-sized
+      // posting scans; champion serving caps candidates at |terms|·m
+      // per commit regardless of corpus size
+      // 0.78 keeps the panel's below-median stopwords (the synthetic
+      // vocabulary is ~31 terms at df/N ≈ 0.75–0.80 plus one rare term,
+      // so a 0.5 threshold would empty the panel — honest but
+      // uninformative); replicas preserve per-term df fractions, so the
+      // kept-term set is scale-stable and the cost should track the
+      // KEPT terms' posting mass, not the corpus
+      operators.TextRank.searchTextIndex(spark, table, qt, maxDfFrac = 0.78).count()
+      val (prunedRows, tPruned) = timed(
+        operators.TextRank.searchTextIndex(spark, table, qt, maxDfFrac = 0.78).count())
+      operators.TextRank.searchTextIndexChampion(spark, table, qt, m = 128).count()
+      val (champRows, tChamp) = timed(
+        operators.TextRank.searchTextIndexChampion(spark, table, qt, m = 128).count())
       val e = Tables.load(spark, dir, "embeddings")
         .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
         .select(col("vec_id"), col("emb"), col("label"))
@@ -76,6 +93,8 @@ object TextRehearsal {
       println(f"""{"dir":"$dir","n_docs":$nDocs,""" +
         f""""refresh_s":$tRefresh%.1f,"append1k_s":$tAppend%.1f,""" +
         f""""search_s":$tSearch%.1f,"search_rows":$sparseRows,""" +
+        f""""pruned_s":$tPruned%.1f,"pruned_rows":$prunedRows,""" +
+        f""""champ_s":$tChamp%.1f,"champ_rows":$champRows,""" +
         f""""pq_refresh_s":$tVec%.1f,"hybrid_s":$tHybrid%.1f,""" +
         f""""hybrid_rows":$hybridRows}""")
     }

@@ -144,24 +144,30 @@ object TextRank {
     */
   def q143Bm25Retrieval(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    // a FIXED query panel (doc_id < 3500 covers every sf the oracle
-    // runs at): |Q| must not grow with the corpus, or the oracle pays
-    // |Q|×postings ~ N² while the production shape — a bounded external
-    // query set against a growing corpus — is linear in N
-    val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
+    bm25TopK(docs, corpusQueryPanel(docs), k).orderBy("q_id", "rk")
+  }
+
+  /** The shared q143/q146/q147/q148 query panel: a FIXED slice
+    * (`doc_id % 101 == 0 && doc_id < 3500` covers every sf the oracle
+    * runs at — |Q| must not grow with the corpus, or the oracle pays
+    * |Q|×postings ~ N² while the production shape, a bounded external
+    * query set against a growing corpus, is linear in N), one query per
+    * selected document: the distinct terms of its first 6 tokens.
+    */
+  private def corpusQueryPanel(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
       .filter(length(col("term")) > 0)
-    bm25TopK(docs, qt, k).orderBy("q_id", "rk")
-  }
 
-  /** The production seam under [[q143Bm25Retrieval]]: BM25 top-k of
-    * `docs` (any frame with `doc_id`/`text`) for an external query-term
-    * frame `qt` (`q_id`, `term`) — the shape a decontamination lookup or
-    * an eval-leakage hunt brings its own queries in. A query id equal to
-    * a document id never retrieves that document (self-exclusion).
+  /** The matched (query, term, doc) rows of a BM25 evaluation, pre-
+    * weight: columns `q_id, term, doc_id, tf, df, dl, n, avgdl` — every
+    * exact count the Okapi formula needs, with the corpus constants
+    * riding along as broadcast one-row aggregates. Shared by
+    * [[bm25TopK]] and the q147/q148 recall grids (which filter it by
+    * df-threshold / champion membership before ranking).
     */
-  def bm25TopK(docs: DataFrame, qt: DataFrame, k: Int = 10): DataFrame = {
+  private def bm25Contrib(docs: DataFrame, qt: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -171,13 +177,36 @@ object TextRank {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val ad = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val contrib = broadcast(qt).join(tf, "term")
+    broadcast(qt).join(tf, "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(df, "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(n))
       .crossJoin(broadcast(ad))
-    rankBm25(withBm25Weight(contrib), k)
+  }
+
+  /** The production seam under [[q143Bm25Retrieval]]: BM25 top-k of
+    * `docs` (any frame with `doc_id`/`text`) for an external query-term
+    * frame `qt` (`q_id`, `term`) — the shape a decontamination lookup or
+    * an eval-leakage hunt brings its own queries in. A query id equal to
+    * a document id never retrieves that document (self-exclusion).
+    *
+    * `maxDfFrac < 1.0` turns on INDEX ELIMINATION (IR's classic
+    * df-threshold pruning): query terms whose document frequency exceeds
+    * `maxDfFrac × N` are dropped before scoring. Stopword-class terms
+    * carry near-zero idf but corpus-sized posting lists, so this trades
+    * a measurable sliver of ranking fidelity (graded by [[q147PrunedRecall]])
+    * for posting-list work bounded by the RARE terms' df — the knob that
+    * closes the standing index's measured stopword floor. A query whose
+    * terms are ALL pruned returns no rows, the standard semantics.
+    */
+  def bm25TopK(docs: DataFrame, qt: DataFrame, k: Int = 10,
+               maxDfFrac: Double = 1.0): DataFrame = {
+    val contrib = bm25Contrib(docs, qt)
+    val kept =
+      if (maxDfFrac >= 1.0) contrib
+      else contrib.filter(col("df").cast("double") <= lit(maxDfFrac) * col("n"))
+    rankBm25(withBm25Weight(kept), k)
   }
 
   /** The Okapi weight of one (query, term, doc) match — expects columns
@@ -213,7 +242,15 @@ object TextRank {
   // ------------------------------------------- standing text (BM25) index
 
   /** The text families' companion-table suffixes (retire/drop). */
-  private val TextSuffixes = Seq("_df", "_meta")
+  private val TextSuffixes = Seq("_df", "_meta", "_champ")
+
+  /** Stored champion-list depth: every index commit (refresh or append)
+    * lands its own top-[[ChampM]] postings per term in the `_champ`
+    * companion, so serving can evaluate any `m ≤ ChampM` without a
+    * rebuild. 256 bounds the companion at vocabulary × 256 rows per
+    * commit — index metadata, not corpus data.
+    */
+  val ChampM = 256
 
   /** Term-bucket PARTITION count for the postings table. Postings are
     * partitioned (directories, not buckets) by `tb = pmod(xxhash64(term),
@@ -252,6 +289,31 @@ object TextRank {
       post.select("doc_id", "dl").distinct()
         .agg(count(lit(1)).as("token_docs"), sum("dl").as("total_tokens")))
 
+  /** One commit's champion-list PARTIAL: the top-[[ChampM]] postings per
+    * term of THIS commit's corpus slice, by impact (tf desc, doc_id asc —
+    * a total order, so champions are deterministic). Partials are
+    * summable the way `_df` partials are: the true top-m of a union of
+    * slices is contained in the union of the slices' top-m (any champion
+    * of the whole is a champion of the slice that holds it), so appends
+    * stay purely ADDITIVE and serving re-ranks the bounded union —
+    * never an in-place rewrite on a serving table.
+    *
+    * Skew guard for 100 TB refreshes: a stopword's posting list is a
+    * constant fraction of the corpus, and a single `partition by term`
+    * window would sort it on one task. The salt stage cuts each term
+    * into 64 bounded sub-lists, keeps each sub-list's top-ChampM (a
+    * superset of the term's true top-ChampM, same containment argument),
+    * and only the ≤ 64 × ChampM survivors reach the per-term window.
+    */
+  private def champPartial(post: DataFrame): DataFrame = {
+    val salted = Window.partitionBy(col("term"), pmod(xxhash64(col("doc_id")), lit(64L)))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val perTerm = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    post.withColumn("srn", row_number().over(salted)).filter(col("srn") <= ChampM)
+      .withColumn("rn", row_number().over(perTerm)).filter(col("rn") <= ChampM)
+      .select("term", "doc_id", "tf", "dl", "rn")
+  }
+
   /** Materialize the standing BM25 index of a docs frame — the sparse
     * retrieval family's standing state, the lifecycle discipline of the
     * band/semantic/PQ families applied to postings: the posting table
@@ -280,6 +342,8 @@ object TextRank {
       graft.sources.Ingest.writeBucketed(
         post.groupBy("term").agg(count(lit(1)).as("df")),
         s"${phys}_df", "term", numBuckets)
+      graft.sources.Ingest.writeBucketed(
+        champPartial(post), s"${phys}_champ", "term", numBuckets)
       graft.sources.Ingest.clearStaleLocation(s, s"${phys}_meta")
       metaPartial(docs, post).write.mode("overwrite").format("parquet")
         .saveAsTable(s"${phys}_meta")
@@ -306,6 +370,8 @@ object TextRank {
         .saveAsTable(phys)
       graft.sources.Ingest.appendBucketed(
         post.groupBy("term").agg(count(lit(1)).as("df")), s"${phys}_df", "term")
+      graft.sources.Ingest.appendBucketed(
+        champPartial(post), s"${phys}_champ", "term")
       metaPartial(docs, post).write.mode("append").format("parquet")
         .saveAsTable(s"${phys}_meta")
     } finally post.unpersist(false)
@@ -322,7 +388,8 @@ object TextRank {
     * query's files.
     */
   def searchTextIndex(s: SparkSession, table: String, qt: DataFrame,
-                      k: Int = 10, maxQueryRows: Long = 100000L): DataFrame = {
+                      k: Int = 10, maxQueryRows: Long = 100000L,
+                      maxDfFrac: Double = 1.0): DataFrame = {
     val nQ = qt.count()
     require(nQ <= maxQueryRows,
       s"searchTextIndex broadcasts its query terms, and $nQ query rows " +
@@ -339,12 +406,74 @@ object TextRank {
       .agg(sum("n_docs").cast("double").as("n"),
         (sum("total_tokens").cast("double") /
           sum("token_docs").cast("double")).as("avgdl"))
+    // index elimination runs BEFORE the postings join: dropping a
+    // stopword-class term from the panel removes its corpus-sized
+    // posting scan entirely (fewer surviving term buckets → more DPP
+    // pruning), which is the point — the same `df ≤ maxDfFrac·N` test
+    // bm25TopK applies per contrib row, applied where it saves work.
+    // The df/N test resolves from the same vocabulary-bounded partials
+    // the scoring reads, so the two paths can never disagree.
+    val panel =
+      if (maxDfFrac >= 1.0) qt
+      else qt.join(broadcast(
+        qdf.crossJoin(meta.select(col("n")))
+          .filter(col("df").cast("double") <= lit(maxDfFrac) * col("n"))
+          .select("term")), "term")
     // the panel joins on (tb, term): tb is the postings table's
     // partition column, so the broadcast side's bucket values prune
     // unmatched term-bucket directories at the scan (DPP — the
     // `_members` cell-probe shape)
-    val contrib = broadcast(qt.withColumn("tb", termBucket(col("term"))))
+    val contrib = broadcast(panel.withColumn("tb", termBucket(col("term"))))
       .join(post, Seq("tb", "term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(meta))
+    rankBm25(withBm25Weight(contrib), k).orderBy("q_id", "rk")
+  }
+
+  /** Champion-list serving against the STANDING index — the text
+    * family's bounded-candidate tier, the IVF-probe shape applied to
+    * posting lists: candidates come from the `_champ` companion's
+    * top-`m`-by-impact postings per query term (≤ |terms|·m rows, BY
+    * CONSTRUCTION independent of corpus size), scored with the exact
+    * Okapi weight over exact df/N/avgdl from the full index, ranked by
+    * [[rankBm25]]. A doc outside every query term's champion list
+    * cannot be retrieved — the fidelity trade [[q148ChampionRecall]]
+    * grades, the way the ANN family grades nprobe.
+    *
+    * The union of commit partials re-ranks at read: rows with partial
+    * rank > m are pre-cut (a slice row below its own slice's top-m is
+    * below the union's), then one window over the ≤ commits·m survivors
+    * per term recovers the true corpus top-m exactly.
+    */
+  def searchTextIndexChampion(s: SparkSession, table: String, qt: DataFrame,
+                              k: Int = 10, m: Int = 64,
+                              maxQueryRows: Long = 100000L): DataFrame = {
+    require(m >= 1 && m <= ChampM,
+      s"champion depth m=$m must be in [1, $ChampM] — the companion " +
+        s"stores top-$ChampM per commit; deeper serving needs a refresh " +
+        "with a larger ChampM")
+    val nQ = qt.count()
+    require(nQ <= maxQueryRows,
+      s"searchTextIndexChampion broadcasts its query terms, and $nQ " +
+        s"query rows exceed maxQueryRows=$maxQueryRows")
+    val phys = graft.sources.TablePointer.resolve(s, table)
+    val qterms = qt.select("term").distinct()
+    val perTerm = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val champ = s.table(s"${phys}_champ")
+      .join(broadcast(qterms), "term")
+      .filter(col("rn") <= m)
+      .withColumn("grn", row_number().over(perTerm))
+      .filter(col("grn") <= m)
+      .select("term", "doc_id", "tf", "dl")
+    val qdf = s.table(s"${phys}_df")
+      .join(broadcast(qterms), "term")
+      .groupBy("term").agg(sum("df").as("df"))
+    val meta = s.table(s"${phys}_meta")
+      .agg(sum("n_docs").cast("double").as("n"),
+        (sum("total_tokens").cast("double") /
+          sum("token_docs").cast("double")).as("avgdl"))
+    val contrib = broadcast(qt).join(champ, "term")
       .filter(col("doc_id") =!= col("q_id"))
       .join(broadcast(qdf), "term")
       .crossJoin(broadcast(meta))
@@ -388,6 +517,232 @@ object TextRank {
        |  ${Num.sqlRoundD("CAST(score_dec AS DOUBLE)")} AS bm25
        |FROM r WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
+
+  // --------------------------------------------------------------- q147
+
+  /** q147: the index-elimination recall grid — how much ranking fidelity
+    * each df-threshold buys away. For every threshold, prune query terms
+    * with `df > thr·N` (the [[bm25TopK]]/[[searchTextIndex]]
+    * `maxDfFrac` knob), rank, and score mean recall@k against the exact
+    * ranking (the thr = 1.0 row — its recall is 1.0 by construction, the
+    * grid's self-check). `kept_terms` counts the panel terms that
+    * survive each threshold: on a stopword-heavy corpus the interesting
+    * rows are the ones that keep only the rare tail.
+    *
+    * This is the text family's q91/q98 move: the approximate serving
+    * tier earns a measured recall curve, so the knob is chosen from
+    * data, not vibes. One corpus pass feeds every threshold (the grid is
+    * a broadcast 5-row cross join), and the rank windows partition by
+    * (thr, q_id) — the q143 WindowGroupLimit class.
+    */
+  def q147PrunedRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val qt = corpusQueryPanel(docs)
+    val weighted = withBm25Weight(bm25Contrib(docs, qt))
+    val thrDf = Seq(0.10, 0.75, 0.78, 0.80, 1.00).toDF("thr")
+    val grid = weighted.crossJoin(broadcast(thrDf))
+      .filter(col("df").cast("double") <= col("thr") * col("n"))
+    val sc = grid.groupBy("thr", "q_id", "doc_id")
+      .agg(Num.exactSum(col("w")).as("score_dec"))
+    val w = Window.partitionBy("thr", "q_id")
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    val topk = sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("thr", "q_id", "doc_id")
+    val exact = topk.filter(col("thr") === 1.0).select("q_id", "doc_id")
+    val hits = topk.join(exact, Seq("q_id", "doc_id"))
+      .groupBy("thr").agg(count(lit(1)).as("hits"))
+    // kept terms from the same df/N frames the scoring reads, joined at
+    // the VOCABULARY grain (panel terms absent from the corpus have no
+    // df row and count in neither engine)
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val dfF = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val kept = qt.select("term").distinct()
+      .join(dfF, "term").crossJoin(broadcast(n)).crossJoin(broadcast(thrDf))
+      .filter(col("df").cast("double") <= col("thr") * col("n"))
+      .groupBy("thr").agg(count(lit(1)).as("kept_terms"))
+    val nq = qt.select("q_id").distinct().agg(count(lit(1)).as("nq"))
+    thrDf.join(hits, Seq("thr"), "left").join(kept, Seq("thr"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("thr"), coalesce(col("kept_terms"), lit(0L)).as("kept_terms"),
+        Num.roundD(coalesce(col("hits"), lit(0L)).cast("double") /
+          (lit(k) * col("nq")).cast("double")).as("mean_recall"))
+      .orderBy("thr")
+  }
+
+  val q147Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qraw AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest(list_distinct(string_split(lower(trim(text)), ' ')[1:6])) AS term
+       |  FROM documents WHERE doc_id % 101 = 0 AND doc_id < 3500),
+       |qt AS (SELECT q_id, term FROM qraw WHERE len(term) > 0),
+       |thr AS (SELECT CAST(unnest([0.10, 0.75, 0.78, 0.80, 1.00]) AS DOUBLE) AS thr),
+       |contrib AS (
+       |  SELECT qt.q_id, tf.doc_id, df.df, n.n,
+       |    (ln(1.0 + (n.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)))
+       |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf.tf AS DOUBLE) + 1.2 *
+       |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS w
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN n CROSS JOIN ad
+       |  WHERE tf.doc_id <> qt.q_id),
+       |grid AS (
+       |  SELECT thr.thr, c.q_id, c.doc_id, c.w
+       |  FROM contrib c CROSS JOIN thr
+       |  WHERE CAST(c.df AS DOUBLE) <= thr.thr * c.n),
+       |sc AS (
+       |  SELECT thr, q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |  FROM grid GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY thr, q_id
+       |    ORDER BY score_dec DESC, doc_id) AS rk FROM sc),
+       |topk AS (SELECT thr, q_id, doc_id FROM r WHERE rk <= 10),
+       |exact AS (SELECT q_id, doc_id FROM topk WHERE thr = 1.0),
+       |hits AS (
+       |  SELECT thr, COUNT(*) AS hits
+       |  FROM topk JOIN exact USING (q_id, doc_id) GROUP BY 1),
+       |kept AS (
+       |  SELECT thr.thr, COUNT(*) AS kept_terms
+       |  FROM (SELECT DISTINCT term FROM qt) p
+       |  JOIN df USING (term) CROSS JOIN n CROSS JOIN thr
+       |  WHERE CAST(df.df AS DOUBLE) <= thr.thr * n.n GROUP BY 1),
+       |nq AS (SELECT COUNT(DISTINCT q_id) AS nq FROM qt)
+       |SELECT thr.thr AS thr, COALESCE(kept.kept_terms, 0) AS kept_terms,
+       |  ${Num.sqlRoundD("CAST(COALESCE(hits.hits, 0) AS DOUBLE) / CAST(10 * nq.nq AS DOUBLE)")} AS mean_recall
+       |FROM thr LEFT JOIN hits ON thr.thr = hits.thr
+       |LEFT JOIN kept ON thr.thr = kept.thr
+       |CROSS JOIN nq
+       |ORDER BY thr""".stripMargin
+
+  // --------------------------------------------------------------- q148
+
+  /** q148: the champion-list recall grid — recall@k of champion-only
+    * candidate generation at depths m, against the exact ranking. The
+    * champion list of a term is its top-m postings by impact (tf desc,
+    * doc_id — the total order the `_champ` companion materializes);
+    * scoring uses ONLY champion postings (a matched term whose posting
+    * for a doc fell outside its champions contributes nothing — the
+    * classic fidelity trade), while df/N/avgdl stay exact.
+    * `cand_postings` counts the candidate rows the panel touches at each
+    * m — the number that stays FLAT as the corpus grows, which is the
+    * whole point of the tier.
+    */
+  def q148ChampionRecall(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+    val qt = corpusQueryPanel(docs)
+    val weighted = withBm25Weight(bm25Contrib(docs, qt))
+    val mDf = Seq(8, 32, 128).toDF("m")
+    // champion rank over the FULL posting list of each panel term —
+    // per-query self-exclusion must not perturb the shared candidates
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val perTerm = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val champ = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .withColumn("rn", row_number().over(perTerm))
+    val grid = weighted
+      .join(champ.select("term", "doc_id", "rn"), Seq("term", "doc_id"))
+      .crossJoin(broadcast(mDf)).filter(col("rn") <= col("m"))
+    val sc = grid.groupBy("m", "q_id", "doc_id")
+      .agg(Num.exactSum(col("w")).as("score_dec"))
+    val w = Window.partitionBy("m", "q_id")
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    val topk = sc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("m", "q_id", "doc_id")
+    val exact = bm25TopK(docs, qt, k).select("q_id", "doc_id")
+    val hits = topk.join(exact, Seq("q_id", "doc_id"))
+      .groupBy("m").agg(count(lit(1)).as("hits"))
+    val cand = champ.crossJoin(broadcast(mDf)).filter(col("rn") <= col("m"))
+      .groupBy("m").agg(count(lit(1)).as("cand_postings"))
+    val nq = qt.select("q_id").distinct().agg(count(lit(1)).as("nq"))
+    mDf.join(hits, Seq("m"), "left").join(cand, Seq("m"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("m"), coalesce(col("cand_postings"), lit(0L)).as("cand_postings"),
+        Num.roundD(coalesce(col("hits"), lit(0L)).cast("double") /
+          (lit(k) * col("nq")).cast("double")).as("mean_recall"))
+      .orderBy("m")
+  }
+
+  val q148Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qraw AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest(list_distinct(string_split(lower(trim(text)), ' ')[1:6])) AS term
+       |  FROM documents WHERE doc_id % 101 = 0 AND doc_id < 3500),
+       |qt AS (SELECT q_id, term FROM qraw WHERE len(term) > 0),
+       |ms AS (SELECT unnest([8, 32, 128]) AS m),
+       |champ AS (
+       |  SELECT tf.term, tf.doc_id, ROW_NUMBER() OVER (PARTITION BY tf.term
+       |    ORDER BY tf.tf DESC, tf.doc_id) AS rn
+       |  FROM tf JOIN (SELECT DISTINCT term FROM qt) p USING (term)),
+       |contrib AS (
+       |  SELECT qt.q_id, tf.term, tf.doc_id,
+       |    (ln(1.0 + (n.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)))
+       |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf.tf AS DOUBLE) + 1.2 *
+       |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS w
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN n CROSS JOIN ad
+       |  WHERE tf.doc_id <> qt.q_id),
+       |grid AS (
+       |  SELECT ms.m, c.q_id, c.doc_id, c.w
+       |  FROM contrib c
+       |  JOIN champ ON champ.term = c.term AND champ.doc_id = c.doc_id
+       |  CROSS JOIN ms WHERE champ.rn <= ms.m),
+       |sc AS (
+       |  SELECT m, q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |  FROM grid GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY m, q_id
+       |    ORDER BY score_dec DESC, doc_id) AS rk FROM sc),
+       |topk AS (SELECT m, q_id, doc_id FROM r WHERE rk <= 10),
+       |esc AS (
+       |  SELECT q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |  FROM contrib GROUP BY 1, 2),
+       |er AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY score_dec DESC, doc_id) AS rk FROM esc),
+       |exact AS (SELECT q_id, doc_id FROM er WHERE rk <= 10),
+       |hits AS (
+       |  SELECT m, COUNT(*) AS hits
+       |  FROM topk JOIN exact USING (q_id, doc_id) GROUP BY 1),
+       |cand AS (
+       |  SELECT ms.m, COUNT(*) AS cand_postings
+       |  FROM champ CROSS JOIN ms WHERE champ.rn <= ms.m GROUP BY 1),
+       |nq AS (SELECT COUNT(DISTINCT q_id) AS nq FROM qt)
+       |SELECT ms.m AS m, COALESCE(cand.cand_postings, 0) AS cand_postings,
+       |  ${Num.sqlRoundD("CAST(COALESCE(hits.hits, 0) AS DOUBLE) / CAST(10 * nq.nq AS DOUBLE)")} AS mean_recall
+       |FROM ms LEFT JOIN hits ON ms.m = hits.m
+       |LEFT JOIN cand ON ms.m = cand.m
+       |CROSS JOIN nq
+       |ORDER BY m""".stripMargin
 
   // --------------------------------------------------------------- q146
 
@@ -469,8 +824,13 @@ object TextRank {
     */
   def hybridSearchIndexed(s: SparkSession, textTable: String,
       vecTable: String, qt: DataFrame, queries: DataFrame, k: Int = 10,
-      family: String = "pq", nprobe: Int = 3, adcTopC: Int = 64): DataFrame = {
-    val sparse = searchTextIndex(s, textTable, qt, k)
+      family: String = "pq", nprobe: Int = 3, adcTopC: Int = 64,
+      sparseDfFrac: Double = 1.0): DataFrame = {
+    // sparseDfFrac < 1.0 serves the sparse arm through index
+    // elimination (the q147-graded tier) — the hybrid twin of the dense
+    // arm's nprobe knob, for corpora whose stopword posting lists
+    // dominate the exact arm's cost
+    val sparse = searchTextIndex(s, textTable, qt, k, maxDfFrac = sparseDfFrac)
       .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
     val dense = (family match {
       case "pq" => Ann.searchPqIndex(s, vecTable, queries, k, nprobe, adcTopC)

@@ -96,8 +96,8 @@ class CorpusOpsSpec extends SparkSpec {
     import graft.operators.TextRank
     import graft.sources.TablePointer
     val (t1, t2) = ("text_index_test", "text_index_append_test")
-    TablePointer.dropAll(spark, t1, Seq("_df", "_meta"))
-    TablePointer.dropAll(spark, t2, Seq("_df", "_meta"))
+    TablePointer.dropAll(spark, t1, Seq("_df", "_meta", "_champ"))
+    TablePointer.dropAll(spark, t2, Seq("_df", "_meta", "_champ"))
     val docs = Tables.load(spark, Sf, "documents")
     val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
       .select(col("doc_id").as("q_id"),
@@ -151,8 +151,94 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(fused.exists(_.getAs[Int]("dense_rank") > 0))
     TablePointer.dropAll(spark, vecTable, Seq("_centroids", "_codebook", "_meta"))
-    TablePointer.dropAll(spark, t1, Seq("_df", "_meta"))
-    TablePointer.dropAll(spark, t2, Seq("_df", "_meta"))
+    TablePointer.dropAll(spark, t1, Seq("_df", "_meta", "_champ"))
+    TablePointer.dropAll(spark, t2, Seq("_df", "_meta", "_champ"))
+  }
+
+  test("text-index approximate serving: df-pruned search ≡ pruned twin; champion partials additive; champion ≡ exact when m covers every df") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    import graft.sources.TablePointer
+    val suf = Seq("_df", "_meta", "_champ")
+    val (ta, tb, tc) = ("text_approx_full", "text_approx_halves", "text_approx_toy")
+    Seq(ta, tb, tc).foreach(TablePointer.dropAll(spark, _, suf))
+    val docs = Tables.load(spark, Sf, "documents")
+    val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
+    TextRank.refreshTextIndex(docs, ta)
+    // index elimination: the served pruned ranking is bit-equal to the
+    // in-query pruned twin at a threshold that drops the stopword class
+    val f = 0.5
+    val prunedTwin = key(TextRank.bm25TopK(docs, qt, maxDfFrac = f).collect())
+    val prunedServed = key(TextRank.searchTextIndex(spark, ta, qt, maxDfFrac = f).collect())
+    assert(prunedServed == prunedTwin)
+    // the threshold bites on this corpus: pruning changes the result set
+    // (30 of 31 terms are stopword-class) but never to nothing
+    val exactSet = key(TextRank.searchTextIndex(spark, ta, qt).collect())
+    assert(prunedServed != exactSet)
+    // maxDfFrac = 1.0 is the exact path, unchanged
+    assert(key(TextRank.searchTextIndex(spark, ta, qt, maxDfFrac = 1.0).collect()) == exactSet)
+    // champion partials are ADDITIVE: refresh-half + append-half serves
+    // the same champion ranking as a single full refresh (the top-m of a
+    // union is contained in the union of the slices' top-m)
+    TextRank.refreshTextIndex(docs.filter(col("doc_id") % 2 === 0), tb)
+    TextRank.appendTextIndex(spark, tb, docs.filter(col("doc_id") % 2 === 1))
+    val mServe = 64
+    assert(key(TextRank.searchTextIndexChampion(spark, tb, qt, m = mServe).collect()) ==
+      key(TextRank.searchTextIndexChampion(spark, ta, qt, m = mServe).collect()))
+    // champion candidates are m-bounded per term per commit — never
+    // corpus-sized (ta: one commit; tb: two commits)
+    val champRows = spark.table(s"${TablePointer.resolve(spark, ta)}_champ")
+    assert(champRows.groupBy("term").count()
+      .filter(col("count") > TextRank.ChampM).count() == 0)
+    // on a corpus where every df ≤ m, champion serving IS exact
+    val toy = Seq(
+      (1L, "apple apple banana pear"),
+      (2L, "apple banana pear kiwi"),
+      (3L, "banana pear kiwi melon"),
+      (4L, "melon kiwi fig fig")).toDF("doc_id", "text")
+    val toyQt = Seq((10L, "apple"), (10L, "kiwi"), (20L, "fig")).toDF("q_id", "term")
+    TextRank.refreshTextIndex(toy, tc)
+    assert(key(TextRank.searchTextIndexChampion(spark, tc, toyQt, m = 8).collect()) ==
+      key(TextRank.bm25TopK(toy, toyQt).collect()))
+    // serving depth beyond the stored companion is refused loudly
+    val e = intercept[IllegalArgumentException](
+      TextRank.searchTextIndexChampion(spark, tc, toyQt, m = TextRank.ChampM + 1))
+    assert(e.getMessage.contains("champion depth"))
+    Seq(ta, tb, tc).foreach(TablePointer.dropAll(spark, _, suf))
+  }
+
+  test("q147/q148 recall grids: exact rows self-check at 1.0, recall monotone, candidates m-bounded") {
+    import graft.operators.TextRank
+    val g147 = TextRank.q147PrunedRecall(spark, Sf).collect()
+    assert(g147.length == 5)
+    val exactRow = g147.filter(_.getAs[Double]("thr") == 1.0)
+    assert(exactRow.length == 1 && exactRow.head.getAs[Double]("mean_recall") == 1.0)
+    // recall and kept_terms never decrease as the threshold loosens
+    val byThr = g147.sortBy(_.getAs[Double]("thr"))
+    byThr.sliding(2).foreach { w =>
+      assert(w(0).getAs[Double]("mean_recall") <= w(1).getAs[Double]("mean_recall"))
+      assert(w(0).getAs[Long]("kept_terms") <= w(1).getAs[Long]("kept_terms"))
+    }
+    val g148 = TextRank.q148ChampionRecall(spark, Sf).collect()
+    assert(g148.length == 3)
+    val byM = g148.sortBy(_.getAs[Int]("m"))
+    byM.sliding(2).foreach { w =>
+      assert(w(0).getAs[Double]("mean_recall") <= w(1).getAs[Double]("mean_recall"))
+    }
+    // candidate postings are exactly Σ_term min(df, m) — m-bounded, so
+    // they stop growing with the corpus once every panel df exceeds m
+    byM.foreach { r =>
+      val m = r.getAs[Int]("m").toLong
+      val cand = r.getAs[Long]("cand_postings")
+      assert(cand > 0 && cand <= m * 64,
+        s"cand_postings $cand exceeds m=$m × a panel-vocabulary bound")
+    }
   }
 
   test("q146 hybrid RRF: fusion equals its own rank columns, both arms contribute, scores ordered") {
