@@ -198,15 +198,17 @@ object Admit {
               standing: Standing, excludeBatchId: Long,
               embeddings: Option[DataFrame] = None,
               semTable: Option[String] = None,
-              pqTable: Option[String] = None): Unit =
+              pqTable: Option[String] = None,
+              textTable: Option[String] = None): Unit =
     recoverWith(spark, bandTable, outDir, standing, excludeBatchId,
-      embeddings, vecIndexOf(semTable, pqTable))
+      embeddings, vecIndexOf(semTable, pqTable), textTable)
 
   private def recoverWith(spark: SparkSession, bandTable: String,
                           outDir: String, standing: Standing,
                           excludeBatchId: Long,
                           embeddings: Option[DataFrame],
-                          vecIndex: Option[VecIndex]): Unit = {
+                          vecIndex: Option[VecIndex],
+                          textTable: Option[String]): Unit = {
     val landedDocs = landed(spark, outDir)
       .map(_.filter(col("batch_id") =!= excludeBatchId))
     val docs = landedDocs.map(ld =>
@@ -229,6 +231,12 @@ object Admit {
       }
       idx.rebuild(spark, allVecs)
     }
+    // the text index rebuilds as a FULL refresh from seed ∪ landed — it
+    // lands as a new TablePointer generation, so a serving query racing
+    // the repair keeps its own files (no frozen state to preserve: the
+    // postings/df/meta/champ partials are all corpus-derived)
+    for (t <- textTable)
+      operators.TextRank.refreshTextIndex(docs, t)
   }
 
   /** The cycle pins two frames for correctness (screens must not
@@ -340,14 +348,18 @@ object Admit {
     * nprobe + measured recall; −1 = never calibrated), the vector
     * index's current GENERATION, and the admission history's totals
     * (batches, worst queue time, unhealthy-lease count, cumulative
-    * admit rate). All reads are metadata- or footer-bounded; the
-    * history reads are two bounded aggregates, never a collect of the
-    * batch list.
+    * admit rate). `textTable` adds the standing BM25 index (round 14
+    * third pass): generation, postings/champion rows, vocabulary terms,
+    * commit count and doc total from the `_meta` partials, and the
+    * term-bucket compaction pressure. All reads are metadata-, footer-,
+    * vocabulary- or commit-bounded; the history reads are two bounded
+    * aggregates, never a collect of the batch list.
     */
   def standingStateReport(spark: SparkSession, bandTable: String,
                           outDir: String,
                           semTable: Option[String] = None,
-                          pqTable: Option[String] = None): DataFrame = {
+                          pqTable: Option[String] = None,
+                          textTable: Option[String] = None): DataFrame = {
     import spark.implicits._
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
     val bandCounts = graft.sources.Ingest.bucketFileCounts(spark, bandTable)
@@ -380,6 +392,26 @@ object Admit {
         rows += (("pq", "screen_recall_measured",
           m.getAs[Double]("screen_recall_measured")))
       }
+    }
+    for (t <- textTable.toSeq) {
+      val phys = graft.sources.TablePointer.resolve(spark, t)
+      rows += (("text", "generation",
+        graft.sources.TablePointer.generationOf(phys).toDouble))
+      rows += (("text", "postings", spark.table(phys).count().toDouble))
+      // vocabulary and commit counts read companion tables that are
+      // vocabulary- and commit-bounded, never corpus-bounded
+      rows += (("text", "terms",
+        spark.table(s"${phys}_df").select("term").distinct().count().toDouble))
+      val meta = spark.table(s"${phys}_meta")
+        .agg(count(lit(1)), sum("n_docs")).head()
+      rows += (("text", "commits", meta.getLong(0).toDouble))
+      rows += (("text", "docs", meta.getLong(1).toDouble))
+      rows += (("text", "files_per_bucket_max",
+        graft.sources.Ingest.partitionFileCounts(spark, phys)
+          .values.maxOption.getOrElse(0).toDouble))
+      if (spark.catalog.tableExists(s"${phys}_champ"))
+        rows += (("text", "champ_rows",
+          spark.table(s"${phys}_champ").count().toDouble))
     }
     val histPath = new Path(s"$outDir/_admit_reports")
     if (histPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -428,7 +460,16 @@ object Admit {
                  // expensive way to lose the queue position
                  lockWaitMs: Long = 60 * 60 * 1000L,
                  pqTable: Option[String] = None,
-                 qualityFloor: Double = -1.0): Report =
+                 qualityFloor: Double = -1.0,
+                 // round 14 third pass: the standing BM25 index joins
+                 // the cycle's maintained state — admitted docs append
+                 // their postings/df/meta/champion PARTIALS (purely
+                 // additive, batch-sized), so the retrieval serving
+                 // paths (searchTextIndex / hybridSearchIndexed) see
+                 // every admitted doc without a rebuild. Not a screen:
+                 // the text index serves retrieval, dedup stays with
+                 // the band/hash/vector screens.
+                 textTable: Option[String] = None): Report =
     Locks.withLockClaim(spark, s"$outDir/.admit-running", staleAfterMs,
       maxWaitMs = lockWaitMs) { claim =>
       // the width rule (graft.Tuning, VERDICT r9 #6): admission is
@@ -441,7 +482,7 @@ object Admit {
         Tuning.scaledShufflePartitionsForFrame(spark, docs)) {
         admitBatchLocked(spark, docs, bandTable, outDir, batchId,
           embeddings, vecIndexOf(semTable, pqTable), eps, recovery,
-          benchmarkGrams, bloomMBits, qualityFloor, claim)
+          benchmarkGrams, bloomMBits, qualityFloor, claim, textTable)
       }
     }
 
@@ -460,7 +501,7 @@ object Admit {
                                           pqTable: Option[String] = None,
                                           eps: Double = 0.99): Report =
     admitBatchLocked(spark, docs, bandTable, outDir, batchId, embeddings,
-      vecIndexOf(semTable, pqTable), eps, None, None, 20, -1.0, claim)
+      vecIndexOf(semTable, pqTable), eps, None, None, 20, -1.0, claim, None)
 
   private def admitBatchLocked(spark: SparkSession, docs: DataFrame,
                                bandTable: String, outDir: String, batchId: Long,
@@ -470,14 +511,16 @@ object Admit {
                                benchmarkGrams: Option[DataFrame],
                                bloomMBits: Int,
                                qualityFloor: Double,
-                               claim: Locks.Claim): Report = {
+                               claim: Locks.Claim,
+                               textTable: Option[String]): Report = {
     // WAL repair check: the previous attempt at THIS batch died between
     // its index appends and its landing — rebuild the standing state
     // before screening, or the whole batch self-flags and lands empty
     if (readWal(spark, outDir).contains(batchId)) {
       recovery match {
         case Some(st) =>
-          recoverWith(spark, bandTable, outDir, st, batchId, embeddings, vecIndex)
+          recoverWith(spark, bandTable, outDir, st, batchId, embeddings,
+            vecIndex, textTable)
         case None => throw new IllegalStateException(
           s"admission WAL $outDir/_admit_wal shows batch $batchId already " +
             s"appended to $bandTable but never landed — a replay would " +
@@ -671,6 +714,11 @@ object Admit {
                 claim.assertHeld(s"the ${idx.table} append for batch $batchId")
                 idx.append(spark, admittedVecs.select("vec_id", "emb"))
               }
+            }
+            for (t <- textTable) {
+              claim.assertHeld(s"the $t text-index append for batch $batchId")
+              operators.TextRank.appendTextIndex(spark, t,
+                admittedDocs.select("doc_id", "text"))
             }
           }
           admittedDocs.write.mode("overwrite")

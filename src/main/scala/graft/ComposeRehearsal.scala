@@ -87,7 +87,7 @@ object ComposeRehearsal {
           "(xxhash64('flip', 778, j) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS DOUBLE))"))
     val (r1, tAdmit1) = timed(Admit.admitBatch(spark, b1, "curated_band",
       admitOut, 1L, embeddings = Some(b1v), pqTable = Some("curated_pq"),
-      recovery = recovery))
+      recovery = recovery, textTable = Some("curated_text")))
 
     // phase 3: the screens must BITE — 200 re-submissions of shipped
     // text (band-reject) + 100 re-encodes of shipped vectors under new
@@ -126,7 +126,7 @@ object ComposeRehearsal {
     val b2v = reencVecs.unionByName(novelVecs)
     val (r2, tAdmit2) = timed(Admit.admitBatch(spark, b2, "curated_band",
       admitOut, 2L, embeddings = Some(b2v), pqTable = Some("curated_pq"),
-      recovery = recovery))
+      recovery = recovery, textTable = Some("curated_text")))
 
     // phase 4 (round 13 — VERDICT r12 #6): the STREAMING admission twin,
     // timed at the same standing state — one ≥10k-doc micro-batch (the
@@ -168,7 +168,7 @@ object ComposeRehearsal {
     val q = graft.streaming.EventStreams.admissionQuery(
       input.toDF.toDF("doc_id", "text"), "curated_band", admitOut, ckpt,
       embeddings = Some(reencVecs2), pqTable = Some("curated_pq"),
-      recovery = recovery)
+      recovery = recovery, textTable = Some("curated_text"))
     input.addData(streamRows)
     val tStream: Double = timed { q.processAllAvailable() }._2
     q.stop()
@@ -178,6 +178,14 @@ object ComposeRehearsal {
     // the consumable history, lock_healthy included (the r12 bit)
     val hist = Admit.reportHistory(spark, admitOut).collect()
     val healthy = hist.forall(_.getAs[Boolean]("lock_healthy"))
+
+    // the standing BM25 index rode every phase (round 14 third pass):
+    // one handoff refresh + one append per ADMITTING cycle, and the
+    // admitted corpus is retrieval-servable right here
+    val textPhys = graft.sources.TablePointer.resolve(spark, "curated_text")
+    val textCommits = spark.table(s"${textPhys}_meta").count()
+    val textDocs = spark.table(s"${textPhys}_meta")
+      .agg(sum("n_docs")).head().getLong(0)
 
     println(s"""{"sf":"$sfDir","input":${summary.input},""" +
       s""""shipped":${summary.packed},"indexed":${summary.indexedDocs},""" +
@@ -196,7 +204,8 @@ object ComposeRehearsal {
       s""""stream_near_rej":${sRep.getAs[Long]("near_dup_rejected")},""" +
       s""""stream_sem_rej":${sRep.getAs[Long]("semantic_rejected")},""" +
       s""""stream_intra_rej":${sRep.getAs[Long]("intra_rejected")},""" +
-      s""""history_rows":${hist.length},"lock_healthy_all":$healthy}""")
+      s""""history_rows":${hist.length},"lock_healthy_all":$healthy,""" +
+      s""""text_commits":$textCommits,"text_docs":$textDocs}""")
     spark.stop()
   }
 }

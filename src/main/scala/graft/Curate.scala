@@ -372,6 +372,11 @@ object Curate {
         // an nprobe-3 recall miss nothing was wired to correct
         Ann.refreshPqIndex(vecs, s"${indexPrefix}_pq", quantizer = "kmeans",
           screenRecallTarget = 0.99)
+      // the standing BM25 index (round 14 third pass): the curated
+      // corpus is retrieval-servable the moment the handoff lands —
+      // searchTextIndex / hybridSearchIndexed / the day-2 admission
+      // appends all run against this generation
+      graft.operators.TextRank.refreshTextIndex(kept, s"${indexPrefix}_text")
       kept.count()
     }
 

@@ -353,7 +353,12 @@ object EventStreams {
                      maxFilesPerBucket: Int = 0,
                      benchmarkGrams: Option[DataFrame] = None,
                      pqTable: Option[String] = None,
-                     qualityFloor: Double = -1.0)
+                     qualityFloor: Double = -1.0,
+                     // round 14 third pass: the standing BM25 index
+                     // grows per micro-batch like the other standing
+                     // state — admitted docs are retrieval-servable
+                     // one batch later, no rebuild
+                     textTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
@@ -367,7 +372,7 @@ object EventStreams {
         graft.Admit.admitBatch(s, batch, bandTable,
           outDir, batchId, embeddings, semTable, eps, recovery,
           benchmarkGrams = benchmarkGrams, pqTable = pqTable,
-          qualityFloor = qualityFloor)
+          qualityFloor = qualityFloor, textTable = textTable)
         for (st <- recovery) {
           // the PQ member table is cell-PARTITIONED, not bucketed —
           // needsCompaction dispatches to the partition grain for it
@@ -384,7 +389,11 @@ object EventStreams {
           val watched = Seq(bandTable) ++
             (if (s.catalog.tableExists(hashTable)) Seq(hashTable) else Nil) ++
             (semTable.toSeq ++ pqTable.toSeq)
-              .map(t => graft.operators.Ann.physicalOf(s, t))
+              .map(t => graft.operators.Ann.physicalOf(s, t)) ++
+            // the postings table is term-bucket PARTITIONED; the
+            // partition-grain file count watches it like the PQ cells
+            textTable.toSeq
+              .map(t => graft.sources.TablePointer.resolve(s, t))
           val trip = maxFilesPerBucket > 0 && watched.exists(t =>
             graft.sources.Ingest.needsCompaction(s, t, maxFilesPerBucket))
           // the compaction IS the recovery rebuild with nothing excluded;
@@ -393,7 +402,8 @@ object EventStreams {
           if (trip) graft.Locks.withLock(s, s"$outDir/.admit-running",
             graft.Admit.DefaultStaleAfterMs) {
             graft.Admit.recover(s, bandTable, outDir, st,
-              excludeBatchId = -1L, embeddings, semTable, pqTable)
+              excludeBatchId = -1L, embeddings, semTable, pqTable,
+              textTable)
           }
         }
         ()

@@ -474,6 +474,55 @@ class AdmitSpec extends SparkSpec {
     assert(landed == Set((1, 610001L), (3, 810001L)), landed.toString)
   }
 
+  test("the standing BM25 index grows per admitted batch: retrieval sees new docs, rejects never enter, recovery rebuilds it") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    import graft.sources.TablePointer
+    val band = "admit_text_band"
+    val text = "admit_text_idx"
+    dropIndexTables(band, "admit_text_unused")
+    TablePointer.dropAll(spark, text, Seq("_df", "_meta", "_champ"))
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    TextRank.refreshTextIndex(d, text)
+    val out = java.nio.file.Files.createTempDirectory("admit-text").toString
+    val corpusDoc10 = d.filter(col("doc_id") === 10L)
+      .select("text").as[String].collect().head
+    val textA = "entirely fresh prose about quantum marble butterflies " +
+      "gliding past copper lighthouses while seventeen astronomers argue"
+    val b1 = Seq((810001L, corpusDoc10), (810002L, textA)).toDF("doc_id", "text")
+    val r1 = Admit.admitBatch(spark, b1, band, out, 1L, textTable = Some(text))
+    assert(r1.admitted == 1 && r1.exactRejected == 1, r1.toString)
+    // the admitted doc is retrieval-servable ONE CYCLE LATER with no
+    // rebuild: its (corpus-novel) term retrieves it through the index
+    val qt = Seq((1L, "butterflies")).toDF("q_id", "term")
+    val hits = TextRank.searchTextIndex(spark, text, qt).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSet == Set(810002L),
+      hits.mkString)
+    val phys = TablePointer.resolve(spark, text)
+    // the REJECTED doc's postings never entered the standing index
+    assert(spark.table(phys).filter(col("doc_id") === 810001L).count() == 0)
+    // the meta partials carry the append as a second commit; the
+    // champion companion grew in lockstep
+    assert(spark.table(s"${phys}_meta").count() == 2)
+    assert(spark.table(s"${phys}_champ")
+      .filter(col("doc_id") === 810002L).count() > 0)
+    // the recovery rebuild (the WAL-repair / compaction path) lands a
+    // NEW generation from seed ∪ landed: the admitted doc still serves,
+    // and the old generation's reader isolation held during the swap
+    Admit.recover(spark, band, out, Admit.Standing(d),
+      excludeBatchId = -1L, textTable = Some(text))
+    val phys2 = TablePointer.resolve(spark, text)
+    assert(TablePointer.generationOf(phys2) ==
+      TablePointer.generationOf(phys) + 1, s"$phys -> $phys2")
+    val hits2 = TextRank.searchTextIndex(spark, text, qt).collect()
+    assert(hits2.map(_.getAs[Long]("doc_id")).toSet == Set(810002L),
+      hits2.mkString)
+    // one commit now: the rebuild folded seed ∪ landed into one refresh
+    assert(spark.table(s"${phys2}_meta").count() == 1)
+    TablePointer.dropAll(spark, text, Seq("_df", "_meta", "_champ"))
+  }
+
   test("the exact-hash screen closes the band screen's sub-3-word floor") {
     import spark.implicits._
     val band = "admit_band_short"
@@ -590,7 +639,14 @@ class AdmitSpec extends SparkSpec {
         "reconciling fog schedules")).toDF("doc_id", "text"),
       band, out, 1L, embeddings = Some(e), pqTable = Some(pq))
     assert(r.admitted == 1, r.toString)
-    val rep = Admit.standingStateReport(spark, band, out, pqTable = Some(pq))
+    val text = "admit_state_text"
+    graft.sources.TablePointer.dropAll(spark, text,
+      Seq("_df", "_meta", "_champ"))
+    graft.operators.TextRank.refreshTextIndex(d, text)
+    graft.operators.TextRank.appendTextIndex(spark, text,
+      d.limit(50).withColumn("doc_id", col("doc_id") + lit(960000L)))
+    val rep = Admit.standingStateReport(spark, band, out, pqTable = Some(pq),
+        textTable = Some(text))
       .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
       .toMap
     // the persisted calibrations surface (not the -1 sentinels)
@@ -607,6 +663,16 @@ class AdmitSpec extends SparkSpec {
     assert(rep(("admission", "batches")) == 1.0 &&
       rep(("admission", "cum_admit_rate")) == 1.0 &&
       rep(("admission", "unhealthy_cycles")) == 0.0, rep.toString)
+    // the standing BM25 index joins the frame: one refresh + one append
+    // = two commits, docs sums the meta partials, champions present
+    assert(rep(("text", "generation")) >= 1.0)
+    assert(rep(("text", "commits")) == 2.0, rep.toString)
+    assert(rep(("text", "docs")) == d.count().toDouble + 50.0, rep.toString)
+    assert(rep(("text", "postings")) > 0 && rep(("text", "terms")) > 0)
+    assert(rep(("text", "champ_rows")) > 0)
+    assert(rep(("text", "files_per_bucket_max")) >= 1.0)
+    graft.sources.TablePointer.dropAll(spark, text,
+      Seq("_df", "_meta", "_champ"))
   }
 
   test("lockWaitAlerts flags exactly the queued cycles of a slow-handoff history") {

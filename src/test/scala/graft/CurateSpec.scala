@@ -279,6 +279,8 @@ class CurateSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.operators.{Ann, Dedup}
     val prefix = "curhand"
+    graft.sources.TablePointer.dropAll(spark, s"${prefix}_text",
+      Seq("_df", "_meta", "_champ"))
     for (t <- Seq(s"${prefix}_band", s"${prefix}_pq", s"${prefix}_pq_centroids",
         s"${prefix}_pq_codebook", s"${prefix}_pq_meta")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -315,6 +317,24 @@ class CurateSpec extends SparkSpec {
     val pqOut = Ann.probePqIndex(spark, s"${prefix}_pq", keptVecs).collect()
     assert(pqOut.nonEmpty && pqOut.forall(_.getAs[Int]("is_dup") == 1),
       pqOut.mkString)
+
+    // the standing BM25 index lands in the same handoff (round 14 third
+    // pass): a shipped doc's own leading terms retrieve it, and the
+    // served ranking is bit-equal to the in-query twin over the shipped
+    // corpus — the curated corpus is retrieval-servable at handoff time
+    val shipped = spark.read.parquet(s"$out/corpus").select("doc_id", "text")
+    val qt = shipped.orderBy("doc_id").limit(3)
+      .select((col("doc_id") + 910000L).as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    import graft.operators.TextRank
+    val served = TextRank.searchTextIndex(spark, s"${prefix}_text", qt).collect()
+    assert(served.nonEmpty)
+    val twin = TextRank.bm25TopK(shipped, qt).collect()
+    def tkey(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
+    assert(tkey(served) == tkey(twin))
 
     // the default run does not build indexes
     assert(s.packed > 0 && Curate.run(spark, Sf,

@@ -233,6 +233,7 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.{Ann, Dedup}
     val band = "stream_admit_band"
     val sem = "stream_admit_sem"
+    val text = "stream_admit_text"
     for (t <- Seq(band, sem, s"${sem}_centroids", s"${sem}_members")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
@@ -240,6 +241,8 @@ class StreamingSpec extends SparkSpec {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    graft.sources.TablePointer.dropAll(spark, text,
+      Seq("_df", "_meta", "_champ"))
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", org.apache.spark.sql.functions.expr(
@@ -247,6 +250,7 @@ class StreamingSpec extends SparkSpec {
       .select("vec_id", "emb", "label")
     Dedup.refreshIndex(d, band, numBuckets = 8)
     Ann.refreshSemanticIndex(e, sem, numBuckets = 8)
+    graft.operators.TextRank.refreshTextIndex(d, text)
 
     val textA = "entirely fresh streaming prose about quantum marble " +
       "butterflies gliding past copper lighthouses while astronomers argue"
@@ -269,7 +273,8 @@ class StreamingSpec extends SparkSpec {
       input.toDF.toDF("doc_id", "text"), band, out, ckpt,
       Some(sideVecs), Some(sem),
       recovery = Some(graft.Admit.Standing(d, Some(e))),
-      maxFilesPerBucket = 1)
+      maxFilesPerBucket = 1,
+      textTable = Some(text))
     // micro-batch 0: doc A is novel on both screens — admitted; so is a
     // novel TWO-WORD doc (shingle-less: the band index never sees it)
     input.addData((800001L, textA), (800006L, "zq wv"))
@@ -304,6 +309,24 @@ class StreamingSpec extends SparkSpec {
     for (t <- Seq(band, phys(sem)))
       assert(graft.sources.Ingest.bucketFileCounts(spark, t).values.max == 1,
         s"$t not compacted: ${graft.sources.Ingest.bucketFileCounts(spark, t)}")
+    // the standing BM25 index rode the same cycles (round 14 third
+    // pass): both admitted prose docs are retrieval-servable after the
+    // stream, the rejected verbatim copy's id never entered the
+    // postings, and the compaction rebuild left a fresh generation
+    // still serving them
+    val qhits = graft.operators.TextRank.searchTextIndex(spark, text,
+        Seq((1L, "butterflies"), (2L, "glaciers")).toDF("q_id", "term"))
+      .collect()
+    assert(qhits.map(_.getAs[Long]("doc_id")).toSet == Set(800001L, 800003L),
+      qhits.mkString)
+    val textPhys = graft.sources.TablePointer.resolve(spark, text)
+    assert(spark.table(textPhys)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 800004L)
+      .count() == 0)
+    assert(graft.sources.TablePointer.generationOf(textPhys) >= 1,
+      s"compaction rebuild should land a pointer generation: $textPhys")
+    graft.sources.TablePointer.dropAll(spark, text,
+      Seq("_df", "_meta", "_champ"))
   }
 
   test("streaming admission over the IVF-PQ index: state grows per batch and partition-grain compaction trips") {
