@@ -234,7 +234,11 @@ object Admit {
     // the text index rebuilds as a FULL refresh from seed ∪ landed — it
     // lands as a new TablePointer generation, so a serving query racing
     // the repair keeps its own files (no frozen state to preserve: the
-    // postings/df/meta/champ partials are all corpus-derived)
+    // postings/df/meta/champ partials are all corpus-derived). The
+    // rebuild lands UNCALIBRATED (no `_cal`): a repair must not spend a
+    // recall sweep mid-incident, and the auto sentinels then degrade
+    // toward exactness — correct, just slower — until the next
+    // calibrated refresh (the Curate handoff) re-derives the knobs.
     for (t <- textTable)
       operators.TextRank.refreshTextIndex(docs, t)
   }

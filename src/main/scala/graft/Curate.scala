@@ -375,8 +375,13 @@ object Curate {
       // the standing BM25 index (round 14 third pass): the curated
       // corpus is retrieval-servable the moment the handoff lands —
       // searchTextIndex / hybridSearchIndexed / the day-2 admission
-      // appends all run against this generation
-      graft.operators.TextRank.refreshTextIndex(kept, s"${indexPrefix}_text")
+      // appends all run against this generation. The approximate-serving
+      // knobs (df-threshold, champion depth) are CALIBRATED here like
+      // every other screen/serving knob: smallest values meeting 0.9
+      // recall@10 against the exact ranking, persisted in `_cal`, read
+      // by the serving paths' auto sentinels
+      graft.operators.TextRank.refreshTextIndex(kept, s"${indexPrefix}_text",
+        serveRecallTarget = 0.9)
       kept.count()
     }
 

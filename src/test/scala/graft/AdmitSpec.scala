@@ -481,7 +481,7 @@ class AdmitSpec extends SparkSpec {
     val band = "admit_text_band"
     val text = "admit_text_idx"
     dropIndexTables(band, "admit_text_unused")
-    TablePointer.dropAll(spark, text, Seq("_df", "_meta", "_champ"))
+    TablePointer.dropAll(spark, text, Seq("_df", "_meta", "_champ", "_cal"))
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     Dedup.refreshIndex(d, band, numBuckets = 8)
     TextRank.refreshTextIndex(d, text)
@@ -520,7 +520,7 @@ class AdmitSpec extends SparkSpec {
       hits2.mkString)
     // one commit now: the rebuild folded seed ∪ landed into one refresh
     assert(spark.table(s"${phys2}_meta").count() == 1)
-    TablePointer.dropAll(spark, text, Seq("_df", "_meta", "_champ"))
+    TablePointer.dropAll(spark, text, Seq("_df", "_meta", "_champ", "_cal"))
   }
 
   test("the exact-hash screen closes the band screen's sub-3-word floor") {
@@ -641,7 +641,7 @@ class AdmitSpec extends SparkSpec {
     assert(r.admitted == 1, r.toString)
     val text = "admit_state_text"
     graft.sources.TablePointer.dropAll(spark, text,
-      Seq("_df", "_meta", "_champ"))
+      Seq("_df", "_meta", "_champ", "_cal"))
     graft.operators.TextRank.refreshTextIndex(d, text)
     graft.operators.TextRank.appendTextIndex(spark, text,
       d.limit(50).withColumn("doc_id", col("doc_id") + lit(960000L)))
@@ -672,7 +672,7 @@ class AdmitSpec extends SparkSpec {
     assert(rep(("text", "champ_rows")) > 0)
     assert(rep(("text", "files_per_bucket_max")) >= 1.0)
     graft.sources.TablePointer.dropAll(spark, text,
-      Seq("_df", "_meta", "_champ"))
+      Seq("_df", "_meta", "_champ", "_cal"))
   }
 
   test("lockWaitAlerts flags exactly the queued cycles of a slow-handoff history") {

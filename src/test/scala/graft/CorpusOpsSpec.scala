@@ -96,8 +96,8 @@ class CorpusOpsSpec extends SparkSpec {
     import graft.operators.TextRank
     import graft.sources.TablePointer
     val (t1, t2) = ("text_index_test", "text_index_append_test")
-    TablePointer.dropAll(spark, t1, Seq("_df", "_meta", "_champ"))
-    TablePointer.dropAll(spark, t2, Seq("_df", "_meta", "_champ"))
+    TablePointer.dropAll(spark, t1, Seq("_df", "_meta", "_champ", "_cal"))
+    TablePointer.dropAll(spark, t2, Seq("_df", "_meta", "_champ", "_cal"))
     val docs = Tables.load(spark, Sf, "documents")
     val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
       .select(col("doc_id").as("q_id"),
@@ -151,15 +151,15 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(fused.exists(_.getAs[Int]("dense_rank") > 0))
     TablePointer.dropAll(spark, vecTable, Seq("_centroids", "_codebook", "_meta"))
-    TablePointer.dropAll(spark, t1, Seq("_df", "_meta", "_champ"))
-    TablePointer.dropAll(spark, t2, Seq("_df", "_meta", "_champ"))
+    TablePointer.dropAll(spark, t1, Seq("_df", "_meta", "_champ", "_cal"))
+    TablePointer.dropAll(spark, t2, Seq("_df", "_meta", "_champ", "_cal"))
   }
 
   test("text-index approximate serving: df-pruned search ≡ pruned twin; champion partials additive; champion ≡ exact when m covers every df") {
     import spark.implicits._
     import graft.operators.TextRank
     import graft.sources.TablePointer
-    val suf = Seq("_df", "_meta", "_champ")
+    val suf = Seq("_df", "_meta", "_champ", "_cal")
     val (ta, tb, tc) = ("text_approx_full", "text_approx_halves", "text_approx_toy")
     Seq(ta, tb, tc).foreach(TablePointer.dropAll(spark, _, suf))
     val docs = Tables.load(spark, Sf, "documents")
@@ -211,6 +211,48 @@ class CorpusOpsSpec extends SparkSpec {
       TextRank.searchTextIndexChampion(spark, tc, toyQt, m = TextRank.ChampM + 1))
     assert(e.getMessage.contains("champion depth"))
     Seq(ta, tb, tc).foreach(TablePointer.dropAll(spark, _, suf))
+  }
+
+  test("text serving calibration: smallest knobs meeting the target persist in _cal, auto sentinels read them, uncalibrated degrades to exact") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    import graft.sources.TablePointer
+    val suf = Seq("_df", "_meta", "_champ", "_cal")
+    val (t1, t2) = ("text_cal_test", "text_nocal_test")
+    Seq(t1, t2).foreach(TablePointer.dropAll(spark, _, suf))
+    val docs = Tables.load(spark, Sf, "documents")
+    val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
+    TextRank.refreshTextIndex(docs, t1, serveRecallTarget = 0.9)
+    val cal = TextRank.textCalOf(spark, t1).get
+    // the chosen knobs carry their own evidence: target + measured
+    assert(cal.target == 0.9)
+    assert(cal.pruneMeasured >= 0.9, cal.toString)
+    assert(cal.champM >= 1 && cal.champM <= TextRank.ChampM)
+    // the AUTO sentinels serve exactly the persisted knobs' rankings
+    assert(key(TextRank.searchTextIndex(spark, t1, qt, maxDfFrac = 0.0).collect()) ==
+      key(TextRank.searchTextIndex(spark, t1, qt, maxDfFrac = cal.maxDfFrac).collect()))
+    assert(key(TextRank.searchTextIndexChampion(spark, t1, qt, m = 0).collect()) ==
+      key(TextRank.searchTextIndexChampion(spark, t1, qt, m = cal.champM).collect()))
+    // MINIMALITY by re-derivation: a LOOSER target never chooses larger
+    // knobs (the qualifying sets are supersets, their cheap ends ≤)
+    val calLoose = TextRank.calibrateTextServing(spark, t1, 0.25)
+    assert(calLoose.maxDfFrac <= cal.maxDfFrac && calLoose.champM <= cal.champM,
+      s"loose $calLoose vs tight $cal")
+    // an index refreshed WITHOUT a target has no _cal, and the auto
+    // sentinels degrade toward exactness — never a silent guess
+    TextRank.refreshTextIndex(docs, t2)
+    assert(TextRank.textCalOf(spark, t2).isEmpty)
+    assert(key(TextRank.searchTextIndex(spark, t2, qt, maxDfFrac = 0.0).collect()) ==
+      key(TextRank.searchTextIndex(spark, t2, qt).collect()))
+    assert(key(TextRank.searchTextIndexChampion(spark, t2, qt, m = 0).collect()) ==
+      key(TextRank.searchTextIndexChampion(spark, t2, qt, m = TextRank.ChampM).collect()))
+    Seq(t1, t2).foreach(TablePointer.dropAll(spark, _, suf))
   }
 
   test("q147/q148 recall grids: exact rows self-check at 1.0, recall monotone, candidates m-bounded") {

@@ -280,7 +280,7 @@ class CurateSpec extends SparkSpec {
     import graft.operators.{Ann, Dedup}
     val prefix = "curhand"
     graft.sources.TablePointer.dropAll(spark, s"${prefix}_text",
-      Seq("_df", "_meta", "_champ"))
+      Seq("_df", "_meta", "_champ", "_cal"))
     for (t <- Seq(s"${prefix}_band", s"${prefix}_pq", s"${prefix}_pq_centroids",
         s"${prefix}_pq_codebook", s"${prefix}_pq_meta")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
@@ -335,6 +335,11 @@ class CurateSpec extends SparkSpec {
       (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
         r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
     assert(tkey(served) == tkey(twin))
+    // the handoff calibrated the serving knobs (round 14 third pass):
+    // _cal landed with the 0.9 target and its measured evidence
+    val tcal = TextRank.textCalOf(spark, s"${prefix}_text")
+    assert(tcal.exists(c => c.target == 0.9 && c.pruneMeasured >= 0.9),
+      tcal.toString)
 
     // the default run does not build indexes
     assert(s.packed > 0 && Curate.run(spark, Sf,

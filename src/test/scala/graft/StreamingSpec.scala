@@ -242,7 +242,7 @@ class StreamingSpec extends SparkSpec {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     graft.sources.TablePointer.dropAll(spark, text,
-      Seq("_df", "_meta", "_champ"))
+      Seq("_df", "_meta", "_champ", "_cal"))
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
       .withColumn("emb", org.apache.spark.sql.functions.expr(
@@ -326,7 +326,7 @@ class StreamingSpec extends SparkSpec {
     assert(graft.sources.TablePointer.generationOf(textPhys) >= 1,
       s"compaction rebuild should land a pointer generation: $textPhys")
     graft.sources.TablePointer.dropAll(spark, text,
-      Seq("_df", "_meta", "_champ"))
+      Seq("_df", "_meta", "_champ", "_cal"))
   }
 
   test("streaming admission over the IVF-PQ index: state grows per batch and partition-grain compaction trips") {
