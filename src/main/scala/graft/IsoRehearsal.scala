@@ -87,6 +87,58 @@ object IsoRehearsal {
         f""""searches_ok":$ok,"searches_failed":$failed,""" +
         f""""on_old_gen":$onOld,"on_new_gen":$onNew,""" +
         f""""lat_p50_s":${pct(0.5)}%.2f,"lat_p95_s":${pct(0.95)}%.2f}""")
+
+      // the TEXT family under the same protocol (round 14 third pass):
+      // a calibrated refresh — postings + df + champ + cal, the family's
+      // slowest rewrite — lands generation 2 while a champion-serving
+      // loop (auto knobs: each search also reads the generation's _cal)
+      // keeps firing against the logical name
+      val tTable = "iso_rehearsal_text"
+      graft.sources.TablePointer.dropAll(spark, tTable,
+        Seq("_df", "_meta", "_champ", "_cal"))
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      import graft.operators.TextRank
+      TextRank.refreshTextIndex(docs.filter(col("doc_id") % 2 === 0), tTable,
+        serveRecallTarget = 0.9)
+      val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 1200)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+        .filter(length(col("term")) > 0)
+        .localCheckpoint(true)
+      TextRank.searchTextIndexChampion(spark, tTable, qt).collect()
+      val tt0 = System.nanoTime()
+      val tRefresh = Future {
+        TextRank.refreshTextIndex(docs, tTable, serveRecallTarget = 0.9)
+        (System.nanoTime() - tt0) / 1e9
+      }
+      var tOk = 0L; var tFailed = 0L; var tOld = 0L; var tNew = 0L
+      val tLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (!tRefresh.isCompleted) {
+        val gen = graft.sources.TablePointer.generationOf(
+          graft.sources.TablePointer.resolve(spark, tTable))
+        val s0 = System.nanoTime()
+        try {
+          val n = TextRank.searchTextIndexChampion(spark, tTable, qt)
+            .collect().length
+          require(n > 0)
+          tOk += 1
+          if (gen <= 1) tOld += 1 else tNew += 1
+          tLat += (System.nanoTime() - s0) / 1e9
+        } catch { case e: Exception =>
+          tFailed += 1
+          System.err.println(s"[IsoRehearsal] text search FAILED " +
+            s"mid-refresh: ${e.toString.take(200)}")
+        }
+      }
+      val tRefreshS = Await.result(tRefresh, 30.minutes)
+      val tSorted = tLat.sorted
+      def tPct(p: Double): Double =
+        if (tSorted.isEmpty) -1 else tSorted(math.min(tSorted.length - 1,
+          (p * tSorted.length).toInt))
+      println(f"""{"sf":"$dir","family":"text","refresh_s":$tRefreshS%.1f,""" +
+        f""""searches_ok":$tOk,"searches_failed":$tFailed,""" +
+        f""""on_old_gen":$tOld,"on_new_gen":$tNew,""" +
+        f""""lat_p50_s":${tPct(0.5)}%.2f,"lat_p95_s":${tPct(0.95)}%.2f}""")
     }
     spark.stop()
   }

@@ -384,8 +384,16 @@ object TextRank {
         .saveAsTable(phys)
       graft.sources.Ingest.appendBucketed(
         post.groupBy("term").agg(count(lit(1)).as("df")), s"${phys}_df", "term")
-      graft.sources.Ingest.appendBucketed(
-        champPartial(post), s"${phys}_champ", "term")
+      // the champion companion appends ONLY when it exists — the
+      // `_hashes` born-corpus-complete rule: appending a batch partial
+      // to a pre-champion legacy index would create a companion holding
+      // ONLY the batch's champions, and champion serving would silently
+      // miss the standing corpus; a legacy index stays champion-less
+      // (searchTextIndexChampion refuses loudly) until its next refresh
+      // materializes the companion corpus-complete
+      if (s.catalog.tableExists(s"${phys}_champ"))
+        graft.sources.Ingest.appendBucketed(
+          champPartial(post), s"${phys}_champ", "term")
       metaPartial(docs, post).write.mode("append").format("parquet")
         .saveAsTable(s"${phys}_meta")
     } finally post.unpersist(false)
@@ -480,6 +488,11 @@ object TextRank {
       s"champion depth m=$mEff must be in [1, $ChampM] — the companion " +
         s"stores top-$ChampM per commit; deeper serving needs a refresh " +
         "with a larger ChampM")
+    require(s.catalog.tableExists(s"${phys}_champ"),
+      s"$phys has no champion companion — an index refreshed before " +
+        "champion lists existed serves exact/pruned only; refresh it to " +
+        "materialize `_champ` corpus-complete (a partial companion would " +
+        "silently miss standing champions, so none is ever auto-created)")
     val nQ = qt.count()
     require(nQ <= maxQueryRows,
       s"searchTextIndexChampion broadcasts its query terms, and $nQ " +
@@ -560,6 +573,10 @@ object TextRank {
                            nPanel: Int = 12): TextCal = {
     import s.implicits._
     val phys = graft.sources.TablePointer.resolve(s, table0)
+    require(s.catalog.tableExists(s"${phys}_champ"),
+      s"$phys has no champion companion to calibrate — refresh the " +
+        "index first (refreshTextIndex materializes `_champ` " +
+        "corpus-complete before the calibration sweep)")
     val post = s.table(phys)
     val panelDocs = post.select("doc_id").distinct().orderBy("doc_id")
       .limit(nPanel)
@@ -583,9 +600,25 @@ object TextRank {
       .join(broadcast(qterms), "term")
       .groupBy("term").agg(sum("df").as("df"))
     val nDocs = s.table(s"${phys}_meta").agg(sum("n_docs")).head().getLong(0)
-    // the candidate thresholds: the panel terms' own df fractions
-    val fracs = qdf.select("df").collect()
+    // the candidate thresholds: the panel terms' own df fractions — the
+    // exact decision points — CAPPED at 6 quantile picks (ends always
+    // included). The grid's decimal-sum shuffle carries every slice's
+    // kept postings, so an uncapped ladder costs ~|candidates| × one
+    // full panel ranking per refresh: measured 170 s at a 30× corpus
+    // with 17 candidates vs ~9 s per ranking — the sweep must stay a
+    // bounded multiple of ONE ranking (the CalRehearsal rule). The cap
+    // coarsens minimality to "smallest CANDIDATE meeting the target",
+    // stated — the quantile ladder still brackets every df regime the
+    // panel actually contains.
+    val fracsAll = qdf.select("df").collect()
       .map(_.getLong(0).toDouble / nDocs).distinct.sorted
+    val fracs =
+      if (fracsAll.length <= 6) fracsAll
+      else {
+        val step = (fracsAll.length - 1).toDouble / 5
+        (0 to 5).map(i => fracsAll(math.round(i * step).toInt))
+          .distinct.toArray
+      }
     val maxFrac = fracs.last
     val contrib = withBm25Weight(
       qt.withColumn("tb", termBucket(col("term")))
