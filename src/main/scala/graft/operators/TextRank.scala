@@ -202,6 +202,12 @@ object TextRank {
     */
   def bm25TopK(docs: DataFrame, qt: DataFrame, k: Int = 10,
                maxDfFrac: Double = 1.0): DataFrame = {
+    // no auto sentinel here (there is no standing `_cal` to read):
+    // a non-positive threshold would silently retrieve nothing
+    require(maxDfFrac > 0.0,
+      s"maxDfFrac=$maxDfFrac would prune every term — pass a value in " +
+        "(0, 1]; the auto sentinel (0.0) exists only on the index-backed " +
+        "searchTextIndex, which has a persisted calibration to read")
     val contrib = bm25Contrib(docs, qt)
     val kept =
       if (maxDfFrac >= 1.0) contrib
@@ -438,6 +444,10 @@ object TextRank {
     // maxDfFrac = 0.0 is AUTO: serve at the threshold the refresh
     // calibrated and persisted in `_cal`; with no calibration, degrade
     // toward EXACTNESS (1.0 — prune nothing), never a silent guess.
+    require(maxDfFrac >= 0.0,
+      s"maxDfFrac=$maxDfFrac is outside [0, 1] — 0.0 means auto " +
+        "(read the persisted calibration), (0, 1] is an explicit " +
+        "threshold; a negative value would silently retrieve nothing")
     val fracEff =
       if (maxDfFrac != 0.0) maxDfFrac
       else textCalOf(s, phys).map(_.maxDfFrac).getOrElse(1.0)
