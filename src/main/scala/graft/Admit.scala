@@ -215,8 +215,11 @@ object Admit {
         standing.seedDocs.select("doc_id", "text")
           .unionByName(ld.select("doc_id", "text")))
       .getOrElse(standing.seedDocs.select("doc_id", "text"))
+    // the layout read targets the CURRENT band generation (round 15 —
+    // the band family resolves its pointer like the others now)
     val numBuckets = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(bandTable))
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        graft.sources.TablePointer.resolve(spark, bandTable)))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
     Dedup.refreshIndex(docs, bandTable, numBuckets = numBuckets)
     for ((vecs, idx) <- embeddings.zip(vecIndex)) {
@@ -253,7 +256,13 @@ object Admit {
           .getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(s"${phys}_df"))
           .bucketSpec.map(_.numBuckets).getOrElse(32)
-      operators.TextRank.refreshTextIndex(docs, t, numBuckets = nb)
+      // the tokenizer mode carries over too (round 15): a robust-mode
+      // index rebuilt under the default would fragment its postings
+      val tm =
+        if (!spark.catalog.tableExists(s"${phys}_meta")) "default"
+        else operators.TextRank.textTokModeOf(spark, phys)
+      operators.TextRank.refreshTextIndex(docs, t, numBuckets = nb,
+        tokMode = tm)
     }
   }
 
@@ -400,15 +409,18 @@ object Admit {
                           textTable: Option[String] = None): DataFrame = {
     import spark.implicits._
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
-    val bandCounts = graft.sources.Ingest.bucketFileCounts(spark, bandTable)
+    val bandPhys = graft.sources.TablePointer.resolve(spark, bandTable)
+    rows += (("band", "generation",
+      graft.sources.TablePointer.generationOf(bandPhys).toDouble))
+    val bandCounts = graft.sources.Ingest.bucketFileCounts(spark, bandPhys)
     rows += (("band", "files_per_bucket_max",
       bandCounts.values.maxOption.getOrElse(0).toDouble))
-    rows += (("band", "rows", spark.table(bandTable).count().toDouble))
-    val hashT = Dedup.hashTableOf(bandTable)
+    rows += (("band", "rows", spark.table(bandPhys).count().toDouble))
+    val hashT = Dedup.hashTableOf(bandPhys)
     if (spark.catalog.tableExists(hashT))
       rows += (("band", "hash_rows", spark.table(hashT).count().toDouble))
     rows += (("band", "calibrated_threshold",
-      Dedup.bandThresholdOf(spark, bandTable).map(_.toDouble).getOrElse(-1.0)))
+      Dedup.bandThresholdOf(spark, bandPhys).map(_.toDouble).getOrElse(-1.0)))
     for (t <- semTable.toSeq ++ pqTable.toSeq) {
       val phys = Ann.physicalOf(spark, t)
       val comp = if (semTable.contains(t)) "sem" else "pq"
@@ -675,7 +687,8 @@ object Admit {
       // Pinned like every screen that reads a table this cycle's
       // appends mutate (the hash companion grows in step 3).
       val (postExact, nExact) =
-        if (!spark.catalog.tableExists(Dedup.hashTableOf(bandTable)))
+        if (!spark.catalog.tableExists(Dedup.hashTableOf(
+            graft.sources.TablePointer.resolve(spark, bandTable))))
           (intraUnique, 0L)
         else {
           val exactHits = Dedup.probeHashIndex(spark, bandTable, intraUnique)

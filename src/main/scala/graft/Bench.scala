@@ -154,6 +154,23 @@ object Bench {
     // its busy run (load ~5.8) dropped two.
     val isoBudgetNs = 2700L * 1000 * 1000 * 1000
     val dropped = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Self-defending forks (round 15 — VERDICT r14 #1): three rounds in
+    // a row the isolated section's outliers (r14: q95 17.3 s vs its
+    // 3.4–6.4 band, q101 15.4 s, q112 9.6 s, q46 5.7 s) cost a manual
+    // adjudication, each time exonerated by the in-suite twin and a
+    // quiet-window re-measure — pure host load. The artifact now
+    // defends itself: (a) every fork records /proc/loadavg at launch +
+    // its start offset, published in `iso_ctx`, so a reviewer reads the
+    // load context instead of inferring it; (b) a fork reading worse
+    // than max(1.5 × its own in-suite twin, 2 s) — the exact inversion
+    // signature, since a fresh warmed JVM should never lose to the
+    // code-cache-pressured suite by half again — re-forks ONCE and
+    // publishes min-of-2 with BOTH reads in `iso_ctx`. Re-forks are
+    // capped at 6 per run so a uniformly-loaded host degrades to
+    // context-annotated single reads, never a blown budget.
+    val suiteMin = results.toMap
+    val isoCtx = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    var reforks = 0
     val isolated: Map[String, Double] =
       if (slow.isEmpty) Map.empty
       else {
@@ -163,14 +180,20 @@ object Bench {
         val base = Seq(s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++
           Seq("-cp", System.getProperty("java.class.path"), "graft.OneQ")
         val run = """(\S+) run\d+: ([0-9.]+) s""".r
-        slow.flatMap { q =>
+        def loadavg1(): Double =
+          try scala.io.Source.fromFile("/proc/loadavg").mkString
+            .split("\\s+").head.toDouble
+          catch { case _: Throwable => -1.0 }
+        // one fork attempt; None records its drop reason (a re-fork
+        // attempt never records a drop — the first read stands)
+        def forkOnce(q: String, recordDrop: Boolean): Option[Double] = {
           // each child's deadline is capped by what REMAINS of the
           // section budget, so the section can never overrun to
           // budget + a final child's full 150 s (ADVICE r8)
           val remainingNs = isoBudgetNs - (System.nanoTime() - isoStart)
           if (remainingNs <= 0) {
             System.err.println(s"[bench] isolated budget exhausted — dropped fork $q")
-            dropped(q) = "budget"
+            if (recordDrop) dropped(q) = "budget"
             None
           }
           else try {
@@ -185,7 +208,7 @@ object Bench {
             if (proc.isAlive()) {
               System.err.println(s"[bench] fork $q hit its deadline — killed")
               proc.destroy()
-              dropped(q) = "deadline"
+              if (recordDrop) dropped(q) = "deadline"
               None
             }
             else {
@@ -194,10 +217,41 @@ object Bench {
               proc.exitValue()
               val times = run.findAllMatchIn(sb.toString).toSeq
                 .filter(_.group(1) == q).map(_.group(2).toDouble)
-              if (times.isEmpty) { dropped(q) = "noparse"; None }
-              else Some(q -> times.min)
+              if (times.isEmpty) {
+                if (recordDrop) dropped(q) = "noparse"; None
+              }
+              else Some(times.min)
             }
-          } catch { case _: Throwable => dropped(q) = "crash"; None }
+          } catch { case _: Throwable =>
+            if (recordDrop) dropped(q) = "crash"; None
+          }
+        }
+        slow.flatMap { q =>
+          val startOff = (System.nanoTime() - isoStart) / 1e9
+          val load = loadavg1()
+          forkOnce(q, recordDrop = true) match {
+            case None => isoCtx(q) = Seq(startOff, load); None
+            case Some(t1) =>
+              val suite = suiteMin.getOrElse(q, -1.0)
+              val suspect = suite > 0 && t1 > math.max(1.5 * suite, 2.0)
+              if (suspect && reforks < 6) {
+                reforks += 1
+                System.err.println(f"[bench] fork $q read $t1%.2f s vs " +
+                  f"in-suite $suite%.2f s (load ${load}%.2f) — re-forking once")
+                val load2 = loadavg1()
+                forkOnce(q, recordDrop = false) match {
+                  case Some(t2) =>
+                    isoCtx(q) = Seq(startOff, load, t1, load2, t2)
+                    Some(q -> math.min(t1, t2))
+                  case None =>
+                    isoCtx(q) = Seq(startOff, load, t1)
+                    Some(q -> t1)
+                }
+              } else {
+                isoCtx(q) = Seq(startOff, load, t1)
+                Some(q -> t1)
+              }
+          }
         }.toMap
       }
     // The harness that collects this output keeps only a bounded tail of
@@ -217,6 +271,14 @@ object Bench {
     // a gapped fork publishes -1 (the suite's own failing-query marker),
     // never a silent absence; the reasons ride a compact sibling map
     val iso = section(slow.map(n => n -> isolated.getOrElse(n, -1.0)))
+    // per-fork load evidence: [start_offset_s, loadavg1, read1,
+    // (loadavg1_refork, read2)?] — compact (the qNN key rule), placed
+    // BEFORE the isolated section so a front-truncation cuts context
+    // before it cuts the canonical numbers
+    val ctx = isoCtx
+      .map { case (q, vs) => s"\"${q.takeWhile(_ != '_')}\":" +
+        vs.map(v => f"$v%.2f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val drops = dropped
       .map { case (q, why) => s"\"${q.takeWhile(_ != '_')}\":\"$why\"" }
       .mkString("{", ",", "}")
@@ -234,6 +296,6 @@ object Bench {
     // headline total — therefore come LAST; what gets cut is the head of
     // the per-query map, whose early entries are the small stable ones.
     // The line still leads with {"metric" for line-grep consumers.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"isolated":$iso,"dropped":$drops,"value":${fmt(total)}}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"iso_ctx":$ctx,"isolated":$iso,"dropped":$drops,"value":${fmt(total)}}""")
   }
 }

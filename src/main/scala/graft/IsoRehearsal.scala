@@ -139,6 +139,55 @@ object IsoRehearsal {
         f""""searches_ok":$tOk,"searches_failed":$tFailed,""" +
         f""""on_old_gen":$tOld,"on_new_gen":$tNew,""" +
         f""""lat_p50_s":${tPct(0.5)}%.2f,"lat_p95_s":${tPct(0.95)}%.2f}""")
+
+      // the BAND family under the same protocol (round 15 — VERDICT r14
+      // missing #1): a CALIBRATED full refresh (corpus re-shingle +
+      // twin-planted threshold sweep — the family's slowest rewrite)
+      // lands generation 2 while a probe loop (band + exact-hash, the
+      // admission read shape, auto threshold so each probe also reads
+      // the generation's _meta) keeps firing against the logical name
+      import graft.operators.Dedup
+      val bTable = "iso_rehearsal_band"
+      graft.sources.TablePointer.dropAll(spark, bTable, Dedup.BandSuffixes)
+      Dedup.refreshIndex(docs.filter(col("doc_id") % 2 === 0), bTable,
+        screenRecallTarget = 0.75)
+      val bProbe = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      Dedup.probeIndex(spark, bTable, bProbe).collect()
+      val bt0 = System.nanoTime()
+      val bRefresh = Future {
+        Dedup.refreshIndex(docs, bTable, screenRecallTarget = 0.75)
+        (System.nanoTime() - bt0) / 1e9
+      }
+      var bOk = 0L; var bFailed = 0L; var bOld = 0L; var bNew = 0L
+      val bLat = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (!bRefresh.isCompleted) {
+        val gen = graft.sources.TablePointer.generationOf(
+          graft.sources.TablePointer.resolve(spark, bTable))
+        val s0 = System.nanoTime()
+        try {
+          val n = Dedup.probeIndex(spark, bTable, bProbe).collect().length
+          val h = Dedup.probeHashIndex(spark, bTable, bProbe).collect().length
+          require(n > 0 && h > 0)
+          bOk += 1
+          if (gen <= 1) bOld += 1 else bNew += 1
+          bLat += (System.nanoTime() - s0) / 1e9
+        } catch { case e: Exception =>
+          bFailed += 1
+          System.err.println(s"[IsoRehearsal] band probe FAILED " +
+            s"mid-refresh: ${e.toString.take(200)}")
+        }
+      }
+      val bRefreshS = Await.result(bRefresh, 30.minutes)
+      val bSorted = bLat.sorted
+      def bPct(p: Double): Double =
+        if (bSorted.isEmpty) -1 else bSorted(math.min(bSorted.length - 1,
+          (p * bSorted.length).toInt))
+      println(f"""{"sf":"$dir","family":"band","refresh_s":$bRefreshS%.1f,""" +
+        f""""searches_ok":$bOk,"searches_failed":$bFailed,""" +
+        f""""on_old_gen":$bOld,"on_new_gen":$bNew,""" +
+        f""""lat_p50_s":${bPct(0.5)}%.2f,"lat_p95_s":${bPct(0.95)}%.2f}""")
     }
     spark.stop()
   }

@@ -82,7 +82,7 @@ object Ann {
     * rounding-mode or summation-order concerns), which is what makes the
     * sign fingerprints — and therefore bucket assignment — oracle-portable.
     */
-  private def quantize(emb: Column): Column =
+  private[operators] def quantize(emb: Column): Column =
     transform(emb, x => floor(x * lit(10000000.0)))
 
   /** 16-bit sign fingerprint of a QUANTIZED embedding: bit i is the sign
@@ -691,6 +691,86 @@ object Ann {
     voteOnScored(scored, k)
   }
 
+  /** Multi-hop label propagation (round 15 — VERDICT r14 #6):
+    * [[propagateLabelsIndexed]] is ONE hop, so a target whose k nearest
+    * index members include no labeled member stays unlabeled even when
+    * it sits one step beyond the labeled frontier (a target near a
+    * target near a seed). Iterate: each round's adoptees join the label
+    * set with confidence `decay × (their strongest same-label voter's
+    * confidence)` — seeds carry 1.0, so a round-1 adoption reads
+    * `decay`, a chain through it `decay²`, and a late DIRECT adoption
+    * from an original seed still reads `decay` (the decay prices hops,
+    * not rounds). Fixed `rounds` (never convergence-tested), the vote
+    * kernel's deterministic tie rules unchanged, first label wins (an
+    * adopted target never re-votes). The loop holds O(1) pinned frames
+    * (the CC checkpoint-and-free discipline); the result is ONE eager
+    * checkpoint the caller frees when done.
+    *
+    * Scale shape per round: one standing-index serving probe for the
+    * still-unlabeled targets (nprobe cells each, never the corpus) +
+    * k-bounded vote aggregates; the label set grows by adoptees only
+    * and stays broadcast-sized by the same argument labels are.
+    */
+  def propagateLabelsMultiHop(s: SparkSession, table: String,
+      targets: DataFrame, labels: DataFrame, k: Int = 5, rounds: Int = 2,
+      decay: Double = 0.5, family: String = "pq", nprobe: Int = 3,
+      adcTopC: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(decay > 0.0 && decay <= 1.0,
+      s"decay must be in (0, 1], got $decay")
+    var labelSet = labels.select(col("s_id"), col("label"),
+      lit(1.0).as("confidence")).localCheckpoint(true)
+    var pending = targets.localCheckpoint(true)
+    var acc: DataFrame = null
+    for (r <- 1 to rounds) {
+      val cand = family match {
+        case "pq" => searchPqIndex(s, table, pending, k, nprobe, adcTopC)
+        case "sem" => searchSemanticIndex(s, table, pending, k, nprobe)
+        case other => throw new IllegalArgumentException(
+          s"family must be pq or sem, got $other")
+      }
+      val scored = cand
+        .select(col("q_id").as("t_id"), col("n_id").as("s_id"), col("cosine"))
+        .join(broadcast(labelSet), "s_id")
+      val nnW = Window.partitionBy("t_id").orderBy(col("cosine").desc, col("s_id"))
+      val votes = scored
+        .withColumn("nr", row_number().over(nnW))
+        .filter(col("nr") <= k)
+        .groupBy("t_id", "label")
+        .agg(count(lit(1)).as("votes"), max("cosine").as("best_cosine"),
+          max("confidence").as("src_conf"))
+      val vw = Window.partitionBy("t_id").orderBy(col("votes").desc, col("label"))
+      val won = votes
+        .withColumn("vr", row_number().over(vw))
+        .filter(col("vr") === 1)
+        .select(col("t_id").as("vec_id"), col("label").as("pred_label"),
+          col("votes"), col("best_cosine"),
+          (lit(decay) * col("src_conf")).as("confidence"),
+          lit(r).as("round"))
+        .localCheckpoint(true)
+      val accNext =
+        (if (acc == null) won else acc.unionByName(won)).localCheckpoint(true)
+      if (acc != null) graft.Frames.freePinned(acc)
+      acc = accNext
+      val grown = labelSet.unionByName(
+          won.select(col("vec_id").as("s_id"), col("pred_label").as("label"),
+            col("confidence")))
+        .localCheckpoint(true)
+      graft.Frames.freePinned(labelSet)
+      labelSet = grown
+      val stillPending = pending
+        .join(won.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true)
+      graft.Frames.freePinned(pending)
+      pending = stillPending
+      graft.Frames.freePinned(won) // folded into acc + labelSet + pending
+    }
+    graft.Frames.freePinned(labelSet)
+    graft.Frames.freePinned(pending)
+    acc.orderBy("vec_id")
+  }
+
   val q144Sql: String =
     s"""WITH expl AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -1191,7 +1271,7 @@ object Ann {
     * cross-engine) — the vector norm doesn't move the argmax but IS
     * needed to order DIFFERENT vectors inside one cell.
     */
-  private def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
+  private[operators] def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame =
     assignCellsWith(vecs, centroids, banded = true)
 
   /** [[assignCells]] without the 16-plane sign fingerprint — the PQ

@@ -345,4 +345,121 @@ object Clusters {
        |FROM p WHERE pair_mass > 0
        |GROUP BY source_a, source_b
        |ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------- q149
+
+  /** q149: PageRank centrality over the near-dup candidate graph
+    * (round 15 — VERDICT r14 #4): the CommonCrawl-class document-quality
+    * signal public pipelines run beside content rules — a document whose
+    * near-duplicate neighborhood is central (template hubs, boilerplate
+    * cores, mirror nexuses) carries structural evidence no per-document
+    * rule sees (reference analog: the insights engine ranks entities by
+    * derived scores, insights_engine/insights/correlation_discovery.py:380
+    * ranks by |rho|). Edges are exactly q46's duplicate-evidence graph
+    * (MinHash pairs sharing ≥ 4 bands); the walk runs on the
+    * edge-touched subgraph only (an isolated doc has no centrality
+    * evidence and would only dilute N — the CC loop's touched-subgraph
+    * rule), so every node has degree ≥ 1 and there is no dangling mass
+    * to redistribute.
+    *
+    * DETERMINISTIC by the q46-loop discipline applied to value
+    * iteration: a fixed `Iters` rounds (never convergence-tested — a
+    * data-dependent round count would make the output's meaning depend
+    * on fp noise), and each round's neighbor sum is decimal-exact
+    * (contributions cast to DECIMAL(25,12) — the [[graft.operators.Ann]]
+    * dotDec precision — so partition order cannot move an ulp), with
+    * the damping recurrence in fixed-association IEEE doubles both
+    * engines replay. The oracle unrolls the same five rounds as chained
+    * CTEs — replayed value-exact, not just shape-checked.
+    *
+    * Scale shape: per round ONE join of the checkpointed (src, dst,
+    * deg) list against the previous ranks and one partial-aggregated
+    * shuffle on dst — the CC loop's cost profile, with the same
+    * O(1)-pinned lineage discipline (each round's ranks eagerly
+    * checkpointed, the superseded round freed). The edge list is a
+    * near-dup sliver of the corpus, never the corpus.
+    */
+  val PrIters = 5
+
+  def q149Pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankScores(Dedup.corpus(s, dir))
+
+  /** The q149 body: PageRank (damping 0.85, [[PrIters]] rounds) over
+    * the ≥ 4-shared-bands MinHash graph of an arbitrary corpus.
+    */
+  def pagerankScores(docs: DataFrame, hashMode: String = "md5"): DataFrame =
+    pagerank(Dedup.minhashPairs(docs, hashMode)
+      .filter(col("n_shared_bands") >= 4)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+
+  /** PageRank over an undirected edge list (`src`, `dst` — one row per
+    * pair, either orientation). Nodes are the edge-touched ids; output
+    * is (doc_id, deg, pagerank_r) ordered by id.
+    */
+  def pagerank(edges: DataFrame, iters: Int = PrIters): DataFrame = {
+    // the CC loop's prologue: materialize the (possibly expensive) edge
+    // pipeline once, symmetrize, and denormalize each source's degree
+    // onto the edge row (the posting-list move — a round must never
+    // join back to a second frame for it)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val bidir = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = bidir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val bdeg = bidir.join(deg, "src").localCheckpoint(true)
+    graft.Frames.freePinned(e)
+    val nodes = bdeg.select(col("src").as("id")).distinct()
+    // the loop constant (a count, never data): the walk's N
+    val nN = nodes.count()
+    require(nN > 0,
+      "pagerank: the edge graph is empty — no near-dup evidence to rank")
+    var pr = nodes.select(col("id"), (lit(1.0) / nN).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      // neighbor mass: Σ pr(u)/deg(u) over u ∈ nbr(v), decimal-exact
+      // (order-free); then the damping step in fixed-order doubles
+      val nxt = bdeg.join(pr, col("id") === col("src"))
+        .select(col("dst"),
+          (col("pr") / col("deg"))
+            .cast(org.apache.spark.sql.types.DecimalType(25, 12)).as("c"))
+        .groupBy("dst").agg(sum("c").as("mass"))
+        .select(col("dst").as("id"),
+          (lit(0.15) / nN + lit(0.85) * col("mass").cast("double")).as("pr"))
+        .localCheckpoint(true)
+      graft.Frames.freePinned(pr) // superseded round: nothing reads it again
+      pr = nxt
+    }
+    pr.join(bdeg.select(col("src").as("id"), col("deg")).distinct(), "id")
+      .select(col("id").as("doc_id"), col("deg"),
+        graft.Num.roundD(col("pr"), 6).as("pagerank_r"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for q149: the q21 minhash CTE chain, the q46 edge rule, and
+    * the five walk rounds UNROLLED as chained CTEs — each the literal
+    * Spark round (decimal-exact neighbor mass, double damping step), so
+    * DuckDB replays the values, not just the shape.
+    */
+  val q149Sql: String = {
+    val rounds = (1 to PrIters).map { k =>
+      s"""pr$k AS (
+         |  SELECT b.dst AS id,
+         |    0.15 / n.n + 0.85 * CAST(SUM(CAST(p.pr / b.deg AS DECIMAL(25,12))) AS DOUBLE) AS pr
+         |  FROM bdeg b JOIN pr${k - 1} p ON p.id = b.src CROSS JOIN n
+         |  GROUP BY b.dst, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (${Dedup.corpusSql}),
+       |${Dedup.sqlMinhashCte("corpus")},
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM mh WHERE n_shared_bands >= 4),
+       |bidir AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |degs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY 1),
+       |bdeg AS (SELECT b.src, b.dst, d.deg FROM bidir b JOIN degs d USING (src)),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM degs),
+       |pr0 AS (SELECT src AS id, 1.0 / n.n AS pr FROM degs CROSS JOIN n),
+       |$rounds
+       |SELECT p.id AS doc_id, d.deg,
+       |  ${graft.Num.sqlRoundD("p.pr", 6)} AS pagerank_r
+       |FROM pr$PrIters p JOIN degs d ON d.src = p.id
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -818,6 +818,41 @@ object CorpusOps {
   def dataCardAsOf(s: SparkSession, dir: String, version: Int): DataFrame =
     dataCardOf(graft.sources.Snapshots.readAsOf(s, dir, version))
 
+  /** The SERVING state a release ships with, as card rows (round 15 —
+    * VERDICT r14 #8): a release artifact should pin not just corpus
+    * composition but the standing-index state serving it — generations,
+    * sizes, and the persisted calibrations (band threshold, PQ nprobe,
+    * text df-threshold/champion depth + measured recalls, −1 = never
+    * calibrated). Rows come from [[graft.Admit.standingStateReport]] —
+    * the single definition of "the calibrations an operator checks" —
+    * prefixed `serving_<component>_` so they union into any card and
+    * diff under [[dataCardDiff]] like every other metric. The card is a
+    * point-in-time artifact: the caller persists it at release, and a
+    * later refresh moves only the LIVE recompute, never the persisted
+    * rows (the snapshot-card discipline applied to serving state).
+    */
+  def servingStateRows(s: SparkSession, bandTable: String, outDir: String,
+                       semTable: Option[String] = None,
+                       pqTable: Option[String] = None,
+                       textTable: Option[String] = None): DataFrame =
+    graft.Admit.standingStateReport(s, bandTable, outDir, semTable,
+        pqTable, textTable)
+      .select(concat_ws("_", lit("serving"), col("component"),
+        col("metric")).as("metric"), col("value"))
+
+  /** [[dataCardOf]] + [[servingStateRows]] in one frame — the full
+    * release card: corpus composition AND the serving state it ships
+    * with, one (metric, value) row each.
+    */
+  def dataCardWithServing(d: DataFrame, bandTable: String, outDir: String,
+                          semTable: Option[String] = None,
+                          pqTable: Option[String] = None,
+                          textTable: Option[String] = None): DataFrame =
+    dataCardOf(d).unionByName(
+        servingStateRows(d.sparkSession, bandTable, outDir, semTable,
+          pqTable, textTable))
+      .orderBy("metric")
+
   /** Doc-grain diff of two PUBLISHED snapshot versions — q65's diff
     * kernel (reduce both sides to (id, md5), full outer join — the
     * shuffle moves 48 bytes/doc, never text) composed with

@@ -273,14 +273,33 @@ object TextRank {
   private def termBucket(term: Column): Column =
     pmod(xxhash64(term), lit(TermBuckets.toLong))
 
+  /** The text family's shared tokenizer (round 15 — VERDICT r14 #7).
+    * `default` is the house kernel (`split(lower(trim(text)), " ")`) —
+    * byte-stable with every oracle query, correct for the driver's
+    * single-space corpus. `robust` is the INDEX-side option for real
+    * text: punctuation runs collapse to spaces before a `\s+` split,
+    * so `word.` / `word,` / `(word)` variants stop fragmenting postings
+    * and inflating df. Oracle kernels keep the default by contract —
+    * the robust mode exists on the standing index, where the refresh
+    * persists its choice in `_meta` so appends can never mix modes.
+    */
+  def tokWords(c: Column, mode: String): Column = mode match {
+    case "default" => split(lower(trim(c)), " ")
+    case "robust" =>
+      split(trim(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " ")), "\\s+")
+    case other => throw new IllegalArgumentException(
+      s"tokenizer mode must be default or robust, got $other")
+  }
+
   /** Posting rows of a docs frame: one row per (doc, term) with the
     * term frequency and the doc's token length DENORMALIZED onto the
     * posting (the classic posting-list layout — a search needs tf and
     * dl together and must never join back to the corpus).
     */
-  private def postingsOf(docs: DataFrame): DataFrame = {
+  private def postingsOf(docs: DataFrame,
+                         tokMode: String = "default"): DataFrame = {
     val toks = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .select(col("doc_id"), explode(tokWords(col("text"), tokMode)).as("term"))
       .filter(length(col("term")) > 0)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).join(dl, "doc_id")
@@ -291,10 +310,16 @@ object TextRank {
     * `total_tokens` define avgdl. Readers SUM the partials, so appends
     * stay purely additive — no in-place rewrite on the serving path.
     */
-  private def metaPartial(docs: DataFrame, post: DataFrame): DataFrame =
+  private def metaPartial(docs: DataFrame, post: DataFrame,
+                          tokMode: String = "default"): DataFrame =
     docs.agg(count(lit(1)).as("n_docs")).crossJoin(
       post.select("doc_id", "dl").distinct()
         .agg(count(lit(1)).as("token_docs"), sum("dl").as("total_tokens")))
+      // the tokenizer mode rides every commit's partial as a constant:
+      // readers agg the numeric columns (unaffected), appends read the
+      // first row so a batch can never be tokenized under a different
+      // mode than the standing postings
+      .withColumn("tok_mode", lit(tokMode))
 
   /** One commit's champion-list PARTIAL: the top-[[ChampM]] postings per
     * term of THIS commit's corpus slice, by impact (tf desc, doc_id asc —
@@ -343,10 +368,13 @@ object TextRank {
                        // measured recall@k against the exact ranking
                        // meets the target land in a `_cal` companion,
                        // and the serving paths' auto sentinels read them
-                       serveRecallTarget: Double = -1.0): Unit = {
+                       serveRecallTarget: Double = -1.0,
+                       // [[tokWords]] mode — persisted per commit in
+                       // `_meta`, read back by appends
+                       tokMode: String = "default"): Unit = {
     val s = docs.sparkSession
     val phys = graft.sources.TablePointer.stage(s, table)
-    val post = postingsOf(docs).persist()
+    val post = postingsOf(docs, tokMode).persist()
     try {
       graft.sources.Ingest.clearStaleLocation(s, phys)
       post.select(col("term"), col("doc_id"), col("tf"), col("dl"),
@@ -360,7 +388,7 @@ object TextRank {
       graft.sources.Ingest.writeBucketed(
         champPartial(post), s"${phys}_champ", "term", numBuckets)
       graft.sources.Ingest.clearStaleLocation(s, s"${phys}_meta")
-      metaPartial(docs, post).write.mode("overwrite").format("parquet")
+      metaPartial(docs, post, tokMode).write.mode("overwrite").format("parquet")
         .saveAsTable(s"${phys}_meta")
       // calibration probes the just-written staged generation (the
       // refreshPqIndex rule), so the swap publishes index + knobs as
@@ -380,9 +408,24 @@ object TextRank {
     * either the pre- or post-append corpus constants, never a torn
     * rewrite. Bucket specs are owned by the standing tables.
     */
+  /** The [[tokWords]] mode a standing text index was refreshed with —
+    * read from its `_meta` partials; `default` for a pre-mode legacy
+    * index (whose partials carry no `tok_mode` column). `table0` may be
+    * logical or physical.
+    */
+  def textTokModeOf(s: SparkSession, table0: String): String = {
+    val phys = graft.sources.TablePointer.resolve(s, table0)
+    val meta = s.table(s"${phys}_meta")
+    if (!meta.columns.contains("tok_mode")) "default"
+    else meta.select("tok_mode").head().getString(0)
+  }
+
   def appendTextIndex(s: SparkSession, table: String, docs: DataFrame): Unit = {
     val phys = graft.sources.TablePointer.resolve(s, table)
-    val post = postingsOf(docs).persist()
+    // the batch tokenizes under the INDEX's persisted mode — mixing
+    // modes would fragment the very postings the robust mode unifies
+    val tokMode = textTokModeOf(s, phys)
+    val post = postingsOf(docs, tokMode).persist()
     try {
       post.select(col("term"), col("doc_id"), col("tf"), col("dl"),
           termBucket(col("term")).as("tb"))
@@ -401,7 +444,13 @@ object TextRank {
       if (s.catalog.tableExists(s"${phys}_champ"))
         graft.sources.Ingest.appendBucketed(
           champPartial(post), s"${phys}_champ", "term")
-      metaPartial(docs, post).write.mode("append").format("parquet")
+      // a legacy `_meta` (no tok_mode column) keeps its schema — the
+      // index IS default-mode by construction, and an append must not
+      // fail on (or half-migrate) the standing partials
+      val mp = metaPartial(docs, post, tokMode)
+      (if (s.table(s"${phys}_meta").columns.contains("tok_mode")) mp
+       else mp.drop("tok_mode"))
+        .write.mode("append").format("parquet")
         .saveAsTable(s"${phys}_meta")
     } finally post.unpersist(false)
   }
@@ -1180,4 +1229,236 @@ object TextRank {
        |  FROM fused) f
        |WHERE rank <= 10
        |ORDER BY q_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- q150
+
+  /** q150: end-to-end hybrid-serving fidelity (round 15 — VERDICT r14
+    * #5): q147/q148 grade the sparse arm's approximate tiers in
+    * ISOLATION; this grades what a retrieval deployment actually ships —
+    * the FUSED ranking when both arms serve approximately. Truth is
+    * [[fuseRrf]] over both EXACT arms (q146's ranking on the
+    * calibration panel); each operating point swaps in an approximate
+    * arm — the sparse arm's df-threshold pruning (`prunedFrac`, the
+    * [[hybridSearchIndexed]] `sparseDfFrac` knob) and the dense arm's
+    * IVF cell probing (`nprobe` top cells of the label-seeded
+    * deterministic quantizer, the q98 leg — exactly the standing
+    * semantic index's serving restriction at splits = 1) — and scores
+    * micro-averaged recall@k of the fused output against the fused
+    * truth. The (exact, exact) row is the grid's self-check (recall 1
+    * by construction). Candidate-restriction only: approximate-arm
+    * cosines/weights are the exact values on the surviving candidates,
+    * so the oracle replays every number.
+    *
+    * Scale shape: one corpus pass per arm ingredient (the q143/q146
+    * classes), the IVF assignment one broadcast-argmax pass, and the
+    * four fusions ≤ |panel|·k-row joins. The deployment twin is
+    * [[hybridSearchIndexed]] over the standing text + vector indexes;
+    * CorpusOpsSpec floors its fused recall at the same operating point.
+    */
+  def q150HybridFidelity(s: SparkSession, dir: String, k: Int = 10,
+      prunedFrac: Double = 0.10, nprobe: Int = 2): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val qt = calibrationPanel(docs)
+    def sparseArm(frac: Double) =
+      bm25TopK(docs, qt, k, frac)
+        .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
+    val sparseExact = sparseArm(1.0)
+    val sparsePruned = sparseArm(prunedFrac)
+    val e = Tables.load(s, dir, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+    val q = e.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1200)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+      .withColumn("qn", Ann.dotDec("qemb", "qemb"))
+    val dW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("doc_id"))
+    def denseRank(cands: DataFrame): DataFrame = cands
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        Num.roundD(Ann.dotDec("qemb", "nemb").cast("double") /
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
+      .withColumn("dense_rank", row_number().over(dW))
+      .filter(col("dense_rank") <= k)
+      .select("q_id", "doc_id", "dense_rank")
+    val n = e.select(col("vec_id").as("doc_id"), col("emb").as("nemb"))
+      .withColumn("nn", Ann.dotDec("nemb", "nemb"))
+    val denseExact = denseRank(n.crossJoin(broadcast(q)))
+    // the IVF arm: label-seeded deterministic centroids (the standing
+    // semantic family's splits=1 quantizer), corpus argmax assignment,
+    // panel probes its top-nprobe cells; candidate cosines are the
+    // exact decimal folds, so restriction is the ONLY approximation
+    val seedVecs = e.select("vec_id", "emb", "label")
+    val cents = Ann.centroidTable(seedVecs, 1)
+    val corpusCells = Ann.assignCells(seedVecs, cents)
+      .select(col("vec_id").as("doc_id"), col("cell"), col("emb").as("nemb"))
+      .withColumn("nn", Ann.dotDec("nemb", "nemb"))
+    val probes = {
+      val qe = q.withColumn("qq", Ann.quantize(col("qemb")))
+        .withColumn("qn2", expr(
+          "aggregate(zip_with(qq, qq, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      val qdot = expr(
+        "CAST(aggregate(zip_with(qq, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
+      val wp = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cell"))
+      qe.crossJoin(broadcast(cents))
+        .withColumn("csim",
+          qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= nprobe)
+        .select(col("q_id"), col("qemb"), col("qn"), col("cell"))
+    }
+    val denseIvf = denseRank(broadcast(probes).join(corpusCells, Seq("cell")))
+    val truth = fuseRrf(sparseExact, denseExact, k).select("q_id", "doc_id")
+      .localCheckpoint(true)
+    def op(st: String, dt: String, sp: DataFrame, de: DataFrame): DataFrame = {
+      val fused = fuseRrf(sp, de, k)
+        .select(col("q_id"), col("doc_id"), lit(1).as("hit"))
+      truth.join(fused, Seq("q_id", "doc_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_found"))
+        .select(lit(st).as("sparse_tier"), lit(dt).as("dense_tier"),
+          col("n_truth"), col("n_found"),
+          Num.roundD(col("n_found").cast("double") /
+            col("n_truth").cast("double")).as("recall_r"))
+    }
+    op("exact", "exact", sparseExact, denseExact)
+      .unionByName(op("exact", "ivf", sparseExact, denseIvf))
+      .unionByName(op("pruned", "exact", sparsePruned, denseExact))
+      .unionByName(op("pruned", "ivf", sparsePruned, denseIvf))
+      .orderBy("sparse_tier", "dense_tier")
+  }
+
+  val q150Sql: String = {
+    // one fusion CTE per operating point — the q146 fusion replayed
+    // over each (sparse, dense) arm pair
+    def fuse(name: String, sp: String, de: String): String =
+      s"""$name AS (
+         |  SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY rrf0 DESC, doc_id) AS rank
+         |    FROM (
+         |      SELECT q_id, doc_id,
+         |        COALESCE(1.0 / (60.0 + CAST(s.sparse_rank AS DOUBLE)), 0.0) +
+         |          COALESCE(1.0 / (60.0 + CAST(de.dense_rank AS DOUBLE)), 0.0) AS rrf0
+         |      FROM $sp s FULL OUTER JOIN $de de USING (q_id, doc_id)) z) f
+         |  WHERE rank <= 10)""".stripMargin
+    def recallRow(st: String, dt: String, fused: String): String =
+      s"""SELECT '$st' AS sparse_tier, '$dt' AS dense_tier,
+         |  COUNT(*) AS n_truth, COUNT(f.doc_id) AS n_found,
+         |  ${Num.sqlRoundD("CAST(COUNT(f.doc_id) AS DOUBLE) / COUNT(*)")} AS recall_r
+         |FROM f_ee t LEFT JOIN $fused f
+         |  ON f.q_id = t.q_id AND f.doc_id = t.doc_id""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+       |  FROM documents),
+       |t AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY 1),
+       |df AS (SELECT term, COUNT(*) AS df
+       |       FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+       |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qraw AS (
+       |  SELECT doc_id AS q_id,
+       |    unnest(list_distinct(string_split(lower(trim(text)), ' ')[1:6])) AS term
+       |  FROM documents WHERE doc_id % 101 = 0 AND doc_id < 1200),
+       |qt AS (SELECT q_id, term FROM qraw WHERE len(term) > 0),
+       |contrib AS (
+       |  SELECT qt.q_id, tf.doc_id, df.df, n.n,
+       |    (ln(1.0 + (n.n - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)))
+       |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+       |         (CAST(tf.tf AS DOUBLE) + 1.2 *
+       |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / ad.avgdl)))) AS w
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  CROSS JOIN n CROSS JOIN ad
+       |  WHERE tf.doc_id <> qt.q_id),
+       |s_exact AS (
+       |  SELECT q_id, doc_id, sparse_rank FROM (
+       |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score_dec DESC, doc_id) AS sparse_rank
+       |    FROM (SELECT q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |          FROM contrib GROUP BY 1, 2) sc) z
+       |  WHERE sparse_rank <= 10),
+       |s_pruned AS (
+       |  SELECT q_id, doc_id, sparse_rank FROM (
+       |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score_dec DESC, doc_id) AS sparse_rank
+       |    FROM (SELECT q_id, doc_id, SUM(CAST(w AS DECIMAL(25,6))) AS score_dec
+       |          FROM contrib WHERE CAST(df AS DOUBLE) <= 0.10 * n
+       |          GROUP BY 1, 2) sc) z
+       |  WHERE sparse_rank <= 10),
+       |eexpl AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+       |    CAST(unnest(embedding) AS DOUBLE) AS v,
+       |    CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000000.0) AS BIGINT) AS q
+       |  FROM embeddings),
+       |enorm AS (
+       |  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(25,12))) AS norm2
+       |  FROM eexpl GROUP BY 1),
+       |ddots AS (
+       |  SELECT qq.vec_id AS q_id, nb.vec_id AS doc_id,
+       |    SUM(CAST(qq.v * nb.v AS DECIMAL(25,12))) AS dotp
+       |  FROM eexpl qq JOIN eexpl nb ON qq.j = nb.j
+       |    AND qq.vec_id % 101 = 0 AND qq.vec_id < 1200
+       |    AND nb.vec_id <> qq.vec_id
+       |  GROUP BY 1, 2),
+       |dscored AS (
+       |  SELECT d.q_id, d.doc_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(qn.norm2 AS DOUBLE) * CAST(nn.norm2 AS DOUBLE))")} AS cosine
+       |  FROM ddots d
+       |  JOIN enorm qn ON qn.vec_id = d.q_id
+       |  JOIN enorm nn ON nn.vec_id = d.doc_id),
+       |d_exact AS (
+       |  SELECT q_id, doc_id, dense_rank FROM (
+       |    SELECT q_id, doc_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, doc_id) AS dense_rank
+       |    FROM dscored) z WHERE dense_rank <= 10),
+       |cent AS (
+       |  SELECT l.label AS cell, x.j,
+       |    CAST(FLOOR(CAST(CAST(SUM(CAST(x.v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS DOUBLE) * 10000000.0) AS BIGINT) AS cq
+       |  FROM eexpl x JOIN embeddings l ON l.vec_id = x.vec_id
+       |  GROUP BY 1, 2),
+       |cnorm AS (SELECT cell, SUM(cq * cq) AS n2 FROM cent GROUP BY 1),
+       |qn2 AS (SELECT vec_id, SUM(q * q) AS qn2 FROM eexpl GROUP BY 1),
+       |vdots AS (
+       |  SELECT x.vec_id, ct.cell, SUM(x.q * ct.cq) AS dvc
+       |  FROM eexpl x JOIN cent ct ON x.j = ct.j
+       |  GROUP BY 1, 2),
+       |csims AS (
+       |  SELECT d.vec_id, d.cell,
+       |    CAST(d.dvc AS DOUBLE) / SQRT(CAST(c.n2 AS DOUBLE) * CAST(qq.qn2 AS DOUBLE)) AS csim
+       |  FROM vdots d
+       |  JOIN cnorm c ON c.cell = d.cell
+       |  JOIN qn2 qq ON qq.vec_id = d.vec_id),
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM csims) z
+       |  WHERE rn = 1),
+       |iprobe AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rn
+       |    FROM csims WHERE vec_id % 101 = 0 AND vec_id < 1200) z
+       |  WHERE rn <= 2),
+       |d_ivf AS (
+       |  SELECT q_id, doc_id, dense_rank FROM (
+       |    SELECT ds.q_id, ds.doc_id, ROW_NUMBER() OVER (PARTITION BY ds.q_id
+       |      ORDER BY ds.cosine DESC, ds.doc_id) AS dense_rank
+       |    FROM dscored ds
+       |    JOIN iprobe p ON p.q_id = ds.q_id
+       |    JOIN asg m ON m.vec_id = ds.doc_id AND m.cell = p.cell) z
+       |  WHERE dense_rank <= 10),
+       |${fuse("f_ee", "s_exact", "d_exact")},
+       |${fuse("f_ei", "s_exact", "d_ivf")},
+       |${fuse("f_pe", "s_pruned", "d_exact")},
+       |${fuse("f_pi", "s_pruned", "d_ivf")}
+       |SELECT * FROM (
+       |${recallRow("exact", "exact", "f_ee")}
+       |UNION ALL
+       |${recallRow("exact", "ivf", "f_ei")}
+       |UNION ALL
+       |${recallRow("pruned", "exact", "f_pe")}
+       |UNION ALL
+       |${recallRow("pruned", "ivf", "f_pi")}) r
+       |ORDER BY sparse_tier, dense_tier""".stripMargin
+  }
 }

@@ -382,11 +382,13 @@ object EventStreams {
           // appends are lockstep with the band table's, but a batch of
           // all-sub-3-word docs appends hashes while adding ZERO band
           // rows — growth the band-table check alone would never see
-          val hashTable = graft.operators.Dedup.hashTableOf(bandTable)
-          // vector-index names resolve to their CURRENT generation
-          // (round 14): the compaction watch must count the files of
-          // the generation probes actually read
-          val watched = Seq(bandTable) ++
+          // every standing name resolves to its CURRENT generation
+          // (round 14; the band family joined in round 15): the
+          // compaction watch must count the files of the generation
+          // probes actually read
+          val bandPhys = graft.sources.TablePointer.resolve(s, bandTable)
+          val hashTable = graft.operators.Dedup.hashTableOf(bandPhys)
+          val watched = Seq(bandPhys) ++
             (if (s.catalog.tableExists(hashTable)) Seq(hashTable) else Nil) ++
             (semTable.toSeq ++ pqTable.toSeq)
               .map(t => graft.operators.Ann.physicalOf(s, t)) ++

@@ -12,15 +12,18 @@ import org.apache.spark.sql.functions._
   */
 class AdmitSpec extends SparkSpec {
 
-  private def dropIndexTables(band: String, sem: String): Unit =
-    for (t <- Seq(band, s"${band}_hashes", sem, s"${sem}_centroids",
-        s"${sem}_members")) {
+  private def dropIndexTables(band: String, sem: String): Unit = {
+    // the band family is generation-versioned since round 15 — dropAll
+    // clears the pointer and every generation, legacy names included
+    graft.sources.TablePointer.dropAll(spark, band, Dedup.BandSuffixes)
+    for (t <- Seq(sem, s"${sem}_centroids", s"${sem}_members")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+  }
 
   private def novelVec(seed: Int): Seq[Double] =
     (0 until 64).map(j => math.sin(seed * 64.0 + j))
@@ -554,10 +557,11 @@ class AdmitSpec extends SparkSpec {
     // A: the pre-r13 floor, reproduced — WITHOUT the hash companion the
     // re-submission sails through every screen and lands (this is
     // ComposeRehearsal r12's measured 199/200, as a unit case)
+    val bandPhys = graft.sources.TablePointer.resolve(spark, band)
     val hashes = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/${band}_hashes")
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${bandPhys}_hashes")
     val hfs = hashes.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.sql(s"DROP TABLE IF EXISTS ${band}_hashes")
+    spark.sql(s"DROP TABLE IF EXISTS ${bandPhys}_hashes")
     if (hfs.exists(hashes)) hfs.delete(hashes, true)
     val outA = java.nio.file.Files.createTempDirectory("admit-short-a").toString
     val rA = Admit.admitBatch(spark, batch, band, outA, 1L)
@@ -752,7 +756,8 @@ class AdmitSpec extends SparkSpec {
     import spark.implicits._
     val band = "curated_race_band"
     val pq = "curated_race_pq"
-    dropWarehouseTables(band, s"${band}_hashes", s"${band}_meta", pq,
+    graft.sources.TablePointer.dropAll(spark, band, Dedup.BandSuffixes)
+    dropWarehouseTables(pq,
       s"${pq}_centroids", s"${pq}_codebook", s"${pq}_meta")
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     val e = Tables.load(spark, Sf, "embeddings")
@@ -774,14 +779,16 @@ class AdmitSpec extends SparkSpec {
       Thread.sleep(1500)
       assert(!handoff.isCompleted,
         "the handoff must block while an admission cycle holds the lock")
-      assert(!spark.catalog.tableExists(s"default.$band"),
-        "the handoff refreshed the standing band table under a live cycle")
+      assert(!spark.catalog.tableExists(s"default.${band}__g1"),
+        "the handoff staged the band generation under a live cycle")
     } finally cycleClaim.release()
     val indexed = Await.result(handoff, 5.minutes)
     assert(indexed == d.count(), s"handoff indexed $indexed")
-    assert(spark.catalog.tableExists(s"default.$band") &&
+    val bandPhys = graft.sources.TablePointer.resolve(spark, band)
+    assert(graft.sources.TablePointer.generationOf(bandPhys) >= 1 &&
+      spark.catalog.tableExists(s"default.$bandPhys") &&
       spark.catalog.tableExists(s"default.${phys(pq)}"),
-      s"band + current PQ generation (${phys(pq)}) must exist")
+      s"current band ($bandPhys) + current PQ generation (${phys(pq)}) must exist")
     // round 14: the handoff CALIBRATED the band threshold — persisted
     // beside the index and read by every day-2 probe (the last
     // hand-set screen knob, retired)

@@ -145,4 +145,39 @@ class ClustersSpec extends SparkSpec {
       "a +10000 copy must never be the keeper")
     out.unpersist()
   }
+
+  test("q149 pagerank: hand-graph values match the decimal-exact recurrence; hubs outrank leaves") {
+    import spark.implicits._
+    // path 1-2-3, triangle 10-11-12, star 20-{21,22,23}
+    val edges = Seq((1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L))
+    val out = Clusters.pagerank(edges.toDF("src", "dst")).collect()
+    // replay the recurrence by hand: uniform init over the edge-touched
+    // nodes, PrIters rounds of (decimal-12 contribution sum, double
+    // damping step) — the exact arithmetic both engines run
+    val bidir = (edges ++ edges.map(e => (e._2, e._1))).distinct
+    val nbrs = bidir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = nbrs.size
+    var pr: Map[Long, Double] = nbrs.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to Clusters.PrIters) {
+      pr = nbrs.map { case (v, us) =>
+        val mass = us.map(u => BigDecimal(pr(u) / nbrs(u).size)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        v -> (0.15 / n + 0.85 * mass.toDouble)
+      }
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("pagerank_r")).toMap
+    assert(got.keySet == nbrs.keySet)
+    nbrs.keys.foreach(v => assert(got(v) == r6(pr(v)),
+      s"node $v: got ${got(v)}, expected ${r6(pr(v))}"))
+    // degrees ride the output; the star hub outranks its leaves; total
+    // mass is conserved (no dangling nodes by construction)
+    out.foreach(r => assert(r.getAs[Long]("deg") ==
+      nbrs(r.getAs[Long]("doc_id")).size))
+    assert(got(20L) > got(21L), "hub must outrank leaf")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, got.values.sum.toString)
+  }
 }

