@@ -65,7 +65,13 @@ object Bench {
             graft.operators.Ann.q110IvfPq(s, d, verify = "float")),
         "x99_bloom_xxhash64" ->
           ((s: SparkSession, d: String) =>
-            graft.operators.Curation.q99BloomDecontaminate(s, d, "xxhash64")))
+            graft.operators.Curation.q99BloomDecontaminate(s, d, "xxhash64")),
+        // the round-15 graph-centrality operator in the 100 TB hash
+        // mode: same walk, 8-byte band keys under the edge builder
+        "x149_pagerank_xxhash64" ->
+          ((s: SparkSession, d: String) =>
+            graft.operators.Clusters.pagerankScores(
+              graft.operators.Dedup.corpus(s, d), "xxhash64")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

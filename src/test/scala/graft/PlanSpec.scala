@@ -464,4 +464,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(500))
     assert("Scan parquet".r.findAllIn(p).size == 1, "corpus scanned more than once")
   }
+
+  test("q149 pagerank plans hash joins over the edge sliver — no cartesian, no nested loop") {
+    // the loop's rounds are checkpointed away; the visible plan is the
+    // final (ranks ⋈ degrees) assembly over the edge-touched sliver,
+    // and NOTHING in the walk may degenerate to an all-pairs shape
+    val p = planString(Clusters.q149Pagerank(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q150 hybrid fidelity: broadcast arms, group-limited ranks, no cartesian") {
+    val p = planString(graft.operators.TextRank.q150HybridFidelity(spark, Sf))
+    // the dense EXACT arm is the intended broadcast nested-loop (q146's
+    // oracle-baseline shape — panel broadcast against the corpus); an
+    // unbroadcast CartesianProduct anywhere is a defect
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // corpus constants and query-term df resolve as broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+    // every top-k rank filter group-limits instead of full-sorting
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
 }
