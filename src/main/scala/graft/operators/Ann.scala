@@ -732,23 +732,8 @@ object Ann {
       }
       val scored = cand
         .select(col("q_id").as("t_id"), col("n_id").as("s_id"), col("cosine"))
-        .join(broadcast(labelSet), "s_id")
-      val nnW = Window.partitionBy("t_id").orderBy(col("cosine").desc, col("s_id"))
-      val votes = scored
-        .withColumn("nr", row_number().over(nnW))
-        .filter(col("nr") <= k)
-        .groupBy("t_id", "label")
-        .agg(count(lit(1)).as("votes"), max("cosine").as("best_cosine"),
-          max("confidence").as("src_conf"))
-      val vw = Window.partitionBy("t_id").orderBy(col("votes").desc, col("label"))
-      val won = votes
-        .withColumn("vr", row_number().over(vw))
-        .filter(col("vr") === 1)
-        .select(col("t_id").as("vec_id"), col("label").as("pred_label"),
-          col("votes"), col("best_cosine"),
-          (lit(decay) * col("src_conf")).as("confidence"),
-          lit(r).as("round"))
-        .localCheckpoint(true)
+        .join(broadcast(labelSet.select("s_id", "label", "confidence")), "s_id")
+      val won = voteAdoptRound(scored, k, decay, r).localCheckpoint(true)
       val accNext =
         (if (acc == null) won else acc.unionByName(won)).localCheckpoint(true)
       if (acc != null) graft.Frames.freePinned(acc)
@@ -770,6 +755,187 @@ object Ann {
     graft.Frames.freePinned(pending)
     acc.orderBy("vec_id")
   }
+
+  /** One multi-hop adoption round's vote over confidence-carrying
+    * scored candidates (`t_id`, `s_id`, `cosine`, `label`,
+    * `confidence`) — the [[voteOnScored]] tie rules with the hop decay:
+    * an adoptee's confidence is `decay × its strongest same-label
+    * voter's confidence`. Shared verbatim by the index-backed
+    * ([[propagateLabelsMultiHop]]) and exact ([[labelPropagateMultiHopExact]])
+    * paths so the two can never diverge.
+    */
+  private def voteAdoptRound(scored: DataFrame, k: Int, decay: Double,
+                             r: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nnW = Window.partitionBy("t_id").orderBy(col("cosine").desc, col("s_id"))
+    val votes = scored
+      .withColumn("nr", row_number().over(nnW))
+      .filter(col("nr") <= k)
+      .groupBy("t_id", "label")
+      .agg(count(lit(1)).as("votes"), max("cosine").as("best_cosine"),
+        max("confidence").as("src_conf"))
+    val vw = Window.partitionBy("t_id").orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("t_id").as("vec_id"), col("label").as("pred_label"),
+        col("votes"), col("best_cosine"),
+        (lit(decay) * col("src_conf")).as("confidence"),
+        lit(r).as("round"))
+  }
+
+  /** The EXACT multi-hop kernel — [[propagateLabelsMultiHop]] with the
+    * candidate generator swapped for the exact cosine scan plus a
+    * `minCosine` neighborhood floor (label spreading over the
+    * ε-neighborhood graph): a target with no labeled neighbor at
+    * cosine ≥ `minCosine` stays unlabeled this round and retries
+    * against the grown label set next round. This is the oracle-shaped
+    * twin (decimal cosine folds, every stage SQL-replayable); the
+    * standing-index path restricts candidates by nprobe cells instead
+    * of a cosine floor, and both share [[voteAdoptRound]] verbatim.
+    * `seeds0`: (`s_id`, `semb`, `label`); `targets0`: (`t_id`, `temb`).
+    */
+  def labelPropagateMultiHopExact(seeds0: DataFrame, targets0: DataFrame,
+      k: Int = 5, rounds: Int = 2, decay: Double = 0.5,
+      minCosine: Double = 0.75): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(decay > 0.0 && decay <= 1.0, s"decay must be in (0, 1], got $decay")
+    var labelSet = seeds0.select(col("s_id"), col("semb").as("emb"),
+      col("label"), lit(1.0).as("confidence")).localCheckpoint(true)
+    var pending = targets0.select(col("t_id"), col("temb"))
+      .localCheckpoint(true)
+    var acc: DataFrame = null
+    for (r <- 1 to rounds) {
+      val t = pending.withColumn("tn", dotDec("temb", "temb"))
+      val l = labelSet.withColumn("sn", dotDec("emb", "emb"))
+      val scored = l.crossJoin(broadcast(t))
+        .filter(col("t_id") =!= col("s_id"))
+        .select(col("t_id"), col("s_id"), col("label"), col("confidence"),
+          Num.roundD(dotDec("temb", "emb").cast("double") /
+            sqrt(col("tn").cast("double") * col("sn").cast("double")))
+            .as("cosine"))
+        .filter(col("cosine") >= minCosine)
+      val won = voteAdoptRound(scored, k, decay, r).localCheckpoint(true)
+      val accNext =
+        (if (acc == null) won else acc.unionByName(won)).localCheckpoint(true)
+      if (acc != null) graft.Frames.freePinned(acc)
+      acc = accNext
+      val adoptees = won
+        .select(col("vec_id"), col("pred_label").as("label"), col("confidence"))
+        .join(pending, col("vec_id") === col("t_id"))
+        .select(col("vec_id").as("s_id"), col("temb").as("emb"),
+          col("label"), col("confidence"))
+      val grown = labelSet.unionByName(adoptees).localCheckpoint(true)
+      graft.Frames.freePinned(labelSet)
+      labelSet = grown
+      val stillPending = pending
+        .join(won.select(col("vec_id").as("t_id")), Seq("t_id"), "left_anti")
+        .localCheckpoint(true)
+      graft.Frames.freePinned(pending)
+      pending = stillPending
+      graft.Frames.freePinned(won)
+    }
+    graft.Frames.freePinned(labelSet)
+    graft.Frames.freePinned(pending)
+    acc.orderBy("vec_id")
+  }
+
+  /** q151: multi-hop label propagation on PLANTED chain geometry — the
+    * [[labelPropagateMultiHopExact]] kernel value-anchored the q141 way
+    * (the truth is planted, so the oracle replays the whole event, not
+    * just the shape): 12 disjoint 2-hop chains, each on its own pair of
+    * basis dimensions (a = k, b = k + 12), with RATIONAL coordinates so
+    * every cosine is an exact decimal both engines compute identically —
+    * seed `e_a`, hop-1 target `0.8·e_a + 0.6·e_b` (cosine 0.8 to the
+    * seed), hop-2 target `0.28·e_a + 0.96·e_b` (cosine 0.28 to the seed
+    * — OUTSIDE the 0.75 neighborhood — but 0.8 to hop-1: the 3-4-5
+    * triangle chain). Round 1 labels every hop-1 target at confidence
+    * decay; round 2 labels every hop-2 target THROUGH its chain's
+    * adoptee at decay² — the case one-hop propagation geometrically
+    * cannot reach, now hash-checked against DuckDB.
+    */
+  def q151MultihopLabels(s: SparkSession, dir: String): DataFrame = {
+    val ch = s.range(12).select(col("id").as("k"))
+    val seeds = ch.select((col("k") + 1000L).as("s_id"),
+      expr("transform(sequence(0, 63), j -> CAST(CASE WHEN j = k THEN 1.0 ELSE 0.0 END AS DOUBLE))").as("semb"),
+      concat(lit("L"), col("k").cast("string")).as("label"))
+    val t1 = ch.select((col("k") + 2000L).as("t_id"),
+      expr("transform(sequence(0, 63), j -> CAST(CASE WHEN j = k THEN 0.8 WHEN j = k + 12 THEN 0.6 ELSE 0.0 END AS DOUBLE))").as("temb"))
+    val t2 = ch.select((col("k") + 3000L).as("t_id"),
+      expr("transform(sequence(0, 63), j -> CAST(CASE WHEN j = k THEN 0.28 WHEN j = k + 12 THEN 0.96 ELSE 0.0 END AS DOUBLE))").as("temb"))
+    labelPropagateMultiHopExact(seeds, t1.unionByName(t2),
+      k = 3, rounds = 2, decay = 0.5, minCosine = 0.75)
+  }
+
+  val q151Sql: String =
+    s"""WITH ch AS (SELECT CAST(range AS BIGINT) AS k FROM range(12)),
+       |expl AS (
+       |  SELECT k + 1000 AS id, k AS j, CAST(1.0 AS DOUBLE) AS v FROM ch
+       |  UNION ALL SELECT k + 2000, k, CAST(0.8 AS DOUBLE) FROM ch
+       |  UNION ALL SELECT k + 2000, k + 12, CAST(0.6 AS DOUBLE) FROM ch
+       |  UNION ALL SELECT k + 3000, k, CAST(0.28 AS DOUBLE) FROM ch
+       |  UNION ALL SELECT k + 3000, k + 12, CAST(0.96 AS DOUBLE) FROM ch),
+       |norms AS (
+       |  SELECT id, SUM(CAST(v * v AS DECIMAL(25,12))) AS n2
+       |  FROM expl GROUP BY 1),
+       |labels AS (SELECT k + 1000 AS id, 'L' || CAST(k AS VARCHAR) AS label FROM ch),
+       |-- every (target, other) cosine once; rounds slice it
+       |dall AS (
+       |  SELECT t.id AS t_id, s.id AS s_id,
+       |    SUM(CAST(t.v * s.v AS DECIMAL(25,12))) AS dotp
+       |  FROM expl t JOIN expl s ON t.j = s.j
+       |    AND t.id >= 2000 AND s.id <> t.id
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT d.t_id, d.s_id,
+       |    ${Num.sqlRoundD("CAST(d.dotp AS DOUBLE) / SQRT(CAST(tn.n2 AS DOUBLE) * CAST(sn.n2 AS DOUBLE))")} AS cosine
+       |  FROM dall d
+       |  JOIN norms tn ON tn.id = d.t_id
+       |  JOIN norms sn ON sn.id = d.s_id),
+       |-- round 1: label set = seeds at confidence 1.0
+       |s1 AS (
+       |  SELECT c.t_id, c.s_id, l.label, CAST(1.0 AS DOUBLE) AS confidence,
+       |    c.cosine
+       |  FROM cos c JOIN labels l ON l.id = c.s_id
+       |  WHERE c.cosine >= 0.75),
+       |v1 AS (
+       |  SELECT t_id, label, COUNT(*) AS votes, MAX(cosine) AS best_cosine,
+       |    MAX(confidence) AS src_conf
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |          ORDER BY cosine DESC, s_id) AS nr FROM s1) z
+       |  WHERE nr <= 3 GROUP BY 1, 2),
+       |won1 AS (
+       |  SELECT t_id AS vec_id, label AS pred_label, votes, best_cosine,
+       |    CAST(0.5 AS DOUBLE) * src_conf AS confidence, CAST(1 AS INT) AS round
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |          ORDER BY votes DESC, label) AS vr FROM v1) z
+       |  WHERE vr = 1),
+       |-- round 2: label set grows by round 1's adoptees at their decayed
+       |-- confidence; pending = targets not yet labeled
+       |ls2 AS (
+       |  SELECT id, label, CAST(1.0 AS DOUBLE) AS confidence FROM labels
+       |  UNION ALL
+       |  SELECT vec_id, pred_label, confidence FROM won1),
+       |s2 AS (
+       |  SELECT c.t_id, c.s_id, l.label, l.confidence, c.cosine
+       |  FROM cos c
+       |  JOIN ls2 l ON l.id = c.s_id
+       |  WHERE c.cosine >= 0.75
+       |    AND c.t_id NOT IN (SELECT vec_id FROM won1)),
+       |v2 AS (
+       |  SELECT t_id, label, COUNT(*) AS votes, MAX(cosine) AS best_cosine,
+       |    MAX(confidence) AS src_conf
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |          ORDER BY cosine DESC, s_id) AS nr FROM s2) z
+       |  WHERE nr <= 3 GROUP BY 1, 2),
+       |won2 AS (
+       |  SELECT t_id AS vec_id, label AS pred_label, votes, best_cosine,
+       |    CAST(0.5 AS DOUBLE) * src_conf AS confidence, CAST(2 AS INT) AS round
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY t_id
+       |          ORDER BY votes DESC, label) AS vr FROM v2) z
+       |  WHERE vr = 1)
+       |SELECT * FROM (SELECT * FROM won1 UNION ALL SELECT * FROM won2)
+       |ORDER BY vec_id""".stripMargin
 
   val q144Sql: String =
     s"""WITH expl AS (

@@ -599,8 +599,11 @@ object Dedup {
     * q83 tail, factored so the STREAMING twin
     * ([[graft.streaming.EventStreams.nearDupQuery]]) reuses it per
     * micro-batch against an index built once — pass
-    * `spark.table(<refreshIndex table>)` to stream against the
-    * materialized index. The batch's own signature stage is the
+    * `spark.table(TablePointer.resolve(s, <refreshIndex table>))` to
+    * stream against the CURRENT generation of the materialized index
+    * (round 15: the band family is generation-versioned; a stream binds
+    * one generation for its lifetime, the reader-isolation contract).
+    * The batch's own signature stage is the
     * row-local `minhash_bands` expression, so this is a stateless scan +
     * one band-key join.
     */

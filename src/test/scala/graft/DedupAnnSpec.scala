@@ -704,6 +704,24 @@ class DedupAnnSpec extends SparkSpec {
     graft.Frames.freePinned(out)
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
       "zero pinned RDDs after freeing the result")
+    // the EXACT kernel's oracle instance (q151, planted 3-4-5 chains):
+    // every hop-1 target labels in round 1 at decay, every hop-2 target
+    // in round 2 at decay² THROUGH its chain's adoptee — 24 rows total
+    val q151 = Ann.q151MultihopLabels(spark, Sf).collect()
+    assert(q151.length == 24, q151.length.toString)
+    q151.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val chain = (id % 1000).toInt
+      assert(r.getAs[String]("pred_label") == s"L$chain", r.toString)
+      assert(r.getAs[Long]("votes") == 1L &&
+        r.getAs[Double]("best_cosine") == 0.8, r.toString)
+      if (id < 3000)
+        assert(r.getAs[Int]("round") == 1 &&
+          r.getAs[Double]("confidence") == 0.5, r.toString)
+      else
+        assert(r.getAs[Int]("round") == 2 &&
+          r.getAs[Double]("confidence") == 0.25, r.toString)
+    }
     graft.sources.TablePointer.dropAll(spark, table,
       Seq("_centroids", "_members"))
   }
