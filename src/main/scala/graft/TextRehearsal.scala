@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * buckets).
   *
   * Usage: `runMain graft.TextRehearsal <sfDir> [<sfDir> ...]`
+  * `--tok` switches to the round-15 tokenizer-fidelity axis: the same
+  * corpus with DETERMINISTIC punctuation injected (every 3rd token a
+  * trailing comma, every 7th a period, every 11th parenthesized — the
+  * real-text shapes), indexed under BOTH modes, graded against the
+  * clean corpus's index on the clean query panel. The claim under
+  * measure: robust tokenization of the punctuated corpus recovers the
+  * clean corpus's token MULTISET exactly (punctuation runs collapse,
+  * tokens survive), so the robust index must serve the clean index's
+  * ranking BIT-EQUAL while the default index fragments postings
+  * (vocabulary inflates, clean-term retrieval starves).
   */
 object TextRehearsal {
   def main(args: Array[String]): Unit = {
@@ -28,7 +38,9 @@ object TextRehearsal {
       .withExtensions(graft.functions.GraftFunctions.register)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- args) {
+    val (flags, dirs) = args.partition(_.startsWith("--"))
+    if (flags.contains("--tok")) { tokAxis(spark, dirs); spark.stop(); return }
+    for (dir <- dirs) {
       val docs = Tables.load(spark, dir, "documents")
       val nDocs = docs.count()
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -99,5 +111,53 @@ object TextRehearsal {
         f""""hybrid_rows":$hybridRows}""")
     }
     spark.stop()
+  }
+
+  private def tokAxis(spark: SparkSession, dirs: Array[String]): Unit = {
+    import graft.operators.TextRank
+    for (dir <- dirs) {
+      val docs = Tables.load(spark, dir, "documents").select("doc_id", "text")
+      val punct = docs.withColumn("text", expr(
+        "array_join(transform(split(text, ' '), (t, i) -> CASE " +
+          "WHEN (doc_id + i) % 11 = 0 THEN concat('(', t, ')') " +
+          "WHEN (doc_id + i) % 7 = 0 THEN concat(t, '.') " +
+          "WHEN (doc_id + i) % 3 = 0 THEN concat(t, ',') " +
+          "ELSE t END), ' ')"))
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (tClean, tDef, tRob) =
+        (s"tokreh_clean_$suffix", s"tokreh_def_$suffix", s"tokreh_rob_$suffix")
+      val suf = Seq("_df", "_meta", "_champ", "_cal")
+      Seq(tClean, tDef, tRob).foreach(
+        graft.sources.TablePointer.dropAll(spark, _, suf))
+      // the CLEAN query panel — what a user actually types
+      val qt = docs.filter(col("doc_id") % 101 === 0 && col("doc_id") < 3500)
+        .select(col("doc_id").as("q_id"),
+          explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+        .filter(length(col("term")) > 0)
+        .persist()
+      qt.count()
+      TextRank.refreshTextIndex(docs, tClean)
+      TextRank.refreshTextIndex(punct, tDef)
+      TextRank.refreshTextIndex(punct, tRob, tokMode = "robust")
+      def terms(t: String): Long =
+        spark.table(s"${graft.sources.TablePointer.resolve(spark, t)}_df")
+          .select("term").distinct().count()
+      def key(t: String) = TextRank.searchTextIndex(spark, t, qt).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("doc_id"), r.getAs[Double]("bm25"))).toSet
+      val (kClean, kDef, kRob) = (key(tClean), key(tDef), key(tRob))
+      val recallDef =
+        if (kClean.isEmpty) -1.0
+        else kDef.intersect(kClean).size.toDouble / kClean.size
+      println(f"""{"dir":"$dir","terms_clean":${terms(tClean)},""" +
+        f""""terms_default":${terms(tDef)},"terms_robust":${terms(tRob)},""" +
+        f""""clean_rows":${kClean.size},"default_rows":${kDef.size},""" +
+        f""""robust_rows":${kRob.size},""" +
+        f""""default_exact_recall":$recallDef%.3f,""" +
+        f""""robust_bit_equal":${kRob == kClean}}""")
+      qt.unpersist(false)
+      Seq(tClean, tDef, tRob).foreach(
+        graft.sources.TablePointer.dropAll(spark, _, suf))
+    }
   }
 }
