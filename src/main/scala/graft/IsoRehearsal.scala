@@ -63,11 +63,16 @@ object IsoRehearsal {
       var onNew = 0L
       val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (!refresh.isCompleted) {
-        val gen = graft.sources.TablePointer
-          .generationOf(Ann.physicalOf(spark, table))
+        // resolve ONCE and probe the resolved physical (ADVICE r15): a
+        // swap landing between a resolve and its probe must not
+        // misattribute the read's generation — serving through the
+        // physical name is identity under resolve, and the retire grace
+        // keeps the old generation's files live for the probe
+        val phys = Ann.physicalOf(spark, table)
+        val gen = graft.sources.TablePointer.generationOf(phys)
         val s0 = System.nanoTime()
         try {
-          val n = Ann.searchPqIndex(spark, table, queries, k = 5).collect().length
+          val n = Ann.searchPqIndex(spark, phys, queries, k = 5).collect().length
           require(n > 0)
           ok += 1
           if (gen <= 1) onOld += 1 else onNew += 1
@@ -114,11 +119,12 @@ object IsoRehearsal {
       var tOk = 0L; var tFailed = 0L; var tOld = 0L; var tNew = 0L
       val tLat = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (!tRefresh.isCompleted) {
-        val gen = graft.sources.TablePointer.generationOf(
-          graft.sources.TablePointer.resolve(spark, tTable))
+        // resolve once, probe the physical (ADVICE r15 — see above)
+        val tPhys = graft.sources.TablePointer.resolve(spark, tTable)
+        val gen = graft.sources.TablePointer.generationOf(tPhys)
         val s0 = System.nanoTime()
         try {
-          val n = TextRank.searchTextIndexChampion(spark, tTable, qt)
+          val n = TextRank.searchTextIndexChampion(spark, tPhys, qt)
             .collect().length
           require(n > 0)
           tOk += 1
@@ -163,12 +169,13 @@ object IsoRehearsal {
       var bOk = 0L; var bFailed = 0L; var bOld = 0L; var bNew = 0L
       val bLat = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (!bRefresh.isCompleted) {
-        val gen = graft.sources.TablePointer.generationOf(
-          graft.sources.TablePointer.resolve(spark, bTable))
+        // resolve once, probe the physical (ADVICE r15 — see above)
+        val bPhys = graft.sources.TablePointer.resolve(spark, bTable)
+        val gen = graft.sources.TablePointer.generationOf(bPhys)
         val s0 = System.nanoTime()
         try {
-          val n = Dedup.probeIndex(spark, bTable, bProbe).collect().length
-          val h = Dedup.probeHashIndex(spark, bTable, bProbe).collect().length
+          val n = Dedup.probeIndex(spark, bPhys, bProbe).collect().length
+          val h = Dedup.probeHashIndex(spark, bPhys, bProbe).collect().length
           require(n > 0 && h > 0)
           bOk += 1
           if (gen <= 1) bOld += 1 else bNew += 1

@@ -710,6 +710,19 @@ object Ann {
     * still-unlabeled targets (nprobe cells each, never the corpus) +
     * k-bounded vote aggregates; the label set grows by adoptees only
     * and stays broadcast-sized by the same argument labels are.
+    *
+    * PRECONDITION for hops ≥ 2 (ADVICE r15): chains can only pass
+    * through adoptees that are themselves STANDING-INDEX MEMBERS —
+    * candidates come from the index's serving path, which returns
+    * member ids only, so a round-1 adoptee that is not in the index can
+    * never appear as a later round's voter. Targets drawn from the
+    * index's own members (the spec's setup, and the natural day-2 shape
+    * — "label the corpus the index already holds") chain fine;
+    * out-of-index targets get exactly one hop. The fixed-point
+    * short-circuit below bounds the cost either way: a round that
+    * adopts NOTHING leaves both the label set and the pending set
+    * unchanged, so every later round would replay it verbatim — the
+    * loop stops instead of paying `rounds` identical index probes.
     */
   def propagateLabelsMultiHop(s: SparkSession, table: String,
       targets: DataFrame, labels: DataFrame, k: Int = 5, rounds: Int = 2,
@@ -723,7 +736,9 @@ object Ann {
       lit(1.0).as("confidence")).localCheckpoint(true)
     var pending = targets.localCheckpoint(true)
     var acc: DataFrame = null
-    for (r <- 1 to rounds) {
+    var r = 1
+    var fixedPoint = false
+    while (r <= rounds && !fixedPoint) {
       val cand = family match {
         case "pq" => searchPqIndex(s, table, pending, k, nprobe, adcTopC)
         case "sem" => searchSemanticIndex(s, table, pending, k, nprobe)
@@ -738,18 +753,26 @@ object Ann {
         (if (acc == null) won else acc.unionByName(won)).localCheckpoint(true)
       if (acc != null) graft.Frames.freePinned(acc)
       acc = accNext
-      val grown = labelSet.unionByName(
-          won.select(col("vec_id").as("s_id"), col("pred_label").as("label"),
-            col("confidence")))
-        .localCheckpoint(true)
-      graft.Frames.freePinned(labelSet)
-      labelSet = grown
-      val stillPending = pending
-        .join(won.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .localCheckpoint(true)
-      graft.Frames.freePinned(pending)
-      pending = stillPending
-      graft.Frames.freePinned(won) // folded into acc + labelSet + pending
+      if (won.isEmpty) {
+        // zero adoptions = fixed point (see the doc comment): stop here
+        // rather than re-probe the index for byte-identical rounds
+        fixedPoint = true
+        graft.Frames.freePinned(won)
+      } else {
+        val grown = labelSet.unionByName(
+            won.select(col("vec_id").as("s_id"), col("pred_label").as("label"),
+              col("confidence")))
+          .localCheckpoint(true)
+        graft.Frames.freePinned(labelSet)
+        labelSet = grown
+        val stillPending = pending
+          .join(won.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        graft.Frames.freePinned(pending)
+        pending = stillPending
+        graft.Frames.freePinned(won) // folded into acc + labelSet + pending
+      }
+      r += 1
     }
     graft.Frames.freePinned(labelSet)
     graft.Frames.freePinned(pending)
@@ -805,7 +828,9 @@ object Ann {
     var pending = targets0.select(col("t_id"), col("temb"))
       .localCheckpoint(true)
     var acc: DataFrame = null
-    for (r <- 1 to rounds) {
+    var r = 1
+    var fixedPoint = false
+    while (r <= rounds && !fixedPoint) {
       val t = pending.withColumn("tn", dotDec("temb", "temb"))
       val l = labelSet.withColumn("sn", dotDec("emb", "emb"))
       val scored = l.crossJoin(broadcast(t))
@@ -820,20 +845,29 @@ object Ann {
         (if (acc == null) won else acc.unionByName(won)).localCheckpoint(true)
       if (acc != null) graft.Frames.freePinned(acc)
       acc = accNext
-      val adoptees = won
-        .select(col("vec_id"), col("pred_label").as("label"), col("confidence"))
-        .join(pending, col("vec_id") === col("t_id"))
-        .select(col("vec_id").as("s_id"), col("temb").as("emb"),
-          col("label"), col("confidence"))
-      val grown = labelSet.unionByName(adoptees).localCheckpoint(true)
-      graft.Frames.freePinned(labelSet)
-      labelSet = grown
-      val stillPending = pending
-        .join(won.select(col("vec_id").as("t_id")), Seq("t_id"), "left_anti")
-        .localCheckpoint(true)
-      graft.Frames.freePinned(pending)
-      pending = stillPending
-      graft.Frames.freePinned(won)
+      if (won.isEmpty) {
+        // zero adoptions = fixed point (the index-backed path's rule:
+        // label set and pending set unchanged → later rounds replay
+        // this one verbatim) — stop instead of re-scoring
+        fixedPoint = true
+        graft.Frames.freePinned(won)
+      } else {
+        val adoptees = won
+          .select(col("vec_id"), col("pred_label").as("label"), col("confidence"))
+          .join(pending, col("vec_id") === col("t_id"))
+          .select(col("vec_id").as("s_id"), col("temb").as("emb"),
+            col("label"), col("confidence"))
+        val grown = labelSet.unionByName(adoptees).localCheckpoint(true)
+        graft.Frames.freePinned(labelSet)
+        labelSet = grown
+        val stillPending = pending
+          .join(won.select(col("vec_id").as("t_id")), Seq("t_id"), "left_anti")
+          .localCheckpoint(true)
+        graft.Frames.freePinned(pending)
+        pending = stillPending
+        graft.Frames.freePinned(won)
+      }
+      r += 1
     }
     graft.Frames.freePinned(labelSet)
     graft.Frames.freePinned(pending)

@@ -429,10 +429,20 @@ object Clusters {
       graft.Frames.freePinned(pr) // superseded round: nothing reads it again
       pr = nxt
     }
-    pr.join(bdeg.select(col("src").as("id"), col("deg")).distinct(), "id")
+    // collapse into ONE final checkpoint and free the loop's frames
+    // (ADVICE r15): the caller-frees-one-checkpoint contract the
+    // multi-hop path follows — without this, bdeg and the last round's
+    // pr stay pinned with no caller handle, and repeated invocations in
+    // a long-lived session accumulate pinned RDDs
+    val out = pr
+      .join(bdeg.select(col("src").as("id"), col("deg")).distinct(), "id")
       .select(col("id").as("doc_id"), col("deg"),
         graft.Num.roundD(col("pr"), 6).as("pagerank_r"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    graft.Frames.freePinned(bdeg)
+    graft.Frames.freePinned(pr)
+    out
   }
 
   /** Oracle for q149: the q21 minhash CTE chain, the q46 edge rule, and

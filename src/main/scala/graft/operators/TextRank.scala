@@ -1317,11 +1317,17 @@ object TextRank {
           Num.roundD(col("n_found").cast("double") /
             col("n_truth").cast("double")).as("recall_r"))
     }
-    op("exact", "exact", sparseExact, denseExact)
+    // the 4-row grid is checkpointed so the truth pin can be FREED here
+    // (ADVICE r15 — the pagerank rule): the caller holds exactly one
+    // tiny checkpoint instead of an unfreeable corpus-derived truth
+    val out = op("exact", "exact", sparseExact, denseExact)
       .unionByName(op("exact", "ivf", sparseExact, denseIvf))
       .unionByName(op("pruned", "exact", sparsePruned, denseExact))
       .unionByName(op("pruned", "ivf", sparsePruned, denseIvf))
       .orderBy("sparse_tier", "dense_tier")
+      .localCheckpoint(true)
+    graft.Frames.freePinned(truth)
+    out
   }
 
   val q150Sql: String = {
