@@ -221,7 +221,17 @@ object Admit {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
         graft.sources.TablePointer.resolve(spark, bandTable)))
       .bucketSpec.map(_.numBuckets).getOrElse(32)
-    Dedup.refreshIndex(docs, bandTable, numBuckets = numBuckets)
+    // the tokenizer mode carries over (round 16 — the text family's
+    // rule applied to the band family: a robust-mode index rebuilt
+    // under the default would fragment its own shingles), and the
+    // CALIBRATED threshold carries too — refreshIndex copies the
+    // previous generation's `_meta` knob row forward on an uncalibrated
+    // refresh (ADVICE r15, the medium finding: a WAL repair must not
+    // silently revert auto probes to the historical default), keeping
+    // its original docs_at_cal anchor so the post-incident drift is
+    // visible until recalibrateBandScreen or a calibrated refresh
+    Dedup.refreshIndex(docs, bandTable, numBuckets = numBuckets,
+      tokMode = Dedup.bandTokModeOf(spark, bandTable))
     for ((vecs, idx) <- embeddings.zip(vecIndex)) {
       val landedVecs = landedDocs.map(ld =>
         vecs.join(ld.select(col("doc_id").as("vec_id")), "vec_id")
@@ -284,6 +294,43 @@ object Admit {
     Locks.withLock(spark, s"$outDir/.admit-running", DefaultStaleAfterMs,
         maxWaitMs = lockWaitMs) {
       operators.TextRank.calibrateTextServing(spark, textTable, targetRecall)
+    }
+
+  /** The band family's post-incident resweep (round 16 — VERDICT r15 #2,
+    * [[recalibrateTextServing]]'s twin): re-derive ONLY the band-probe
+    * threshold against the CURRENT generation — `_meta` is the single
+    * table rewritten (the index itself untouched, the pointer unmoved) —
+    * under the admission lock, so it serializes with concurrent appends
+    * like every standing-state writer. The remedy when the drift row
+    * (`band / cal_docs_drift`) says the served corpus has grown far past
+    * the calibration's anchor, or after a WAL repair carried an old
+    * knob forward. `docs` must be the corpus the index currently holds
+    * (the calibration plants its twins from it — the
+    * [[operators.Dedup.calibrateBandThreshold]] contract); the index's
+    * persisted tokenizer mode is preserved and the fresh docs_at_cal
+    * anchor lands with the new threshold.
+    */
+  def recalibrateBandScreen(spark: SparkSession, bandTable: String,
+                            outDir: String, docs: DataFrame,
+                            targetRecall: Double,
+                            lockWaitMs: Long = 60 * 60 * 1000L): (Int, Double) =
+    Locks.withLock(spark, s"$outDir/.admit-running", DefaultStaleAfterMs,
+        maxWaitMs = lockWaitMs) {
+      Dedup.calibrateBandThreshold(spark, bandTable, docs,
+        targetRecall = targetRecall)
+    }
+
+  /** The PQ family's post-incident resweep — the same contract for the
+    * admission nprobe: the sweep probes the CURRENT generation's own
+    * members (self-contained — no external corpus needed), rewrites the
+    * `_meta` knob row alone, and runs under the admission lock.
+    */
+  def recalibratePqScreen(spark: SparkSession, pqTable: String,
+                          outDir: String, targetRecall: Double,
+                          lockWaitMs: Long = 60 * 60 * 1000L): (Int, Double) =
+    Locks.withLock(spark, s"$outDir/.admit-running", DefaultStaleAfterMs,
+        maxWaitMs = lockWaitMs) {
+      Ann.calibratePqScreenNprobe(spark, pqTable, targetRecall)
     }
 
   /** The cycle pins two frames for correctness (screens must not
@@ -421,6 +468,23 @@ object Admit {
       rows += (("band", "hash_rows", spark.table(hashT).count().toDouble))
     rows += (("band", "calibrated_threshold",
       Dedup.bandThresholdOf(spark, bandPhys).map(_.toDouble).getOrElse(-1.0)))
+    // the band knob's staleness anchor (round 16 — VERDICT r15 #2, the
+    // text family's cal_docs_* contract symmetrized): docs_at_cal is the
+    // corpus the threshold sweep measured; drift is how far appends have
+    // grown the served corpus past it (docs now = distinct `_hashes`
+    // ids — every doc has a hash key; band rows miss sub-3-word docs).
+    // −1 = never calibrated, or a pre-anchor row (drift unknowable).
+    val bandMeta = Dedup.bandMetaOf(spark, bandPhys)
+    rows += (("band", "tok_mode_robust",
+      if (bandMeta.exists(_.tokMode == "robust")) 1.0 else 0.0))
+    rows += (("band", "cal_docs_at_cal",
+      bandMeta.map(_.docsAtCal.toDouble).getOrElse(-1.0)))
+    rows += (("band", "cal_docs_drift",
+      bandMeta.filter(_.docsAtCal >= 0)
+        .filter(_ => spark.catalog.tableExists(hashT))
+        .map(m => spark.table(hashT).select("doc_id").distinct().count()
+          .toDouble - m.docsAtCal)
+        .getOrElse(-1.0)))
     for (t <- semTable.toSeq ++ pqTable.toSeq) {
       val phys = Ann.physicalOf(spark, t)
       val comp = if (semTable.contains(t)) "sem" else "pq"
@@ -429,7 +493,8 @@ object Admit {
         graft.sources.TablePointer.generationOf(phys).toDouble))
       rows += ((comp, "nlist",
         spark.table(s"${phys}_centroids").count().toDouble))
-      rows += ((comp, "members", spark.table(membersT).count().toDouble))
+      val nMembers = spark.table(membersT).count()
+      rows += ((comp, "members", nMembers.toDouble))
       rows += ((comp, "files_per_cell_max",
         graft.sources.Ingest.partitionFileCounts(spark, membersT)
           .values.maxOption.getOrElse(0).toDouble))
@@ -441,6 +506,15 @@ object Admit {
           m.getAs[Int]("screen_nprobe").toDouble))
         rows += (("pq", "screen_recall_measured",
           m.getAs[Double]("screen_recall_measured")))
+        // the PQ nprobe's staleness anchor (round 16 — the band/text
+        // cal_docs_* rows' third sibling): drift = members now vs the
+        // member count the sweep probed; −1 = uncalibrated / pre-anchor
+        val dac =
+          if (m.schema.fieldNames.contains("docs_at_cal"))
+            m.getAs[Long]("docs_at_cal") else -1L
+        rows += (("pq", "cal_docs_at_cal", dac.toDouble))
+        rows += (("pq", "cal_docs_drift",
+          if (dac >= 0) nMembers.toDouble - dac else -1.0))
       }
     }
     for (t <- textTable.toSeq) {
@@ -647,13 +721,22 @@ object Admit {
     // semantic twins (standing-centroid cells, in-cell sign-band
     // self-join) keep their lowest-id representative. All three kernels
     // run cache-free: this is per-micro-batch code.
-    val bandThreshold = Dedup.bandThresholdOf(spark, bandTable)
+    // ONE `_meta` read serves the whole cycle: the calibrated threshold
+    // AND the index's tokenizer mode (round 16 — the intra-batch screens
+    // must normalize/sign the way the standing screens do, or a
+    // punctuated twin PAIR inside one batch would slip the intra pass
+    // that the standing probe would have caught a batch later)
+    val bandMeta = Dedup.bandMetaOf(spark, bandTable)
+    val bandThreshold = bandMeta.map(_.threshold).filter(_ >= 1)
       .getOrElse(Dedup.DefaultBandThreshold)
+    val bandTok = bandMeta.map(_.tokMode).getOrElse("default")
     val wExact = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+      .partitionBy(md5(Dedup.normTextFor(col("text"), bandTok)))
+      .orderBy(col("doc_id"))
     val exactUnique = screened.withColumn("_rk", row_number().over(wExact))
       .filter(col("_rk") === 1).drop("_rk")
-    val nearSelfDropped = Dedup.minhashPairs(exactUnique, cache = false)
+    val nearSelfDropped = Dedup.minhashPairs(exactUnique, cache = false,
+        tokMode = bandTok)
       .filter(col("n_shared_bands") >= bandThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val surfaceUnique = exactUnique.join(nearSelfDropped, Seq("doc_id"), "left_anti")

@@ -122,7 +122,19 @@ object ComposeRehearsal {
       .withColumn("emb", expr(
         "transform(emb, (x, j) -> CAST(x * (CASE WHEN " +
           "(xxhash64('flip', 780, j) & 1) = 1 THEN -1.0 ELSE 1.0 END) AS DOUBLE))"))
-    val b2 = resub.unionByName(reenc).unionByName(novel)
+    // round 16 — the punctuated class (VERDICT r15 #1): 100 shipped docs
+    // re-submitted with every space rewritten `", "` — q152's adversarial
+    // construction. Pre-r16 this slipped the exact AND band screens; the
+    // handoff's robust-mode index must exact-reject every one
+    // sources disjoint from the resub slice, so each punct copy is the
+    // ONLY representative of its content inside the batch and the
+    // rejection is attributable to the STANDING exact screen (a shared
+    // source would collapse at the intra screen first)
+    val punct = shipped.orderBy("doc_id").limit(300)
+      .orderBy(col("doc_id").desc).limit(100)
+      .withColumn("doc_id", col("doc_id") + 779900000L)
+      .withColumn("text", regexp_replace(col("text"), " ", ", "))
+    val b2 = resub.unionByName(reenc).unionByName(novel).unionByName(punct)
     val b2v = reencVecs.unionByName(novelVecs)
     val (r2, tAdmit2) = timed(Admit.admitBatch(spark, b2, "curated_band",
       admitOut, 2L, embeddings = Some(b2v), pqTable = Some("curated_pq"),
@@ -152,6 +164,11 @@ object ComposeRehearsal {
     val resubRows = (0 until 500).map { i =>
       (782000000L + i, srcTexts(i % srcTexts.length)._2)
     }
+    // the punctuated class rides the STREAM too (round 16): 200
+    // `word, word,` re-submissions — must exact-reject per micro-batch
+    val punctRows = (0 until 200).map { i =>
+      (784000000L + i, srcTexts(i % srcTexts.length)._2.split(' ').mkString(", "))
+    }
     val reencSrc2 = eligible.orderBy(col("doc_id").desc)
       .limit(200).select("doc_id", "text").as[(Long, String)].collect()
     val reencRows = reencSrc2.zipWithIndex.map { case ((id, t), i) =>
@@ -161,7 +178,7 @@ object ComposeRehearsal {
       .join(reencSrc2.map(_._1).toSeq.toDF("vec_id"), "vec_id")
       .withColumn("vec_id", col("vec_id") + 783000000L)
       .withColumn("emb", expr("transform(emb, x -> x * 0.99)"))
-    val streamRows = novelRows ++ resubRows ++ reencRows
+    val streamRows = novelRows ++ resubRows ++ reencRows ++ punctRows
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val ckpt = s"$scratch/stream-ckpt"

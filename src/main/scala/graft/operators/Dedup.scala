@@ -225,6 +225,33 @@ object Dedup {
     smallPairs.unionByName(hotPairs)
   }
 
+  /** The band family's text normalization under a [[TextRank.tokWords]]
+    * mode, as ONE string: words re-joined by single spaces. Used for the
+    * robust exact-hash key (md5 of this == md5 of the token stream) —
+    * under `robust` a punctuation-perturbed re-submission normalizes to
+    * its source's exact string.
+    */
+  private[graft] def normTextFor(c: Column, tokMode: String): Column =
+    tokMode match {
+      case "default" => lower(trim(c))
+      case "robust" =>
+        // the collapse already leaves single spaces, so the trimmed
+        // string IS the robust token stream joined by " "
+        trim(regexp_replace(lower(c), "[^\\p{L}\\p{N}]+", " "))
+      case other => throw new IllegalArgumentException(
+        s"tokenizer mode must be default or robust, got $other")
+    }
+
+  /** DuckDB replay of [[normTextFor]]. */
+  private[operators] def sqlNormTextFor(e: String, tokMode: String): String =
+    tokMode match {
+      case "default" => s"lower(trim($e))"
+      case "robust" =>
+        s"trim(regexp_replace(lower($e), '[^\\p{L}\\p{N}]+', ' ', 'g'))"
+      case other => throw new IllegalArgumentException(
+        s"tokenizer mode must be default or robust, got $other")
+    }
+
   /** Raw (non-distinct, uncapped) shingle hashes — the minhash input.
     * Word 3-shingles hashed to 60-bit longs ([[baseHash60]]) before any
     * shuffle: downstream distincts/joins move 8-byte keys, and in md5 mode
@@ -242,17 +269,26 @@ object Dedup {
   /** Oracle CTE chain replaying the shingle pass: `words` → `shx(doc_id, x)`
     * with x = [[md5Long60]] of each word 3-shingle (non-distinct). Callers
     * append their own aggregation. `src` must provide (doc_id, text).
+    * `tok` is the word-array SQL expression — the DuckDB replay of the
+    * [[TextRank.tokWords]] mode the Spark side shingled under.
     */
-  private def sqlShingleCte(src: String, prefix: String = ""): String =
+  private def sqlShingleCte(src: String, prefix: String = "",
+                            tok: String = SqlTokDefault): String =
     s"""${prefix}words AS (
-       |  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM $src
-       |  WHERE len(string_split(lower(trim(text)), ' ')) >= 3),
+       |  SELECT doc_id, $tok AS w FROM $src
+       |  WHERE len($tok) >= 3),
        |${prefix}widx AS (
        |  SELECT doc_id, w, unnest(range(len(w) - 2)) AS i FROM ${prefix}words),
        |${prefix}shx AS (
        |  SELECT doc_id,
        |    ${sqlMd5Long60("w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]")} AS x
        |  FROM ${prefix}widx)""".stripMargin
+
+  /** DuckDB word-array replays of the two [[TextRank.tokWords]] modes. */
+  private val SqlTokDefault = "string_split(lower(trim(text)), ' ')"
+  private[operators] val SqlTokRobust =
+    "string_split_regex(trim(regexp_replace(lower(text), " +
+      "'[^\\p{L}\\p{N}]+', ' ', 'g')), '\\s+')"
 
   /** Oracle CTE chain ending in `mh(doc_a, doc_b, n_shared_bands)` — the
     * DuckDB replay of [[minhashPairs]] over the given (doc_id, text)
@@ -262,7 +298,8 @@ object Dedup {
     * band_hash)` — the DuckDB replay of [[minhashBands]] over `src`. The
     * prefix keeps two band tables (index + batch, q83) in one WITH chain.
     */
-  private def sqlBandCte(src: String, prefix: String): String = {
+  private def sqlBandCte(src: String, prefix: String,
+                         tok: String = SqlTokDefault): String = {
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       s"MIN((x % $P * $a + $b) % $P) AS m$i"
     }.mkString(", ")
@@ -270,7 +307,7 @@ object Dedup {
       val parts = (0 until RowsPerBand).map(r => s"m${bi * RowsPerBand + r}")
       s"SELECT doc_id, $bi AS band_idx, concat_ws(':', ${parts.mkString(", ")}) AS band_hash FROM ${prefix}sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""${sqlShingleCte(src, prefix)},
+    s"""${sqlShingleCte(src, prefix, tok)},
        |${prefix}sigs AS (
        |  SELECT doc_id, $mins FROM ${prefix}shx GROUP BY doc_id),
        |${prefix}bands AS (
@@ -318,7 +355,8 @@ object Dedup {
     * injected duplicate cluster (DedupAnnSpec).
     */
   def minhashPairs(docs: DataFrame, hashMode: String = "md5",
-                   cache: Boolean = true): DataFrame = {
+                   cache: Boolean = true,
+                   tokMode: String = "default"): DataFrame = {
     // persisted in addition to guardedPairs' annotated cache: the union
     // branches there can schedule concurrently, and concurrent stages
     // racing on a cold cache each recompute its parent — with the
@@ -328,7 +366,7 @@ object Dedup {
     // intra-batch screen runs this per micro-batch — a leak-free
     // recompute of a batch-sized signature pass beats a persist that
     // never dies)
-    val banded0 = minhashBands(docs, hashMode)
+    val banded0 = minhashBands(docs, hashMode, tokMode)
     val banded = if (cache) banded0.persist() else banded0
     guardedPairs(banded, "doc_id", Seq("band_idx", "band_hash"), cache = cache)
       .groupBy(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -341,7 +379,17 @@ object Dedup {
     * on. In production this frame IS the standing index: materialized
     * once, bucketed by band_hash, and probed by each new batch.
     */
-  def minhashBands(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
+  def minhashBands(docs: DataFrame, hashMode: String = "md5",
+                   // the [[TextRank.tokWords]] mode the shingle pass
+                   // tokenizes under (round 16 — VERDICT r15 #1):
+                   // `robust` collapses punctuation runs before the
+                   // split, so a `word,`-perturbed re-submission signs
+                   // IDENTICALLY to its source instead of perturbing
+                   // every shingle past the band screen. Standing
+                   // indexes persist their mode in `_meta` and every
+                   // probe/append reads it back — an index can never
+                   // mix modes.
+                   tokMode: String = "default"): DataFrame = {
     // Signature stage is ROW-LOCAL (round 6): a document's shingles are
     // one row's array, so the 32 per-permutation minimums never needed an
     // aggregation — the native `minhash_bands` expression walks the array
@@ -359,7 +407,7 @@ object Dedup {
     // candidates are verified downstream anyway). Same plan either way.
     val h = baseHash60Expr("concat_ws(' ', w[i], w[i+1], w[i+2])", hashMode)
     val bands = docs
-      .withColumn("w", split(lower(trim(col("text"))), " "))
+      .withColumn("w", TextRank.tokWords(col("text"), tokMode))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         posexplode(call_function("minhash_bands",
@@ -463,7 +511,14 @@ object Dedup {
                    // `_meta`, and [[probeIndex]]'s auto default reads it
                    // — the nlist/nprobe move applied to the LAST
                    // hand-set screen knob
-                   screenRecallTarget: Double = -1.0): Unit = {
+                   screenRecallTarget: Double = -1.0,
+                   // the [[TextRank.tokWords]] mode (round 16 — VERDICT
+                   // r15 #1): persisted in `_meta` exactly like the text
+                   // family's, read back by every probe/append/rebuild;
+                   // `robust` additionally lands a punctuation-collapsed
+                   // exact-hash key in `_hashes` so the EXACT screen
+                   // closes against the same perturbation class
+                   tokMode: String = "default"): Unit = {
     // the content-hash companion (round 13 — VERDICT r12 #1): the band
     // screen has a geometric floor — a document too short to shingle
     // (< 3 words) has no bands, so an EXACT re-submission of it sails
@@ -481,13 +536,34 @@ object Dedup {
     // still states the invariant (a published generation never has
     // fresh bands beside stale hashes).
     val s = docs.sparkSession
+    // knob carry-forward (ADVICE r15, the medium finding): an
+    // UNCALIBRATED refresh — the WAL-recovery rebuild's shape — of a
+    // previously calibrated index must not silently discard the
+    // persisted threshold and revert auto probes to the historical
+    // default. The previous generation's (or a legacy layout's) `_meta`
+    // row carries forward with its ORIGINAL docs_at_cal anchor, so the
+    // staleness drift stays visible ([[graft.Admit.standingStateReport]])
+    // until a calibrated refresh or [[graft.Admit.recalibrateBandScreen]]
+    // re-derives it; a refresh WITH a target overwrites everything fresh.
+    val prev = bandMetaOf(s, table)
     val phys = graft.sources.TablePointer.stage(s, table)
-    graft.sources.Ingest.writeBucketed(contentHashKeys(docs),
+    graft.sources.Ingest.writeBucketed(contentHashKeys(docs, tokMode),
       hashTableOf(phys), "h", numBuckets)
     graft.sources.Ingest.writeBucketed(
-      guardedIndex(minhashBands(docs, hashMode), maxBucket),
+      guardedIndex(minhashBands(docs, hashMode, tokMode), maxBucket),
       phys, "band_idx", numBuckets, sortCol = None,
       moreBucketCols = Seq("band_hash"))
+    // `_meta` lands on EVERY refresh now (round 16): it carries the
+    // tokenizer mode per commit — the text family's rule — plus the
+    // carried-over calibration (threshold -1 = never calibrated; the
+    // auto probe then uses the historical default)
+    writeBandMeta(s, phys,
+      prev.map(_.threshold).getOrElse(-1),
+      prev.map(_.policyTier).getOrElse(-1),
+      prev.map(_.target).getOrElse(-1.0),
+      prev.map(_.measured).getOrElse(-1.0),
+      tokMode,
+      prev.map(_.docsAtCal).getOrElse(-1L))
     // calibration must probe the index it will screen against, so it
     // runs LAST, against the just-staged generation (refreshPqIndex's
     // rule) — the swap then publishes index + knobs as one unit
@@ -528,13 +604,27 @@ object Dedup {
     * whitespace run (regex `\s+`) to one space first makes the
     * trailing/leading residue a plain space the trim then removes,
     * closing the whole whitespace class, not just 0x20 runs.
+    *
+    * Under `tokMode = "robust"` (round 16 — VERDICT r15 #1) a THIRD key
+    * joins the set: md5 of the punctuation-collapsed normalization
+    * ([[normTextFor]]) — a `word,`-perturbed re-submission's robust key
+    * equals its source's, so the exact screen catches the class that
+    * previously escaped both hash keys AND (via perturbed shingles) the
+    * band screen. The two legacy keys stay, so verbatim/whitespace
+    * re-submissions match exactly as before; default-mode indexes are
+    * bit-identical to the pre-mode layout.
     */
-  private def contentHashKeys(docs: DataFrame): DataFrame =
+  private def contentHashKeys(docs: DataFrame,
+                              tokMode: String = "default"): DataFrame = {
+    val base = Seq(
+      md5(lower(trim(col("text")))),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+    val keys =
+      if (tokMode == "default") base
+      else base :+ md5(normTextFor(col("text"), tokMode))
     docs.select(col("doc_id"),
-      explode(array_distinct(array(
-        md5(lower(trim(col("text")))),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))))
-        .as("h"))
+      explode(array_distinct(array(keys: _*))).as("h"))
+  }
 
   /** Incremental index maintenance: append an ADMITTED batch's bands to
     * the standing [[refreshIndex]] table without re-shingling the corpus
@@ -553,8 +643,11 @@ object Dedup {
     // appends land in the CURRENT generation (the text family's rule):
     // additive growth, never a rewrite a concurrent reader could tear
     val phys = graft.sources.TablePointer.resolve(s, table)
+    // the batch signs under the INDEX's persisted tokenizer mode (the
+    // appendTextIndex rule) — an index can never mix modes
+    val tokMode = bandTokModeOf(s, phys)
     graft.sources.Ingest.appendBucketed(
-      guardedIndex(minhashBands(batch, hashMode), maxBucket),
+      guardedIndex(minhashBands(batch, hashMode, tokMode), maxBucket),
       phys, "band_idx", Seq("band_hash"))
     // refresh through the PROBING session `s`, not just the writing
     // frame's session: the two differ whenever the batch plan's left
@@ -569,7 +662,7 @@ object Dedup {
     // [[graft.Admit]] treats absence as screen-off), so the companion
     // is only ever born corpus-complete, by a refresh
     if (s.catalog.tableExists(hashTableOf(phys))) {
-      graft.sources.Ingest.appendBucketed(contentHashKeys(batch),
+      graft.sources.Ingest.appendBucketed(contentHashKeys(batch, tokMode),
         hashTableOf(phys), "h")
       s.catalog.refreshTable(hashTableOf(phys))
     }
@@ -588,11 +681,17 @@ object Dedup {
                  // to the band family
                  threshold: Int = 0): DataFrame = {
     // resolve ONCE per plan (the searchTextIndex rule): a refresh
-    // landing mid-probe never moves this probe's files
+    // landing mid-probe never moves this probe's files; ONE `_meta`
+    // read serves both the auto threshold and the tokenizer mode (the
+    // batch must sign under the INDEX's mode — mixing modes would
+    // perturb the very shingles the robust mode unifies)
     val phys = graft.sources.TablePointer.resolve(s, table)
+    val meta = bandMetaOf(s, phys)
     incrementalProbe(s.table(phys), batch, hashMode,
       if (threshold >= 1) threshold
-      else bandThresholdOf(s, phys).getOrElse(DefaultBandThreshold))
+      else meta.map(_.threshold).filter(_ >= 1)
+        .getOrElse(DefaultBandThreshold),
+      meta.map(_.tokMode).getOrElse("default"))
   }
 
   /** Probe `batch` documents against a prepared [[guardedIndex]] — the
@@ -609,9 +708,10 @@ object Dedup {
     */
   def incrementalProbe(guarded: DataFrame, batch: DataFrame,
                        hashMode: String = "md5",
-                       threshold: Int = DefaultBandThreshold): DataFrame = {
+                       threshold: Int = DefaultBandThreshold,
+                       tokMode: String = "default"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probe = minhashBands(batch, hashMode)
+    val probe = minhashBands(batch, hashMode, tokMode)
       .select(col("doc_id").as("batch_doc_id"), col("band_idx"), col("band_hash"))
     val matches = probe.join(guarded, Seq("band_idx", "band_hash"))
       .groupBy("batch_doc_id", "match_doc_id")
@@ -640,14 +740,15 @@ object Dedup {
     * match-pick aggregate is batch-sized.
     */
   def probeHashIndex(s: SparkSession, table: String, batch: DataFrame): DataFrame = {
-    val standing = s.table(
-        hashTableOf(graft.sources.TablePointer.resolve(s, table)))
+    val phys = graft.sources.TablePointer.resolve(s, table)
+    val standing = s.table(hashTableOf(phys))
       .select(col("doc_id").as("match_doc_id"), col("h"))
-    // the probe emits BOTH key forms (raw-normalized and whitespace-
-    // collapsed — [[contentHashKeys]]): a batch doc matching a standing
-    // doc under either normalization hits, and the min-aggregate
-    // already collapses a doc whose two keys both match
-    val matches = contentHashKeys(batch)
+    // the probe emits EVERY key form the index's mode persists (raw-
+    // normalized, whitespace-collapsed, and under robust mode the
+    // punctuation-collapsed key — [[contentHashKeys]]): a batch doc
+    // matching a standing doc under any normalization hits, and the
+    // min-aggregate already collapses a doc whose keys multi-match
+    val matches = contentHashKeys(batch, bandTokModeOf(s, phys))
       .select(col("doc_id").as("batch_doc_id"), col("h"))
       .join(standing, Seq("h"))
       .groupBy("batch_doc_id").agg(min("match_doc_id").as("match_doc_id"))
@@ -667,24 +768,58 @@ object Dedup {
   /** The [[calibrateBandThreshold]] companion's table name. */
   def metaTableOf(table: String): String = s"${table}_meta"
 
+  /** The persisted knob row of a standing band index (its `_meta`):
+    * the calibrated probe threshold with its policy/targets, the
+    * tokenizer mode the generation was shingled and hash-keyed under,
+    * and the corpus size when the calibration sweep ran (round 16 —
+    * VERDICT r15 #2: the staleness anchor `docs_now − docs_at_cal` is
+    * the drift signal [[graft.Admit.standingStateReport]] surfaces, the
+    * text family's `_cal` contract applied to this knob). Sentinels:
+    * threshold −1 / docsAtCal −1 = never calibrated (or a pre-column
+    * legacy row — drift unknowable, stated, not zero).
+    */
+  case class BandMeta(threshold: Int, policyTier: Int, target: Double,
+                      measured: Double, tokMode: String, docsAtCal: Long)
+
+  /** Read a band index's `_meta` row — None for a legacy index refreshed
+    * before the row existed (its knobs are then the historical defaults:
+    * threshold [[DefaultBandThreshold]], mode `default`). Legacy ROWS
+    * (pre-r16 schema, written by a calibration only) read with default
+    * tokenizer mode and an unknowable (−1) docs anchor.
+    */
+  def bandMetaOf(s: SparkSession, table0: String): Option[BandMeta] = {
+    val table = graft.sources.TablePointer.resolve(s, table0)
+    if (!s.catalog.tableExists(metaTableOf(table))) None
+    else s.table(metaTableOf(table)).collect().headOption.map { r =>
+      val f = r.schema.fieldNames
+      BandMeta(r.getAs[Int]("band_threshold"), r.getAs[Int]("policy_tier"),
+        r.getAs[Double]("recall_target"), r.getAs[Double]("recall_measured"),
+        if (f.contains("tok_mode")) r.getAs[String]("tok_mode") else "default",
+        if (f.contains("docs_at_cal")) r.getAs[Long]("docs_at_cal") else -1L)
+    }
+  }
+
   /** The calibrated band-probe threshold of a standing index, from its
     * `_meta` row — None for an index never calibrated.
     */
-  def bandThresholdOf(s: SparkSession, table0: String): Option[Int] = {
-    val table = graft.sources.TablePointer.resolve(s, table0)
-    if (!s.catalog.tableExists(metaTableOf(table))) None
-    else s.table(metaTableOf(table)).select("band_threshold").collect()
-      .headOption.map(_.getInt(0)).filter(_ >= 1)
-  }
+  def bandThresholdOf(s: SparkSession, table0: String): Option[Int] =
+    bandMetaOf(s, table0).map(_.threshold).filter(_ >= 1)
+
+  /** The [[TextRank.tokWords]] mode a standing band index was refreshed
+    * with — `default` for a legacy index (no `_meta`, or a pre-mode row).
+    */
+  def bandTokModeOf(s: SparkSession, table0: String): String =
+    bandMetaOf(s, table0).map(_.tokMode).getOrElse("default")
 
   private def writeBandMeta(s: SparkSession, table: String, threshold: Int,
                             policyTier: Int, target: Double,
-                            measured: Double): Unit = {
+                            measured: Double, tokMode: String,
+                            docsAtCal: Long): Unit = {
     import s.implicits._
     graft.sources.Ingest.clearStaleLocation(s, metaTableOf(table))
-    Seq((threshold, policyTier, target, measured))
+    Seq((threshold, policyTier, target, measured, tokMode, docsAtCal))
       .toDF("band_threshold", "policy_tier", "recall_target",
-        "recall_measured")
+        "recall_measured", "tok_mode", "docs_at_cal")
       .write.mode("overwrite").format("parquet")
       .saveAsTable(metaTableOf(table))
   }
@@ -726,7 +861,12 @@ object Dedup {
     // resolve at entry: the `_meta` must land beside the generation it
     // measured (a refresh passes the staged physical — identity here)
     val table = graft.sources.TablePointer.resolve(s, table0)
-    val nsbHist = bandScreenHist(s, table, docs, policyTier, nSample, hashMode)
+    // the sweep measures the index AS SERVED: twins are built and probed
+    // under the generation's persisted tokenizer mode, and the rewrite
+    // preserves that mode (the calibration owns the knob columns only)
+    val tokMode = bandTokModeOf(s, table)
+    val nsbHist = bandScreenHist(s, table, docs, policyTier, nSample,
+      hashMode, tokMode)
     val n = nsbHist.values.sum
     def recallAt(t: Int): Double =
       nsbHist.filter(_._1 >= t).values.sum.toDouble / n
@@ -739,7 +879,11 @@ object Dedup {
         s"threshold 1 reaches only $measured < target $targetRecall " +
         s"at tier $policyTier — persisting 1; the residual is the " +
         "target's complement")
-    writeBandMeta(s, table, chosen, policyTier, targetRecall, measured)
+    // docs_at_cal: the corpus the sweep measured (VERDICT r15 #2 — the
+    // staleness anchor; appends growing the corpus past this show as
+    // drift in the standing-state report)
+    writeBandMeta(s, table, chosen, policyTier, targetRecall, measured,
+      tokMode, docs.count())
     (chosen, measured)
   }
 
@@ -753,7 +897,8 @@ object Dedup {
   def bandScreenRecall(s: SparkSession, table: String, docs: DataFrame,
                        threshold: Int, policyTier: Int = 90,
                        nSample: Int = 200, hashMode: String = "md5"): Double = {
-    val nsbHist = bandScreenHist(s, table, docs, policyTier, nSample, hashMode)
+    val nsbHist = bandScreenHist(s, table, docs, policyTier, nSample,
+      hashMode, bandTokModeOf(s, table))
     val n = nsbHist.values.sum
     nsbHist.filter(_._1 >= threshold).values.sum.toDouble / n
   }
@@ -766,13 +911,19 @@ object Dedup {
     */
   private def bandScreenHist(s: SparkSession, table: String, docs: DataFrame,
                              policyTier: Int, nSample: Int,
-                             hashMode: String): Map[Long, Long] = {
+                             hashMode: String,
+                             tokMode: String = "default"): Map[Long, Long] = {
     require(policyTier >= 1 && policyTier <= 100,
       s"policyTier must be a percentage, got $policyTier")
     // q141's eligibility: ≥ 7 words keeps every tier ≥ 3 words — the
-    // shingle floor (a twin with no shingles has no bands to recall)
+    // shingle floor (a twin with no shingles has no bands to recall).
+    // Words come from the index's OWN tokenizer mode so the planted
+    // twins measure the geometry the screen actually runs on (under
+    // default the expression is the historical split verbatim).
     val eligible = docs
-      .withColumn("_w", split(col("text"), " "))
+      .withColumn("_w",
+        if (tokMode == "default") split(col("text"), " ")
+        else TextRank.tokWords(col("text"), tokMode))
       .withColumn("_n", size(col("_w")).cast("long"))
       .filter(col("_n") >= 7)
     val nElig = eligible.count()
@@ -1065,6 +1216,128 @@ object Dedup {
        |  CAST(COALESCE(best.n_shared_bands, 0) >= 4 AS INT) AS is_near_dup
        |FROM batch bt LEFT JOIN best ON bt.doc_id = best.batch_doc_id
        |ORDER BY batch_doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q152
+
+  /** q152: the punctuation-perturbation admission hole, closed and
+    * value-anchored (round 16 — VERDICT r15 #1): TextRehearsal `--tok`
+    * measured `word,`-class perturbations fragmenting the text
+    * vocabulary 4× — the same class perturbs EVERY word shingle and
+    * both legacy hash keys, so a punctuated re-submission of an
+    * admitted document sailed past the exact AND band screens. This
+    * query probes a perturbed batch (every 9th document, each space
+    * rewritten to `", "` — every word but the last gains a trailing
+    * comma) against the corpus band index under BOTH tokenizer modes,
+    * plus the per-mode exact-hash membership ([[normTextFor]] keys):
+    * under `robust` the perturbed copy signs bit-identically to its
+    * source (8 shared bands, exact-hash hit), under `default` it
+    * escapes both — the hole and its closure in one DuckDB-replayed
+    * grid. The admission stack runs this class through the SAME kernels
+    * ([[probeIndex]]/[[probeHashIndex]] auto-read the index's persisted
+    * mode), so AdmitSpec's rejection case and ComposeRehearsal's
+    * adversarial batch are anchored to these values.
+    *
+    * Scale shape: two band passes over the corpus + two batch-sized
+    * probes (the q83 read shape twice) and two hash equi-joins — no new
+    * plan class; in production the index side is the STANDING bucketed
+    * table, built once.
+    */
+  def q152PunctRobustProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val batch = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        regexp_replace(col("text"), " ", ", ").as("text"))
+    def probeUnder(mode: String): DataFrame =
+      incrementalProbe(guardedIndex(minhashBands(d, "md5", mode)), batch,
+        "md5", DefaultBandThreshold, mode)
+    def exactMatches(mode: String, out: String): DataFrame = {
+      val standing = d.select(col("doc_id").as("m"),
+        md5(normTextFor(col("text"), mode)).as("h"))
+      batch.select(col("doc_id").as("batch_doc_id"),
+          md5(normTextFor(col("text"), mode)).as("h"))
+        .join(standing, Seq("h"))
+        .groupBy("batch_doc_id").agg(min("m").as(out))
+    }
+    probeUnder("robust")
+      .join(probeUnder("default")
+        .select(col("batch_doc_id"),
+          col("n_shared_bands").as("n_shared_bands_default"),
+          col("is_near_dup").as("is_near_dup_default")),
+        Seq("batch_doc_id"))
+      .join(exactMatches("robust", "xr"), Seq("batch_doc_id"), "left")
+      .join(exactMatches("default", "xd"), Seq("batch_doc_id"), "left")
+      .select(col("batch_doc_id"), col("match_doc_id"),
+        col("n_shared_bands"), col("is_near_dup"),
+        col("n_shared_bands_default"), col("is_near_dup_default"),
+        col("xr").isNotNull.cast("int").as("is_exact_dup"),
+        col("xd").isNotNull.cast("int").as("is_exact_dup_default"))
+      .orderBy("batch_doc_id")
+  }
+
+  val q152Sql: String = {
+    def guardProbe(ip: String, bp: String, op: String): String =
+      s"""${op}guard AS (
+         |  SELECT doc_id, band_idx, band_hash FROM (
+         |    SELECT doc_id, band_idx, band_hash,
+         |      COUNT(*) OVER wb AS bucket_n, MIN(doc_id) OVER wb AS canon
+         |    FROM ${ip}bands WINDOW wb AS (PARTITION BY band_idx, band_hash))
+         |  WHERE bucket_n <= $MaxBucket OR doc_id = canon),
+         |${op}match AS (
+         |  SELECT b.doc_id AS batch_doc_id, g.doc_id AS match_doc_id,
+         |    COUNT(*) AS n_shared_bands
+         |  FROM ${bp}bands b JOIN ${op}guard g USING (band_idx, band_hash)
+         |  GROUP BY 1, 2),
+         |${op}best AS (
+         |  SELECT batch_doc_id, match_doc_id, n_shared_bands FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_doc_id
+         |      ORDER BY n_shared_bands DESC, match_doc_id) AS rn
+         |    FROM ${op}match)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |batch AS (
+       |  SELECT doc_id + 400000 AS doc_id,
+       |    regexp_replace(text, ' ', ', ', 'g') AS text
+       |  FROM d WHERE doc_id % 9 = 0),
+       |${sqlBandCte("d", "ri", SqlTokRobust)},
+       |${sqlBandCte("batch", "rp", SqlTokRobust)},
+       |${sqlBandCte("d", "di")},
+       |${sqlBandCte("batch", "dp")},
+       |${guardProbe("ri", "rp", "r")},
+       |${guardProbe("di", "dp", "e")},
+       |rexs AS (
+       |  SELECT doc_id AS m, ${sqlNormTextFor("text", "robust")} AS nt
+       |  FROM d),
+       |rexb AS (
+       |  SELECT doc_id AS batch_doc_id, ${sqlNormTextFor("text", "robust")} AS nt
+       |  FROM batch),
+       |rex AS (
+       |  SELECT batch_doc_id, MIN(m) AS xr
+       |  FROM rexb JOIN rexs ON md5(rexb.nt) = md5(rexs.nt)
+       |  GROUP BY 1),
+       |dexs AS (SELECT doc_id AS m, lower(trim(text)) AS nt FROM d),
+       |dexb AS (
+       |  SELECT doc_id AS batch_doc_id, lower(trim(text)) AS nt FROM batch),
+       |dex AS (
+       |  SELECT batch_doc_id, MIN(m) AS xd
+       |  FROM dexb JOIN dexs ON md5(dexb.nt) = md5(dexs.nt)
+       |  GROUP BY 1)
+       |SELECT bt.doc_id AS batch_doc_id, rbest.match_doc_id,
+       |  CAST(COALESCE(rbest.n_shared_bands, 0) AS BIGINT) AS n_shared_bands,
+       |  CAST(COALESCE(rbest.n_shared_bands, 0) >= $DefaultBandThreshold AS INT)
+       |    AS is_near_dup,
+       |  CAST(COALESCE(ebest.n_shared_bands, 0) AS BIGINT)
+       |    AS n_shared_bands_default,
+       |  CAST(COALESCE(ebest.n_shared_bands, 0) >= $DefaultBandThreshold AS INT)
+       |    AS is_near_dup_default,
+       |  CAST(rex.xr IS NOT NULL AS INT) AS is_exact_dup,
+       |  CAST(dex.xd IS NOT NULL AS INT) AS is_exact_dup_default
+       |FROM batch bt
+       |LEFT JOIN rbest ON rbest.batch_doc_id = bt.doc_id
+       |LEFT JOIN ebest ON ebest.batch_doc_id = bt.doc_id
+       |LEFT JOIN rex ON rex.batch_doc_id = bt.doc_id
+       |LEFT JOIN dex ON dex.batch_doc_id = bt.doc_id
+       |ORDER BY batch_doc_id""".stripMargin
+  }
 
   /** q93: repeated-substring detection — the exact-substring member of
     * the dedup family (Lee et al. 2021, "Deduplicating Training Data

@@ -775,13 +775,194 @@ object TextRank {
         "complement")
     val cal = TextCal(chosenFrac, chosenM, targetRecall, pruneMeasured,
       champMeasured, docsAtCal = nDocs)
+    // a standing FUSED pair (the hybrid sweep's columns) carries forward
+    // — this sweep owns the sparse knobs only, and the fused pair's own
+    // docs_at_cal anchor keeps its staleness visible until the hybrid
+    // sweep reruns
+    writeTextCal(s, phys, cal, textHybridCalOf(s, phys))
+    cal
+  }
+
+  /** The persisted JOINT hybrid-serving calibration (round 16 — VERDICT
+    * r15 #5): the (sparse df-threshold, dense nprobe) pair the fused
+    * deployment point serves at, chosen against a FUSED-recall target —
+    * the row-232 discipline applied to the composition knob q150 grades
+    * but nothing previously chose from.
+    */
+  case class HybridCal(dfFrac: Double, nprobe: Int, family: String,
+                       target: Double, measured: Double, docsAtCal: Long)
+
+  /** Read a text index's persisted fused pair — None when the hybrid
+    * sweep never ran (pre-r16 `_cal` rows carry no fused columns; the
+    * sentinels are fused_nprobe < 1).
+    */
+  def textHybridCalOf(s: SparkSession, table0: String): Option[HybridCal] = {
+    val phys = graft.sources.TablePointer.resolve(s, table0)
+    if (!s.catalog.tableExists(s"${phys}_cal")) None
+    else s.table(s"${phys}_cal").collect().headOption.flatMap { r =>
+      val f = r.schema.fieldNames
+      if (!f.contains("fused_nprobe") || r.getAs[Int]("fused_nprobe") < 1) None
+      else Some(HybridCal(r.getAs[Double]("fused_df_frac"),
+        r.getAs[Int]("fused_nprobe"), r.getAs[String]("fused_family"),
+        r.getAs[Double]("fused_recall_target"),
+        r.getAs[Double]("fused_recall_measured"),
+        r.getAs[Long]("fused_docs_at_cal")))
+    }
+  }
+
+  /** The `_cal` row, whole: sparse serving knobs + the fused pair (−1 /
+    * empty sentinels when the hybrid sweep hasn't run). One writer so
+    * the two sweeps can never tear each other's columns.
+    */
+  private def writeTextCal(s: SparkSession, phys: String, cal: TextCal,
+                           fused: Option[HybridCal]): Unit = {
+    import s.implicits._
     graft.sources.Ingest.clearStaleLocation(s, s"${phys}_cal")
     Seq((cal.maxDfFrac, cal.champM, cal.target, cal.pruneMeasured,
-        cal.champMeasured, cal.docsAtCal))
+        cal.champMeasured, cal.docsAtCal,
+        fused.map(_.dfFrac).getOrElse(-1.0),
+        fused.map(_.nprobe).getOrElse(-1),
+        fused.map(_.family).getOrElse(""),
+        fused.map(_.target).getOrElse(-1.0),
+        fused.map(_.measured).getOrElse(-1.0),
+        fused.map(_.docsAtCal).getOrElse(-1L)))
       .toDF("max_df_frac", "champ_m", "recall_target", "prune_measured",
-        "champ_measured", "docs_at_cal")
+        "champ_measured", "docs_at_cal", "fused_df_frac", "fused_nprobe",
+        "fused_family", "fused_recall_target", "fused_recall_measured",
+        "fused_docs_at_cal")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_cal")
-    cal
+  }
+
+  /** Derive the fused deployment pair (sparseDfFrac, nprobe) from the
+    * standing indexes' OWN measured fused recall and persist it in the
+    * text `_cal` (round 16 — VERDICT r15 #5): [[calibrateTextServing]]
+    * picks the sparse knobs against the SPARSE exact ranking only, and
+    * q150 measures — but never chooses — the fused operating point this
+    * entry point now selects. Truth is [[fuseRrf]] over both EXACT arms
+    * (the index-served sparse ranking at frac 1.0; brute-force decimal
+    * cosine over the standing vector index's members); candidates are
+    * evaluated through the REAL deployment path
+    * ([[hybridSearchIndexed]] — every approximation it ships, ADC and
+    * rerank included, is priced into the measured recall). The panel is
+    * [[calibrateTextServing]]'s (derived from the postings, bounded by
+    * construction); panel vectors come from the vector index's members.
+    *
+    * Chosen: candidates are evaluated cheapest-first — nprobe ascending
+    * (dense probes dominate the deployment cost), df-fraction ascending
+    * within — and the FIRST pair meeting `targetRecall` is persisted
+    * (early exit: an easily-met target costs one serving call). When no
+    * pair qualifies, the exactness end (frac 1.0, nprobe = nlist) is
+    * persisted with its measured recall and a loud warning — that is
+    * the closest the serving path can get, and the residual (ADC top-C
+    * and rerank cuts) is the target's documented complement.
+    *
+    * Cost: one sparse exact ranking + ONE members scan (the dense
+    * truth) + ≤ |ladder|×|fracs| bounded-panel serving calls, paid at
+    * calibration time only. Writers serialize under the caller's lock
+    * ([[graft.Admit]]'s convention); `_cal` is the single table written.
+    */
+  def calibrateHybridServing(s: SparkSession, textTable: String,
+      vecTable: String, targetRecall: Double, k: Int = 10,
+      family: String = "pq", adcTopC: Int = 64, nPanel: Int = 12): HybridCal = {
+    import s.implicits._
+    val phys = graft.sources.TablePointer.resolve(s, textTable)
+    val sparseCal = textCalOf(s, phys).getOrElse(throw new IllegalStateException(
+      s"$phys has no `_cal` — run calibrateTextServing (or a calibrated " +
+        "refresh) first; the fused sweep extends the text calibration, " +
+        "never replaces it"))
+    val vphys = graft.sources.TablePointer.resolve(s, vecTable)
+    // the text sweep's panel derivation, verbatim — same docs, same terms
+    val post = s.table(phys)
+    val panelDocs = post.select("doc_id").distinct().orderBy("doc_id")
+      .limit(nPanel)
+    val tw = Window.partitionBy("q_id").orderBy("term")
+    val panelRows = post.join(broadcast(panelDocs), "doc_id")
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+      .withColumn("tr", row_number().over(tw)).filter(col("tr") <= 6)
+      .select("q_id", "term")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    require(panelRows.nonEmpty,
+      s"hybrid calibration panel for $phys is empty — the index has no postings")
+    val qt = broadcast(panelRows.toDF("q_id", "term"))
+    val queries = s.table(vphys).select("vec_id", "emb")
+      .join(broadcast(panelDocs.select(col("doc_id").as("vec_id"))), "vec_id")
+      .localCheckpoint(true)
+    try {
+      require(queries.count() > 0,
+        s"no panel document has a vector in $vphys — a fused calibration " +
+          "would measure the sparse arm alone; refresh the vector index " +
+          "over the same corpus first")
+      // truth: both arms EXACT — the sparse index ranking unpruned, the
+      // dense brute-force decimal cosine over the standing members
+      val sparseExact = searchTextIndex(s, phys, qt, k, maxDfFrac = 1.0)
+        .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
+      val members = s.table(vphys)
+        .select(col("vec_id").as("doc_id"), col("emb").as("nemb"))
+        .withColumn("nn", Ann.dotDec("nemb", "nemb"))
+      val q = queries.select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+        .withColumn("qn", Ann.dotDec("qemb", "qemb"))
+      val dW = Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val denseExact = members.crossJoin(broadcast(q))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          Num.roundD(Ann.dotDec("qemb", "nemb").cast("double") /
+            sqrt(col("qn").cast("double") * col("nn").cast("double")))
+            .as("cosine"))
+        .withColumn("dense_rank", row_number().over(dW))
+        .filter(col("dense_rank") <= k)
+        .select("q_id", "doc_id", "dense_rank")
+      val truth = fuseRrf(sparseExact, denseExact, k)
+        .select("q_id", "doc_id").localCheckpoint(true)
+      try {
+        val nTruth = truth.count().toDouble
+        require(nTruth > 0,
+          s"hybrid calibration on $phys: the fused-exact truth is EMPTY — " +
+            "no recall to measure; not persisting a fused pair")
+        // candidate grids, bounded (the CalRehearsal rule): ≤ 3 df
+        // fractions from the panel's own decision points + the
+        // exactness end, × the nprobe doubling ladder
+        val nDocs = s.table(s"${phys}_meta").agg(sum("n_docs"))
+          .head().getLong(0)
+        val qterms = qt.select("term").distinct()
+        val fracsAll = s.table(s"${phys}_df")
+          .join(broadcast(qterms), "term")
+          .groupBy("term").agg(sum("df").as("df"))
+          .select("df").collect()
+          .map(_.getLong(0).toDouble / nDocs).distinct.sorted
+        val fracPicks =
+          (if (fracsAll.length <= 2) fracsAll.toSeq
+           else Seq(fracsAll.head, fracsAll(fracsAll.length / 2),
+             fracsAll.last)) :+ 1.0
+        val fracs = fracPicks.distinct.sorted
+        val nlist = s.table(s"${vphys}_centroids").count().toInt
+        val ladder = (Seq(1, 2, 4, 8).filter(_ < nlist) :+ nlist).distinct
+        def recallAt(frac: Double, np: Int): Double = {
+          val fused = hybridSearchIndexed(s, phys, vphys, qt, queries, k,
+              family, np, adcTopC, frac)
+            .select(col("q_id"), col("doc_id"), lit(1).as("hit"))
+          truth.join(fused, Seq("q_id", "doc_id"), "left")
+            .agg(count(col("hit"))).head().getLong(0) / nTruth
+        }
+        var chosen: Option[(Double, Int, Double)] = None
+        for (np <- ladder; frac <- fracs if chosen.isEmpty) {
+          val rec = recallAt(frac, np)
+          if (rec >= targetRecall) chosen = Some((frac, np, rec))
+        }
+        val (cf, cn, measured) = chosen.getOrElse {
+          val rec = recallAt(1.0, nlist)
+          System.err.println(
+            s"[graft.TextRank] fused calibration on $phys×$vphys: even " +
+              s"the exactness end (frac 1.0, nprobe $nlist) reaches only " +
+              s"$rec < target $targetRecall — persisting it; the residual " +
+              "(ADC/rerank cuts) is the target's documented complement")
+          (1.0, nlist, rec)
+        }
+        val hc = HybridCal(cf, cn, family, targetRecall, measured, nDocs)
+        writeTextCal(s, phys, sparseCal, Some(hc))
+        hc
+      } finally graft.Frames.freePinned(truth)
+    } finally graft.Frames.freePinned(queries)
   }
 
   val q143Sql: String =
@@ -1144,12 +1325,28 @@ object TextRank {
     // sparseDfFrac < 1.0 serves the sparse arm through index
     // elimination (the q147-graded tier) — the hybrid twin of the dense
     // arm's nprobe knob, for corpora whose stopword posting lists
-    // dominate the exact arm's cost
-    val sparse = searchTextIndex(s, textTable, qt, k, maxDfFrac = sparseDfFrac)
+    // dominate the exact arm's cost.
+    // nprobe = 0 / sparseDfFrac = 0.0 are AUTO (round 16 — VERDICT r15
+    // #5): serve at the JOINTLY calibrated fused pair
+    // ([[calibrateHybridServing]], persisted in the text `_cal`); with
+    // no fused pair — or one measured on a DIFFERENT vector family,
+    // which must not silently govern this one — degrade toward
+    // EXACTNESS: frac 1.0, nprobe = every cell (the dense arm's
+    // residual is then only its ADC/rerank cuts).
+    val hc = if (nprobe == 0 || sparseDfFrac == 0.0)
+      textHybridCalOf(s, textTable).filter(_.family == family) else None
+    val npEff =
+      if (nprobe != 0) nprobe
+      else hc.map(_.nprobe).getOrElse(
+        s.table(s"${Ann.physicalOf(s, vecTable)}_centroids").count().toInt)
+    val fracEff =
+      if (sparseDfFrac != 0.0) sparseDfFrac
+      else hc.map(_.dfFrac).getOrElse(1.0)
+    val sparse = searchTextIndex(s, textTable, qt, k, maxDfFrac = fracEff)
       .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
     val dense = (family match {
-      case "pq" => Ann.searchPqIndex(s, vecTable, queries, k, nprobe, adcTopC)
-      case "sem" => Ann.searchSemanticIndex(s, vecTable, queries, k, nprobe)
+      case "pq" => Ann.searchPqIndex(s, vecTable, queries, k, npEff, adcTopC)
+      case "sem" => Ann.searchSemanticIndex(s, vecTable, queries, k, npEff)
       case other => throw new IllegalArgumentException(
         s"family must be pq or sem, got $other")
     }).select(col("q_id"), col("n_id").as("doc_id"), col("rank").as("dense_rank"))

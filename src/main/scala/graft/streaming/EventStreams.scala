@@ -271,12 +271,18 @@ object EventStreams {
     */
   def nearDupQuery(docs: DataFrame, guardedIdx: DataFrame, outDir: String,
                    checkpoint: String,
-                   hashMode: String = "md5"): org.apache.spark.sql.streaming.StreamingQuery =
+                   hashMode: String = "md5",
+                   // must match the index's persisted mode (the stream
+                   // binds one generation for its lifetime — read
+                   // `Dedup.bandTokModeOf` at bind time, the hashMode
+                   // contract's round-16 twin)
+                   tokMode: String = "default"): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.incrementalProbe(guardedIdx, batch, hashMode)
+        graft.operators.Dedup.incrementalProbe(guardedIdx, batch, hashMode,
+            tokMode = tokMode)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }

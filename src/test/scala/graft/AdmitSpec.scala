@@ -648,9 +648,10 @@ class AdmitSpec extends SparkSpec {
     Dedup.refreshIndex(d, band, numBuckets = 8, screenRecallTarget = 0.75)
     Ann.refreshPqIndex(e, pq, screenRecallTarget = 0.99)
     val out = java.nio.file.Files.createTempDirectory("admit-state").toString
+    val novelText = "a novel dossier of lighthouse accountants " +
+      "reconciling fog schedules"
     val r = Admit.admitBatch(spark,
-      Seq((950001L, "a novel dossier of lighthouse accountants " +
-        "reconciling fog schedules")).toDF("doc_id", "text"),
+      Seq((950001L, novelText)).toDF("doc_id", "text"),
       band, out, 1L, embeddings = Some(e), pqTable = Some(pq))
     assert(r.admitted == 1, r.toString)
     val text = "admit_state_text"
@@ -721,6 +722,43 @@ class AdmitSpec extends SparkSpec {
       .toMap
     assert(rep3(("text", "cal_docs_drift")) == 25.0, rep3.toString)
     assert(rep3(("text", "cal_docs_at_cal")) == rep2(("text", "cal_docs_at_cal")))
+
+    // round 16 (VERDICT r15 #2): the band and PQ knobs carry the SAME
+    // staleness anchor. The band threshold was calibrated at refresh
+    // (corpus = d), and the one admitted doc grew `_hashes` past it —
+    // drift must read exactly 1; the PQ nprobe's anchor is the member
+    // count the sweep probed, ungrown here (the admitted doc shipped no
+    // vector), so drift reads 0
+    assert(rep3(("band", "cal_docs_at_cal")) == d.count().toDouble,
+      rep3.toString)
+    assert(rep3(("band", "cal_docs_drift")) == 1.0, rep3.toString)
+    assert(rep3(("band", "tok_mode_robust")) == 0.0)
+    assert(rep3(("pq", "cal_docs_at_cal")) == e.count().toDouble, rep3.toString)
+    assert(rep3(("pq", "cal_docs_drift")) == 0.0, rep3.toString)
+
+    // the post-incident resweeps, `_meta`-only and lock-held (the
+    // recalibrateTextServing contract, symmetrized): the band threshold
+    // re-anchors at the GROWN corpus — drift collapses to 0, the
+    // generation (pointer) does not move, and the auto probe serves the
+    // re-derived choice
+    val grownCorpus = d.unionByName(
+      Seq((950001L, novelText)).toDF("doc_id", "text"))
+    val (bt, _) = Admit.recalibrateBandScreen(spark, band, out,
+      grownCorpus, 0.75)
+    val (np, _) = Admit.recalibratePqScreen(spark, pq, out, 0.99)
+    val rep4 = Admit.standingStateReport(spark, band, out,
+        pqTable = Some(pq), textTable = Some(text))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    assert(rep4(("band", "generation")) == rep3(("band", "generation")),
+      "a resweep must not move the pointer")
+    assert(rep4(("pq", "generation")) == rep3(("pq", "generation")))
+    assert(rep4(("band", "calibrated_threshold")) == bt.toDouble)
+    assert(rep4(("band", "cal_docs_at_cal")) == d.count().toDouble + 1.0)
+    assert(rep4(("band", "cal_docs_drift")) == 0.0, rep4.toString)
+    assert(rep4(("pq", "screen_nprobe")) == np.toDouble)
+    assert(rep4(("pq", "cal_docs_at_cal")) == e.count().toDouble)
+    assert(rep4(("pq", "cal_docs_drift")) == 0.0, rep4.toString)
     graft.sources.TablePointer.dropAll(spark, text,
       Seq("_df", "_meta", "_champ", "_cal"))
   }
@@ -799,5 +837,47 @@ class AdmitSpec extends SparkSpec {
       "punctuality of tide-borne mail skiffs")).toDF("doc_id", "text")
     val r1 = Admit.admitBatch(spark, b1, band, out, 1L)
     assert(r1.admitted == 1, r1.toString)
+  }
+
+  test("a punctuation-perturbed re-submission rejects at the exact screen when the band index runs the robust mode (and slips everything under the default)") {
+    import spark.implicits._
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    val corpusDoc10 = d.filter(col("doc_id") === 10L)
+      .select("text").as[String].collect().head
+    val textA = "entirely fresh prose about porcelain zeppelins drifting " +
+      "past amber silos while nine cartographers argue about meridians"
+    def punct(t: String): String = t.split(" ").mkString(", ")
+
+    // the CLOSED path: a robust-mode standing index — admitted content
+    // and corpus content both reject on punctuated replay
+    val band = "admit_band_punct"
+    graft.sources.TablePointer.dropAll(spark, band, Dedup.BandSuffixes)
+    Dedup.refreshIndex(d, band, numBuckets = 8, tokMode = "robust")
+    val out = java.nio.file.Files.createTempDirectory("admit_punct").toString
+    val r1 = Admit.admitBatch(spark, Seq((810001L, textA)).toDF("doc_id", "text"),
+      band, out, 1L)
+    assert(r1.admitted == 1, r1.toString)
+    val b2 = Seq(
+      (820001L, punct(textA)),      // perturbed copy of an ADMITTED doc
+      (820002L, punct(corpusDoc10)) // perturbed copy of a SEED doc
+    ).toDF("doc_id", "text")
+    val r2 = Admit.admitBatch(spark, b2, band, out, 2L)
+    assert(r2.admitted == 0 && r2.exactRejected == 2,
+      s"punctuated copies must reject at the exact screen: $r2")
+
+    // the CONTROL: the identical replay against a default-mode index —
+    // the hole VERDICT r15 named, demonstrated (both copies admit)
+    val band2 = "admit_band_punct_dft"
+    graft.sources.TablePointer.dropAll(spark, band2, Dedup.BandSuffixes)
+    Dedup.refreshIndex(d, band2, numBuckets = 8)
+    val out2 = java.nio.file.Files.createTempDirectory("admit_punct2").toString
+    val c1 = Admit.admitBatch(spark, Seq((810001L, textA)).toDF("doc_id", "text"),
+      band2, out2, 1L)
+    assert(c1.admitted == 1, c1.toString)
+    val c2 = Admit.admitBatch(spark, b2, band2, out2, 2L)
+    assert(c2.admitted == 2,
+      s"under the default mode the punctuated class slips every screen: $c2")
+    graft.sources.TablePointer.dropAll(spark, band, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, band2, Dedup.BandSuffixes)
   }
 }

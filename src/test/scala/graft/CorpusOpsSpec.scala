@@ -736,4 +736,72 @@ class CorpusOpsSpec extends SparkSpec {
     TablePointer.dropAll(spark, textT, Seq("_df", "_meta", "_champ", "_cal"))
     TablePointer.dropAll(spark, vecT, Seq("_centroids", "_members"))
   }
+
+  test("joint hybrid calibration: the fused pair persists in _cal, auto serving reproduces it, degrades to exactness without it, and survives a sparse resweep") {
+    import spark.implicits._
+    import graft.operators.{Ann, TextRank}
+    import graft.sources.TablePointer
+    val (textT, vecT, semT) = ("hybcal_text", "hybcal_pq", "hybcal_sem")
+    TablePointer.dropAll(spark, textT, Seq("_df", "_meta", "_champ", "_cal"))
+    TablePointer.dropAll(spark, vecT, Seq("_centroids", "_codebook", "_meta"))
+    TablePointer.dropAll(spark, semT, Seq("_centroids", "_members"))
+    val docs = Tables.load(spark, Sf, "documents")
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select("vec_id", "emb", "label")
+    TextRank.refreshTextIndex(docs, textT, serveRecallTarget = 0.9)
+    Ann.refreshPqIndex(e, vecT, quantizer = "kmeans")
+    val nlistPq = spark.table(s"${phys(vecT)}_centroids").count().toInt
+
+    // the sweep persists the pair with its anchor; measured recall is
+    // either in-spec or the exactness end with the loud residual
+    val hc = TextRank.calibrateHybridServing(spark, textT, vecT,
+      targetRecall = 0.6)
+    assert(TextRank.textHybridCalOf(spark, textT).contains(hc))
+    assert(hc.family == "pq" && hc.nprobe >= 1 && hc.dfFrac > 0.0 &&
+      hc.target == 0.6 && hc.docsAtCal == docs.count(), hc.toString)
+    assert(hc.measured >= 0.6 || (hc.dfFrac == 1.0 && hc.nprobe == nlistPq),
+      s"an out-of-spec sweep must persist the exactness end: $hc")
+
+    // auto serving ≡ explicit at the persisted pair, bit-equal
+    val isQ = (c: org.apache.spark.sql.Column) => c % 101 === 0 && c < 1200
+    val qt = docs.filter(isQ(col("doc_id")))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
+      .filter(length(col("term")) > 0)
+    val queries = e.filter(isQ(col("vec_id"))).select("vec_id", "emb")
+    def run(np: Int, frac: Double, fam: String = "pq") =
+      TextRank.hybridSearchIndexed(spark, textT, vecT, qt, queries,
+        family = fam, nprobe = np, sparseDfFrac = frac)
+        .collect().map(_.toString).toSeq
+    assert(run(0, 0.0) == run(hc.nprobe, hc.dfFrac),
+      "auto fused serving must reproduce the persisted pair exactly")
+
+    // a persisted pair measured on ANOTHER family must not govern this
+    // one: serving family=sem under auto degrades to its exactness end
+    Ann.refreshSemanticIndex(e, semT, splits = 1)
+    val nlistSem = spark.table(s"${phys(semT)}_centroids").count().toInt
+    def runSem(np: Int, frac: Double) =
+      TextRank.hybridSearchIndexed(spark, textT, semT, qt, queries,
+        family = "sem", nprobe = np, sparseDfFrac = frac)
+        .collect().map(_.toString).toSeq
+    assert(runSem(0, 0.0) == runSem(nlistSem, 1.0),
+      "a pq-measured pair must not silently govern sem serving")
+
+    // the SPARSE resweep rewrites its own knobs without tearing the
+    // fused columns (one `_cal` writer)
+    TextRank.calibrateTextServing(spark, textT, 0.9)
+    assert(TextRank.textHybridCalOf(spark, textT).contains(hc),
+      "the fused pair must survive a sparse-only resweep")
+
+    // degrade-to-exact without `_cal`: auto ≡ (frac 1.0, nprobe = all
+    // cells) — prune nothing, probe everything
+    dropWarehouseTables(s"${phys(textT)}_cal")
+    assert(TextRank.textHybridCalOf(spark, textT).isEmpty)
+    assert(run(0, 0.0) == run(nlistPq, 1.0),
+      "without a fused pair auto serving must degrade toward exactness")
+    TablePointer.dropAll(spark, textT, Seq("_df", "_meta", "_champ", "_cal"))
+    TablePointer.dropAll(spark, vecT, Seq("_centroids", "_codebook", "_meta"))
+    TablePointer.dropAll(spark, semT, Seq("_centroids", "_members"))
+  }
 }

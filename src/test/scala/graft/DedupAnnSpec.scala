@@ -1897,4 +1897,186 @@ class DedupAnnSpec extends SparkSpec {
     graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
     graft.sources.TablePointer.dropAll(spark, leg, Dedup.BandSuffixes)
   }
+
+  test("band tokenizer mode: a robust index catches punctuation-perturbed re-submissions the default index provably misses; appends inherit the mode") {
+    import spark.implicits._
+    val rob = "band_tok_robust"
+    val dft = "band_tok_default"
+    graft.sources.TablePointer.dropAll(spark, rob, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, dft, Dedup.BandSuffixes)
+    val d = Tables.load(spark, Sf, "documents").select("doc_id", "text")
+    Dedup.refreshIndex(d, rob, numBuckets = 8, tokMode = "robust")
+    Dedup.refreshIndex(d, dft, numBuckets = 8)
+    // the mode rides `_meta` per commit (threshold stays the -1 sentinel
+    // on an uncalibrated refresh; the docs anchor is unknowable)
+    val m = Dedup.bandMetaOf(spark, rob).get
+    assert(m.tokMode == "robust" && m.threshold == -1 && m.docsAtCal == -1L, m)
+    assert(Dedup.bandTokModeOf(spark, dft) == "default")
+
+    // q152's adversarial class: every space rewritten to ", " — every
+    // word but the last gains a trailing comma, perturbing EVERY word
+    // shingle and both legacy hash keys
+    val batch = d
+      .filter(col("doc_id") % 9 === 0 &&
+        size(split(col("text"), " ")) >= 7)
+      .select((col("doc_id") + 400000L).as("doc_id"),
+        regexp_replace(col("text"), " ", ", ").as("text"))
+    val nB = batch.count()
+    assert(nB >= 10, s"adversarial batch too small: $nB")
+
+    // the robust index catches every copy on BOTH standing screens...
+    // (match is the source, or a LOWER id when the source itself has a
+    // normalization-equal corpus twin — the tie rule; sf0.001 ships two
+    // such pairs, 12≡360 and 16≡369)
+    val robNear = Dedup.probeIndex(spark, rob, batch).collect()
+    assert(robNear.forall(r => r.getAs[Int]("is_near_dup") == 1 &&
+      r.getAs[Long]("n_shared_bands") == 8L &&
+      r.getAs[Long]("match_doc_id") <= r.getAs[Long]("batch_doc_id") - 400000L),
+      "a punctuated copy must sign bit-identically to its source under robust")
+    assert(robNear.count(r =>
+      r.getAs[Long]("match_doc_id") == r.getAs[Long]("batch_doc_id") - 400000L)
+      >= robNear.length - 2,
+      "only the two known normalization twins may resolve off-source")
+    assert(Dedup.probeHashIndex(spark, rob, batch).collect()
+      .forall(_.getAs[Int]("is_exact_dup") == 1),
+      "the robust third hash key must flag every punctuated copy")
+
+    // ...and the default index provably misses it on both (the hole)
+    assert(Dedup.probeIndex(spark, dft, batch).collect()
+      .forall(_.getAs[Int]("is_near_dup") == 0),
+      "the default band screen must miss the punctuated class (the hole)")
+    assert(Dedup.probeHashIndex(spark, dft, batch).collect()
+      .forall(_.getAs[Int]("is_exact_dup") == 0),
+      "the default hash keys must miss the punctuated class (the hole)")
+
+    // appends inherit the persisted mode: a PUNCTUATED novel doc admitted
+    // once flags on its CLEAN replay — both directions normalize to one key
+    val novel = Seq((980001L,
+      "granite, pelicans, rehearse, slow, cartography, over, nine, tidal, mirrors"))
+      .toDF("doc_id", "text")
+    Dedup.appendIndex(spark, rob, novel)
+    val clean = Seq((980002L,
+      "granite pelicans rehearse slow cartography over nine tidal mirrors"))
+      .toDF("doc_id", "text")
+    val replay = Dedup.probeHashIndex(spark, rob, clean).collect().head
+    assert(replay.getAs[Int]("is_exact_dup") == 1 &&
+      replay.getAs[Long]("match_doc_id") == 980001L, replay.mkString)
+    val replayNear = Dedup.probeIndex(spark, rob, clean).collect().head
+    assert(replayNear.getAs[Int]("is_near_dup") == 1 &&
+      replayNear.getAs[Long]("match_doc_id") == 980001L, replayNear.mkString)
+
+    // unknown modes refuse loudly — never a silently mixed index
+    intercept[IllegalArgumentException] {
+      Dedup.refreshIndex(d.limit(5), "band_tok_bogus", tokMode = "weird")
+    }
+    graft.sources.TablePointer.dropAll(spark, rob, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, dft, Dedup.BandSuffixes)
+    graft.sources.TablePointer.dropAll(spark, "band_tok_bogus", Dedup.BandSuffixes)
+  }
+
+  test("a legacy CALIBRATED band index adopts generations on refresh and keeps serving its persisted threshold through the swap") {
+    import spark.implicits._
+    val leg = "band_legacy_cal"
+    graft.sources.TablePointer.dropAll(spark, leg, Dedup.BandSuffixes)
+    val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
+    Dedup.refreshIndex(c, leg, numBuckets = 8, screenRecallTarget = 0.75)
+    val chosen = Dedup.bandThresholdOf(spark, leg).get
+    val measured = Dedup.bandMetaOf(spark, leg).get.measured
+
+    // demote to the pre-r15 layout every production index migrates from
+    // exactly once: tables AT the logical name, no pointer, and the
+    // `_meta` in its pre-r16 four-column schema (calibration-only rows,
+    // no tok_mode / docs_at_cal)
+    val g1 = phys(leg)
+    for (suf <- Seq("", "_hashes"))
+      spark.sql(s"ALTER TABLE $g1$suf RENAME TO $leg$suf")
+    dropWarehouseTables(s"${g1}_meta")
+    graft.sources.Ingest.clearStaleLocation(spark, s"${leg}_meta")
+    Seq((chosen, 90, 0.75, measured))
+      .toDF("band_threshold", "policy_tier", "recall_target",
+        "recall_measured")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${leg}_meta")
+    graft.sources.TablePointer.dropPointer(spark, leg)
+    assert(graft.sources.TablePointer.resolve(spark, leg) == leg)
+    assert(Dedup.bandThresholdOf(spark, leg).contains(chosen),
+      "the legacy calibrated row must keep serving pre-adoption")
+    assert(Dedup.bandTokModeOf(spark, leg) == "default",
+      "a pre-mode row reads as the default tokenizer")
+
+    // the planted-twin batch the calibration measured against
+    val batch = c.filter(col("doc_id") % 11 === 0)
+      .withColumn("_w", split(col("text"), " "))
+      .filter(size(col("_w")) >= 7)
+      .select((col("doc_id") + 800000L).as("doc_id"),
+        array_join(
+          expr("slice(_w, 1, cast((size(_w) * 90) div 100 as int))"),
+          " ").as("text"))
+    val preSwap = Dedup.probeIndex(spark, leg, batch).collect()
+
+    // an UNCALIBRATED refresh adopts generations — and the knob row
+    // carries forward (ADVICE r15: the WAL-recovery shape must not
+    // revert auto probes to the historical default)
+    Dedup.refreshIndex(c, leg, numBuckets = 8)
+    assert(phys(leg) == s"${leg}__g1", phys(leg))
+    val carried = Dedup.bandMetaOf(spark, leg).get
+    assert(carried.threshold == chosen && carried.tokMode == "default" &&
+      carried.docsAtCal == -1L,
+      s"the calibrated knob must survive adoption: $carried")
+    val auto = Dedup.probeIndex(spark, leg, batch).collect()
+    val explicit = Dedup.probeIndex(spark, leg, batch, threshold = chosen)
+      .collect()
+    assert(auto.map(_.toString).sorted.sameElements(
+      explicit.map(_.toString).sorted),
+      "the adopted generation's auto probe must run at the carried threshold")
+    assert(auto.map(_.toString).sorted.sameElements(
+      preSwap.map(_.toString).sorted),
+      "the same corpus under the same knobs must screen identically across the swap")
+    graft.sources.TablePointer.dropAll(spark, leg, Dedup.BandSuffixes)
+  }
+
+  test("index-backed PageRank: standing-band edges reproduce the corpus walk bit-for-bit, with no corpus re-read and no cartesian") {
+    import graft.operators.Clusters
+    val table = "band_pr_idx"
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
+    val c = Dedup.corpus(spark, Sf).select("doc_id", "text")
+    Dedup.refreshIndex(c, table, numBuckets = 8)
+
+    // the day-2 walk over the standing table ≡ q149's corpus walk:
+    // identical nodes, degrees, and decimal-exact scores (the corpus
+    // has no hot buckets, so the guarded index holds every band row
+    // the batch kernel pairs on)
+    val idx = Clusters.pagerankScoresIndexed(spark, table)
+    val raw = Clusters.pagerankScores(c)
+    val idxRows = idx.collect()
+    assert(idxRows.map(_.toString).sorted.sameElements(
+      raw.collect().map(_.toString).sorted),
+      "index-backed edges must reproduce minhashPairs' walk exactly")
+    graft.Frames.freePinned(idx)
+    graft.Frames.freePinned(raw)
+
+    // edge derivation: one self-join on the bucketed keys — both sides
+    // scan the standing table bucketed, never a cartesian
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bands = spark.table(phys(table))
+        .select(col("match_doc_id"), col("band_idx"), col("band_hash"))
+      val p = planString(bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.match_doc_id") < col("b.match_doc_id")))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        p.take(600))
+      assert(p.contains("Bucketed: true"), p.take(600))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    // the release-card surface: node count + top-k (doc, score) rows
+    val card = Clusters.centralityCardRows(spark, table, topK = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card("centrality_nodes") == idxRows.length.toDouble, card)
+    val best = idxRows.maxBy(r =>
+      (r.getAs[Double]("pagerank_r"), -r.getAs[Long]("doc_id")))
+    assert(card("centrality_top1_doc") == best.getAs[Long]("doc_id").toDouble &&
+      card("centrality_top1_score") == best.getAs[Double]("pagerank_r"), card)
+    graft.sources.TablePointer.dropAll(spark, table, Dedup.BandSuffixes)
+  }
 }
