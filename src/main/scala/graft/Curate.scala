@@ -391,6 +391,16 @@ object Curate {
       // corpus fragments the default vocabulary 4×, TextRehearsal --tok)
       graft.operators.TextRank.refreshTextIndex(kept, s"${indexPrefix}_text",
         serveRecallTarget = 0.9, tokMode = "robust")
+      // the JOINT hybrid pair (round 16 — VERDICT r15 #5): with both
+      // arms' indexes landed, the fused deployment knob is calibrated
+      // here too — smallest (nprobe, dfFrac) meeting 0.7 fused
+      // recall@10 through the real serving path, persisted in the text
+      // `_cal` beside the sparse knobs, auto-read by
+      // hybridSearchIndexed. Without vectors there is no dense arm and
+      // no pair to choose.
+      if (!vecs.isEmpty)
+        graft.operators.TextRank.calibrateHybridServing(spark,
+          s"${indexPrefix}_text", s"${indexPrefix}_pq", targetRecall = 0.7)
       kept.count()
     }
 

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions — the 100 TB contract: filters reach the
   * scan, small dims broadcast, LSH candidate generation never degenerates
@@ -466,17 +467,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q149 pagerank plans hash joins over the edge sliver — no cartesian, no nested loop") {
-    // the loop's rounds are checkpointed away; the visible plan is the
-    // final (ranks ⋈ degrees) assembly over the edge-touched sliver,
-    // and NOTHING in the walk may degenerate to an all-pairs shape
-    val p = planString(Clusters.q149Pagerank(spark, Sf))
+    // since round 16 the walk returns ONE eager checkpoint (the
+    // caller-frees-one-checkpoint contract, ADVICE r15), so the pin
+    // moves to the plan the walk actually consumes: the edge pipeline —
+    // NOTHING in it may degenerate to an all-pairs shape
+    val p = planString(graft.operators.Dedup
+      .minhashPairs(graft.operators.Dedup.corpus(spark, Sf))
+      .filter(col("n_shared_bands") >= 4))
     assert(!p.contains("CartesianProduct"), p.take(600))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
   test("q150 hybrid fidelity: broadcast arms, group-limited ranks, no cartesian") {
-    val p = planString(graft.operators.TextRank.q150HybridFidelity(spark, Sf))
-    // the dense EXACT arm is the intended broadcast nested-loop (q146's
+    // q150's own output is ONE eager checkpoint since round 16 (the
+    // truth pin is freed — ADVICE r15), so the arm/fusion shape is
+    // pinned on q146: the SAME sparse ranking, dense exact arm, and
+    // RRF fusion, un-checkpointed
+    val p = planString(graft.operators.TextRank.q146HybridRetrieval(spark, Sf))
+    // the dense EXACT arm is the intended broadcast nested-loop (the
     // oracle-baseline shape — panel broadcast against the corpus); an
     // unbroadcast CartesianProduct anywhere is a defect
     assert(!p.contains("CartesianProduct"), p.take(600))
@@ -484,5 +492,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(600))
     // every top-k rank filter group-limits instead of full-sorting
     assert(p.contains("WindowGroupLimit"), p.take(600))
+  }
+
+  test("q152 punctuation-robust probe: banded equi-joins only — no cartesian, no nested loop") {
+    // two band passes + two hash joins, all equi-keyed: the adversarial
+    // grid must never degenerate to an all-pairs shape under either
+    // tokenizer mode
+    val p = planString(Dedup.q152PunctRobustProbe(spark, Sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 }
