@@ -71,7 +71,12 @@ object Bench {
         "x149_pagerank_xxhash64" ->
           ((s: SparkSession, d: String) =>
             graft.operators.Clusters.pagerankScores(
-              graft.operators.Dedup.corpus(s, d), "xxhash64")))
+              graft.operators.Dedup.corpus(s, d), "xxhash64")),
+        // the round-16 punctuation grid in the 100 TB hash mode: both
+        // band arms on 8-byte keys, same robust/default contrast
+        "x152_punct_robust_xxhash64" ->
+          ((s: SparkSession, d: String) =>
+            Dedup.q152PunctRobustProbe(s, d, "xxhash64")))
     }
     val selected = (SparkEntry.queries.toSeq.sortBy(_._1) ++ xxBench)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }

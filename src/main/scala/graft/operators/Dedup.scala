@@ -1242,14 +1242,19 @@ object Dedup {
     * plan class; in production the index side is the STANDING bucketed
     * table, built once.
     */
-  def q152PunctRobustProbe(s: SparkSession, dir: String): DataFrame = {
+  def q152PunctRobustProbe(s: SparkSession, dir: String,
+                           // the oracle pins md5; the x152 bench twin
+                           // runs the identical grid under the 100 TB
+                           // hash (the band arms only — the exact-hash
+                           // keys are md5 on every production path)
+                           hashMode: String = "md5"): DataFrame = {
     val d = Tables.load(s, dir, "documents").select("doc_id", "text")
     val batch = d.filter(col("doc_id") % 9 === 0)
       .select((col("doc_id") + 400000L).as("doc_id"),
         regexp_replace(col("text"), " ", ", ").as("text"))
     def probeUnder(mode: String): DataFrame =
-      incrementalProbe(guardedIndex(minhashBands(d, "md5", mode)), batch,
-        "md5", DefaultBandThreshold, mode)
+      incrementalProbe(guardedIndex(minhashBands(d, hashMode, mode)), batch,
+        hashMode, DefaultBandThreshold, mode)
     def exactMatches(mode: String, out: String): DataFrame = {
       val standing = d.select(col("doc_id").as("m"),
         md5(normTextFor(col("text"), mode)).as("h"))
