@@ -115,7 +115,8 @@ object ServeRehearsal {
       // repeated calls
       def autoServe(): Set[(Long, Long)] =
         TextRank.hybridSearchIndexed(spark, textT, pqT, qt, queries,
-            k = 10, family = "pq", nprobe = 0, sparseDfFrac = 0.0)
+            k = 10, family = "pq", nprobe = 0, adcTopC = 0,
+            sparseDfFrac = 0.0)
           .select("q_id", "doc_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val served = autoServe()
@@ -150,7 +151,7 @@ object ServeRehearsal {
       println(f"""{"sf":"$dir","build_s":$tBuild%.1f,""" +
         f""""hybrid_cal_s":$tHybridCal%.1f,""" +
         f""""fused_pair":{"df_frac":${hc.dfFrac}%.4f,"nprobe":${hc.nprobe},""" +
-        f""""measured":${hc.measured}%.3f},""" +
+        f""""adc_top_c":${hc.adcTopC},"measured":${hc.measured}%.3f},""" +
         f""""truth_s":$tTruth%.1f,"n_truth":${nTruth.toLong},""" +
         f""""fused_recall":$fusedRecall%.3f,"floor":0.25,""" +
         f""""serve_p50_s":$p50%.2f,""" +

@@ -790,7 +790,14 @@ object TextRank {
     * but nothing previously chose from.
     */
   case class HybridCal(dfFrac: Double, nprobe: Int, family: String,
-                       target: Double, measured: Double, docsAtCal: Long)
+                       target: Double, measured: Double, docsAtCal: Long,
+                       // the dense arm's ADC shortlist depth (round 16
+                       // second pass): ServeRehearsal measured the FIXED
+                       // 64-candidate shortlist as the binding residual
+                       // at 10×/30× (denser neighborhoods, constant
+                       // shortlist), so the sweep escalates it as a
+                       // third knob; 64 on a pre-column row
+                       adcTopC: Int = 64)
 
   /** Read a text index's persisted fused pair — None when the hybrid
     * sweep never ran (pre-r16 `_cal` rows carry no fused columns; the
@@ -806,7 +813,9 @@ object TextRank {
         r.getAs[Int]("fused_nprobe"), r.getAs[String]("fused_family"),
         r.getAs[Double]("fused_recall_target"),
         r.getAs[Double]("fused_recall_measured"),
-        r.getAs[Long]("fused_docs_at_cal")))
+        r.getAs[Long]("fused_docs_at_cal"),
+        if (f.contains("fused_adc_top_c")) r.getAs[Int]("fused_adc_top_c")
+        else 64))
     }
   }
 
@@ -825,11 +834,12 @@ object TextRank {
         fused.map(_.family).getOrElse(""),
         fused.map(_.target).getOrElse(-1.0),
         fused.map(_.measured).getOrElse(-1.0),
-        fused.map(_.docsAtCal).getOrElse(-1L)))
+        fused.map(_.docsAtCal).getOrElse(-1L),
+        fused.map(_.adcTopC).getOrElse(-1)))
       .toDF("max_df_frac", "champ_m", "recall_target", "prune_measured",
         "champ_measured", "docs_at_cal", "fused_df_frac", "fused_nprobe",
         "fused_family", "fused_recall_target", "fused_recall_measured",
-        "fused_docs_at_cal")
+        "fused_docs_at_cal", "fused_adc_top_c")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${phys}_cal")
   }
 
@@ -937,28 +947,49 @@ object TextRank {
         val fracs = fracPicks.distinct.sorted
         val nlist = s.table(s"${vphys}_centroids").count().toInt
         val ladder = (Seq(1, 2, 4, 8).filter(_ < nlist) :+ nlist).distinct
-        def recallAt(frac: Double, np: Int): Double = {
+        def recallAt(frac: Double, np: Int, adc: Int): Double = {
           val fused = hybridSearchIndexed(s, phys, vphys, qt, queries, k,
-              family, np, adcTopC, frac)
+              family, np, adc, frac)
             .select(col("q_id"), col("doc_id"), lit(1).as("hit"))
           truth.join(fused, Seq("q_id", "doc_id"), "left")
             .agg(count(col("hit"))).head().getLong(0) / nTruth
         }
-        var chosen: Option[(Double, Int, Double)] = None
-        for (np <- ladder; frac <- fracs if chosen.isEmpty) {
-          val rec = recallAt(frac, np)
-          if (rec >= targetRecall) chosen = Some((frac, np, rec))
+        // the ADC shortlist depth escalates as a THIRD knob (round 16
+        // second pass — ServeRehearsal measured the fixed 64-candidate
+        // shortlist as the 10×/30× fused-recall ceiling: denser
+        // neighborhoods, constant shortlist). Cost-ordered with one
+        // CEILING probe per depth: the exactness end (frac 1.0,
+        // nprobe = nlist) at depth d bounds every (frac, np) pair at d,
+        // so a failing ceiling skips the whole depth for one call and
+        // the sweep stays a bounded multiple of one ranking (the
+        // CalRehearsal rule — worst case |depths| + |ladder|·|fracs|
+        // calls, typical far fewer via early exit)
+        var chosen: Option[(Double, Int, Int, Double)] = None
+        var lastCeil = -1.0
+        for (adc <- Seq(adcTopC, adcTopC * 2, adcTopC * 4).distinct
+             if chosen.isEmpty) {
+          lastCeil = recallAt(1.0, nlist, adc)
+          if (lastCeil >= targetRecall) {
+            for (np <- ladder; frac <- fracs if chosen.isEmpty) {
+              val rec = recallAt(frac, np, adc)
+              if (rec >= targetRecall) chosen = Some((frac, np, adc, rec))
+            }
+            // the ceiling itself qualifies even when no cheaper pair does
+            if (chosen.isEmpty) chosen = Some((1.0, nlist, adc, lastCeil))
+          }
         }
-        val (cf, cn, measured) = chosen.getOrElse {
-          val rec = recallAt(1.0, nlist)
+        val (cf, cn, ca, measured) = chosen.getOrElse {
+          val deepest = adcTopC * 4
           System.err.println(
             s"[graft.TextRank] fused calibration on $phys×$vphys: even " +
-              s"the exactness end (frac 1.0, nprobe $nlist) reaches only " +
-              s"$rec < target $targetRecall — persisting it; the residual " +
-              "(ADC/rerank cuts) is the target's documented complement")
-          (1.0, nlist, rec)
+              s"the exactness end (frac 1.0, nprobe $nlist, adcTopC " +
+              s"$deepest) reaches only $lastCeil < target $targetRecall " +
+              "— persisting it; the residual (the rerank cut on what the " +
+              "deepest shortlist still misses) is the target's " +
+              "documented complement")
+          (1.0, nlist, deepest, lastCeil)
         }
-        val hc = HybridCal(cf, cn, family, targetRecall, measured, nDocs)
+        val hc = HybridCal(cf, cn, family, targetRecall, measured, nDocs, ca)
         writeTextCal(s, phys, sparseCal, Some(hc))
         hc
       } finally graft.Frames.freePinned(truth)
@@ -1333,7 +1364,7 @@ object TextRank {
     // which must not silently govern this one — degrade toward
     // EXACTNESS: frac 1.0, nprobe = every cell (the dense arm's
     // residual is then only its ADC/rerank cuts).
-    val hc = if (nprobe == 0 || sparseDfFrac == 0.0)
+    val hc = if (nprobe == 0 || sparseDfFrac == 0.0 || adcTopC == 0)
       textHybridCalOf(s, textTable).filter(_.family == family) else None
     val npEff =
       if (nprobe != 0) nprobe
@@ -1342,10 +1373,16 @@ object TextRank {
     val fracEff =
       if (sparseDfFrac != 0.0) sparseDfFrac
       else hc.map(_.dfFrac).getOrElse(1.0)
+    // adcTopC = 0 is the same AUTO: the calibrated shortlist depth, or
+    // the historical 64 without a pair (deepening the shortlist is a
+    // measured choice, never a silent one)
+    val adcEff =
+      if (adcTopC != 0) adcTopC
+      else hc.map(_.adcTopC).getOrElse(64)
     val sparse = searchTextIndex(s, textTable, qt, k, maxDfFrac = fracEff)
       .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
     val dense = (family match {
-      case "pq" => Ann.searchPqIndex(s, vecTable, queries, k, npEff, adcTopC)
+      case "pq" => Ann.searchPqIndex(s, vecTable, queries, k, npEff, adcEff)
       case "sem" => Ann.searchSemanticIndex(s, vecTable, queries, k, npEff)
       case other => throw new IllegalArgumentException(
         s"family must be pq or sem, got $other")

@@ -770,12 +770,12 @@ class CorpusOpsSpec extends SparkSpec {
         explode(array_distinct(slice(split(lower(trim(col("text"))), " "), 1, 6))).as("term"))
       .filter(length(col("term")) > 0)
     val queries = e.filter(isQ(col("vec_id"))).select("vec_id", "emb")
-    def run(np: Int, frac: Double, fam: String = "pq") =
+    def run(np: Int, frac: Double, adc: Int = 64, fam: String = "pq") =
       TextRank.hybridSearchIndexed(spark, textT, vecT, qt, queries,
-        family = fam, nprobe = np, sparseDfFrac = frac)
+        family = fam, nprobe = np, adcTopC = adc, sparseDfFrac = frac)
         .collect().map(_.toString).toSeq
-    assert(run(0, 0.0) == run(hc.nprobe, hc.dfFrac),
-      "auto fused serving must reproduce the persisted pair exactly")
+    assert(run(0, 0.0, adc = 0) == run(hc.nprobe, hc.dfFrac, hc.adcTopC),
+      "auto fused serving must reproduce the persisted triple exactly")
 
     // a persisted pair measured on ANOTHER family must not govern this
     // one: serving family=sem under auto degrades to its exactness end
