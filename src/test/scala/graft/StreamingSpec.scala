@@ -519,4 +519,40 @@ class StreamingSpec extends SparkSpec {
       assert(out.exists(s => s.user_id == 2L && s.n_events == 1), out.mkString(";"))
     } finally q.stop()
   }
+
+  test("nearDupQuery under the robust tokenizer mode flags punctuated streamed copies the default stream misses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the q152 adversarial class as a STREAM: the index is built robust,
+    // the stream binds the matching mode at start (the hashMode
+    // contract's round-16 twin) — a punctuated re-delivery of indexed
+    // content must flag per micro-batch
+    val indexDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "unique filler content carrying words nobody else shares at all here")
+    ).toDF("doc_id", "text")
+    val guarded = Dedup.guardedIndex(
+      Dedup.minhashBands(indexDocs, "md5", "robust")).cache()
+    val out = java.nio.file.Files.createTempDirectory("neardup-rob-out")
+      .toString + "/flags"
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup-rob-ckpt")
+      .toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupQuery(
+      input.toDF.toDF("doc_id", "text"), guarded, out, ckpt,
+      tokMode = "robust")
+    input.addData(
+      (200L, "the, quick, brown, fox, jumps, over, the, lazy, dog, again, and, again, today"),
+      (201L, "entirely novel words that collide with nothing in the standing index"))
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("batch_doc_id") ->
+        (r.getAs[Long]("n_shared_bands"), r.getAs[Int]("is_near_dup"))).toMap
+    assert(flags(200L) == ((8L, 1)),
+      s"the punctuated copy must sign bit-identically under robust: $flags")
+    assert(flags(201L)._2 == 0, flags.toString)
+    guarded.unpersist()
+  }
 }
