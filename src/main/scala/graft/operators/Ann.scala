@@ -529,14 +529,16 @@ object Ann {
       .withColumn("qn", dotDec("qemb", "qemb"))
     val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
       .withColumn("nn", dotDec("nemb", "nemb"))
-    // pinned: the positive argmax and the negative ranking both consume
-    // the corpus-sized cosine pass (the in-query pin the harness sweeps)
+    // pinned EAGERLY (round 17, was a lazy persist): the positive argmax
+    // feeds a broadcast build that races the negative ranking's stages on
+    // a cold cache — each re-ran the corpus-sized decimal cosine pass
+    // (the q98 measurement: 5.0 s → 3.8 s for the same shape)
     val scored = n.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         Num.roundD(dotDec("qemb", "nemb").cast("double") /
           sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
-      .persist()
+      .localCheckpoint(true)
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     val pos = scored.filter(col("cosine") >= eps)
       .withColumn("pr", row_number().over(w))
@@ -1234,6 +1236,11 @@ object Ann {
       .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
       .withColumn("cnorm2",
         expr("aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      // pinned (round 17 — guide §1.2): the corpus assignment and the
+      // probe ranking each broadcast this nlist-row aggregate, and the
+      // two broadcast exchanges build concurrently — unpinned, each
+      // re-ran the corpus centroid pass
+      .localCheckpoint(true)
 
     // cosine ORDER against a fixed vector = integer dot / sqrt(centroid
     // norm): the vector's own norm is constant inside each ranking
@@ -1789,7 +1796,12 @@ object Ann {
     *     multiply probe candidates.
     */
   def semanticIndexFrames(index: DataFrame): (DataFrame, DataFrame) = {
-    val centroids = centroidTable(index)
+    // lazily persisted (round 17): the guarded assignment here and every
+    // probe's batch assignment each broadcast this nlist-row aggregate —
+    // once either broadcast lands it the corpus centroid pass runs once.
+    // Lazy, not eager: a construction-time barrier job measured slower
+    // than the duplicate pass it saves on this latency-bound profile.
+    val centroids = centroidTable(index).persist()
     (centroids, guardedFromAssigned(assignCells(index, centroids)))
   }
 
@@ -2118,7 +2130,10 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id")
-      .persist()
+      // pinned eagerly (round 17, was a lazy persist): both recall legs
+      // consume it and their stages schedule concurrently — racing a
+      // cold cache, each re-ran the exact-baseline corpus pass
+      .localCheckpoint(true)
 
     def recallOf(indexType: String, approx: DataFrame): DataFrame =
       exact.join(approx.select(col("q_id"), col("n_id"), lit(1).as("hit")),
@@ -2135,8 +2150,10 @@ object Ann {
 
     // ivf leg over the SAME corpus: label-seeded cells (re-encodes carry
     // their source's label), argmax assignment for the corpus, the
-    // top-nprobe cells per probe query, candidates by cell equi-join
-    val centroids = centroidTable(e)
+    // top-nprobe cells per probe query, candidates by cell equi-join.
+    // Pinned (round 17 — the q81 rule): probes + corpus assignment each
+    // broadcast the nlist-row aggregate
+    val centroids = centroidTable(e).localCheckpoint(true)
     val probes = {
       val pe = e.filter(col("vec_id") < 5)
         .withColumn("qemb", quantize(col("emb")))
@@ -2474,7 +2491,9 @@ object Ann {
     val e = embeddings(s, dir)
     val coded = pqCoded(e)
     val comps = pqComps(coded)
-    val cb = pqCodebook(comps)
+    // pinned (round 17): the codeword-norm rollup and the query LUT each
+    // consume the 1 024-row codebook — one codebook corpus pass, not two
+    val cb = pqCodebook(comps).localCheckpoint(true)
     val cbn = cb.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
 
     // the compressed corpus: one (vec_id, sub, code) row per subspace
@@ -2588,6 +2607,9 @@ object Ann {
       .withColumn("qcent", expr(s"transform(centroid, x -> CAST(FLOOR(x * $QScale) AS BIGINT))"))
       .withColumn("cnorm2",
         expr("aggregate(zip_with(qcent, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
+      // pinned (round 17 — the q81 rule): assignment + probes each
+      // broadcast this nlist-row aggregate
+      .localCheckpoint(true)
     def qdot(a: String): Column = expr(
       s"CAST(aggregate(zip_with($a, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
     val simOf: Column => Column = qv => qv / sqrt(col("cnorm2").cast("double"))
@@ -2615,7 +2637,9 @@ object Ann {
     // PQ stage: ADC-score ONLY the in-cell candidates
     val coded = pqCoded(e)
     val comps = pqComps(coded)
-    val cb = pqCodebook(comps)
+    // pinned (round 17): the codeword-norm rollup and the query LUT each
+    // consume the 1 024-row codebook — one codebook corpus pass, not two
+    val cb = pqCodebook(comps).localCheckpoint(true)
     val cbn = cb.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
     val corpusCodes = coded.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("sub", "code")))
@@ -3187,14 +3211,17 @@ object Ann {
     * self-contained oracle twin) share. `members` is (vec_id, codes,
     * emb, cell) — exactly what [[refreshPqIndex]] materializes.
     */
-  private def pqTopKFrames(members: DataFrame, centroids: DataFrame,
-                           codebook: DataFrame, queries: DataFrame,
-                           k: Int, nprobe: Int, adcTopC: Int,
-                           verify: String): DataFrame = {
+  /** The ranked probe-cell frame of a query batch against broadcast
+    * centroids: (q_id, cell, rn) with rn ≤ `upTo`, ordered (csim desc,
+    * cell) — the one coarse ranking [[pqTopKFrames]]' nprobe restriction
+    * AND a probe's own-cell assignment (rn = 1) both derive from, so a
+    * caller needing both computes the batch × centroids argmax ONCE
+    * (round 17: q112 used to run the identical crossJoin + window chain
+    * twice, once per consumer).
+    */
+  private def pqProbeRanked(queries: DataFrame, centroids: DataFrame,
+                            upTo: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cbn = codebook.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
-
-    // coarse stage: nprobe cells per query, via the broadcast centroids
     val probeW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val qe = queries
       .withColumn("qemb", quantize(col("emb")))
@@ -3202,12 +3229,28 @@ object Ann {
         "aggregate(zip_with(qemb, qemb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)"))
     val qdot = expr(
       "CAST(aggregate(zip_with(qemb, qcent, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v) AS DOUBLE)")
-    val probes = qe.crossJoin(broadcast(centroids))
+    qe.crossJoin(broadcast(centroids))
       .withColumn("csim",
         qdot / sqrt(col("cnorm2").cast("double") * col("qn2").cast("double")))
       .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cell"))
+      .filter(col("rn") <= upTo)
+      .select(col("vec_id").as("q_id"), col("cell"), col("rn"))
+  }
+
+  private def pqTopKFrames(members: DataFrame, centroids: DataFrame,
+                           codebook: DataFrame, queries: DataFrame,
+                           k: Int, nprobe: Int, adcTopC: Int,
+                           verify: String,
+                           // a precomputed (q_id, cell, rn ≤ nprobe)
+                           // probe ranking, when the caller already owns
+                           // one ([[pqProbeRanked]]) — None computes it
+                           probesOpt: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbn = codebook.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
+
+    // coarse stage: nprobe cells per query, via the broadcast centroids
+    val probes = probesOpt.getOrElse(pqProbeRanked(queries, centroids, nprobe))
+      .select("q_id", "cell")
 
     // per-query integer LUT against the STANDING codebook: |Q| × 8 × 16
     // rows, broadcast — the only per-query state the ADC scan touches
@@ -3380,20 +3423,25 @@ object Ann {
       .unionByName(e.filter(col("vec_id") % 11 === 0)
         .select((col("vec_id") + 50000).as("vec_id"),
           expr("transform(emb, x -> -x)").as("emb")))
+    // ONE coarse ranking serves both the nprobe restriction and the
+    // report's own-cell column (round 17 — the rn = 1 row IS the argmax
+    // assignment, same (csim desc, cell) order as assignCellsLean)
+    val ranked = pqProbeRanked(batch, centroids, nprobe).persist()
     val best = pqTopKFrames(members, centroids, codebook, batch,
-        k = 1, nprobe, adcTopC, verify = "dec")
+        k = 1, nprobe, adcTopC, verify = "dec", probesOpt = Some(ranked))
       .select(col("q_id"), col("n_id").as("match_vec_id"), col("cosine"))
     // both right sides are batch-bounded — broadcast them so the final
     // assembly never sorts (a SortMergeJoin here would shuffle the batch
     // twice for two ≤|batch|-row lookups)
-    val ownCell = assignCellsLean(batch, centroids).select("vec_id", "cell")
+    val ownCell = ranked.filter(col("rn") === 1)
+      .select(col("q_id").as("vec_id"), col("cell"))
     val res = batch.select("vec_id")
       .join(broadcast(ownCell), Seq("vec_id"), "left")
       .join(broadcast(best.withColumnRenamed("q_id", "vec_id")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
         coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
       .orderBy("vec_id")
-    (res, Seq(members, centroids, codebook))
+    (res, Seq(members, centroids, codebook, ranked))
   }
 
   val q112Sql: String =

@@ -167,7 +167,22 @@ object TextRank {
     * [[bm25TopK]] and the q147/q148 recall grids (which filter it by
     * df-threshold / champion membership before ranking).
     */
-  private def bm25Contrib(docs: DataFrame, qt: DataFrame): DataFrame = {
+  private def bm25Contrib(docs: DataFrame, qt: DataFrame): DataFrame =
+    bm25ContribFrom(bm25Frames(docs), qt)
+
+  /** The BM25 ingredient frames of a docs corpus. NOT persisted (round
+    * 17 — measured): on this latency-bound profile the three tokenize
+    * branches (tf/dl/df) schedule concurrently across idle cores, so a
+    * persist's cache barrier costs MORE wall time than the redundant
+    * passes it removes (q146 A/B: 3.60 s unpersisted vs 4.51 s with an
+    * eagerly-counted tf cache). Multi-operating-point consumers (q150)
+    * instead pin their ≤ |panel|·k ARM outputs, where the recompute
+    * being removed is the whole pipeline, not one branch.
+    */
+  private case class Bm25Frames(tf: DataFrame, dl: DataFrame, df: DataFrame,
+                                n: DataFrame, ad: DataFrame)
+
+  private def bm25Frames(docs: DataFrame): Bm25Frames = {
     val toks = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .filter(length(col("term")) > 0)
@@ -177,13 +192,20 @@ object TextRank {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val ad = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    broadcast(qt).join(tf, "term")
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(df, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(n))
-      .crossJoin(broadcast(ad))
+    Bm25Frames(tf, dl, df, n, ad)
   }
+
+  /** The matched (query, term, doc) contrib rows over already-built
+    * ingredient frames — the join tail [[bm25Contrib]] and the q147/q148/
+    * q150 grids share.
+    */
+  private def bm25ContribFrom(f: Bm25Frames, qt: DataFrame): DataFrame =
+    broadcast(qt).join(f.tf, "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(f.df, "term")
+      .join(f.dl, "doc_id")
+      .crossJoin(broadcast(f.n))
+      .crossJoin(broadcast(f.ad))
 
   /** The production seam under [[q143Bm25Retrieval]]: BM25 top-k of
     * `docs` (any frame with `doc_id`/`text`) for an external query-term
@@ -1066,7 +1088,11 @@ object TextRank {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val qt = calibrationPanel(docs)
-    val weighted = withBm25Weight(bm25Contrib(docs, qt))
+    // ONE ingredient build feeds the scoring grid AND the kept-terms
+    // rollup (round 17: the kept rollup used to re-tokenize the corpus
+    // for a df frame bit-identical to the one the grid already joins)
+    val f = bm25Frames(docs)
+    val weighted = withBm25Weight(bm25ContribFrom(f, qt))
     val thrDf = Seq(0.10, 0.75, 0.78, 0.80, 1.00).toDF("thr")
     val grid = weighted.crossJoin(broadcast(thrDf))
       .filter(col("df").cast("double") <= col("thr") * col("n"))
@@ -1082,14 +1108,8 @@ object TextRank {
     // kept terms from the same df/N frames the scoring reads, joined at
     // the VOCABULARY grain (panel terms absent from the corpus have no
     // df row and count in neither engine)
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
-      .filter(length(col("term")) > 0)
-    val dfF = toks.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val kept = qt.select("term").distinct()
-      .join(dfF, "term").crossJoin(broadcast(n)).crossJoin(broadcast(thrDf))
+      .join(f.df, "term").crossJoin(broadcast(f.n)).crossJoin(broadcast(thrDf))
       .filter(col("df").cast("double") <= col("thr") * col("n"))
       .groupBy("thr").agg(count(lit(1)).as("kept_terms"))
     val nq = qt.select("q_id").distinct().agg(count(lit(1)).as("nq"))
@@ -1173,15 +1193,18 @@ object TextRank {
     import s.implicits._
     val docs = Tables.load(s, dir, "documents")
     val qt = calibrationPanel(docs)
-    val weighted = withBm25Weight(bm25Contrib(docs, qt))
+    // ONE ingredient build feeds the grid, the champion ranks AND the
+    // exact arm (round 17: champ re-tokenized the corpus for the same tf
+    // frame, and the exact arm re-ran the whole contrib pipeline through
+    // bm25TopK)
+    val f = bm25Frames(docs)
+    val contrib = bm25ContribFrom(f, qt)
+    val weighted = withBm25Weight(contrib)
     val mDf = Seq(8, 32, 128).toDF("m")
     // champion rank over the FULL posting list of each panel term —
     // per-query self-exclusion must not perturb the shared candidates
-    val toks = docs
-      .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
-      .filter(length(col("term")) > 0)
     val perTerm = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
-    val champ = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val champ = f.tf
       .join(broadcast(qt.select("term").distinct()), "term")
       .withColumn("rn", row_number().over(perTerm))
     val grid = weighted
@@ -1193,7 +1216,10 @@ object TextRank {
       .orderBy(col("score_dec").desc, col("doc_id"))
     val topk = sc.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k).select("m", "q_id", "doc_id")
-    val exact = bm25TopK(docs, qt, k).select("q_id", "doc_id")
+    // the exact ranking over the SAME weighted contrib (≡ bm25TopK at
+    // maxDfFrac 1.0, which would rebuild every ingredient from the raw
+    // corpus a second time)
+    val exact = rankBm25(weighted, k).select("q_id", "doc_id")
     val hits = topk.join(exact, Seq("q_id", "doc_id"))
       .groupBy("m").agg(count(lit(1)).as("hits"))
     val cand = champ.crossJoin(broadcast(mDf)).filter(col("rn") <= col("m"))
@@ -1493,6 +1519,15 @@ object TextRank {
       prunedFrac: Double = 0.10, nprobe: Int = 2): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val qt = calibrationPanel(docs)
+    // Round-17 A/B note (kept as the measured record): both "share the
+    // arm top-k tables" variants — eager localCheckpoint per arm and
+    // lazy persist per arm — measured SLOWER than this recompute-happy
+    // original (eager 8.5 s / lazy 7.9 s vs 6.7 s min-of-3, interleaved
+    // forks): on this latency-bound profile the duplicated arm pipelines
+    // run concurrently on idle cores inside the two existing barrier
+    // jobs (truth, out), while a persist adds cache materialization and
+    // InMemoryScan stage boundaries on the critical path. The arms stay
+    // recomputed BY MEASUREMENT, not by oversight.
     def sparseArm(frac: Double) =
       bm25TopK(docs, qt, k, frac)
         .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
