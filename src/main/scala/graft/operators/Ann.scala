@@ -378,7 +378,10 @@ object Ann {
       .withColumn("nn", dotDec("nemb", "nemb"))
     // persisted: the dup count and the ranking both consume the
     // corpus-sized cosine pass — without the pin it would run twice
-    // (the harness sweeps in-query pins between queries)
+    // (the harness sweeps in-query pins between queries). Stays a LAZY
+    // persist by round-17 A/B: the eager pin measured a hair slower
+    // (0.95 vs 0.88 min-of-3) — this pass is small enough that the
+    // barrier job costs more than the race it prevents.
     val scored = n.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -1078,11 +1081,15 @@ object Ann {
     */
   private def lshTopK(s: SparkSession, dir: String, maxQ: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned EAGERLY (round 17, was lazy): the banded query side feeds a
+    // broadcast build that races the corpus-side join stages on a cold
+    // cache — each re-ran the 16-fold sign-fingerprint pass (the
+    // q98/q137 shape)
     val e = embCorpus(s, dir)
       .withColumn("qemb", quantize(col("emb")))
       .withColumn("bucket", planeBucket(col("qemb")))
       .drop("qemb")
-      .persist()
+      .localCheckpoint(true)
     def banded(df: DataFrame): DataFrame =
       df.select(col("*"),
         posexplode(array((0 until 4).map(b =>

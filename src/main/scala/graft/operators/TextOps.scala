@@ -538,8 +538,12 @@ object TextOps {
   def q118BigramLm(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
     val d = docs(s, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
+    // pinned EAGERLY (round 17, was lazy): the corpus-stats aggregate
+    // feeds a broadcast build that races the final projection's stages
+    // on a cold cache — each re-ran the bigram-LM pass (the q98/q137
+    // shape)
     val perDoc = bigramAvgNll(d, Seq("doc_id"), minDf)
-      .persist()
+      .localCheckpoint(true)
     val st = perDoc.agg(
       Num.exactSum(col("avg_nll")).cast("double").as("sx"),
       Num.exactSum(col("avg_nll") * col("avg_nll")).cast("double").as("sxx"),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lower, split, trim}
 
 /** Physical-plan assertions — the 100 TB contract: filters reach the
   * scan, small dims broadcast, LSH candidate generation never degenerates
@@ -119,12 +119,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q118 bigram LM: both model tables broadcast back — the bigram stream never re-shuffles") {
-    val p = planString(TextOps.q118BigramLm(spark, Sf))
-    // total + corpus mean/σ ride single-row BNLJs (q85's bound shape)
+    // q118's per-doc frame is ONE eager checkpoint since round 17 (the
+    // corpus-stats broadcast raced the final projection), so the model
+    // join-back shape is pinned on the SAME un-checkpointed kernel the
+    // query consumes (the q112Lazy/q150-on-q146 convention)
+    val perDoc = graft.operators.TextOps.bigramAvgNll(
+      Tables.load(spark, Sf, "documents")
+        .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w")),
+      Seq("doc_id"), 2)
+    val p = planString(perDoc)
+    // total rides a single-row BNLJ (q85's bound shape)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3, p.take(500))
     assert(p.contains("BroadcastHashJoin"), "model join-backs must broadcast")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin") &&
       !p.contains("ShuffledHashJoin"), p.take(500))
+    // the checkpointed query tail: no shuffle-join may appear around the
+    // pin either — only the stats broadcast
+    val pq = planString(graft.operators.TextOps.q118BigramLm(spark, Sf))
+    assert(!pq.contains("CartesianProduct") && !pq.contains("SortMergeJoin") &&
+      !pq.contains("ShuffledHashJoin"), pq.take(500))
   }
 
   test("q86 embedding decontamination broadcasts the benchmark side — the corpus never shuffles") {
