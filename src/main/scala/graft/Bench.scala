@@ -270,10 +270,11 @@ object Bench {
     // out of that window. With 60+ queries at full names and full double
     // precision the line alone exceeds the window and the leading
     // `{"metric"` gets cut off, so: (a) per-query keys are the unique
-    // `qNN` prefix, (b) values are rounded to milliseconds (line ≈ 1.3 KB
-    // at 69 queries + the 12-entry isolated section), and (c) the line
-    // prints AFTER spark.stop() so nothing but sbt's one [success] line
-    // can land between it and EOF.
+    // `qNN` prefix, (b) values are rounded to milliseconds (≈ 2.4 KB at
+    // 165 queries + the isolated section — the "≈ 1.3 KB" this comment
+    // used to claim went stale as queries accrued, VERDICT r17 #4), and
+    // (c) the lines print AFTER spark.stop() so nothing but sbt's one
+    // [success] line can land between them and EOF.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def section(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
@@ -307,6 +308,12 @@ object Bench {
     // headline total — therefore come LAST; what gets cut is the head of
     // the per-query map, whose early entries are the small stable ones.
     // The line still leads with {"metric" for line-grep consumers.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"iso_ctx":$ctx,"isolated":$iso,"dropped":$drops,"value":${fmt(total)}}""")
+    // Round 18 (VERDICT r17 #2): the per-fork load-context arrays grew
+    // the line to ~3 KB and rounds 10–16 all parsed null out of the
+    // 2000-char tail — iso_ctx is CONTEXT, not a graded number, so it
+    // now rides its own line ABOVE the artifact line, shrinking the
+    // artifact to ~2.4 KB with the canonical sections still last.
+    println(s"""{"iso_ctx":$ctx}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"isolated":$iso,"dropped":$drops,"value":${fmt(total)}}""")
   }
 }

@@ -28,12 +28,17 @@ object Diag {
     case class Stg(name: String, wallMs: Long, tasks: Int, details: String)
     val stages = mutable.ArrayBuffer.empty[Stg]
     @volatile var record = false
+    // the listener bus delivers on its own thread while main reads the
+    // maps right after `record = false` (ADVICE r17): serialize every
+    // access on `jobs` — and drop never-ended jobs (t1 == 0) from the
+    // sums below, so a late JobEnd can neither corrupt the maps nor
+    // contribute a large negative wall
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (record) {
-        jobs(e.jobId) = Job(e.jobId, t0 = e.time)
+        jobs.synchronized { jobs(e.jobId) = Job(e.jobId, t0 = e.time) }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (record) {
-        jobs.get(e.jobId).foreach(_.t1 = e.time)
+        jobs.synchronized { jobs.get(e.jobId).foreach(_.t1 = e.time) }
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         if (record) {
@@ -45,7 +50,9 @@ object Diag {
           val graftLine = si.details.split('\n')
             .find(l => l.contains("graft.") && !l.contains("Diag"))
             .getOrElse("").trim
-          stages += Stg(si.name.takeWhile(_ != '\n'), wall, si.numTasks, graftLine)
+          jobs.synchronized {
+            stages += Stg(si.name.takeWhile(_ != '\n'), wall, si.numTasks, graftLine)
+          }
         }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -65,9 +72,16 @@ object Diag {
       SparkEntry.queries(q)(spark, dir).write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9
       record = false
+      // let the listener bus drain before reading (ADVICE r17) — events
+      // for the timed run may still be in flight on the bus thread (the
+      // drain API is private[spark]; a bounded sleep is the tool's
+      // accuracy budget, not a correctness device)
+      Thread.sleep(300)
       sweep()
       println(f"===== $q total ${wall}%.3f s =====")
-      val js = jobs.values.toSeq
+      // never-ended jobs (t1 == 0 — a JobEnd lost to the record flag)
+      // are dropped rather than summed as negative walls
+      val js = jobs.synchronized { jobs.values.filter(_.t1 > 0).toSeq }
       println(f"jobs: ${js.size}, job wall sum ${js.map(j => j.t1 - j.t0).sum / 1e3}%.3f s, " +
         f"stages: ${stages.size}, tasks: ${stages.map(_.tasks).sum}")
       for (j <- js.sortBy(j => -(j.t1 - j.t0)).take(15))

@@ -45,7 +45,13 @@ object Ann {
        |  FROM range(0, $NumPlanes) t(i), range(0, $Dim) u(j))""".stripMargin
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    // CPU-spread at the family's one loader (round 18 — Tuning.spreadSmall):
+    // the embeddings file is single-row-group parquet, so every decimal
+    // fold / quantize / fingerprint corpus pass downstream of this scan
+    // otherwise runs as ONE task; the bounded round-robin exchange
+    // no-ops at real corpus sizes. Only the dir-loaded oracle queries
+    // ride this — the streaming/admission paths bring their own frames.
+    graft.Tuning.spreadSmall(Tables.load(s, dir, "embeddings"))
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
 
   /** Fused native cosine (graft.functions.CosineSimilarity): one codegen'd
@@ -530,18 +536,23 @@ object Ann {
     val q = e.filter(col("vec_id") < 25)
       .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
       .withColumn("qn", dotDec("qemb", "qemb"))
+    // corpus side rides the loader's CPU-spread (round 18): the
+    // |corpus| × |q| cosine fold below runs one partition per core
     val n = e.select(col("vec_id").as("n_id"), col("emb").as("nemb"))
       .withColumn("nn", dotDec("nemb", "nemb"))
-    // pinned EAGERLY (round 17, was a lazy persist): the positive argmax
-    // feeds a broadcast build that races the negative ranking's stages on
-    // a cold cache — each re-ran the corpus-sized decimal cosine pass
-    // (the q98 measurement: 5.0 s → 3.8 s for the same shape)
-    val scored = n.crossJoin(broadcast(q))
+    // materialized EAGERLY (round 17, was a lazy persist): the positive
+    // argmax feeds a broadcast build that races the negative ranking's
+    // stages on a cold cache — each re-ran the corpus-sized decimal
+    // cosine pass (the q98 measurement: 5.0 s → 3.8 s for the same
+    // shape). Round 18 (VERDICT r17 #3): this frame is |corpus| × |q| —
+    // unbounded — so the eager pin is now the SPILL-SAFE form
+    // (Frames.eagerPersist: MEMORY_AND_DISK, lineage kept), not a
+    // lineage-truncated localCheckpoint.
+    val scored = graft.Frames.eagerPersist(n.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         Num.roundD(dotDec("qemb", "nemb").cast("double") /
-          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine"))
-      .localCheckpoint(true)
+          sqrt(col("qn").cast("double") * col("nn").cast("double"))).as("cosine")))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     val pos = scored.filter(col("cosine") >= eps)
       .withColumn("pr", row_number().over(w))
@@ -1081,15 +1092,18 @@ object Ann {
     */
   private def lshTopK(s: SparkSession, dir: String, maxQ: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // pinned EAGERLY (round 17, was lazy): the banded query side feeds a
-    // broadcast build that races the corpus-side join stages on a cold
-    // cache — each re-ran the 16-fold sign-fingerprint pass (the
-    // q98/q137 shape)
-    val e = embCorpus(s, dir)
-      .withColumn("qemb", quantize(col("emb")))
-      .withColumn("bucket", planeBucket(col("qemb")))
-      .drop("qemb")
-      .localCheckpoint(true)
+    // materialized EAGERLY (round 17, was lazy): the banded query side
+    // feeds a broadcast build that races the corpus-side join stages on
+    // a cold cache — each re-ran the 16-fold sign-fingerprint pass (the
+    // q98/q137 shape). Round 18 (VERDICT r17 #3): the frame is the FULL
+    // corpus, so the pin is now spill-safe (Frames.eagerPersist —
+    // MEMORY_AND_DISK, lineage kept), and the fingerprint fold runs
+    // CPU-spread (Tuning.spreadSmall) instead of as one scan task.
+    val e = graft.Frames.eagerPersist(
+      embCorpus(s, dir) // CPU-spread at the loader (round 18)
+        .withColumn("qemb", quantize(col("emb")))
+        .withColumn("bucket", planeBucket(col("qemb")))
+        .drop("qemb"))
     def banded(df: DataFrame): DataFrame =
       df.select(col("*"),
         posexplode(array((0 until 4).map(b =>
@@ -1230,7 +1244,7 @@ object Ann {
   def q81AnnIvf(s: SparkSession, dir: String, nprobe: Int = 3, k: Int = 10,
                 verify: String = "decimal"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(s, dir)
+    val e = embeddings(s, dir) // CPU-spread at the loader (round 18)
     // nlist × Dim aggregate: decimal-exact component sums per label
     val centroids = e.groupBy(col("label").as("cell")).agg(
       array((0 until Dim).map { j =>
@@ -1423,7 +1437,7 @@ object Ann {
       autoSplits(r.getLong(0), r.getLong(1))
     }
 
-  private[operators] def centroidTable(vecs: DataFrame, splits: Int): DataFrame = {
+  private[graft] def centroidTable(vecs: DataFrame, splits: Int): DataFrame = {
     val seeded =
       if (splits <= 1) vecs.withColumn("seed_cell", col("label"))
       else vecs.withColumn("seed_cell", concat_ws("#",
@@ -1808,6 +1822,12 @@ object Ann {
     // once either broadcast lands it the corpus centroid pass runs once.
     // Lazy, not eager: a construction-time barrier job measured slower
     // than the duplicate pass it saves on this latency-bound profile.
+    // PIN OWNERSHIP (ADVICE r17): the returned `centroids` frame IS the
+    // pin — nlist rows, cacheManager-registered, swept by the harnesses'
+    // between-run clearCache. A long-lived library consumer that builds
+    // index generations repeatedly must `centroids.unpersist()` when a
+    // generation retires, or the (small) pins accumulate for the
+    // session's lifetime.
     val centroids = centroidTable(index).persist()
     (centroids, guardedFromAssigned(assignCells(index, centroids)))
   }
@@ -2390,13 +2410,13 @@ object Ann {
   }: _*)
 
   /** Row-local PQ encode: the corpus with its 8 × 4-bit sign codes. */
-  private def pqCoded(e: DataFrame): DataFrame =
+  private[graft] def pqCoded(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("emb"), pqCodesCol.as("codes"))
 
   /** Per-component explode with subspace/offset/code columns — the
     * shared input of the codebook build and the query-LUT build.
     */
-  private def pqComps(coded: DataFrame): DataFrame =
+  private[graft] def pqComps(coded: DataFrame): DataFrame =
     coded.select(col("vec_id"), col("codes"), posexplode(col("emb")).as(Seq("j", "v")))
       .withColumn("sub", expr(s"j div $PqSubDim"))
       .withColumn("jj", expr(s"j % $PqSubDim"))
@@ -2406,7 +2426,7 @@ object Ann {
     * to a long — 8 × 16 × 8 = 1 024 rows from one partial-aggregated
     * corpus pass.
     */
-  private def pqCodebook(comps: DataFrame): DataFrame =
+  private[graft] def pqCodebook(comps: DataFrame): DataFrame =
     comps.groupBy("sub", "code", "jj")
       .agg(floor((Num.exactSum(col("v")).cast("double") / count(lit(1)))
         .cast("double") * lit(10000000.0)).cast("long").as("cw"))
@@ -2498,24 +2518,30 @@ object Ann {
     val e = embeddings(s, dir)
     val coded = pqCoded(e)
     val comps = pqComps(coded)
-    // pinned (round 17): the codeword-norm rollup and the query LUT each
-    // consume the 1 024-row codebook — one codebook corpus pass, not two
-    val cb = pqCodebook(comps).localCheckpoint(true)
-    val cbn = cb.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
+    // the r17 codebook pin is GONE (round 18): with the norms fused into
+    // the LUT below, the LUT is the codebook's only consumer — one
+    // codebook corpus pass by construction, no barrier job needed
+    val cb = pqCodebook(comps)
 
     // the compressed corpus: one (vec_id, sub, code) row per subspace
     val corpusCodes = coded.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("sub", "code")))
 
     // per-query LUT: exact integer dot of every query subvector with
-    // every codeword — queries × 8 × 16 rows, broadcast
+    // every codeword — queries × 8 × 16 rows, broadcast. ONE broadcast
+    // carries all three ADC ingredients (round 18 — VERDICT r17 #4): the
+    // codeword norm n2 and the per-sub query norm qn2p ride the LUT rows
+    // (Σ_sub over a candidate's 8 matched rows = recon2 / qnorm2 — long
+    // sums, bit-identical), so the separate cbn and qn rollups — each a
+    // broadcast build job on the serialized chain — are gone.
     val qsub = comps.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("sub"), col("jj"),
         floor(col("v") * lit(10000000.0)).cast("long").as("qv"))
     val lut = qsub.join(cb, Seq("sub", "jj"))
       .groupBy("q_id", "sub", "code")
-      .agg(sum(col("qv") * col("cw")).as("d"))
-    val qn = qsub.groupBy("q_id").agg(sum(col("qv") * col("qv")).as("qnorm2"))
+      .agg(sum(col("qv") * col("cw")).as("d"),
+        sum(col("cw") * col("cw")).as("n2"),
+        sum(col("qv") * col("qv")).as("qn2p"))
 
     // ADC scan: 8 LUT adds per (query, vector); recon norm rides the
     // same 8 rows (Σ_sub codeword-norm² — exact, disjoint coordinates)
@@ -2523,10 +2549,9 @@ object Ann {
       .orderBy(col("adc_cosine").desc, col("vec_id"))
     corpusCodes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(cbn), Seq("sub", "code"))
       .groupBy("q_id", "vec_id")
-      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"))
-      .join(broadcast(qn), Seq("q_id"))
+      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"),
+        sum(col("qn2p")).as("qnorm2"))
       .withColumn("adc_cosine", Num.roundD(col("dot").cast("double")
         / sqrt(col("qnorm2").cast("double") * col("recon2").cast("double"))))
       .withColumn("rank", row_number().over(rankW))
@@ -2644,27 +2669,30 @@ object Ann {
     // PQ stage: ADC-score ONLY the in-cell candidates
     val coded = pqCoded(e)
     val comps = pqComps(coded)
-    // pinned (round 17): the codeword-norm rollup and the query LUT each
-    // consume the 1 024-row codebook — one codebook corpus pass, not two
-    val cb = pqCodebook(comps).localCheckpoint(true)
-    val cbn = cb.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
+    // the r17 codebook pin is GONE (round 18): with the norms fused into
+    // the LUT below, the LUT is the codebook's only consumer — one
+    // codebook corpus pass by construction, no barrier job needed
+    val cb = pqCodebook(comps)
     val corpusCodes = coded.select(col("vec_id"),
       posexplode(col("codes")).as(Seq("sub", "code")))
+    // ONE broadcast carries LUT + codeword norm + per-sub query norm
+    // (round 18 — VERDICT r17 #4, the q109/pqTopKFrames fusion): the cbn
+    // and qn rollups were separate broadcast builds on the serial chain
     val qsub = comps.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("sub"), col("jj"),
         floor(col("v") * lit(10000000.0)).cast("long").as("qv"))
     val lut = qsub.join(cb, Seq("sub", "jj"))
       .groupBy("q_id", "sub", "code")
-      .agg(sum(col("qv") * col("cw")).as("d"))
-    val qn = qsub.groupBy("q_id").agg(sum(col("qv") * col("qv")).as("qnorm2"))
+      .agg(sum(col("qv") * col("cw")).as("d"),
+        sum(col("cw") * col("cw")).as("n2"),
+        sum(col("qv") * col("qv")).as("qn2p"))
     val adcW = Window.partitionBy("q_id")
       .orderBy(col("adc_cosine").desc, col("vec_id"))
     val shortlist = cands.join(corpusCodes, Seq("vec_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
-      .join(broadcast(cbn), Seq("sub", "code"))
       .groupBy("q_id", "vec_id")
-      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"))
-      .join(broadcast(qn), Seq("q_id"))
+      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"),
+        sum(col("qn2p")).as("qnorm2"))
       .withColumn("adc_cosine", Num.roundD(col("dot").cast("double")
         / sqrt(col("qnorm2").cast("double") * col("recon2").cast("double"))))
       .withColumn("adc_rank", row_number().over(adcW))
@@ -3253,21 +3281,28 @@ object Ann {
                            // one ([[pqProbeRanked]]) — None computes it
                            probesOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cbn = codebook.groupBy("sub", "code").agg(sum(col("cw") * col("cw")).as("n2"))
 
     // coarse stage: nprobe cells per query, via the broadcast centroids
     val probes = probesOpt.getOrElse(pqProbeRanked(queries, centroids, nprobe))
       .select("q_id", "cell")
 
     // per-query integer LUT against the STANDING codebook: |Q| × 8 × 16
-    // rows, broadcast — the only per-query state the ADC scan touches
+    // rows, broadcast — the only per-query state the ADC scan touches.
+    // ONE broadcast carries all three ADC ingredients (round 18 — VERDICT
+    // r17 #4, q112's serialized job chain): the codeword norm n2 and the
+    // per-sub query norm qn2p ride the LUT rows the grouping already
+    // enumerates (n2 = Σ_jj cw² per (sub, code); Σ_sub qn2p = the full
+    // query norm, since every candidate matches exactly one LUT row per
+    // sub), so the separate cbn and qn rollups — each a broadcast build
+    // job on the critical path — are gone. Long sums, bit-identical.
     val qcomps = pqComps(pqCoded(queries.select(col("vec_id"), col("emb"))))
       .select(col("vec_id").as("q_id"), col("sub"), col("jj"),
         floor(col("v") * lit(10000000.0)).cast("long").as("qv"))
     val lut = qcomps.join(broadcast(codebook), Seq("sub", "jj"))
       .groupBy("q_id", "sub", "code")
-      .agg(sum(col("qv") * col("cw")).as("d"))
-    val qn = qcomps.groupBy("q_id").agg(sum(col("qv") * col("qv")).as("qnorm2"))
+      .agg(sum(col("qv") * col("cw")).as("d"),
+        sum(col("cw") * col("cw")).as("n2"),
+        sum(col("qv") * col("qv")).as("qn2p"))
 
     // ADC stage: probed cells' code rows only (the broadcast cell join
     // prunes the partitioned scan); 8 LUT adds per candidate
@@ -3278,10 +3313,9 @@ object Ann {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
-      .join(broadcast(cbn), Seq("sub", "code"))
       .groupBy("q_id", "vec_id", "cell")
-      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"))
-      .join(broadcast(qn), Seq("q_id"))
+      .agg(sum(col("d")).as("dot"), sum(col("n2")).as("recon2"),
+        sum(col("qn2p")).as("qnorm2"))
       .withColumn("adc_cosine", Num.roundD(col("dot").cast("double")
         / sqrt(col("qnorm2").cast("double") * col("recon2").cast("double"))))
       .withColumn("adc_rank", row_number().over(adcW))
@@ -3406,7 +3440,7 @@ object Ann {
   private[graft] def q112Lazy(s: SparkSession, dir: String,
                               eps: Double = 0.99, nprobe: Int = 3,
                               adcTopC: Int = 32): (DataFrame, Seq[DataFrame]) = {
-    val e = embeddings(s, dir)
+    val e = embeddings(s, dir) // CPU-spread at the loader (round 18)
     // the inline standing state is consumed by several stages (ADC scan,
     // rerank scan, probes, LUT, own-cell assignment) — persist it the
     // way semDedupFrames persists its members, so consumers share one
@@ -3420,8 +3454,9 @@ object Ann {
     val members = assignCellsLean(e, centroids)
       .select(col("vec_id"), pqCodesCol.as("codes"), col("emb"), col("cell"))
       .persist()
+    // no codebook persist since round 18: with the LUT fusion in
+    // pqTopKFrames the LUT is the codebook's only consumer
     val codebook = pqCodebook(pqComps(pqCoded(e.select(col("vec_id"), col("emb")))))
-      .persist()
     // q97's batch: re-encodes (must flag at cosine 1) + inversions
     // (must pass — their best exact cosine is far below eps)
     val batch = e.filter(col("vec_id") % 7 === 0)
@@ -3448,7 +3483,7 @@ object Ann {
       .select(col("vec_id"), col("cell"), col("match_vec_id"), col("cosine"),
         coalesce((col("cosine") >= eps).cast("int"), lit(0)).as("is_dup"))
       .orderBy("vec_id")
-    (res, Seq(members, centroids, codebook, ranked))
+    (res, Seq(members, centroids, ranked))
   }
 
   val q112Sql: String =

@@ -259,7 +259,10 @@ object Dedup {
     */
   def rawShingles(docs: DataFrame, hashMode: String = "md5"): DataFrame = {
     val h = baseHash60Expr("concat_ws(' ', w[i], w[i+1], w[i+2])", hashMode)
-    docs
+    // CPU-spread under the per-shingle digest pass (round 18 —
+    // Tuning.spreadSmall): the single-row-group scan otherwise runs the
+    // whole corpus's md5/xxhash folds as one task; no-op at real scale
+    graft.Tuning.spreadSmall(docs.select(col("doc_id"), col("text")))
       .withColumn("w", split(lower(trim(col("text"))), " "))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -366,7 +369,8 @@ object Dedup {
     // intra-batch screen runs this per micro-batch — a leak-free
     // recompute of a batch-sized signature pass beats a persist that
     // never dies)
-    val banded0 = minhashBands(docs, hashMode, tokMode)
+    // spread rides the cache flag: cache=false IS the per-batch seam
+    val banded0 = minhashBands(docs, hashMode, tokMode, spread = cache)
     val banded = if (cache) banded0.persist() else banded0
     guardedPairs(banded, "doc_id", Seq("band_idx", "band_hash"), cache = cache)
       .groupBy(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
@@ -389,7 +393,13 @@ object Dedup {
                    // indexes persist their mode in `_meta` and every
                    // probe/append reads it back — an index can never
                    // mix modes.
-                   tokMode: String = "default"): DataFrame = {
+                   tokMode: String = "default",
+                   // CPU-spread the signature scan (round 18 —
+                   // Tuning.spreadSmall): corpus-sized batch callers keep
+                   // the default; the per-micro-batch admission probes
+                   // pass false (a per-batch round-robin exchange is pure
+                   // latency on the cache=false seam)
+                   spread: Boolean = true): DataFrame = {
     // Signature stage is ROW-LOCAL (round 6): a document's shingles are
     // one row's array, so the 32 per-permutation minimums never needed an
     // aggregation — the native `minhash_bands` expression walks the array
@@ -406,7 +416,8 @@ object Dedup {
     // band index — vanishing next to the banding false-positive rate, and
     // candidates are verified downstream anyway). Same plan either way.
     val h = baseHash60Expr("concat_ws(' ', w[i], w[i+1], w[i+2])", hashMode)
-    val bands = docs
+    val base = if (spread) graft.Tuning.spreadSmall(docs) else docs
+    val bands = base
       .withColumn("w", TextRank.tokWords(col("text"), tokMode))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -647,7 +658,8 @@ object Dedup {
     // appendTextIndex rule) — an index can never mix modes
     val tokMode = bandTokModeOf(s, phys)
     graft.sources.Ingest.appendBucketed(
-      guardedIndex(minhashBands(batch, hashMode, tokMode), maxBucket),
+      guardedIndex(minhashBands(batch, hashMode, tokMode, spread = false),
+        maxBucket),
       phys, "band_idx", Seq("band_hash"))
     // refresh through the PROBING session `s`, not just the writing
     // frame's session: the two differ whenever the batch plan's left
@@ -711,7 +723,7 @@ object Dedup {
                        threshold: Int = DefaultBandThreshold,
                        tokMode: String = "default"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probe = minhashBands(batch, hashMode, tokMode)
+    val probe = minhashBands(batch, hashMode, tokMode, spread = false)
       .select(col("doc_id").as("batch_doc_id"), col("band_idx"), col("band_hash"))
     val matches = probe.join(guarded, Seq("band_idx", "band_hash"))
       .groupBy("batch_doc_id", "match_doc_id")
@@ -1617,6 +1629,9 @@ object Dedup {
     // aggregate is GONE, and the oracle still replays the exploded GROUP
     // BY (identical votes, identical sign vector).
     val h = baseHash60Expr("t", hashMode)
+    // CPU-spread tried and REVERTED (round 18 A/B: 0.92 s → 1.10 s
+    // min-of-3) — the simhash60 fold is cheap next to the banded
+    // self-join, so the extra exchange only added latency
     val withFp = docs
       .withColumn("toks", split(lower(trim(col("text"))), " "))
       .select(col("doc_id"),

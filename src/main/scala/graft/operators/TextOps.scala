@@ -536,6 +536,9 @@ object TextOps {
   }
 
   def q118BigramLm(s: SparkSession, dir: String, minDf: Int = 2): DataFrame = {
+    // CPU-spread tried and REVERTED (round 18 A/B: 0.83 s → 1.05 s
+    // min-of-3) — the bigram pass's cost is the unigram/bigram groupBys,
+    // not the row-local fold, so the extra exchange only added latency
     val d = docs(s, dir)
       .select(col("doc_id"), split(lower(trim(col("text"))), " ").as("w"))
     // pinned EAGERLY (round 17, was lazy): the corpus-stats aggregate

@@ -168,7 +168,35 @@ object TextRank {
     * df-threshold / champion membership before ranking).
     */
   private def bm25Contrib(docs: DataFrame, qt: DataFrame): DataFrame =
-    bm25ContribFrom(bm25Frames(docs), qt)
+    bm25ContribFrom(bm25FramesFor(docs, qt), qt)
+
+  /** Corpus-size floor above which [[bm25FramesFor]] prunes the tf/df
+    * aggregations to the query panel's vocabulary (round 17 negative
+    * result #4, STAGED for scale per VERDICT r17 #8): only ≤ |panel|·6
+    * distinct terms survive the contrib join, so at a real corpus the
+    * tf/df shuffles should carry the panel-term slice, not the whole
+    * vocabulary — the vocabulary grows with the corpus while the panel
+    * is bounded. At bench SFs the extra broadcast semi-join chain costs
+    * more per-job latency than the aggregation it saves (measured r17:
+    * q150 6.5 → 8.6 s, q143 2.36 → 2.74 s), so the floor keeps it OFF
+    * below 256 MB of corpus — bit-identical results either way (the
+    * contrib join discards non-panel terms regardless; 5/5 oracles were
+    * green when forced on).
+    */
+  private[graft] val PanelPruneFloorBytes: Long = 256L * 1024 * 1024
+
+  /** [[bm25Frames]] with the scale-staged panel-term pruning applied
+    * when the corpus estimate crosses [[PanelPruneFloorBytes]]
+    * (`floorBytes` is a parameter so PlanSpec can assert the pruned
+    * shape without a 256 MB fixture). dl/n/avgdl stay corpus-wide —
+    * document length and corpus constants are panel-independent.
+    */
+  private[graft] def bm25FramesFor(docs: DataFrame, qt: DataFrame,
+      floorBytes: Long = PanelPruneFloorBytes): Bm25Frames = {
+    val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est >= BigInt(floorBytes)) bm25Frames(docs, panelTerms = Some(qt))
+    else bm25Frames(docs)
+  }
 
   /** The BM25 ingredient frames of a docs corpus. NOT persisted (round
     * 17 — measured): on this latency-bound profile the three tokenize
@@ -179,16 +207,31 @@ object TextRank {
     * instead pin their ≤ |panel|·k ARM outputs, where the recompute
     * being removed is the whole pipeline, not one branch.
     */
-  private case class Bm25Frames(tf: DataFrame, dl: DataFrame, df: DataFrame,
-                                n: DataFrame, ad: DataFrame)
+  private[graft] case class Bm25Frames(tf: DataFrame, dl: DataFrame,
+                                           df: DataFrame, n: DataFrame,
+                                           ad: DataFrame)
 
-  private def bm25Frames(docs: DataFrame): Bm25Frames = {
-    val toks = docs
+  private def bm25Frames(docs: DataFrame,
+                         panelTerms: Option[DataFrame] = None): Bm25Frames = {
+    // CPU-spread under the tokenize-and-explode (round 18 —
+    // Tuning.spreadSmall): the single-row-group corpus scan otherwise
+    // tokenizes serially in one task per branch; the round-robin
+    // exchange is shared by the tf/dl/df branches (ReusedExchange) and
+    // no-ops at real corpus sizes
+    val toks = graft.Tuning.spreadSmall(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // panel-term vocabulary pruning (see [[bm25FramesFor]]): tf/df only
+    // matter for terms the panel will join anyway — the semi-join drops
+    // the rest BEFORE the aggregation shuffles. dl stays corpus-wide.
+    val kept = panelTerms match {
+      case Some(qt) => toks.join(
+        broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+      case None => toks
+    }
+    val tf = kept.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val df = toks.select("doc_id", "term").distinct()
+    val df = kept.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
     val ad = dl.agg((sum("dl").cast("double") / count(lit(1))).as("avgdl"))
@@ -1330,7 +1373,14 @@ object TextRank {
     val q = e.filter(isQ(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
       .withColumn("qn", Ann.dotDec("qemb", "qemb"))
-    val n = e.select(col("vec_id").as("doc_id"), col("emb").as("nemb"))
+    // CPU-spread under the corpus × panel decimal pass (round 18 —
+    // Tuning.spreadSmall): the single-row-group scan otherwise runs the
+    // whole |corpus| × |panel| cosine fold as ONE task (Diag: a 2.5 s
+    // single-task broadcast-build job, the suite's textbook byte-blind
+    // serialization); no-op at real corpus sizes where scan splits
+    // already parallelize
+    val n = graft.Tuning.spreadSmall(
+        e.select(col("vec_id").as("doc_id"), col("emb").as("nemb")))
       .withColumn("nn", Ann.dotDec("nemb", "nemb"))
     val dW = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("doc_id"))
     val dense = n.crossJoin(broadcast(q))
@@ -1519,20 +1569,23 @@ object TextRank {
       prunedFrac: Double = 0.10, nprobe: Int = 2): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
     val qt = calibrationPanel(docs)
-    // Round-17 A/B note (kept as the measured record): both "share the
-    // arm top-k tables" variants — eager localCheckpoint per arm and
-    // lazy persist per arm — measured SLOWER than this recompute-happy
-    // original (eager 8.5 s / lazy 7.9 s vs 6.7 s min-of-3, interleaved
-    // forks): on this latency-bound profile the duplicated arm pipelines
-    // run concurrently on idle cores inside the two existing barrier
-    // jobs (truth, out), while a persist adds cache materialization and
-    // InMemoryScan stage boundaries on the critical path. The arms stay
-    // recomputed BY MEASUREMENT, not by oversight.
+    // Round-18 restructure (VERDICT r17 #1). Round 17 measured SEQUENTIAL
+    // arm pins slower than recompute (eager 8.5 s / lazy 7.9 s vs 6.7 s):
+    // four pin barriers in a row serialize what the recompute-happy plan
+    // overlapped. This round keeps the pins but removes the serialization:
+    // the four ≤ |panel|·k arm tables materialize CONCURRENTLY (guide
+    // §2.6 — independent jobs submitted from a small thread pool back-fill
+    // each other's stragglers), so the wall cost is max(arm), not Σ(arm),
+    // and the truth + grid fusions then consume four tiny pinned tables.
+    // Diag before: 64 fully-serialized single-task jobs, 11.2 s job-wall
+    // in 5.5 s — every arm pipeline re-ran 2–3×. After: each arm runs
+    // exactly once. At 100 TB this is the difference between 4 and ~10
+    // corpus-wide scoring passes.
     def sparseArm(frac: Double) =
       bm25TopK(docs, qt, k, frac)
         .select(col("q_id"), col("doc_id"), col("rk").as("sparse_rank"))
-    val sparseExact = sparseArm(1.0)
-    val sparsePruned = sparseArm(prunedFrac)
+    val sparseExact0 = sparseArm(1.0)
+    val sparsePruned0 = sparseArm(prunedFrac)
     val e = Tables.load(s, dir, "embeddings")
       .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
     val q = e.filter(col("vec_id") % 101 === 0 && col("vec_id") < 1200)
@@ -1547,17 +1600,21 @@ object TextRank {
       .withColumn("dense_rank", row_number().over(dW))
       .filter(col("dense_rank") <= k)
       .select("q_id", "doc_id", "dense_rank")
-    val n = e.select(col("vec_id").as("doc_id"), col("emb").as("nemb"))
+    // same CPU-spread as q146's dense arm: the corpus-side decimal pass
+    // must not run as one task on a single-split scan (no-op at scale)
+    val n = graft.Tuning.spreadSmall(
+        e.select(col("vec_id").as("doc_id"), col("emb").as("nemb")))
       .withColumn("nn", Ann.dotDec("nemb", "nemb"))
-    val denseExact = denseRank(n.crossJoin(broadcast(q)))
+    val denseExact0 = denseRank(n.crossJoin(broadcast(q)))
     // the IVF arm: label-seeded deterministic centroids (the standing
     // semantic family's splits=1 quantizer), corpus argmax assignment,
     // panel probes its top-nprobe cells; candidate cosines are the
     // exact decimal folds, so restriction is the ONLY approximation
     val seedVecs = e.select("vec_id", "emb", "label")
     val cents = Ann.centroidTable(seedVecs, 1)
-    val corpusCells = Ann.assignCells(seedVecs, cents)
-      .select(col("vec_id").as("doc_id"), col("cell"), col("emb").as("nemb"))
+    val corpusCells = graft.Tuning.spreadSmall(
+        Ann.assignCells(seedVecs, cents)
+          .select(col("vec_id").as("doc_id"), col("cell"), col("emb").as("nemb")))
       .withColumn("nn", Ann.dotDec("nemb", "nemb"))
     val probes = {
       val qe = q.withColumn("qq", Ann.quantize(col("qemb")))
@@ -1573,7 +1630,20 @@ object TextRank {
         .filter(col("rn") <= nprobe)
         .select(col("q_id"), col("qemb"), col("qn"), col("cell"))
     }
-    val denseIvf = denseRank(broadcast(probes).join(corpusCells, Seq("cell")))
+    val denseIvf0 = denseRank(broadcast(probes).join(corpusCells, Seq("cell")))
+    // materialize the four arm tables concurrently: each localCheckpoint
+    // is one Spark job; submitted from a pool they back-fill each other's
+    // idle cores (guide §2.6), so this barrier costs max(arm), not Σ(arm)
+    val arms0 = Seq(sparseExact0, sparsePruned0, denseExact0, denseIvf0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(arms0.size)
+    val pinned =
+      try arms0.map { a =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = a.localCheckpoint(true)
+        })
+      }.map(_.get())
+      finally pool.shutdown()
+    val Seq(sparseExact, sparsePruned, denseExact, denseIvf) = pinned
     val truth = fuseRrf(sparseExact, denseExact, k).select("q_id", "doc_id")
       .localCheckpoint(true)
     def op(st: String, dt: String, sp: DataFrame, de: DataFrame): DataFrame = {
@@ -1586,9 +1656,9 @@ object TextRank {
           Num.roundD(col("n_found").cast("double") /
             col("n_truth").cast("double")).as("recall_r"))
     }
-    // the 4-row grid is checkpointed so the truth pin can be FREED here
-    // (ADVICE r15 — the pagerank rule): the caller holds exactly one
-    // tiny checkpoint instead of an unfreeable corpus-derived truth
+    // the 4-row grid is checkpointed so the truth and arm pins can be
+    // FREED here (ADVICE r15 — the pagerank rule): the caller holds
+    // exactly one tiny checkpoint instead of five corpus-derived pins
     val out = op("exact", "exact", sparseExact, denseExact)
       .unionByName(op("exact", "ivf", sparseExact, denseIvf))
       .unionByName(op("pruned", "exact", sparsePruned, denseExact))
@@ -1596,6 +1666,7 @@ object TextRank {
       .orderBy("sparse_tier", "dense_tier")
       .localCheckpoint(true)
     graft.Frames.freePinned(truth)
+    pinned.foreach(graft.Frames.freePinned)
     out
   }
 

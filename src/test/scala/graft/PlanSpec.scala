@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import org.apache.spark.sql.functions.{col, lower, split, trim}
+import org.apache.spark.sql.functions.{col, explode, expr, length, lower, split, trim}
 
 /** Physical-plan assertions — the 100 TB contract: filters reach the
   * scan, small dims broadcast, LSH candidate generation never degenerates
@@ -264,6 +264,57 @@ class PlanSpec extends SparkSpec {
       assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 6,
         s"$name: a nested loop beyond the centroid broadcast: ${p.take(400)}")
     }
+  }
+
+  test("bm25 panel-term pruning: OFF below the corpus floor, semi-join shape above it, same numbers") {
+    // round 17 negative result #4 staged for scale (VERDICT r17 #8): the
+    // tf/df aggregations prune to the panel vocabulary only above
+    // PanelPruneFloorBytes — forced here via floorBytes so the pruned
+    // shape is asserted without a 256 MB fixture
+    val docs = Tables.load(spark, Sf, "documents")
+    val qt = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"),
+        explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val off = TextRank.bm25FramesFor(docs, qt) // default floor: never at test SFs
+    val on = TextRank.bm25FramesFor(docs, qt, floorBytes = 0L)
+    assert(!planString(off.tf).contains("LeftSemi"),
+      "below the floor the tf aggregate must stay vocabulary-wide")
+    assert(planString(on.tf).contains("LeftSemi") &&
+      planString(on.df).contains("LeftSemi"),
+      "above the floor tf/df must aggregate only the panel-term slice")
+    // dl stays corpus-wide in both modes (document length is panel-free)
+    assert(!planString(on.dl).contains("LeftSemi"))
+    // bit-identical numbers on the panel vocabulary — pruning is a
+    // candidate restriction, never a value change
+    val terms = qt.select("term").distinct()
+    assert(on.df.select("term", "df").orderBy("term").collect().toSeq ==
+      off.df.join(terms, Seq("term"), "left_semi")
+        .select("term", "df").orderBy("term").collect().toSeq)
+    assert(on.tf.select("doc_id", "term", "tf").orderBy("doc_id", "term").collect().toSeq ==
+      off.tf.join(terms, Seq("term"), "left_semi")
+        .select("doc_id", "term", "tf").orderBy("doc_id", "term").collect().toSeq)
+  }
+
+  test("ANN pinned kernels: centroid table and PQ codebook build as one partial-aggregated pass each") {
+    // ADVICE r17: the eager pins inside q81/q109/q110/q137/q26 plan as
+    // opaque RDD scans, so the suite-level assertions no longer see the
+    // centroid/codebook builders — pin the kernel shapes here on the
+    // un-checkpointed builders themselves (the q118 convention)
+    val e = Tables.load(spark, Sf, "embeddings")
+      .withColumn("emb", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id"), col("emb"), col("label"))
+    val cents = Ann.centroidTable(e, 1)
+    val pc = planString(cents)
+    assert(!pc.contains("SortMergeJoin") && !pc.contains("CartesianProduct") &&
+      !pc.contains("ShuffledHashJoin"), pc.take(500))
+    assert(pc.contains("HashAggregate"), "centroid build must partial-aggregate")
+    val codebook = Ann.pqCodebook(Ann.pqComps(Ann.pqCoded(
+      e.select(col("vec_id"), col("emb")))))
+    val pb = planString(codebook)
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("CartesianProduct") &&
+      !pb.contains("ShuffledHashJoin") && !pb.contains("Join"), pb.take(500))
+    assert(pb.contains("HashAggregate"), "codebook build must partial-aggregate")
   }
 
   test("q102 BPE pairs: bounded top-k selection, no join anywhere") {

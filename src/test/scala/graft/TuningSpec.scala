@@ -42,6 +42,25 @@ class TuningSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("spreadSmall engages below the floor, no-ops above, and never changes rows") {
+    val docs = Tables.load(spark, Sf, "documents")
+    // under the floor: the plan gains exactly one round-robin exchange
+    val spread = Tuning.spreadSmall(docs)
+    val p = spread.queryExecution.executedPlan.toString()
+    assert(p.contains("roundrobin") || p.contains("RoundRobin"),
+      s"tiny input must spread: ${p.take(300)}")
+    assert(spread.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // above the floor (forced with floorBytes = 0): plan unchanged —
+    // the scale no-op the rule promises
+    val noop = Tuning.spreadSmall(docs, floorBytes = 0L)
+    assert(noop.queryExecution.executedPlan.toString() ==
+      docs.queryExecution.executedPlan.toString(),
+      "above the floor the frame must pass through untouched")
+    // values: same multiset of rows either way
+    assert(spread.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+  }
+
   test("withShuffleWidth applies the width to shuffles and restores the conf") {
     val key = "spark.sql.shuffle.partitions"
     val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
