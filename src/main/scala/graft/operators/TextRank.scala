@@ -213,12 +213,13 @@ object TextRank {
 
   private def bm25Frames(docs: DataFrame,
                          panelTerms: Option[DataFrame] = None): Bm25Frames = {
-    // CPU-spread under the tokenize-and-explode (round 18 —
-    // Tuning.spreadSmall): the single-row-group corpus scan otherwise
-    // tokenizes serially in one task per branch; the round-robin
-    // exchange is shared by the tf/dl/df branches (ReusedExchange) and
-    // no-ops at real corpus sizes
-    val toks = graft.Tuning.spreadSmall(docs.select(col("doc_id"), col("text")))
+    // CPU-spread of the tokenize base tried and REVERTED (round 18
+    // subset-bench A/B: q143 1.78 → 2.31–2.78 s in-suite, consistent
+    // across three runs): a single-consumer bm25 evaluation pays the
+    // extra exchange without reusing it, and the tf/dl/df branches
+    // already overlap on idle cores (the r17 finding). The q146/q150
+    // dense arms keep their own spreads, where the win is real.
+    val toks = docs
       .select(col("doc_id"), explode(split(lower(trim(col("text"))), " ")).as("term"))
       .filter(length(col("term")) > 0)
     // panel-term vocabulary pruning (see [[bm25FramesFor]]): tf/df only
